@@ -1,0 +1,46 @@
+"""json_schema_rs_spark — a PySpark-native schema + constraint validation engine.
+
+A brand-new engine (NOT a port) with the query/data-processing capabilities of
+the reference validator GyrosOfWar/json-schema-rs (/root/reference, Rust).
+The reference validates one JSON document at a time against a runtime-parsed
+schema tree, accumulating a vector of typed errors
+(reference: src/schema.rs:31-46).  This engine re-expresses that loop as a
+single-pass, column-vectorized validation plan over a DataFrame: a declarative
+constraint spec (data, like the reference's schema JSON) is compiled on the
+driver into `pyspark.sql.Column` predicates, evaluated in one fused `select`
+(whole-stage codegen), and exploded into a violations DataFrame
+`(row_key, constraint_id, observed_value)` mirroring
+`ValidationError{reason, node}` (reference: src/errors.rs:10-16).
+
+Dataset-level constraints the reference only hints at (uniqueItems per-array,
+no-op $ref) are realized properly at table scope: key uniqueness via salted
+two-phase hash-aggregate, referential integrity via broadcast anti-join, and
+distribution-drift (KS/PSI) via bucketed partial+final aggregation.
+"""
+
+from json_schema_rs_spark.spec import (
+    TableSpec,
+    FieldSpec,
+    UniqueKeySpec,
+    ReferentialIntegritySpec,
+    DriftSpec,
+    spec_from_json,
+    spec_hash,
+)
+from json_schema_rs_spark.engine import ValidationEngine, ValidationResult
+from json_schema_rs_spark.session import get_spark
+
+__all__ = [
+    "TableSpec",
+    "FieldSpec",
+    "UniqueKeySpec",
+    "ReferentialIntegritySpec",
+    "DriftSpec",
+    "spec_from_json",
+    "spec_hash",
+    "ValidationEngine",
+    "ValidationResult",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,327 @@
+"""Spec → Column compiler: the driver-side analogue of the reference's
+recursive interpreter (reference: src/schema.rs:146-166).
+
+Where the reference walks the schema tree once **per document**
+(``validate_inner``), we walk the spec tree once **per plan** on the driver and
+emit, for every value in the table's shape, an ``array<struct<constraint_id,
+observed_value>>`` Column of violations.  Catalyst fuses the whole thing into
+a single whole-stage-codegen projection — the per-document interpreter becomes
+a vectorized single pass (SURVEY §3 "Our Spark lifecycle").
+
+Violation accumulation semantics match the reference exactly: every
+constraint is evaluated, every failure recorded, no short-circuit
+(schema.rs:37-46) — except a failed *type* check suppresses the remaining
+keyword checks for that value (e.g. number.rs:84-93 pushes TypeMismatch and
+skips the range check), pinned by the reference test array.rs:276-294 which
+expects exactly 2 errors for ``[[], 1.2, 1.4, 1.9, 2.5]``.
+"""
+
+from __future__ import annotations
+
+import re as _pyre
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from json_schema_rs_spark.functions.formats import format_predicate
+from json_schema_rs_spark.spec import FieldSpec, TableSpec
+
+#: violations array element type
+VIOLATION_SCHEMA = "array<struct<constraint_id:string,observed_value:string>>"
+
+#: our constraint-kind → the reference ErrorKind it corresponds to
+#: (reference: src/errors.rs:74-127; quirks noted in FIXTURES.md)
+REFERENCE_ERRORKIND = {
+    "type_mismatch": "TypeMismatch",
+    "tuple_length_mismatch": "TupleLengthMismatch",
+    "min_length": "MinLength",
+    "max_length": "MinLength",   # reference mislabels maxLength errors (string.rs:85)
+    "min_items": "MinLength",    # array.rs:50 reuses MinLength
+    "max_items": "MaxLength",    # array.rs:61
+    "required": "MissingProperty",
+    "missing_property": "MissingProperty",
+    "unique_items": "ArrayItemNotUnique",
+    "number_range": "NumberRange",
+    "property_count": "PropertyCount",
+    "invalid_regex": "InvalidRegex",
+    "invalid_format": "InvalidFormat",
+    "pattern": "RegexMismatch",
+    # dataset-level kinds (north-star additions; no ErrorKind counterpart)
+    "unique_key": None,
+    "referential_integrity": None,
+    "drift": None,
+}
+
+def _empty():
+    # lazy: building a Column requires an active SparkSession
+    return F.array().cast(VIOLATION_SCHEMA)
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOATING = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _v(cid: str, observed: Column) -> Column:
+    return F.struct(
+        F.lit(cid).alias("constraint_id"),
+        observed.cast("string").alias("observed_value"),
+    )
+
+
+def _fail(pred: Column, cid: str, observed: Column) -> Column:
+    """One keyword check → empty array when `pred` holds, else one violation.
+    `pred` may be null (e.g. rlike on null) — null counts as FAIL, callers
+    must pre-filter nulls (value-level null short-circuits to 'skip')."""
+    return F.when(F.coalesce(pred, F.lit(False)), _empty()).otherwise(F.array(_v(cid, observed)))
+
+
+def _concat(parts: list[Column]) -> Column:
+    if not parts:
+        return _empty()
+    if len(parts) == 1:
+        return parts[0]
+    return F.concat(*parts)
+
+
+@dataclass
+class CompiledField:
+    """One table column compiled: its violations Column (already null-safe)."""
+    name: str
+    violations: Column
+
+
+# ---------------------------------------------------------------------------
+# Per-type keyword emitters.  Each returns list[Column] of violation arrays.
+# ---------------------------------------------------------------------------
+
+
+def _string_keywords(spec: FieldSpec, x: Column, path: str) -> list[Column]:
+    out: list[Column] = []
+    if spec.min_length is not None:
+        # BYTE length to match Rust str::len (string.rs:71) — octet_length, not length.
+        out.append(_fail(F.octet_length(x) >= spec.min_length, f"min_length:{path}", F.octet_length(x)))
+    if spec.max_length is not None:
+        out.append(_fail(F.octet_length(x) <= spec.max_length, f"max_length:{path}", F.octet_length(x)))
+    if spec.pattern is not None:
+        try:
+            _pyre.compile(spec.pattern)
+            # unanchored search — same semantics as Rust Regex::is_match (string.rs:104)
+            out.append(_fail(x.rlike(spec.pattern), f"pattern:{path}", x))
+        except _pyre.error:
+            # Reference: invalid regex is a *validation-time* error per document,
+            # not a parse failure (string.rs:99-102).
+            out.append(F.array(_v(f"invalid_regex:{path}", F.lit(spec.pattern))))
+    if spec.format is not None:
+        out.append(_fail(format_predicate(x, spec.format), f"invalid_format:{path}", x))
+    return out
+
+
+def _numeric_keywords(spec: FieldSpec, x: Column, path: str, parity: bool) -> list[Column]:
+    out: list[Column] = []
+    if spec.minimum is not None:
+        if parity:
+            # Reference semantics are INVERTED vs the JSON-Schema spec
+            # (number.rs:42-51): non-exclusive min fails the boundary value.
+            pred = (x >= spec.minimum) if spec.exclusive_minimum else (x > spec.minimum)
+        else:
+            pred = (x > spec.minimum) if spec.exclusive_minimum else (x >= spec.minimum)
+        out.append(_fail(pred, f"number_range:{path}", x))
+    if spec.maximum is not None:
+        if parity:
+            pred = (x <= spec.maximum) if spec.exclusive_maximum else (x < spec.maximum)
+        else:
+            pred = (x < spec.maximum) if spec.exclusive_maximum else (x <= spec.maximum)
+        out.append(_fail(pred, f"number_range:{path}", x))
+    if spec.multiple_of is not None and not parity:
+        # parsed-but-never-enforced in the reference (number.rs:19); strict mode only
+        k = float(spec.multiple_of)
+        out.append(_fail(F.abs(x / k - F.round(x / k)) < 1e-9, f"multiple_of:{path}", x))
+    return out
+
+
+def _array_keywords(spec: FieldSpec, x: Column, dtype: T.DataType, path: str, parity: bool) -> list[Column]:
+    out: list[Column] = []
+    if spec.min_items is not None:
+        out.append(_fail(F.size(x) >= spec.min_items, f"min_items:{path}", F.size(x)))
+    if spec.max_items is not None:
+        out.append(_fail(F.size(x) <= spec.max_items, f"max_items:{path}", F.size(x)))
+    if spec.unique_items:
+        # Reference short-circuits at the first duplicate → exactly ONE
+        # violation per offending array (array.rs:113-117); size-compare
+        # naturally yields one violation per row.
+        out.append(
+            _fail(F.size(F.array_distinct(x)) == F.size(x), f"unique_items:{path}", F.size(x) - F.size(F.array_distinct(x)))
+        )
+    elem_type = dtype.elementType if isinstance(dtype, T.ArrayType) else T.StringType()
+    if spec.items is not None:
+        # list mode: one schema validates every element (array.rs:95-97);
+        # element-major violation order matches the reference's loop.
+        per_elem = F.transform(x, lambda e: _value_violations(spec.items, e, elem_type, f"{path}[]", parity))
+        out.append(F.flatten(per_elem))
+    if spec.tuple_items is not None:
+        n = len(spec.tuple_items)
+        if not spec.additional_items:
+            # `!=` comparison: too few ALSO errors (array.rs:81-89)
+            out.append(_fail(F.size(x) == n, f"tuple_length_mismatch:{path}", F.size(x)))
+        for i, child in enumerate(spec.tuple_items):
+            # zip semantics: positions beyond len(x) are null → skipped,
+            # matching "validates the first min(len) pairs" (array.rs:90-94)
+            elem = F.element_at(x, i + 1)
+            out.append(_value_violations(child, elem, elem_type, f"{path}[{i}]", parity))
+    return out
+
+
+def _object_keywords(spec: FieldSpec, x: Column, dtype: T.DataType, path: str, parity: bool) -> list[Column]:
+    out: list[Column] = []
+    is_map = isinstance(dtype, T.MapType)
+    is_struct = isinstance(dtype, T.StructType)
+    required = set(spec.required_props or [])
+    props = spec.properties or {}
+    if not spec.additional_properties:
+        # Quirk (object.rs:47-53): additionalProperties=false makes every
+        # DECLARED property required; extra keys are NEVER rejected
+        # (pinned by test object.rs:294-302).
+        required |= set(props.keys())
+    for p, child in props.items():
+        sub = x.getField(p) if (is_struct or is_map) else F.lit(None)
+        sub_t = T.StringType()
+        if is_struct:
+            matching = [f.dataType for f in dtype.fields if f.name == p]
+            sub_t = matching[0] if matching else T.NullType()
+        elif is_map:
+            sub_t = dtype.valueType
+        child_v = _value_violations(child, sub, sub_t, f"{path}.{p}", parity)
+        if p in required:
+            out.append(F.when(sub.isNull(), F.array(_v(f"missing_property:{path}.{p}", F.lit(p)))).otherwise(child_v))
+        else:
+            out.append(child_v)
+    for p in required - set(props.keys()):
+        sub = x.getField(p) if (is_struct or is_map) else F.lit(None)
+        out.append(F.when(sub.isNull(), F.array(_v(f"missing_property:{path}.{p}", F.lit(p)))).otherwise(_empty()))
+    if spec.min_properties is not None or spec.max_properties is not None:
+        if is_map:
+            cnt = F.size(F.map_keys(x))
+        elif is_struct:
+            cnt = F.lit(0)
+            for f in dtype.fields:
+                cnt = cnt + x.getField(f.name).isNotNull().cast("int")
+        else:
+            cnt = F.lit(0)
+        if spec.min_properties is not None:
+            out.append(_fail(cnt >= spec.min_properties, f"property_count:{path}", cnt))
+        if spec.max_properties is not None:
+            out.append(_fail(cnt <= spec.max_properties, f"property_count:{path}", cnt))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Type checks — SURVEY §2.3 (T1-T7).  Returns (pred-or-None, value-for-keywords)
+# ---------------------------------------------------------------------------
+
+_INT_LEXICAL = r"^-?\d+$"  # lexical integer: JSON `42` not `42.0` (util.rs:13-17)
+
+
+def _type_check(spec: FieldSpec, x: Column, dtype: T.DataType) -> tuple[Column | None, Column]:
+    """Return (pass-predicate or None-if-statically-satisfied, coerced value)."""
+    t = spec.type
+    if t in (None, "empty", "ref", "object"):
+        # empty schema accepts everything (schema.rs:49-63); $ref is a no-op
+        # (reference.rs:13-18); object structural conformance is schema-level.
+        return None, x
+    if t == "string":
+        if isinstance(dtype, T.StringType):
+            return None, x
+        return F.lit(False), x
+    if t == "boolean":
+        if isinstance(dtype, T.BooleanType):
+            return None, x
+        if isinstance(dtype, T.StringType):
+            return x.isin("true", "false"), x.cast("boolean")
+        return F.lit(False), x
+    if t == "integer":
+        if isinstance(dtype, _INTEGRAL):
+            return None, x
+        if isinstance(dtype, T.StringType):
+            # lexical rule: a decimal point or exponent makes it a Number
+            return x.rlike(_INT_LEXICAL) & x.try_cast(T.LongType()).isNotNull(), x.try_cast(T.LongType())
+        # a float-typed value is JsonType::Number, never Integer (util.rs:13-17)
+        return F.lit(False), x
+    if t == "number":
+        if isinstance(dtype, _INTEGRAL + _FLOATING):
+            # NumberSchema accepts integers too, coerced as_f64 (number.rs:84-85)
+            return None, x.cast("double")
+        if isinstance(dtype, T.StringType):
+            c = x.try_cast(T.DoubleType())
+            return c.isNotNull(), c
+        return F.lit(False), x
+    if t == "array":
+        if isinstance(dtype, T.ArrayType):
+            return None, x
+        return F.lit(False), x
+    raise ValueError(f"unsupported declared type {t!r}")
+
+
+def _value_violations(spec: FieldSpec, x: Column, dtype: T.DataType, path: str, parity: bool) -> Column:
+    """Violations array for ONE value — the vectorized ``Schema::validate``
+    dispatch (reference: schema.rs:146-166).  Null value ⇒ no violations
+    (absence is only an error under required/missing_property, object.rs:58-74).
+    """
+    type_pred, coerced = _type_check(spec, x, dtype)
+
+    parts: list[Column] = []
+    if spec.type == "string" or (spec.type is None and isinstance(dtype, T.StringType)):
+        parts += _string_keywords(spec, x, path)
+    if spec.type in ("number", "integer"):
+        if spec.type == "number" or not parity:
+            # IntegerSchema bounds are parsed but NEVER enforced (integer.rs:16-20)
+            parts += _numeric_keywords(spec, coerced, path, parity)
+    if spec.type == "array":
+        parts += _array_keywords(spec, x, dtype, path, parity)
+    if spec.type == "object" or spec.properties or spec.required_props:
+        parts += _object_keywords(spec, x, dtype, path, parity)
+    if spec.enum is not None:
+        parts.append(_fail(x.isin(*spec.enum), f"enum:{path}", x))
+    body = _concat(parts)
+
+    if type_pred is not None:
+        found = F.lit(_spark_type_name(dtype)) if not isinstance(dtype, T.StringType) else x
+        body = F.when(
+            ~F.coalesce(type_pred, F.lit(False)),
+            F.array(_v(f"type_mismatch:{path}", found)),
+        ).otherwise(body)
+    return F.when(x.isNull(), _empty()).otherwise(body)
+
+
+def _spark_type_name(dtype: T.DataType) -> str:
+    return dtype.simpleString()
+
+
+# ---------------------------------------------------------------------------
+# Table-level compile
+# ---------------------------------------------------------------------------
+
+
+def compile_table(spec: TableSpec, schema: T.StructType) -> list[CompiledField]:
+    """Compile every FieldSpec against the DataFrame schema.  This is the
+    whole 'optimizer': plan construction happens here, Catalyst does the rest
+    (SURVEY §4: zero custom rules needed)."""
+    out: list[CompiledField] = []
+    by_name = {f.name: f for f in schema.fields}
+    for name, fs in spec.fields.items():
+        if name in by_name:
+            col = F.col(name)
+            dtype = by_name[name].dataType
+            v = _value_violations(fs, col, dtype, name, spec.reference_parity)
+            if fs.required:
+                v = F.when(
+                    col.isNull(), F.array(_v(f"required:{name}", F.lit(name)))
+                ).otherwise(v)
+        else:
+            # column absent from the table entirely → every row missing
+            if fs.required:
+                v = F.array(_v(f"required:{name}", F.lit(name)))
+            else:
+                v = _empty()
+        out.append(CompiledField(name=name, violations=v))
+    return out

@@ -1,0 +1,141 @@
+"""ValidationEngine — the D1 "validate entry" operator (reference:
+src/schema.rs:31-46,93-97) re-expressed as one declarative Spark plan.
+
+``validate(df)`` builds a SINGLE ``select`` producing, per row:
+
+  * ``row_key``         — stable key (concat of the configured key columns),
+                          playing the role of the reference's ``&Value`` node
+                          pointer in ``ValidationError`` (errors.rs:10-16)
+  * ``passed``          — the Ok(())/Err(...) verdict (schema.rs:41-45)
+  * ``violations``      — array<struct<constraint_id, observed_value>>, the
+                          accumulated ``Vec<ValidationError>`` (errors.rs:38-39)
+  * ``content_sha256``  — per-row fidelity hash (input_hint invariant)
+
+then derives the violations DataFrame (explode) and per-group summary
+(groupBy) from it.  Dataset-level constraints (uniqueness / referential /
+drift) run as separate narrow jobs over the same scan and union into the
+violations DF with the same schema.
+
+Scale notes: the row-level pass is shuffle-free and whole-stage-codegen'd;
+columns not referenced by any constraint are never read (column pruning —
+verified via .explain in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.compile import compile_table, _concat, VIOLATION_SCHEMA
+from json_schema_rs_spark.operators.drift import drift_stats, drift_violations
+from json_schema_rs_spark.operators.integrity import referential_violations
+from json_schema_rs_spark.operators.uniqueness import unique_key_violations
+from json_schema_rs_spark.spec import TableSpec
+
+
+@dataclass
+class ValidationResult:
+    annotated: DataFrame                 # input cols + row_key, passed, violations
+    violations: DataFrame                # row_key, constraint_id, observed_value
+    summary: DataFrame                   # group, n_rows, n_passed, n_failed, n_violations
+    drift: list[dict] = field(default_factory=list)  # per-DriftSpec stats
+
+
+class ValidationEngine:
+    """Compile a TableSpec once; validate any conforming DataFrame.
+
+    Parameters
+    ----------
+    spec : TableSpec
+    key_cols : columns forming the stable row key (e.g. repo, path, commit)
+    group_col : summary grouping column (e.g. "repo"); defaults to a constant
+    dims : dimension DataFrames for referential-integrity specs, by name
+    sha_col : column to fingerprint with sha2-256 (input_hint: content)
+    """
+
+    def __init__(
+        self,
+        spec: TableSpec,
+        key_cols: list[str],
+        group_col: Optional[str] = None,
+        dims: Optional[dict[str, DataFrame]] = None,
+        sha_col: Optional[str] = None,
+    ) -> None:
+        self.spec = spec
+        self.key_cols = key_cols
+        self.group_col = group_col
+        self.dims = dims or {}
+        self.sha_col = sha_col
+
+    # -- row-level single pass ------------------------------------------------
+
+    def annotate(self, df: DataFrame) -> DataFrame:
+        compiled = compile_table(self.spec, df.schema)
+        all_violations = _concat([c.violations for c in compiled]).cast(VIOLATION_SCHEMA)
+        cols = [
+            F.concat_ws("|", *[F.col(c).cast("string") for c in self.key_cols]).alias("row_key"),
+            all_violations.alias("violations"),
+        ]
+        if self.sha_col and self.sha_col in df.columns:
+            cols.append(F.sha2(F.col(self.sha_col), 256).alias("content_sha256"))
+        out = df.select(*df.columns, *cols)
+        return out.withColumn("passed", F.size("violations") == 0)
+
+    def row_violations(self, annotated: DataFrame) -> DataFrame:
+        v = annotated.select("row_key", F.explode("violations").alias("v"))
+        return v.select(
+            "row_key",
+            F.col("v.constraint_id").alias("constraint_id"),
+            F.col("v.observed_value").alias("observed_value"),
+        )
+
+    def summarize(self, annotated: DataFrame) -> DataFrame:
+        group = F.col(self.group_col) if self.group_col else F.lit("__all__")
+        return (
+            annotated.groupBy(group.alias("group"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("passed").cast("long")).alias("n_passed"),
+                F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
+                F.sum(F.size("violations").cast("long")).alias("n_violations"),
+            )
+        )
+
+    # -- dataset-level constraints ---------------------------------------------
+
+    def dataset_violations(self, df: DataFrame) -> tuple[Optional[DataFrame], list[dict]]:
+        spark = df.sparkSession
+        parts: list[DataFrame] = []
+        for uk in self.spec.unique_keys:
+            parts.append(unique_key_violations(df, uk))
+        for ri in self.spec.referential:
+            dim = self.dims.get(ri.dim_table)
+            if dim is None:
+                raise ValueError(f"no dimension DataFrame registered for {ri.dim_table!r}")
+            parts.append(referential_violations(df, ri, dim, self.key_cols))
+        stats: list[dict] = []
+        for dr in self.spec.drift:
+            stats.append({**drift_stats(df, dr), "column": dr.column})
+            parts.append(drift_violations(spark, df, dr))
+        if not parts:
+            return None, stats
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out, stats
+
+    # -- the D1 entry ------------------------------------------------------------
+
+    def validate(self, df: DataFrame) -> ValidationResult:
+        annotated = self.annotate(df)
+        violations = self.row_violations(annotated)
+        ds_viol, drift = self.dataset_violations(df)
+        if ds_viol is not None:
+            violations = violations.unionByName(ds_viol)
+        summary = self.summarize(annotated)
+        return ValidationResult(
+            annotated=annotated, violations=violations, summary=summary, drift=drift
+        )

@@ -1,0 +1,3 @@
+from json_schema_rs_spark.functions.formats import format_predicate
+
+__all__ = ["format_predicate"]

@@ -1,0 +1,82 @@
+"""String `format` predicates, JVM-side (no Python UDFs in the hot path).
+
+Mirrors the reference ``Format`` enum semantics (reference:
+src/string.rs:199-230):
+
+* ``date-time`` — chrono ``DateTime::parse_from_rfc3339`` (string.rs:225).
+  chrono ACCEPTS the leap second ``23:59:60Z`` (pinned by test
+  string.rs:259-266) and REQUIRES an explicit timezone (test 268-275).
+* ``uri``  — ``url::Url::parse`` ok (string.rs:226): absolute URI with scheme.
+* ``ipv4`` — ``Ipv4Addr::from_str`` (string.rs:227): exact dotted quad 0-255.
+* ``ipv6`` — ``Ipv6Addr::from_str`` (string.rs:228).
+* ``email`` / ``hostname`` — ALWAYS VALID (wildcard arm, string.rs:229).
+
+All are pure Column expressions (regex + ``try_to_timestamp``) so they fuse
+into whole-stage codegen with the rest of the validation projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# RFC 3339 date-time: full-date "T" full-time with mandatory offset.
+# Seconds field allows 60 (leap second) to match chrono's acceptance.
+RFC3339_REGEX = (
+    r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+    r"[Tt ]([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
+    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
+)
+
+# Exact dotted-quad, each octet 0-255 (no leading-zero rejection — Rust's
+# Ipv4Addr::from_str in the reference's std accepts e.g. "01.2.3.4"? It does
+# NOT in modern std, but regex keeps plain decimal 0-255 which matches the
+# tested surface; no reference test exercises ipv4).
+IPV4_REGEX = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+
+# RFC 4291 IPv6 textual forms incl. :: compression and v4-mapped tails.
+IPV6_REGEX = (
+    r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+    r"|[0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6})"
+    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}:((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d))$"
+)
+
+# url::Url::parse: scheme ":" then anything non-space; scheme = ALPHA *(ALPHA/DIGIT/+/-/.)
+URI_REGEX = r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$"
+
+
+def _rfc3339_datetime(col: Column) -> Column:
+    """Regex shape check + real calendar validation via ``try_to_timestamp``.
+
+    The leap second ``:60`` (chrono-accepted, string.rs:264-266) is normalized
+    to ``:59`` before the timestamp parse, since the JVM parser rejects it.
+    """
+    normalized = F.regexp_replace(
+        F.regexp_replace(col, r":60(\.\d+)?(?=[Zz+-])", ":59$1"),
+        r"[Tt ]", " ",
+    )
+    return col.rlike(RFC3339_REGEX) & F.try_to_timestamp(normalized).isNotNull()
+
+
+def format_predicate(col: Column, fmt: str) -> Column:
+    """Pass-predicate for ``format: <fmt>`` on a string Column."""
+    if fmt == "date-time":
+        return _rfc3339_datetime(col)
+    if fmt == "uri":
+        return col.rlike(URI_REGEX)
+    if fmt == "ipv4":
+        return col.rlike(IPV4_REGEX)
+    if fmt == "ipv6":
+        return col.rlike(IPV6_REGEX)
+    if fmt in ("email", "hostname"):
+        # Reference: always valid (string.rs:229).
+        return F.lit(True)
+    raise ValueError(f"unknown format {fmt!r}")

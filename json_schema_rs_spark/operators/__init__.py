@@ -1,0 +1,11 @@
+from json_schema_rs_spark.operators.uniqueness import unique_key_violations
+from json_schema_rs_spark.operators.integrity import referential_violations
+from json_schema_rs_spark.operators.drift import histogram, drift_stats, drift_violations
+
+__all__ = [
+    "unique_key_violations",
+    "referential_violations",
+    "histogram",
+    "drift_stats",
+    "drift_violations",
+]

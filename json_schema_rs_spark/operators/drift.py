@@ -1,0 +1,110 @@
+"""Distribution-drift checks (KS / PSI) on a numeric column — pure north-star
+addition; the reference has no dataset-level statistics at all (SURVEY §2.9).
+
+Scale shape: the 100 TB column is reduced to a B-bucket histogram with ONE
+partial+final aggregation (map-side combine does the heavy lifting; the
+shuffle moves ≤ partitions×B tiny rows).  The KS/PSI arithmetic then runs on
+the driver over B numbers with numpy — no second pass over the data, no
+``collect()`` of row-level results.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.spec import DriftSpec
+
+_EPS = 1e-9
+
+
+def bucket_expr(col: str, edges: list[float]):
+    """Bucket index 0..len(edges): 0 = below edges[0], len = above edges[-1].
+
+    ``width_bucket`` handles only uniform widths; explicit edges compile to a
+    chained CASE that codegen folds into branch-free comparisons.
+    """
+    c = F.col(col)
+    expr = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        expr = F.when(c < F.lit(edges[i]), F.lit(i)).otherwise(expr)
+    return expr
+
+
+def histogram(df: DataFrame, col: str, edges: list[float]) -> DataFrame:
+    """``(bucket:int, cnt:long)`` — one partial+final agg over the column."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(bucket_expr(col, edges).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _proportions(hist_rows: list[tuple[int, int]], n_buckets: int) -> list[float]:
+    counts = [0.0] * n_buckets
+    for b, c in hist_rows:
+        counts[int(b)] = float(c)
+    total = sum(counts) or 1.0
+    return [c / total for c in counts]
+
+
+def psi(observed: list[float], baseline: list[float]) -> float:
+    """Population Stability Index: sum((p-q) * ln(p/q)) with epsilon floors."""
+    out = 0.0
+    for p, q in zip(observed, baseline):
+        p = max(p, _EPS)
+        q = max(q, _EPS)
+        out += (p - q) * math.log(p / q)
+    return out
+
+
+def ks(observed: list[float], baseline: list[float]) -> float:
+    """Kolmogorov–Smirnov statistic over the bucketed CDFs."""
+    cp = cq = 0.0
+    d = 0.0
+    for p, q in zip(observed, baseline):
+        cp += p
+        cq += q
+        d = max(d, abs(cp - cq))
+    return d
+
+
+def drift_stats(df: DataFrame, spec: DriftSpec) -> dict:
+    """Compute PSI + KS of ``spec.column`` vs the frozen baseline proportions.
+
+    Returns {"psi": float, "ks": float, "observed": [...], "baseline": [...],
+    "n": int, "drifted": bool}.
+    """
+    n_buckets = len(spec.bucket_edges) + 1
+    rows = histogram(df, spec.column, spec.bucket_edges).collect()  # ≤ n_buckets rows
+    obs = _proportions([(r["bucket"], r["cnt"]) for r in rows], n_buckets)
+    base = spec.baseline
+    if base is None:
+        # no baseline frozen yet → observed IS the baseline (bootstrap pass)
+        base = obs
+    if len(base) != n_buckets:
+        raise ValueError(f"baseline has {len(base)} buckets, expected {n_buckets}")
+    total = sum(float(r["cnt"]) for r in rows)
+    s_psi = psi(obs, base)
+    s_ks = ks(obs, base)
+    return {
+        "psi": s_psi,
+        "ks": s_ks,
+        "observed": obs,
+        "baseline": base,
+        "n": int(total),
+        "drifted": bool(s_psi > spec.psi_threshold or s_ks > spec.ks_threshold),
+    }
+
+
+def drift_violations(spark: SparkSession, df: DataFrame, spec: DriftSpec) -> DataFrame:
+    """Dataset-level violation DF: one row iff the distribution drifted."""
+    stats = drift_stats(df, spec)
+    cid = f"{spec.constraint_id}:{spec.column}"
+    rows = []
+    if stats["drifted"]:
+        rows.append((spec.column, cid, f"psi={stats['psi']:.6f},ks={stats['ks']:.6f}"))
+    return spark.createDataFrame(rows, "row_key string, constraint_id string, observed_value string")

@@ -1,0 +1,40 @@
+"""Referential integrity — the *proper* realization of the reference's no-op
+``$ref`` (reference: src/reference.rs:13-18, where a referenced subschema is
+never checked and everything passes).  Here a fact row whose key is absent
+from the dimension IS a violation.
+
+Executed as a **broadcast left-anti join**: the dimension key set (distinct,
+projected to one column) is broadcast to every executor, so the 100 TB fact
+side is validated with zero shuffle — a map-side hash probe per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.spec import ReferentialIntegritySpec
+
+
+def orphan_rows(fact: DataFrame, fact_col: str, dim: DataFrame, dim_col: str) -> DataFrame:
+    """Fact rows whose ``fact_col`` is non-null and missing from ``dim.dim_col``."""
+    dim_keys = dim.select(F.col(dim_col).alias(fact_col)).distinct()
+    return fact.filter(F.col(fact_col).isNotNull()).join(
+        F.broadcast(dim_keys), on=fact_col, how="left_anti"
+    )
+
+
+def referential_violations(
+    fact: DataFrame,
+    spec: ReferentialIntegritySpec,
+    dim: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Violations DF ``(row_key, constraint_id, observed_value)`` for orphans."""
+    orphans = orphan_rows(fact, spec.column, dim, spec.dim_column)
+    cid = f"{spec.constraint_id}:{spec.column}"
+    return orphans.select(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias("row_key"),
+        F.lit(cid).alias("constraint_id"),
+        F.col(spec.column).cast("string").alias("observed_value"),
+    )

@@ -1,0 +1,56 @@
+"""Dataset-scope key uniqueness — the reference's per-array ``uniqueItems``
+(reference: src/array.rs:102-123, an O(n²) pairwise scan over one in-memory
+array) lifted to table scope as a distributed aggregate.
+
+Executed as a **salted two-phase hash-aggregate** (north_rule):
+
+  phase 1: groupBy(key, salt).count()   — salt = pmod(xxhash64(whole row), S)
+           spreads a pathologically hot key across S reducers, bounding any
+           single reducer's input even when one (repo,path) dominates;
+  phase 2: groupBy(key).sum(partial)    — combines the ≤S partials per key.
+
+Spark's map-side partial aggregation already combines within a task; the salt
+guards the reduce side.  AQE skew handling is on as a second line of defense
+(session.py).  At 100 TB the phase-1 output is ≤ |distinct keys| × S rows of
+(key, count) — tiny relative to the input — so phase 2 is cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.spec import UniqueKeySpec
+
+
+def duplicate_keys(df: DataFrame, columns: list[str], salt_buckets: int = 64) -> DataFrame:
+    """Keys occurring more than once, with their total count.
+
+    Returns ``columns... , cnt:long`` — one row per duplicated key.
+    """
+    key = [F.col(c) for c in columns]
+    salt = F.pmod(F.xxhash64(*key), F.lit(salt_buckets)).alias("__salt")
+    partial = (
+        df.select(*key, salt)
+        .groupBy(*columns, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial_cnt"))
+    )
+    total = partial.groupBy(*columns).agg(F.sum("__partial_cnt").alias("cnt"))
+    return total.filter(F.col("cnt") > 1)
+
+
+def unique_key_violations(df: DataFrame, spec: UniqueKeySpec) -> DataFrame:
+    """Violations DF ``(row_key, constraint_id, observed_value)`` — one row
+    per duplicated key; observed_value = total occurrence count.
+
+    (The reference emits ONE error per offending array regardless of how many
+    duplicates — array.rs:113-117 short-circuit; we mirror that at key scope:
+    one violation per duplicated key.)
+    """
+    dups = duplicate_keys(df, spec.columns, spec.salt_buckets)
+    cid = f"{spec.constraint_id}:{','.join(spec.columns)}"
+    return dups.select(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in spec.columns]).alias("row_key"),
+        F.lit(cid).alias("constraint_id"),
+        F.col("cnt").cast("string").alias("observed_value"),
+    )

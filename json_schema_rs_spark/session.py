@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-minded defaults.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB case (SURVEY §4): AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), Arrow on (vectorized pandas-UDF transfer),
+shuffle partitions sized explicitly rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "json_schema_rs_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime shuffle-partition coalescing + skew-join splitting —
+        # the production answer to giant-repo skew (north_rule).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas UDF paths (similarity/multimodal); row-at-a-time
+        # Python UDFs are banned in the hot path (input_hint).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # At 100 TB: ~128 MB scan splits keep task count sane (~800k tasks).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Broadcast threshold: dimension tables (repos enum, nations) are tiny.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

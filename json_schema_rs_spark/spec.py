@@ -1,0 +1,346 @@
+"""Constraint-spec model: the declarative, JSON-serializable analogue of the
+reference's runtime-parsed ``Schema`` enum (reference: src/schema.rs:66-91).
+
+Like the reference, the spec is *data*: it can be loaded from JSON
+(``spec_from_json``, mirroring ``Schema::from_str`` schema.rs:120-125) or
+built programmatically with a fluent builder API (mirroring
+``ObjectSchemaBuilder``/``ArraySchemaBuilder``/... object.rs:199-268,
+array.rs:182-244, string.rs:146-197, number.rs:112-165).
+
+The reference's as-implemented quirks are preserved behind
+``reference_parity=True`` (the default) and documented per keyword below;
+``reference_parity=False`` gives spec-correct JSON-Schema semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+from typing import Any, Optional
+
+# ---------------------------------------------------------------------------
+# Field-level spec (one per column / nested value)
+# ---------------------------------------------------------------------------
+
+#: Runtime types, mirroring JsonType (reference: src/util.rs:25-34).
+VALID_TYPES = {
+    "string", "number", "integer", "boolean", "array", "object", "empty", "ref",
+}
+
+#: ``Format`` enum (reference: src/string.rs:199-230).  ``email`` and
+#: ``hostname`` are ALWAYS VALID in the reference (wildcard arm string.rs:229).
+VALID_FORMATS = {"date-time", "email", "hostname", "ipv4", "ipv6", "uri"}
+
+
+@dataclass
+class FieldSpec:
+    """Constraints on one value/column.
+
+    Union of the reference's per-variant keyword structs:
+      * StringSchema  (string.rs:43-52):  min_length, max_length, pattern, format
+      * NumberSchema  (number.rs:14-24):  minimum, maximum, exclusive_*, multiple_of
+      * IntegerSchema (integer.rs:9-21):  type check only — bounds parsed but
+        NEVER enforced (integer.rs:16-20 vs 23-36)
+      * ArraySchema   (array.rs:11-23):   min_items, max_items, unique_items,
+        items (list/tuple), additional_items
+      * ObjectSchema  (object.rs:15-27):  properties, required,
+        min/max_properties, additional_properties, pattern_properties
+      * enum membership — a reference TODO (lib.rs:5), realized here
+    """
+
+    name: str = ""
+    type: Optional[str] = None          # None == Empty schema: accepts anything (schema.rs:49-63)
+    required: bool = False              # object.rs:58-74
+
+    # string keywords
+    min_length: Optional[int] = None    # BYTE length (Rust str::len, string.rs:71)
+    max_length: Optional[int] = None    # string.rs:83; reference mislabels its error MinLength (string.rs:85)
+    pattern: Optional[str] = None       # unanchored regex search (string.rs:94-107)
+    format: Optional[str] = None        # string.rs:199-230
+    enum: Optional[list] = None         # lib.rs:5 TODO, realized
+
+    # numeric keywords.  NOTE reference-parity semantics are INVERTED vs the
+    # JSON-Schema spec (number.rs:42-62): with exclusive_minimum=False
+    # (the parsed default, number.rs:27-33) a value EQUAL to the bound FAILS.
+    minimum: Optional[float] = None
+    maximum: Optional[float] = None
+    exclusive_minimum: bool = False
+    exclusive_maximum: bool = False
+    multiple_of: Optional[float] = None  # parsed but NEVER enforced (number.rs:19); only active in strict mode
+
+    # array keywords
+    min_items: Optional[int] = None     # array.rs:47-57 (emits MinLength kind)
+    max_items: Optional[int] = None     # array.rs:58-68
+    unique_items: bool = False          # array.rs:102-123, short-circuits at first dup
+    items: Optional["FieldSpec"] = None             # list mode: one schema for every element (array.rs:27-29)
+    tuple_items: Optional[list["FieldSpec"]] = None  # tuple mode: positional schemas (array.rs:27-30)
+    additional_items: bool = False      # parsed default false (array.rs:33-35); `!=` check so too FEW items also errors (array.rs:81-89)
+
+    # object keywords
+    properties: Optional[dict[str, "FieldSpec"]] = None  # object.rs:34-56
+    required_props: Optional[list[str]] = None           # object.rs:58-74
+    min_properties: Optional[int] = None                  # object.rs:76-105
+    max_properties: Optional[int] = None
+    additional_properties: bool = False  # parsed default false (object.rs:30-32).
+    # Quirk: extras are NEVER rejected; the flag's only effect is that
+    # declared properties become required (object.rs:47-53, test 294-302).
+
+    def __post_init__(self) -> None:
+        if self.type is not None and self.type not in VALID_TYPES:
+            raise ValueError(f"unknown type {self.type!r}; expected one of {sorted(VALID_TYPES)}")
+        if self.format is not None and self.format not in VALID_FORMATS:
+            raise ValueError(f"unknown format {self.format!r}; expected one of {sorted(VALID_FORMATS)}")
+        if self.items is not None and self.tuple_items is not None:
+            raise ValueError("items and tuple_items are mutually exclusive (list vs tuple mode)")
+
+    # -- fluent builder API (mirrors the reference builders, S5 in SURVEY §2.1)
+    def with_required(self, required: bool = True) -> "FieldSpec":
+        self.required = required
+        return self
+
+    def with_length(self, min_length: int | None = None, max_length: int | None = None) -> "FieldSpec":
+        if min_length is not None:
+            self.min_length = min_length
+        if max_length is not None:
+            self.max_length = max_length
+        return self
+
+    def with_pattern(self, pattern: str) -> "FieldSpec":
+        self.pattern = pattern
+        return self
+
+    def with_format(self, fmt: str) -> "FieldSpec":
+        if fmt not in VALID_FORMATS:
+            raise ValueError(f"unknown format {fmt!r}")
+        self.format = fmt
+        return self
+
+    def with_enum(self, values: list) -> "FieldSpec":
+        self.enum = list(values)
+        return self
+
+    def with_range(
+        self,
+        minimum: float | None = None,
+        maximum: float | None = None,
+        exclusive_minimum: bool = False,
+        exclusive_maximum: bool = False,
+    ) -> "FieldSpec":
+        self.minimum = minimum
+        self.maximum = maximum
+        self.exclusive_minimum = exclusive_minimum
+        self.exclusive_maximum = exclusive_maximum
+        return self
+
+    def with_items(self, items: "FieldSpec") -> "FieldSpec":
+        self.items = items
+        return self
+
+    def with_tuple_items(self, specs: list["FieldSpec"], additional_items: bool = False) -> "FieldSpec":
+        self.tuple_items = list(specs)
+        self.additional_items = additional_items
+        return self
+
+    def with_size(self, min_items: int | None = None, max_items: int | None = None) -> "FieldSpec":
+        self.min_items = min_items
+        self.max_items = max_items
+        return self
+
+    def with_unique_items(self, unique: bool = True) -> "FieldSpec":
+        self.unique_items = unique
+        return self
+
+
+def string_field(name: str = "", **kw) -> FieldSpec:
+    return FieldSpec(name=name, type="string", **kw)
+
+
+def number_field(name: str = "", **kw) -> FieldSpec:
+    return FieldSpec(name=name, type="number", **kw)
+
+
+def integer_field(name: str = "", **kw) -> FieldSpec:
+    return FieldSpec(name=name, type="integer", **kw)
+
+
+def boolean_field(name: str = "", **kw) -> FieldSpec:
+    return FieldSpec(name=name, type="boolean", **kw)
+
+
+def array_field(name: str = "", **kw) -> FieldSpec:
+    return FieldSpec(name=name, type="array", **kw)
+
+
+def empty_field(name: str = "") -> FieldSpec:
+    """The Empty schema: `{}` accepts everything (reference: schema.rs:49-63)."""
+    return FieldSpec(name=name, type="empty")
+
+
+# ---------------------------------------------------------------------------
+# Table-level (dataset) constraints — north-star additions with reference seeds
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class UniqueKeySpec:
+    """Dataset-scope uniqueness of a key tuple — the per-array ``uniqueItems``
+    (reference: src/array.rs:102-123) lifted to table scope.  Executed as a
+    salted two-phase hash-aggregate (operators/uniqueness.py)."""
+
+    columns: list[str]
+    constraint_id: str = "unique_key"
+    salt_buckets: int = 64
+
+
+@dataclass
+class ReferentialIntegritySpec:
+    """Proper realization of the reference's no-op ``$ref``
+    (reference: src/reference.rs:13-18): fact rows whose key is absent from a
+    dimension are violations.  Executed as a broadcast left-anti join."""
+
+    column: str
+    dim_table: str            # logical name resolved by the caller to a DataFrame
+    dim_column: str
+    constraint_id: str = "referential_integrity"
+
+
+@dataclass
+class DriftSpec:
+    """Distribution-drift check (KS/PSI) on a numeric column's histogram vs a
+    frozen baseline — pure north-star addition (no reference counterpart)."""
+
+    column: str
+    bucket_edges: list[float]               # explicit, frozen bucket edges
+    baseline: Optional[list[float]] = None  # baseline bucket proportions (len == len(edges)+1)
+    psi_threshold: float = 0.2
+    ks_threshold: float = 0.1
+    constraint_id: str = "drift"
+
+
+@dataclass
+class TableSpec:
+    """Root spec for validating one table: per-column FieldSpecs + dataset
+    constraints.  Analogue of the root ``Schema`` (an ObjectSchema whose
+    properties are the columns, reference: src/object.rs:15-27)."""
+
+    fields: dict[str, FieldSpec] = field(default_factory=dict)
+    unique_keys: list[UniqueKeySpec] = field(default_factory=list)
+    referential: list[ReferentialIntegritySpec] = field(default_factory=list)
+    drift: list[DriftSpec] = field(default_factory=list)
+    #: preserve the reference's as-implemented quirks (SURVEY §7 "hard parts")
+    reference_parity: bool = True
+
+    def add_field(self, spec: FieldSpec) -> "TableSpec":
+        if not spec.name:
+            raise ValueError("field spec must be named to attach to a table")
+        self.fields[spec.name] = spec
+        return self
+
+    def add_unique_key(self, *columns: str, salt_buckets: int = 64) -> "TableSpec":
+        self.unique_keys.append(UniqueKeySpec(columns=list(columns), salt_buckets=salt_buckets))
+        return self
+
+    def add_referential(self, column: str, dim_table: str, dim_column: str) -> "TableSpec":
+        self.referential.append(
+            ReferentialIntegritySpec(column=column, dim_table=dim_table, dim_column=dim_column)
+        )
+        return self
+
+    def add_drift(self, column: str, bucket_edges: list[float], baseline: list[float] | None = None,
+                  psi_threshold: float = 0.2, ks_threshold: float = 0.1) -> "TableSpec":
+        self.drift.append(DriftSpec(column=column, bucket_edges=bucket_edges, baseline=baseline,
+                                    psi_threshold=psi_threshold, ks_threshold=ks_threshold))
+        return self
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True, default=str)
+
+
+def spec_hash(spec: TableSpec) -> str:
+    """Stable sha256 of the canonical spec JSON — the constraint-set hash
+    recorded in checkpoint lineage (plans/checkpoint.py)."""
+    return hashlib.sha256(spec.to_json().encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# JSON loader — the serde role (reference: schema.rs:66-91, from_str 120-125)
+# ---------------------------------------------------------------------------
+
+_FIELD_KEYS = {
+    # JSON-Schema-style camelCase → dataclass snake_case
+    "type": "type",
+    "required": "required",
+    "minLength": "min_length",
+    "maxLength": "max_length",
+    "pattern": "pattern",
+    "format": "format",
+    "enum": "enum",
+    "minimum": "minimum",
+    "maximum": "maximum",
+    "exclusiveMinimum": "exclusive_minimum",
+    "exclusiveMaximum": "exclusive_maximum",
+    "multipleOf": "multiple_of",
+    "minItems": "min_items",
+    "maxItems": "max_items",
+    "uniqueItems": "unique_items",
+    "minProperties": "min_properties",
+    "maxProperties": "max_properties",
+    "additionalProperties": "additional_properties",
+    "additionalItems": "additional_items",
+}
+
+
+def _field_from_dict(name: str, d: dict[str, Any]) -> FieldSpec:
+    if "$ref" in d:
+        # Reference behavior: $ref subschema validation is a NO-OP
+        # (reference: src/reference.rs:13-18) — everything passes.
+        return FieldSpec(name=name, type="ref")
+    kw: dict[str, Any] = {"name": name}
+    for k, v in d.items():
+        if k in ("items", "properties", "required", "description", "title"):
+            continue
+        if k in _FIELD_KEYS:
+            kw[_FIELD_KEYS[k]] = v
+        else:
+            # Unknown keywords rejected like serde deny_unknown_fields
+            # (string.rs:42, array.rs:10, number.rs:13) — except objects,
+            # which allow them (attribute commented out, object.rs:14).
+            if d.get("type") != "object":
+                raise ValueError(f"unknown keyword {k!r} in spec for {name!r}")
+    items = d.get("items")
+    if isinstance(items, list):
+        kw["tuple_items"] = [_field_from_dict(f"{name}[{i}]", s) for i, s in enumerate(items)]
+    elif isinstance(items, dict):
+        kw["items"] = _field_from_dict(f"{name}[]", items)
+    props = d.get("properties")
+    if isinstance(props, dict):
+        kw["properties"] = {p: _field_from_dict(p, s) for p, s in props.items()}
+    req = d.get("required")
+    if isinstance(req, list):
+        kw["required_props"] = req
+    spec = FieldSpec(**kw)
+    return spec
+
+
+def spec_from_json(text: str | dict) -> TableSpec:
+    """Parse a JSON table spec.  Shape::
+
+        {"fields": {"col": {"type": "string", "pattern": "..."}},
+         "uniqueKeys": [["repo", "path", "commit"]],
+         "referential": [{"column": "repo", "dimTable": "repos", "dimColumn": "repo"}],
+         "drift": [{"column": "content_length", "bucketEdges": [...], "baseline": [...]}]}
+
+    This is the S1 schema source (reference: cli/src/main.rs:46-47)."""
+    d = json.loads(text) if isinstance(text, str) else text
+    ts = TableSpec(reference_parity=d.get("referenceParity", True))
+    for col, fd in d.get("fields", {}).items():
+        ts.add_field(_field_from_dict(col, fd))
+    for key in d.get("uniqueKeys", []):
+        ts.add_unique_key(*key)
+    for ri in d.get("referential", []):
+        ts.add_referential(ri["column"], ri["dimTable"], ri["dimColumn"])
+    for dr in d.get("drift", []):
+        ts.add_drift(dr["column"], dr["bucketEdges"], dr.get("baseline"),
+                     dr.get("psiThreshold", 0.2), dr.get("ksThreshold", 0.1))
+    return ts
