@@ -183,21 +183,27 @@ def _object_keywords(spec: FieldSpec, x: Column, dtype: T.DataType, path: str, p
         # DECLARED property required; extra keys are NEVER rejected
         # (pinned by test object.rs:294-302).
         required |= set(props.keys())
-    for p, child in props.items():
-        sub = x.getField(p) if (is_struct or is_map) else F.lit(None)
-        sub_t = T.StringType()
+    def _sub(p: str):
+        """Field access + type; a field the struct lacks is statically null
+        (the reference's 'absent property', object.rs:41-46)."""
         if is_struct:
             matching = [f.dataType for f in dtype.fields if f.name == p]
-            sub_t = matching[0] if matching else T.NullType()
-        elif is_map:
-            sub_t = dtype.valueType
+            if not matching:
+                return F.lit(None).cast("string"), T.StringType()
+            return x.getField(p), matching[0]
+        if is_map:
+            return x.getField(p), dtype.valueType
+        return F.lit(None).cast("string"), T.StringType()
+
+    for p, child in props.items():
+        sub, sub_t = _sub(p)
         child_v = _value_violations(child, sub, sub_t, f"{path}.{p}", parity)
         if p in required:
             out.append(F.when(sub.isNull(), F.array(_v(f"missing_property:{path}.{p}", F.lit(p)))).otherwise(child_v))
         else:
             out.append(child_v)
-    for p in required - set(props.keys()):
-        sub = x.getField(p) if (is_struct or is_map) else F.lit(None)
+    for p in sorted(required - set(props.keys())):
+        sub, _ = _sub(p)
         out.append(F.when(sub.isNull(), F.array(_v(f"missing_property:{path}.{p}", F.lit(p)))).otherwise(_empty()))
     if spec.min_properties is not None or spec.max_properties is not None:
         if is_map:

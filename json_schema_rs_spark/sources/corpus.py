@@ -1,0 +1,132 @@
+"""Deterministic synthesizer for the north-star input table
+``(repo, path, commit, lang, content)`` (BASELINE.json input_hint) with
+planted violations at closed-form row positions — FIXTURES.md F10.
+
+Built entirely from ``spark.range`` + Column expressions: no driver-side data,
+no Python row loop, no randomness source that breaks determinism.  The same
+(n_rows, n_repos) always produces byte-identical rows, at ANY scale — this is
+also the bench input generator (bench.py), so it must be executor-parallel.
+
+Planted violations (id = the range index):
+  * null path                 — id % 100 == 7            (1%)
+  * malformed commit          — id % 200 == 11           (0.5%)
+  * out-of-enum lang          — id % 500 == 13           (0.2%)
+  * oversized content_length  — id % 1000 == 17          (0.1%)
+  * duplicate (repo,path,commit) keys — ids 0..N_DUP-1 clone the key of
+    id+DUP_STRIDE (both rows share the key → N_DUP duplicated keys)
+  * orphan repos              — repo index >= n_repos - N_ORPHAN_REPOS are
+    excluded from the ``repos`` dimension
+  * drifted partition         — rows of repo index 1 have content 2× longer
+    (shifts the content-length histogram for that repo)
+  * skew                      — repo index 0 absorbs ~30% of all rows (hot
+    key, exercises salting/AQE paths)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["rust", "python", "java", "go", "js"]
+N_DUP = 10
+DUP_STRIDE = 1000
+N_ORPHAN_REPOS = 5
+
+#: expected per-rule violation counts, computable in closed form for tests
+def expected_counts(n_rows: int) -> dict[str, int]:
+    ids = range(n_rows)
+
+    def in_dup_pair(i: int) -> bool:
+        return i < N_DUP or DUP_STRIDE <= i < DUP_STRIDE + N_DUP
+
+    return {
+        "null_path": sum(1 for i in ids if i % 100 == 7 and not in_dup_pair(i)),
+        "bad_commit": sum(1 for i in ids if i % 200 == 11 and i >= N_DUP),
+        "bad_lang": sum(1 for i in ids if i % 500 == 13),
+        "oversize": sum(1 for i in ids if i % 1000 == 17),
+        "dup_keys": min(N_DUP, max(0, n_rows - DUP_STRIDE)),
+    }
+
+
+def synthesize_corpus(spark: SparkSession, n_rows: int, n_repos: int = 100,
+                      partitions: int | None = None) -> DataFrame:
+    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+
+    # key id: first N_DUP rows clone the key of row (id + DUP_STRIDE)
+    key_id = F.when((i < N_DUP) & F.lit(n_rows > DUP_STRIDE), i + DUP_STRIDE).otherwise(i)
+
+    # hot repo 0 gets ~30% of rows; remainder spread uniformly
+    repo_idx = F.when(F.pmod(key_id, 10) < 3, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(key_id), n_repos - 1) + 1
+    )
+    repo = F.concat(F.lit("repo_"), F.lpad(repo_idx.cast("string"), 3, "0"))
+
+    # never null a dup-pair row or its clone target (keys stay well-defined)
+    in_dup_pair = (i < N_DUP) | ((i >= DUP_STRIDE) & (i < DUP_STRIDE + N_DUP))
+    path = F.when(
+        (i % 100 == 7) & ~in_dup_pair,
+        F.lit(None).cast("string"),
+    ).otherwise(
+        F.concat(
+            F.lit("src/mod_"),
+            F.pmod(key_id, 37).cast("string"),
+            F.lit("/file_"),
+            key_id.cast("string"),
+            F.lit(".rs"),
+        )
+    )
+
+    good_commit = F.sha2(F.concat(F.lit("c"), key_id.cast("string")), 256).substr(1, 40)
+    commit = F.when((i % 200 == 11) & (i >= N_DUP), F.lit("NOT_A_SHA")).otherwise(good_commit)
+
+    lang_arr = F.array(*[F.lit(x) for x in LANGS])
+    lang = F.when(i % 500 == 13, F.lit("cobol")).otherwise(
+        F.element_at(lang_arr, (F.pmod(key_id, len(LANGS)) + 1).cast("int"))
+    )
+
+    # content: deterministic pseudo-code; base length varies 40..~1000 bytes;
+    # repo index 1 rows are 2x longer (the drifted partition); id%1000==17
+    # rows are oversized (> 1 MB bound surrogate: > max_len constraint)
+    unit = F.concat(F.lit("fn f"), key_id.cast("string"),
+                    F.lit("() { let x = "), F.pmod(F.xxhash64(key_id, F.lit(1)), 9973).cast("string"),
+                    F.lit("; }\n"))
+    base_reps = (F.pmod(F.xxhash64(key_id, F.lit(2)), 24) + 1)
+    reps = F.when(repo_idx == 1, base_reps * 2).otherwise(base_reps)
+    # oversize: ≥ 4000 * min-23-byte unit = 92 kB > the 64 kB max_length bound
+    reps = F.when(i % 1000 == 17, F.lit(4000)).otherwise(reps)
+    content = F.repeat(unit, reps.cast("int"))
+
+    return df.select(
+        i.alias("row_id"),
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def repos_dimension(spark: SparkSession, n_repos: int = 100) -> DataFrame:
+    """The ``repos`` dimension: all repo names EXCEPT the last N_ORPHAN_REPOS
+    indices — fact rows in those repos are referential-integrity orphans."""
+    return spark.range(0, n_repos - N_ORPHAN_REPOS).select(
+        F.concat(F.lit("repo_"), F.lpad(F.col("id").cast("string"), 3, "0")).alias("repo")
+    )
+
+
+def corpus_table_spec():
+    """The F10 constraint spec exercising every reference-derived operator."""
+    from json_schema_rs_spark.spec import TableSpec, string_field
+
+    spec = TableSpec()
+    spec.add_field(string_field("repo", required=True))
+    spec.add_field(
+        string_field("path", required=True).with_length(1, 4096).with_pattern(r"^[^\x00]+$")
+    )
+    spec.add_field(string_field("commit").with_pattern(r"^[0-9a-f]{40}$"))
+    spec.add_field(string_field("lang").with_enum(LANGS))
+    spec.add_field(string_field("content", required=True).with_length(1, 64_000))
+    spec.add_unique_key("repo", "path", "commit")
+    spec.add_referential("repo", "repos", "repo")
+    return spec

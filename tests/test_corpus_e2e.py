@@ -1,0 +1,98 @@
+"""F10 end-to-end: synthesized corpus with planted violations → validate →
+assert closed-form summary counts and the exact violation sets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import ValidationEngine
+from json_schema_rs_spark.sources.corpus import (
+    N_ORPHAN_REPOS,
+    corpus_table_spec,
+    expected_counts,
+    repos_dimension,
+    synthesize_corpus,
+)
+
+N = 5000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synthesize_corpus(spark, N, n_repos=100).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    spec = corpus_table_spec()
+    eng = ValidationEngine(
+        spec,
+        key_cols=["repo", "path", "commit"],
+        group_col="repo",
+        dims={"repos": repos_dimension(spark, 100)},
+        sha_col="content",
+    )
+    return eng.validate(corpus)
+
+
+def test_deterministic(spark):
+    a = synthesize_corpus(spark, 500).select(F.sha2(F.concat_ws("|", "repo", "path", "commit", "lang", "content"), 256).alias("h"))
+    b = synthesize_corpus(spark, 500).select(F.sha2(F.concat_ws("|", "repo", "path", "commit", "lang", "content"), 256).alias("h"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_planted_violation_counts(result):
+    exp = expected_counts(N)
+    by_kind = {
+        r["k"]: r["n"]
+        for r in result.violations.select(
+            F.split("constraint_id", ":")[0].alias("k")
+        ).groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_kind.get("required", 0) == exp["null_path"]          # null paths
+    assert by_kind.get("pattern", 0) == exp["bad_commit"]          # malformed commits
+    assert by_kind.get("enum", 0) == exp["bad_lang"]               # out-of-enum langs
+    assert by_kind.get("max_length", 0) == exp["oversize"]         # oversized content
+    assert by_kind.get("unique_key", 0) == exp["dup_keys"]         # duplicated keys
+
+
+def test_referential_orphans_match_dimension(spark, corpus, result):
+    dim = repos_dimension(spark, 100)
+    expected_orphans = corpus.join(dim, "repo", "left_anti").count()
+    got = result.violations.filter(F.col("constraint_id").startswith("referential_integrity")).count()
+    assert got == expected_orphans > 0
+
+
+def test_summary_reconciles(result):
+    tot = result.summary.agg(
+        F.sum("n_rows").alias("rows"), F.sum("n_passed").alias("p"), F.sum("n_failed").alias("f")
+    ).collect()[0]
+    assert tot["rows"] == N
+    assert tot["p"] + tot["f"] == N
+    # row-level violation count in summary == exploded row-level violations
+    row_viol = result.summary.agg(F.sum("n_violations")).collect()[0][0]
+    kinds = ("required", "pattern", "enum", "max_length", "min_length")
+    exploded = result.violations.filter(
+        F.split("constraint_id", ":")[0].isin(*kinds)
+    ).count()
+    assert row_viol == exploded
+
+
+def test_sha_fidelity_column(result):
+    # per-row sha256(content) — the input_hint invariant; 64 hex chars
+    bad = result.annotated.filter(~F.col("content_sha256").rlike("^[0-9a-f]{64}$")).count()
+    assert bad == 0
+
+
+def test_skew_hot_repo_present(corpus):
+    # repo_000 absorbs ~30% of rows — the salting/AQE test bed
+    hot = corpus.filter(F.col("repo") == "repo_000").count()
+    assert hot > 0.25 * N
+
+
+def test_single_pass_plan_no_shuffle(result):
+    # the row-level annotate must be shuffle-free single pass
+    plan = result.annotated._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,75 @@
+"""Unit tests for dataset-level operators: uniqueness, referential integrity,
+drift (SURVEY §2.9)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.drift import drift_stats, histogram, ks, psi
+from json_schema_rs_spark.operators.integrity import orphan_rows
+from json_schema_rs_spark.operators.uniqueness import duplicate_keys, unique_key_violations
+from json_schema_rs_spark.spec import DriftSpec, UniqueKeySpec
+
+
+def test_duplicate_keys_counts(spark):
+    rows = [("a", "x"), ("a", "x"), ("a", "x"), ("b", "y"), ("c", "z"), ("c", "z")]
+    df = spark.createDataFrame(rows, "repo string, path string")
+    dups = {(r["repo"], r["path"]): r["cnt"] for r in duplicate_keys(df, ["repo", "path"]).collect()}
+    assert dups == {("a", "x"): 3, ("c", "z"): 2}
+
+
+def test_duplicate_keys_salting_invariant(spark):
+    # same answer for any salt bucket count (1 disables salting)
+    rows = [("a", i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "repo string, v int")
+    for buckets in (1, 4, 64):
+        got = sorted(
+            (r["v"], r["cnt"]) for r in duplicate_keys(df, ["v"], salt_buckets=buckets).collect()
+        )
+        assert got == [(0, 100), (1, 100), (2, 100)]
+
+
+def test_unique_key_violations_shape(spark):
+    df = spark.createDataFrame([("a", "x"), ("a", "x")], "repo string, path string")
+    v = unique_key_violations(df, UniqueKeySpec(columns=["repo", "path"])).collect()
+    assert len(v) == 1
+    assert v[0]["row_key"] == "a|x"
+    assert v[0]["constraint_id"] == "unique_key:repo,path"
+    assert v[0]["observed_value"] == "2"
+
+
+def test_orphan_rows_broadcast(spark):
+    fact = spark.createDataFrame([(1, "r1"), (2, "r2"), (3, "r9"), (4, None)], "k long, repo string")
+    dim = spark.createDataFrame([("r1",), ("r2",)], "repo string")
+    orphans = orphan_rows(fact, "repo", dim, "repo")
+    assert [r["k"] for r in orphans.collect()] == [3]  # null repo is `required`'s job, not RI's
+    plan = orphans._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_histogram_buckets(spark):
+    df = spark.createDataFrame([(float(v),) for v in [0.5, 1.5, 1.7, 2.5, 99.0]], "v double")
+    h = {r["bucket"]: r["cnt"] for r in histogram(df, "v", [1.0, 2.0]).collect()}
+    assert h == {0: 1, 1: 2, 2: 2}
+
+
+def test_psi_ks_math():
+    assert psi([0.5, 0.5], [0.5, 0.5]) == pytest.approx(0.0)
+    assert ks([0.5, 0.5], [0.5, 0.5]) == pytest.approx(0.0)
+    p, q = [0.9, 0.1], [0.5, 0.5]
+    assert psi(p, q) == pytest.approx((0.4) * math.log(0.9 / 0.5) + (-0.4) * math.log(0.1 / 0.5))
+    assert ks(p, q) == pytest.approx(0.4)
+
+
+def test_drift_detection(spark):
+    base = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(0, 1000).select(((F.col("id") % 100) * 2.0).alias("v"))
+    edges = [25.0, 50.0, 75.0, 100.0]
+    base_props = None
+    stats_same = drift_stats(base, DriftSpec(column="v", bucket_edges=edges,
+                                             baseline=[0.25, 0.25, 0.25, 0.25, 0.0]))
+    assert not stats_same["drifted"]
+    stats_shift = drift_stats(shifted, DriftSpec(column="v", bucket_edges=edges,
+                                                 baseline=[0.25, 0.25, 0.25, 0.25, 0.0]))
+    assert stats_shift["drifted"] and stats_shift["psi"] > 0.2

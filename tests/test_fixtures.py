@@ -1,0 +1,281 @@
+"""FIXTURES.md truth table — the reference's 15 tests re-expressed over
+columns.  Every expected verdict/count/kind below is pinned by a reference
+test (file:line cites inline)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import TableSpec, ValidationEngine
+from json_schema_rs_spark.spec import (
+    array_field,
+    integer_field,
+    number_field,
+    string_field,
+    empty_field,
+    FieldSpec,
+)
+
+
+def _validate(spark, rows, ddl, spec, key="k"):
+    df = spark.createDataFrame(rows, ddl)
+    eng = ValidationEngine(spec, key_cols=[key])
+    res = eng.validate(df)
+    ann = {r["row_key"]: r for r in res.annotated.select("row_key", "passed", "violations").collect()}
+    viols = [tuple(r) for r in res.violations.orderBy("row_key", "constraint_id").collect()]
+    return ann, viols
+
+
+# -- F1: points (examples/simple.rs:8-52) -----------------------------------
+
+def test_f1_points_range(spark):
+    spec = TableSpec()
+    for c in "xyz":
+        spec.add_field(number_field(c).with_range(0.0, 100.0))
+    ann, viols = _validate(
+        spark,
+        [(1, 99.2, 0.1, 21.9), (2, 20.4, 30.1, 11.2), (3, 30.9, 3.2, 100.2)],
+        "k long, x double, y double, z double",
+        spec,
+    )
+    assert ann["1"]["passed"] and ann["2"]["passed"]
+    assert not ann["3"]["passed"]
+    # exactly one NumberRange{bound:100.0, value:100.2} (examples/simple.rs:31-37)
+    assert viols == [("3", "number_range:z", "100.2")]
+
+
+# -- F2: byte-length bounds (string.rs:234-257) -------------------------------
+
+def test_f2_string_byte_length(spark):
+    spec = TableSpec().add_field(string_field("s").with_length(5, 10))
+    ann, viols = _validate(
+        spark,
+        [(1, "123456"), (2, "123"), (3, "0123456789AB"), (4, "héllo")],
+        "k long, s string",
+        spec,
+    )
+    assert ann["1"]["passed"]                       # string.rs:239-247
+    assert viols[0] == ("2", "min_length:s", "3")   # string.rs:249-257
+    assert viols[1] == ("3", "max_length:s", "12")  # kind mislabeled MinLength in ref (string.rs:85)
+    # "héllo" = 5 chars but 6 BYTES → passes min_length 5 under byte semantics
+    assert ann["4"]["passed"]
+
+
+# -- F3: RFC 3339 date-time (string.rs:259-275) -------------------------------
+
+@pytest.mark.parametrize(
+    "value,ok",
+    [
+        ("1990-12-31T23:59:60Z", True),    # leap second + zone ACCEPTED (string.rs:260-266)
+        ("1990-12-31T23:59:60", False),    # missing timezone (string.rs:268-275)
+        ("2024-02-29T12:00:00+05:30", True),
+        ("2024-13-01T00:00:00Z", False),   # month 13
+        ("2024-02-30T00:00:00Z", False),   # impossible calendar day
+        ("not a date", False),
+    ],
+)
+def test_f3_datetime_format(spark, value, ok):
+    spec = TableSpec().add_field(string_field("s").with_format("date-time"))
+    ann, viols = _validate(spark, [(1, value)], "k long, s string", spec)
+    assert ann["1"]["passed"] is ok, (value, viols)
+
+
+@pytest.mark.parametrize(
+    "fmt,value,ok",
+    [
+        ("ipv4", "192.168.0.1", True),
+        ("ipv4", "256.1.1.1", False),
+        ("ipv6", "2001:db8::1", True),
+        ("ipv6", "2001:db8::g", False),
+        ("uri", "https://example.com/x", True),
+        ("uri", "mailto:x@y.z", True),
+        ("uri", "no scheme here", False),
+        ("email", "definitely not an email", True),   # ALWAYS valid (string.rs:229)
+        ("hostname", "-not/a/hostname-", True),       # ALWAYS valid (string.rs:229)
+    ],
+)
+def test_f3_other_formats(spark, fmt, value, ok):
+    spec = TableSpec().add_field(string_field("s").with_format(fmt))
+    ann, _ = _validate(spark, [(1, value)], "k long, s string", spec)
+    assert ann["1"]["passed"] is ok
+
+
+# -- F4: uniqueItems (array.rs:246-265) ---------------------------------------
+
+def test_f4_unique_items(spark):
+    spec = TableSpec().add_field(array_field("xs").with_unique_items())
+    ann, viols = _validate(
+        spark, [(1, [1, 1, 2, 3, 4]), (2, [1, 2, 3])], "k long, xs array<long>", spec
+    )
+    assert not ann["1"]["passed"] and ann["2"]["passed"]
+    # exactly ONE violation (short-circuit at first dup, array.rs:113-117)
+    assert [v for v in viols if v[0] == "1"] == [("1", "unique_items:xs", "1")]
+
+
+def test_f4_default_schema_heterogeneous_passes(spark):
+    # no constraints → anything passes (array.rs:267-273, schema.rs:49-63)
+    spec = TableSpec().add_field(empty_field("xs"))
+    ann, viols = _validate(spark, [(1, ["1", "false", "x"])], "k long, xs array<string>", spec)
+    assert ann["1"]["passed"] and not viols
+
+
+# -- F5: per-element subschema (array.rs:276-294) ------------------------------
+
+def test_f5_array_subschema_exactly_two_errors(spark):
+    # mixed array vs number[1,2]: [[], 1.2, 1.4, 1.9, 2.5] → exactly 2 errors:
+    # index 0 TypeMismatch, index 4 NumberRange{value:2.5,bound:2.0}
+    spec = TableSpec().add_field(
+        array_field("xs").with_items(number_field().with_range(1.0, 2.0))
+    )
+    ann, viols = _validate(
+        spark, [(1, ["[]", "1.2", "1.4", "1.9", "2.5"])], "k long, xs array<string>", spec
+    )
+    assert not ann["1"]["passed"]
+    assert len(viols) == 2
+    assert ("1", "number_range:xs[]", "2.5") in viols
+    assert ("1", "type_mismatch:xs[]", "[]") in viols
+    # element order preserved in the per-row array (reference loop order)
+    arr = ann["1"]["violations"]
+    assert arr[0]["constraint_id"] == "type_mismatch:xs[]"
+    assert arr[1]["constraint_id"] == "number_range:xs[]"
+
+
+# -- F6: required / additionalProperties quirk (object.rs:283-318) -------------
+
+def test_f6_required_and_additional_quirk(spark):
+    ddl = "k long, o struct<id:double, name:string, unspecified:string>"
+    rows = [(1, (123.0, "test", None)), (2, (123.0, "test", "extra"))]
+    spec = TableSpec().add_field(
+        FieldSpec(
+            name="o",
+            type="object",
+            properties={"id": number_field("id"), "name": string_field("name")},
+            required_props=["id", "name"],
+            additional_properties=False,
+        )
+    )
+    ann, viols = _validate(spark, rows, ddl, spec)
+    # extra keys NEVER rejected (object.rs:294-302): both rows pass
+    assert ann["1"]["passed"] and ann["2"]["passed"] and not viols
+
+
+def test_f6_missing_property(spark):
+    ddl = "k long, o struct<id:double, name:string>"
+    spec = TableSpec().add_field(
+        FieldSpec(
+            name="o",
+            type="object",
+            properties={"id": number_field("id"), "name": string_field("name")},
+            required_props=["id", "name", "missing"],
+        )
+    )
+    ann, viols = _validate(spark, [(1, (123.0, "test"))], ddl, spec)
+    assert not ann["1"]["passed"]
+    # exactly 1 MissingProperty("missing") (object.rs:304-318)
+    assert viols == [("1", "missing_property:o.missing", "missing")]
+
+
+def test_f6_declared_props_become_required_when_closed(spark):
+    # quirk object.rs:47-53: additionalProperties=false ⇒ declared props required
+    ddl = "k long, o struct<id:double, name:string>"
+    spec = TableSpec().add_field(
+        FieldSpec(
+            name="o",
+            type="object",
+            properties={"id": number_field("id"), "name": string_field("name")},
+            additional_properties=False,
+        )
+    )
+    ann, viols = _validate(spark, [(1, (123.0, None))], ddl, spec)
+    assert viols == [("1", "missing_property:o.name", "name")]
+
+
+# -- F7: nested/tuple (object.rs:320-349) --------------------------------------
+
+def test_f7_nested_tuple_pass(spark):
+    ddl = "k long, id long, name string, tags array<string>, color array<long>"
+    spec = (
+        TableSpec()
+        .add_field(integer_field("id"))
+        .add_field(string_field("name"))
+        .add_field(array_field("tags").with_items(string_field()))
+        .add_field(
+            array_field("color").with_tuple_items(
+                [integer_field(), integer_field(), integer_field()], additional_items=False
+            )
+        )
+    )
+    ann, viols = _validate(
+        spark, [(1, 123, "test", ["a", "b", "c"], [255, 255, 255])], ddl, spec
+    )
+    assert ann["1"]["passed"] and not viols
+
+
+def test_f7_tuple_length_mismatch_both_directions(spark):
+    # `!=` comparison: too few AND too many both error (array.rs:81-89)
+    ddl = "k long, color array<long>"
+    spec = TableSpec().add_field(
+        array_field("color").with_tuple_items(
+            [integer_field(), integer_field(), integer_field()], additional_items=False
+        )
+    )
+    ann, viols = _validate(spark, [(1, [255, 255]), (2, [1, 2, 3, 4])], ddl, spec)
+    assert ("1", "tuple_length_mismatch:color", "2") in viols
+    assert ("2", "tuple_length_mismatch:color", "4") in viols
+
+
+def test_f7_lexical_integer_vs_number(spark):
+    # util.rs:13-17: `123` is Integer, `123.0` is Number; NumberSchema accepts ints
+    spec_int = TableSpec().add_field(integer_field("v"))
+    ann, viols = _validate(spark, [(1, "123"), (2, "123.0")], "k long, v string", spec_int)
+    assert ann["1"]["passed"] and not ann["2"]["passed"]
+    spec_num = TableSpec().add_field(number_field("v"))
+    ann, _ = _validate(spark, [(1, "123"), (2, "123.0")], "k long, v string", spec_num)
+    assert ann["1"]["passed"] and ann["2"]["passed"]
+
+
+def test_f7_integer_bounds_never_enforced(spark):
+    # IntegerSchema bounds parsed but NOT enforced (integer.rs:16-20 vs 23-36)
+    spec = TableSpec().add_field(integer_field("v").with_range(0, 10))
+    ann, viols = _validate(spark, [(1, 9999)], "k long, v long", spec)
+    assert ann["1"]["passed"] and not viols
+
+
+# -- F8: canada-style nested rings (object.rs:352-407) --------------------------
+
+def test_f8_nested_rings_all_pass(spark):
+    ddl = "k long, coordinates array<array<array<double>>>"
+    ring = [[0.1 * i, 0.2 * i] for i in range(65)]
+    rows = [(1, [ring, ring, ring])]
+    # per-leaf tuple constraint [number, number]
+    leaf = array_field().with_tuple_items([number_field(), number_field()], additional_items=False)
+    spec = TableSpec().add_field(
+        array_field("coordinates").with_items(array_field().with_items(leaf))
+    )
+    ann, viols = _validate(spark, rows, ddl, spec)
+    assert ann["1"]["passed"] and not viols
+
+
+# -- F9: $ref no-op (reference.rs:13-18) ----------------------------------------
+
+def test_f9_ref_noop(spark):
+    spec = TableSpec().add_field(FieldSpec(name="billing_state", type="ref"))
+    ann, viols = _validate(spark, [(1, "totally &*! invalid")], "k long, billing_state string", spec)
+    assert ann["1"]["passed"] and not viols
+
+
+# -- reference-parity numeric boundary (number.rs:42-62) --------------------------
+
+def test_parity_inverted_exclusive_bounds(spark):
+    # as-implemented: non-exclusive min FAILS the boundary; exclusive PASSES it
+    spec = TableSpec().add_field(number_field("v").with_range(minimum=5.0))
+    ann, _ = _validate(spark, [(1, 5.0)], "k long, v double", spec)
+    assert not ann["1"]["passed"]
+    spec = TableSpec().add_field(number_field("v").with_range(minimum=5.0, exclusive_minimum=True))
+    ann, _ = _validate(spark, [(1, 5.0)], "k long, v double", spec)
+    assert ann["1"]["passed"]
+
+
+def test_strict_mode_bounds(spark):
+    spec = TableSpec(reference_parity=False).add_field(number_field("v").with_range(minimum=5.0))
+    ann, _ = _validate(spark, [(1, 5.0)], "k long, v double", spec)
+    assert ann["1"]["passed"]  # spec-correct: inclusive boundary passes

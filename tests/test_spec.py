@@ -1,0 +1,79 @@
+"""Pure-Python spec-model tests (no Spark) — the S1/S5 sources (SURVEY §2.1)."""
+
+import pytest
+
+from json_schema_rs_spark.spec import (
+    FieldSpec,
+    TableSpec,
+    array_field,
+    integer_field,
+    number_field,
+    spec_from_json,
+    spec_hash,
+    string_field,
+)
+
+
+def test_builder_chain():
+    f = string_field("path").with_required().with_length(1, 4096).with_pattern(r"^\S+$")
+    assert f.required and f.min_length == 1 and f.max_length == 4096
+
+
+def test_unknown_type_rejected():
+    with pytest.raises(ValueError, match="unknown type"):
+        FieldSpec(name="x", type="floatt")
+
+
+def test_unknown_format_rejected():
+    with pytest.raises(ValueError, match="unknown format"):
+        string_field("x").with_format("datetime")
+
+
+def test_items_tuple_exclusive():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        FieldSpec(name="x", type="array", items=number_field(), tuple_items=[number_field()])
+
+
+def test_json_loader_roundtrip():
+    spec = spec_from_json(
+        """
+        {"fields": {
+            "commit": {"type": "string", "pattern": "^[0-9a-f]{40}$"},
+            "lang": {"type": "string", "enum": ["rust", "go"]},
+            "n": {"type": "number", "minimum": 0, "maximum": 10, "exclusiveMaximum": true},
+            "xs": {"type": "array", "minItems": 1, "items": {"type": "integer"}},
+            "tup": {"type": "array", "items": [{"type": "integer"}, {"type": "string"}]}
+        },
+        "uniqueKeys": [["repo", "path", "commit"]],
+        "referential": [{"column": "repo", "dimTable": "repos", "dimColumn": "repo"}],
+        "drift": [{"column": "n", "bucketEdges": [1.0, 2.0], "baseline": [0.2, 0.3, 0.5]}]}
+        """
+    )
+    assert spec.fields["commit"].pattern == "^[0-9a-f]{40}$"
+    assert spec.fields["n"].exclusive_maximum is True
+    assert spec.fields["xs"].items.type == "integer"
+    assert len(spec.fields["tup"].tuple_items) == 2
+    assert spec.unique_keys[0].columns == ["repo", "path", "commit"]
+    assert spec.referential[0].dim_table == "repos"
+    assert spec.drift[0].baseline == [0.2, 0.3, 0.5]
+
+
+def test_unknown_keyword_rejected_like_serde():
+    # deny_unknown_fields (string.rs:42) — except objects (object.rs:14)
+    with pytest.raises(ValueError, match="unknown keyword"):
+        spec_from_json('{"fields": {"s": {"type": "string", "bogus": 1}}}')
+    spec_from_json('{"fields": {"o": {"type": "object", "bogus": 1}}}')  # allowed
+
+
+def test_ref_is_noop_node():
+    # $ref parses to a pass-everything node (reference.rs:13-18)
+    spec = spec_from_json('{"fields": {"billing": {"$ref": "#/definitions/address"}}}')
+    assert spec.fields["billing"].type == "ref"
+
+
+def test_spec_hash_stable_and_sensitive():
+    a = TableSpec().add_field(string_field("s").with_length(1, 5))
+    b = TableSpec().add_field(string_field("s").with_length(1, 5))
+    c = TableSpec().add_field(string_field("s").with_length(1, 6))
+    assert spec_hash(a) == spec_hash(b)
+    assert spec_hash(a) != spec_hash(c)
