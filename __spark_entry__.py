@@ -1,38 +1,417 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation over sf0.001 documents.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, each with an ANSI-SQL DuckDB oracle (same tables, same column
+names, aggregates rounded identically on both sides).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import TableSpec, ValidationEngine
+from json_schema_rs_spark.operators.integrity import orphan_rows
+from json_schema_rs_spark.operators.uniqueness import duplicate_keys, unique_key_violations
+from json_schema_rs_spark.spec import UniqueKeySpec, number_field, string_field
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# The documents-table constraint spec (stand-in for the corpus table, F11)
+# ---------------------------------------------------------------------------
+
+DOC_LANG_ENUM = ["en", "de", "fr"]   # es/zh planted as enum violations
+
+
+def _doc_spec() -> TableSpec:
+    spec = TableSpec()
+    spec.add_field(string_field("text", required=True).with_length(1, 2000))
+    spec.add_field(string_field("lang").with_enum(DOC_LANG_ENUM))
+    spec.add_field(string_field("source", required=True).with_pattern("^src[0-9]+$"))
+    # number (not integer): reference-parity integer bounds are no-ops
+    # (integer.rs:16-20); parity range semantics: fail iff v <= 50 or v >= 500
+    spec.add_field(number_field("n_chars").with_range(50.0, 500.0))
+    spec.add_unique_key("doc_id")
+    return spec
+
+
+def _doc_engine() -> ValidationEngine:
+    return ValidationEngine(_doc_spec(), key_cols=["doc_id"], group_col="lang", sha_col="text")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: single-pass validation summary on sf0.001 documents."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return _doc_engine().validate(docs).summary.withColumnRenamed("group", "grp")
+
+
+# ---------------------------------------------------------------------------
+# Queries (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_validate_summary(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _doc_engine().validate(docs).summary.withColumnRenamed("group", "grp")
+
+
+def q_doc_violations(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _doc_engine().validate(docs).violations
+
+
+def q_doc_sha256(spark, sf_dir):
+    # per-row fidelity hash — the input_hint invariant (sha2(content,256))
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2("text", 256).alias("text_sha"))
+
+
+def q_unique_key_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return unique_key_violations(docs, UniqueKeySpec(columns=["doc_id"]))
+
+
+def q_dedup_near_key(spark, sf_dir):
+    # duplicate-candidate buckets on a weak key (lang, n_chars)
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_keys(docs, ["lang", "n_chars"]).withColumnRenamed("cnt", "cnt")
+
+
+def q_dedup_exact(spark, sf_dir):
+    # exact duplicate groups by content hash (hash-groupBy dedup)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def q_ri_orders_building(spark, sf_dir):
+    # referential integrity via broadcast left-anti join (reference.rs $ref realized)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orphans = orphan_rows(orders, "o_custkey", cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey")
+    return orphans.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+_BUCKET_EDGES = [100.0, 200.0, 300.0, 400.0]
+
+
+def _nchars_props(docs):
+    from json_schema_rs_spark.operators.drift import bucket_expr
+
+    b = docs.filter(F.col("n_chars").isNotNull()).select(
+        bucket_expr("n_chars", _BUCKET_EDGES).alias("bucket"), "lang"
+    )
+    counts = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+    totals = counts.agg(F.sum("n_all").alias("t_all"), F.sum("n_en").alias("t_en"))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.greatest(F.col("n_en").cast("double") / F.col("t_en"), F.lit(1e-9)).alias("p"),
+        F.greatest(F.col("n_all").cast("double") / F.col("t_all"), F.lit(1e-9)).alias("q"),
+    )
+
+
+def q_drift_psi_en(spark, sf_dir):
+    props = _nchars_props(_t(spark, sf_dir, "documents"))
+    return props.agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi")
+    )
+
+
+def q_drift_ks_en(spark, sf_dir):
+    props = _nchars_props(_t(spark, sf_dir, "documents"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = props.select(F.sum("p").over(w).alias("cp"), F.sum("q").over(w).alias("cq"))
+    return cdf.agg(F.round(F.max(F.abs(F.col("cp") - F.col("cq"))), 6).alias("ks"))
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1999-01-01").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_q3_top_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", F.col("o_orderdate").cast("timestamp").cast("long").alias("odate"), "revenue")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_q5_region_volume(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+def q_window_top3_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp").cast("long").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+    )
+
+
+def q_doc_length_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "doc_validate_summary": q_doc_validate_summary,
+        "doc_violations": q_doc_violations,
+        "doc_sha256": q_doc_sha256,
+        "unique_key_docs": q_unique_key_docs,
+        "dedup_near_key": q_dedup_near_key,
+        "dedup_exact": q_dedup_exact,
+        "ri_orders_building": q_ri_orders_building,
+        "drift_psi_en": q_drift_psi_en,
+        "drift_ks_en": q_drift_ks_en,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_revenue": q_q3_top_revenue,
+        "q5_region_volume": q_q5_region_volume,
+        "window_top3_orders": q_window_top3_orders,
+        "events_hourly": q_events_hourly,
+        "text_token_stats": q_text_token_stats,
+        "doc_length_stats": q_doc_length_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_DOC_CHECKS = """
+    SELECT doc_id, lang,
+      (CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v_text_req,
+      (CASE WHEN text IS NOT NULL AND strlen(text) < 1 THEN 1 ELSE 0 END) AS v_text_min,
+      (CASE WHEN text IS NOT NULL AND strlen(text) > 2000 THEN 1 ELSE 0 END) AS v_text_max,
+      (CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END) AS v_lang,
+      (CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS v_src_req,
+      (CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS v_src_pat,
+      (CASE WHEN n_chars IS NOT NULL AND NOT (n_chars > 50) THEN 1 ELSE 0 END) AS v_nc_min,
+      (CASE WHEN n_chars IS NOT NULL AND NOT (n_chars < 500) THEN 1 ELSE 0 END) AS v_nc_max
+    FROM documents
+"""
+
+_NCHARS_PROPS = """
+    WITH b AS (
+      SELECT CASE WHEN n_chars < 100 THEN 0 WHEN n_chars < 200 THEN 1
+                  WHEN n_chars < 300 THEN 2 WHEN n_chars < 400 THEN 3 ELSE 4 END AS bucket,
+             lang
+      FROM documents WHERE n_chars IS NOT NULL),
+    counts AS (
+      SELECT bucket, count(*) AS n_all,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+      FROM b GROUP BY bucket),
+    props AS (
+      SELECT bucket,
+             greatest(n_en::DOUBLE / (SELECT sum(n_en) FROM counts), 1e-9) AS p,
+             greatest(n_all::DOUBLE / (SELECT sum(n_all) FROM counts), 1e-9) AS q
+      FROM counts)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_validate_summary": f"""
+            WITH checked AS ({_DOC_CHECKS})
+            SELECT lang AS grp, count(*) AS n_rows,
+              CAST(sum(CASE WHEN v_text_req+v_text_min+v_text_max+v_lang+v_src_req+v_src_pat+v_nc_min+v_nc_max = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+              CAST(sum(CASE WHEN v_text_req+v_text_min+v_text_max+v_lang+v_src_req+v_src_pat+v_nc_min+v_nc_max > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+              CAST(sum(v_text_req+v_text_min+v_text_max+v_lang+v_src_req+v_src_pat+v_nc_min+v_nc_max) AS BIGINT)
+                  AS n_violations
+            FROM checked GROUP BY lang
+        """,
+        "doc_violations": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_key, 'required:text' AS constraint_id,
+                   'text' AS observed_value FROM documents WHERE text IS NULL
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'min_length:text', CAST(strlen(text) AS VARCHAR)
+              FROM documents WHERE text IS NOT NULL AND strlen(text) < 1
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'max_length:text', CAST(strlen(text) AS VARCHAR)
+              FROM documents WHERE text IS NOT NULL AND strlen(text) > 2000
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'enum:lang', lang
+              FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'required:source', 'source'
+              FROM documents WHERE source IS NULL
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'pattern:source', source
+              FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'number_range:n_chars', CAST(n_chars::DOUBLE AS VARCHAR)
+              FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars > 50)
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'number_range:n_chars', CAST(n_chars::DOUBLE AS VARCHAR)
+              FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars < 500)
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'unique_key:doc_id', CAST(count(*) AS VARCHAR)
+              FROM documents GROUP BY doc_id HAVING count(*) > 1
+        """,
+        "doc_sha256": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "unique_key_docs": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_key, 'unique_key:doc_id' AS constraint_id,
+                   CAST(count(*) AS VARCHAR) AS observed_value
+            FROM documents GROUP BY doc_id HAVING count(*) > 1
+        """,
+        "dedup_near_key": """
+            SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY lang, n_chars HAVING count(*) > 1
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS text_sha, CAST(count(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "ri_orders_building": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orphans
+            FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            GROUP BY o_orderstatus
+        """,
+        "drift_psi_en": _NCHARS_PROPS + """
+            SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM props
+        """,
+        "drift_ks_en": _NCHARS_PROPS + """
+            , cdf AS (SELECT sum(p) OVER (ORDER BY bucket) AS cp,
+                             sum(q) OVER (ORDER BY bucket) AS cq FROM props)
+            SELECT round(max(abs(cp - cq)), 6) AS ks FROM cdf
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              round(avg(l_discount), 4) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue": """
+            SELECT o.o_orderkey, epoch(o.o_orderdate)::BIGINT AS odate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "q5_region_volume": """
+            SELECT r.r_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "window_top3_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "events_hourly": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_ts, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "text_token_stats": r"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+                   round(avg(length(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "doc_length_stats": """
+            SELECT lang, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                   round(avg(n_chars), 4) AS avg_chars, count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+    }

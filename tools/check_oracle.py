@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Local mimic of the driver's correctness gate: run every __spark_entry__
+``queries()`` entry at sf0.01 and compare with ``oracle_sql()`` via DuckDB —
+row count, sorted column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from json_schema_rs_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # canonical float formatting (driver-style value hash tolerance)
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode("utf-8"))
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"  {name:34s} rows={len(srows):6d}  (no oracle — rows-only check)")
+            continue
+        res = con.sql(oracles[name])
+        ocols = res.columns
+        orows = res.fetchall()
+        ok_cnt = len(srows) == len(orows)
+        ok_schema = sorted(scols) == sorted(ocols)
+        ok_hash = value_hash(scols, srows) == value_hash(ocols, orows)
+        status = "OK " if (ok_cnt and ok_schema and ok_hash) else "FAIL"
+        print(f"  {name:34s} rows={len(srows):6d} cnt={'Y' if ok_cnt else 'N'} "
+              f"schema={'Y' if ok_schema else 'N'} hash={'Y' if ok_hash else 'N'}  {status}")
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_schema:
+                print(f"    spark cols:  {sorted(scols)}")
+                print(f"    oracle cols: {sorted(ocols)}")
+            if not ok_hash and ok_schema:
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                sset = sorted("|".join(_norm(r[i]) for i in order) for r in srows)
+                oord = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                oset = sorted("|".join(_norm(r[i]) for i in oord) for r in orows)
+                s_only = [x for x in sset if x not in set(oset)][:3]
+                o_only = [x for x in oset if x not in set(sset)][:3]
+                print(f"    spark-only rows:  {s_only}")
+                print(f"    oracle-only rows: {o_only}")
+    spark.stop()
+    if failures:
+        print(f"\nFAILED: {failures}")
+        return 1
+    print("\nall queries match the oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
