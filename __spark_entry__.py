@@ -232,6 +232,106 @@ def q_doc_length_stats(spark, sf_dir):
     )
 
 
+def q_text_quality(spark, sf_dir):
+    from json_schema_rs_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_text_lang_guess(spark, sf_dir):
+    from json_schema_rs_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from json_schema_rs_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    from json_schema_rs_spark.operators.dedup import char_shingles, minhash_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(char_shingles(F.col("text"), 5), num_hashes=8, portable=True)
+    return docs.select(
+        "doc_id", *[F.element_at(sig, i + 1).alias(f"h{i}") for i in range(8)]
+    )
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    from json_schema_rs_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, "doc_id", k=5, num_hashes=8, bands=4, portable=True, max_bucket=10**9
+    )
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    from json_schema_rs_spark.operators.dedup import jaccard_verify, minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", k=5, num_hashes=8, bands=4, portable=True, max_bucket=10**9
+    )
+    verified = jaccard_verify(docs, pairs, "doc_id", k=5, threshold=0.3)
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # rows-only check: xxhash64+pandas-UDF SimHash has no DuckDB equivalent
+    from json_schema_rs_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text")).alias("sh"))
+
+
+def q_ann_topk(spark, sf_dir):
+    from json_schema_rs_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return brute_force_topk(emb, qvec, k=10)
+
+
+def q_knn_join(spark, sf_dir):
+    from json_schema_rs_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return knn_join(queries_df, emb, k=3)
+
+
+def q_embedding_near_dup_exact(spark, sf_dir):
+    from json_schema_rs_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b",
+        cosine(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")).alias("c"),
+    )
+    return pairs.filter(F.col("c") >= 0.5).select(
+        "id_a", "id_b", F.round("c", 6).alias("cos")
+    )
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    # rows-only check: LSH bucket recall has no SQL-expressible oracle
+    from json_schema_rs_spark.operators.similarity import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, dim=64, n_planes=8, threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -250,6 +350,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "text_token_stats": q_text_token_stats,
         "doc_length_stats": q_doc_length_stats,
+        "text_quality": q_text_quality,
+        "text_lang_guess": q_text_lang_guess,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk": q_ann_topk,
+        "knn_join": q_knn_join,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     }
 
 
@@ -285,6 +396,32 @@ _NCHARS_PROPS = """
              greatest(n_en::DOUBLE / (SELECT sum(n_en) FROM counts), 1e-9) AS p,
              greatest(n_all::DOUBLE / (SELECT sum(n_all) FROM counts), 1e-9) AS q
       FROM counts)
+"""
+
+
+# shared minhash CTEs: char-5 shingles → 8 portable md5-based minhashes
+# (mirrors dedup.char_shingles + minhash_signature(portable=True) exactly)
+_MINHASH_SIG = r"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                                                 i -> substr(text, i, 5)))) AS g
+      FROM documents),
+    sig AS (
+      SELECT doc_id,
+        min(substr(md5('0:' || g), 1, 8)) AS h0, min(substr(md5('1:' || g), 1, 8)) AS h1,
+        min(substr(md5('2:' || g), 1, 8)) AS h2, min(substr(md5('3:' || g), 1, 8)) AS h3,
+        min(substr(md5('4:' || g), 1, 8)) AS h4, min(substr(md5('5:' || g), 1, 8)) AS h5,
+        min(substr(md5('6:' || g), 1, 8)) AS h6, min(substr(md5('7:' || g), 1, 8)) AS h7
+      FROM sh GROUP BY doc_id)
+"""
+
+_MINHASH_BANDS = """
+    , bands AS (
+      SELECT doc_id, 0 AS band, h0 || ',' || h1 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || ',' || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || ',' || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || ',' || h7 FROM sig)
 """
 
 
@@ -413,5 +550,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
                    round(avg(n_chars), 4) AS avg_chars, count(*) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "text_quality": r"""
+            WITH m AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '\S+'))::DOUBLE AS toks,
+                len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))::DOUBLE AS sw_hits,
+                length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE AS visible,
+                len(regexp_extract_all(text, '[^A-Za-z0-9_\s]'))::DOUBLE AS punct,
+                length(text)::DOUBLE AS n
+              FROM documents),
+            parts AS (
+              SELECT doc_id,
+                least(toks / 20.0, 1.0) AS len_ok,
+                least((CASE WHEN toks = 0 THEN 0.0 ELSE sw_hits / toks END) * 4.0, 1.0) AS sw,
+                CASE WHEN (CASE WHEN toks = 0 THEN 0.0 ELSE visible / toks END) >= 3.0
+                      AND (CASE WHEN toks = 0 THEN 0.0 ELSE visible / toks END) <= 10.0
+                     THEN 1.0 ELSE 0.5 END AS wl_ok,
+                1.0 - least((CASE WHEN n = 0 THEN 0.0 ELSE punct / n END) * 2.0, 1.0) AS punct_ok
+              FROM m)
+            SELECT doc_id, round((len_ok + sw + wl_ok + punct_ok) / 4.0, 6) AS quality FROM parts
+        """,
+        "text_lang_guess": r"""
+            WITH c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS c_en,
+                len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS c_de,
+                len(regexp_extract_all(lower(text), '\b(le|la|et|est|les)\b')) AS c_fr,
+                len(regexp_extract_all(lower(text), '\b(el|la|que|de|es)\b')) AS c_es
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN c_en >= greatest(c_de, c_fr, c_es) AND c_en >= 1 THEN 'en'
+                   WHEN c_de >= greatest(c_fr, c_es) AND c_de >= 1 THEN 'de'
+                   WHEN c_fr >= c_es AND c_fr >= 1 THEN 'fr'
+                   WHEN c_es >= 1 THEN 'es'
+                   ELSE 'und' END AS lang_guess
+            FROM c
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "dedup_minhash_sig": _MINHASH_SIG + "SELECT * FROM sig",
+        "dedup_minhash_pairs": _MINHASH_SIG + _MINHASH_BANDS + """
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "dedup_jaccard_pairs": _MINHASH_SIG + _MINHASH_BANDS + """
+            , pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            shl AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                                                  i -> substr(text, i, 5))) AS sh
+              FROM documents),
+            j AS (
+              SELECT p.id_a, p.id_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+              FROM pairs p JOIN shl a ON a.doc_id = p.id_a JOIN shl b ON b.doc_id = p.id_b)
+            SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.3
+        """,
+        "ann_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos
+            FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "knn_join": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cos
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT q_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 3
+        """,
+        "embedding_near_dup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
         """,
     }

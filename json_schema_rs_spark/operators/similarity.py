@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — one narrow pass, JVM-side arithmetic
+(``zip_with`` + ``aggregate``), `orderBy ... limit k` which Spark executes as
+TakeOrdered (per-partition heap + driver merge of k×partitions rows, never a
+full sort shuffle).
+
+Scale path: random-hyperplane LSH — each vector gets a small integer bucket
+from the sign pattern of dot products against ``n_planes`` fixed (seeded)
+hyperplanes; neighbor search probes only matching buckets.  The hyperplanes
+are deterministic literals compiled into the plan, so bucketing is a
+shuffle-free projection; the bucket join shuffles on the bucket id only.
+
+Embedding near-dup (cosine > threshold) = LSH buckets + exact cosine verify
+within buckets — same candidate/verify shape as MinHash-LSH in dedup.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k for one query vector: ``(id, cos)``, best first.
+    TakeOrdered execution — no global sort shuffle."""
+    q = _lit_vec(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(emb_col).cast("array<double>"), q), round_to).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    q_id: str = "q_id",
+    q_emb: str = "q_emb",
+    c_id: str = "vec_id",
+    c_emb: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """k nearest corpus vectors for every query vector.
+
+    Broadcast the query side (assumed small), score every (query, corpus)
+    pair map-side, then per-query top-k via window rank — the shuffle moves
+    only (queries × corpus) scored ids, not embeddings.
+    For huge query sets switch to lsh_bucketed_knn.
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id),
+        F.col(c_id),
+        F.round(
+            cosine(F.col(c_emb).cast("array<double>"), F.col(q_emb).cast("array<double>")),
+            round_to,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-Python LCG so the
+    plan is reproducible without numpy state)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            # map to [-1, 1)
+            row.append(state / 0x40000000 - 1.0)
+        norm = math.sqrt(sum(v * v for v in row)) or 1.0
+        planes.append([v / norm for v in row])
+    return planes
+
+
+def lsh_bucket(emb: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-pattern bucket id (0 .. 2^n_planes-1) — shuffle-free projection."""
+    e = emb.cast("array<double>")
+    bucket = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        bucket = bucket + F.when(dot(e, _lit_vec(plane)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) via LSH buckets +
+    exact verify: ``(id_a, id_b, cos)``.  Recall is per-bucket (multi-probe
+    left to a second seed pass); precision is exact."""
+    b = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(emb_col).alias("emb"),
+        lsh_bucket(F.col(emb_col), dim, n_planes).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.round(
+                cosine(F.col("a.emb").cast("array<double>"), F.col("b.emb").cast("array<double>")),
+                round_to,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data curation: token counting,
+quality scoring, language identification, document fingerprinting.
+
+All pure Column expressions (regexp_count / octet_length / sha2) — they fuse
+into the same whole-stage-codegen projection as the validation constraints,
+so adding them to a 100 TB validation pass costs no extra scan or shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokens and a BPE-ish split (word pieces OR single non-space punct)
+WS_TOKEN_RE = r"\S+"
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+#: tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+
+def token_count(col: Column, pattern: str = WS_TOKEN_RE) -> Column:
+    """Number of token matches (whitespace tokens by default; BPE_TOKEN_RE
+    for a subword-ish count)."""
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty strings)."""
+    n = F.length(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(col, F.lit(r"[^A-Za-z0-9_\s]")).cast("double") / n
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Share of whitespace tokens that are common stopwords of ``lang``."""
+    markers = "|".join(LANG_MARKERS[lang])
+    toks = token_count(col)
+    hits = F.regexp_count(F.lower(col), F.lit(rf"\b({markers})\b"))
+    return F.when(toks == 0, F.lit(0.0)).otherwise(hits.cast("double") / toks)
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = token_count(col)
+    visible = F.length(F.regexp_replace(col, r"\s+", ""))
+    return F.when(toks == 0, F.lit(0.0)).otherwise(visible.cast("double") / toks)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards stopword presence and sane word
+    lengths, penalizes punctuation soup and extreme shortness.
+    Deterministic arithmetic only — reproducible in ANSI SQL for the oracle."""
+    toks = token_count(col).cast("double")
+    len_ok = F.least(toks / 20.0, F.lit(1.0))                       # ≥20 tokens → full credit
+    sw = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))             # ≥25% stopwords → full credit
+    mwl = mean_word_length(col)
+    wl_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 2.0, F.lit(1.0))
+    return F.round((len_ok + sw + wl_ok + punct_ok) / 4.0, 6)
+
+
+def lang_scores(col: Column) -> Column:
+    """Per-language marker-hit counts as a struct (deterministic argmax input)."""
+    lowered = F.lower(col)
+    fields = []
+    for lang, markers in LANG_MARKERS.items():
+        pat = rf"\b({'|'.join(markers)})\b"
+        fields.append(F.regexp_count(lowered, F.lit(pat)).alias(lang))
+    return F.struct(*fields)
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """Argmax language by marker hits; ``default`` when nothing matches.
+    Ties break by LANG_MARKERS order (first language wins)."""
+    scores = lang_scores(col)
+    langs = list(LANG_MARKERS.keys())
+    best = F.lit(default)
+    best_n = F.lit(0)
+    for lang in reversed(langs):           # reversed so earlier langs win ties
+        n = scores.getField(lang)
+        best = F.when(n >= F.greatest(best_n, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_n = F.greatest(best_n, n)
+    return best
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalization fingerprint: sha256 of lowercased, whitespace-collapsed,
+    trimmed text — catches case/spacing-only near-duplicates exactly."""
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.sha2(normalized, 256)
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile: all text metrics as added columns."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        token_count(c, BPE_TOKEN_RE).alias("n_bpe_tokens"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(mean_word_length(c), 6).alias("mean_word_len"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_guess"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,114 @@
+"""Dedup operator tests: exact, MinHash-LSH, Jaccard verify, SimHash."""
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.dedup import (
+    char_shingles,
+    drop_exact_duplicates,
+    exact_duplicate_groups,
+    hamming64,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    minhash_signature,
+    simhash,
+    simhash_candidates,
+    word_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),   # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+    (4, "completely different content about spark dataframes and shuffle behavior"),
+    (5, "unrelated text mentioning databases, indexes, and storage engines only"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups(spark):
+    groups = exact_duplicate_groups(_docs(spark)).collect()
+    assert len(groups) == 1 and groups[0]["cnt"] == 2
+
+
+def test_drop_exact_duplicates_keeps_min_id(spark):
+    kept = sorted(r["doc_id"] for r in drop_exact_duplicates(_docs(spark), "doc_id").collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_shingles(spark):
+    df = spark.range(1).select(
+        char_shingles(F.lit("abcdef"), 5).alias("c"),
+        word_shingles(F.lit("a b c d"), 3).alias("w"),
+        char_shingles(F.lit("ab"), 5).alias("short"),
+    )
+    row = df.collect()[0]
+    assert row["c"] == ["abcde", "bcdef"]
+    assert row["w"] == ["a b c", "b c d"]
+    assert row["short"] == ["ab"]  # shorter than k → whole string
+
+
+def test_minhash_identical_signatures(spark):
+    df = _docs(spark).select(
+        "doc_id", minhash_signature(char_shingles(F.col("text"), 5), 16).alias("sig")
+    )
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in df.collect()}
+    assert sigs[1] == sigs[2]              # identical docs → identical signature
+    # near-dup shares most minhash slots; disjoint docs share few
+    near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert near > far
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(_docs(spark), "doc_id", bands=8, num_hashes=16).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_jaccard_verify(spark):
+    docs = _docs(spark)
+    pairs = minhash_lsh_candidates(docs, "doc_id", bands=8, num_hashes=16)
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_verify(docs, pairs, "doc_id", threshold=0.5).collect()
+    }
+    assert verified[(1, 2)] == 1.0
+    assert 0.5 <= verified[(1, 3)] < 1.0
+
+
+def test_max_bucket_guard_drops_hot_buckets(spark):
+    # 50 identical docs → one hot bucket; max_bucket=10 must drop it all
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(df, "doc_id", max_bucket=10)
+    assert pairs.count() == 0
+
+
+def test_simhash_properties(spark):
+    df = _docs(spark).select("doc_id", simhash(F.col("text")).alias("sh"))
+    sh = {r["doc_id"]: r["sh"] for r in df.collect()}
+    assert sh[1] == sh[2]
+    d13 = bin((sh[1] ^ sh[3]) & (2**64 - 1)).count("1")
+    d14 = bin((sh[1] ^ sh[4]) & (2**64 - 1)).count("1")
+    assert d13 < d14  # near-dup closer in hamming space than unrelated
+
+
+def test_hamming64(spark):
+    row = spark.range(1).select(
+        hamming64(F.lit(0b1011).cast("long"), F.lit(0b0010).cast("long")).alias("d")
+    ).collect()[0]
+    assert row["d"] == 2
+
+
+def test_simhash_candidates(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidates(_docs(spark), "doc_id", max_hamming=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0

@@ -1,0 +1,71 @@
+"""Multimodal plumbing tests: schema, mapInPandas batch shape, stubs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_audio,
+    decode_image,
+    extract_features,
+    fake_feature_extractor,
+    frame_sample_plan,
+    synthesize_media,
+)
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
+
+
+def test_fake_extractor_deterministic():
+    a = fake_feature_extractor(b"payload")
+    b = fake_feature_extractor(b"payload")
+    c = fake_feature_extractor(b"other")
+    assert a == b != c
+    assert len(a) == FEATURE_DIM and all(0.0 <= v <= 1.0 for v in a)
+    assert fake_feature_extractor(None) == [0.0] * FEATURE_DIM
+
+
+def test_synthesize_media_schema(spark):
+    media = synthesize_media(spark, 30)
+    assert media.count() == 30
+    row = media.filter(F.col("kind") == "image").limit(1).collect()[0]
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["meta"]["width"] is not None and row["meta"]["duration_ms"] is None
+
+
+def test_extract_features_arity_and_determinism(spark):
+    media = synthesize_media(spark, 30)
+    feats = extract_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 30                              # one output row per input row
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows.values())
+    assert all(len(r["payload_sha"]) == 64 for r in rows.values())
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert all(rows[k]["features"] == again[k]["features"] for k in rows)
+    # n_bytes matches actual payload size
+    sizes = {r["media_id"]: len(r["payload"]) for r in media.collect()}
+    assert all(rows[k]["n_bytes"] == sizes[k] for k in rows)
+
+
+def test_extract_features_custom_decoder(spark):
+    media = synthesize_media(spark, 6)
+    feats = extract_features(media, decoder=lambda b: [float(len(b))])
+    assert all(r["features"] == [float(r["n_bytes"])] for r in feats.collect())
+
+
+def test_frame_sample_plan(spark):
+    media = synthesize_media(spark, 30)
+    frames = frame_sample_plan(media, every_ms=500)
+    got = frames.groupBy("media_id").count().collect()
+    durations = {
+        r["media_id"]: r["meta"]["duration_ms"]
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    for r in got:
+        expected = (max(durations[r["media_id"]] - 1, 0)) // 500 + 1
+        assert r["count"] == expected

@@ -1,0 +1,87 @@
+"""Similarity-search operator tests on the real embeddings table."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    dot,
+    embedding_near_dup,
+    knn_join,
+    l2_norm,
+    lsh_bucket,
+    _hyperplanes,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_vector_math(spark):
+    row = spark.range(1).select(
+        dot(F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))).alias("d"),
+        l2_norm(F.array(F.lit(3.0), F.lit(4.0))).alias("n"),
+        cosine(F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(1.0), F.lit(0.0))).alias("c"),
+    ).collect()[0]
+    assert row["d"] == pytest.approx(11.0)
+    assert row["n"] == pytest.approx(5.0)
+    assert row["c"] == pytest.approx(1.0)
+
+
+def test_brute_force_topk_self_is_nearest(emb):
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = brute_force_topk(emb, [float(v) for v in q], k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos"] == pytest.approx(1.0)
+    assert len(top) == 5
+    assert all(top[i]["cos"] >= top[i + 1]["cos"] for i in range(4))
+
+
+def test_knn_join(spark, emb):
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    res = knn_join(queries, emb, k=3).collect()
+    assert len(res) == 9
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for qid, rows in by_q.items():
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == qid and best["cos"] == pytest.approx(1.0)
+
+
+def test_hyperplanes_deterministic_and_unit():
+    a = _hyperplanes(8, 4, seed=42)
+    b = _hyperplanes(8, 4, seed=42)
+    c = _hyperplanes(8, 4, seed=43)
+    assert a == b != c
+    for p in a:
+        assert math.sqrt(sum(v * v for v in p)) == pytest.approx(1.0)
+
+
+def test_lsh_bucket_range_and_locality(emb):
+    b = emb.select(lsh_bucket(F.col("embedding"), 64, n_planes=6).alias("b"))
+    stats = b.agg(F.min("b"), F.max("b"), F.countDistinct("b")).collect()[0]
+    assert 0 <= stats[0] and stats[1] < 64
+    assert stats[2] > 1  # vectors actually spread across buckets
+
+
+def test_embedding_near_dup_self_consistency(spark):
+    # two identical + one orthogonal-ish vector
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup(df, dim=4, n_planes=4, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["cos"] == pytest.approx(1.0)

@@ -1,0 +1,70 @@
+"""Text-analysis operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.text import (
+    BPE_TOKEN_RE,
+    fingerprint,
+    lang_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    text_profile,
+    token_count,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "t string").select(col(F.col("t")).alias("v")).collect()[0]["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", token_count) == 3
+    assert _one(spark, "", token_count) == 0
+    # don | ' | t | stop | - | me | now | !
+    assert _one(spark, "don't stop-me now!", lambda c: token_count(c, BPE_TOKEN_RE)) == 8
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, "abcd", punct_ratio) == 0.0
+    assert _one(spark, "!!!!", punct_ratio) == 1.0
+    assert _one(spark, "", punct_ratio) == 0.0
+
+
+def test_stopword_and_word_length(spark):
+    assert _one(spark, "the cat and the dog", stopword_ratio) == pytest.approx(3 / 5)
+    assert _one(spark, "ab cd", mean_word_length) == pytest.approx(2.0)
+    assert _one(spark, "", mean_word_length) == 0.0
+
+
+def test_quality_score_ordering(spark):
+    good = _one(spark, "the quick brown fox and the lazy dog walked to the park "
+                        "because the weather is fine and the day is long", quality_score)
+    bad = _one(spark, "@@@ ### !!! $$$", quality_score)
+    assert 0.0 <= bad < good <= 1.0
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat is on the mat and the dog", lang_id) == "en"
+    assert _one(spark, "der hund ist nicht hier und die katze", lang_id) == "de"
+    assert _one(spark, "le chat est sur la table et les chiens", lang_id) == "fr"
+    assert _one(spark, "zzz qqq xxx", lang_id) == "und"
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello   World", fingerprint)
+    b = _one(spark, "hello world ", fingerprint)
+    c = _one(spark, "hello worlds", fingerprint)
+    assert a == b != c
+
+
+def test_text_profile_one_pass(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prof = text_profile(docs)
+    # one fused projection — no shuffle in the plan
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    row = prof.limit(1).collect()[0]
+    assert row["n_tokens"] > 0 and len(row["fingerprint"]) == 64
