@@ -118,19 +118,38 @@ def minhash_lsh_candidates(
     bands: int = 4,
     portable: bool = False,
     max_bucket: int = 1000,
+    repartition: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(id_a, id_b)`` with id_a < id_b.
 
     Docs sharing ANY band bucket become candidates (union over bands,
     distinct).  Buckets above ``max_bucket`` are dropped (boilerplate guard).
+
+    ``repartition`` spreads the (CPU-heavy) shingling/hashing projection —
+    needed when the source is a few big files read as few partitions; at
+    datalake scale the scan's natural partitioning already provides this.
+    The shingle array is MATERIALIZED in its own select so the ``num_hashes``
+    signature expressions share one shingling pass instead of inlining
+    ``num_hashes`` copies of it.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sig = minhash_signature(char_shingles(F.col(text_col), k), num_hashes, portable)
-    keyed = (
-        df.select(F.col(id_col).alias("doc"), lsh_band_keys(sig, bands, r).alias("band_keys"))
-        .select("doc", F.explode("band_keys").alias("bucket"))
+    narrow = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+    if repartition:
+        narrow = narrow.repartition(repartition)
+    # materialize each stage as a column: shingles → signature → band keys.
+    # Leaving these as nested expressions lets the optimizer inline the
+    # shingling into every downstream reference (measured 10× slower).
+    shingled = narrow.select("doc", char_shingles(F.col("__text"), k).alias("__sh"))
+    with_sig = shingled.select(
+        "doc", minhash_signature(F.col("__sh"), num_hashes, portable).alias("__sig")
     )
+    keyed = with_sig.select(
+        "doc", F.explode(lsh_band_keys(F.col("__sig"), bands, r)).alias("bucket")
+    )
+    # keyed feeds three consumers (bucket sizes + both join sides): cache the
+    # tiny (doc, bucket) relation instead of recomputing the hash pipeline.
+    keyed = keyed.cache()
     # boilerplate guard: drop pathologically hot buckets
     sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
     keyed = keyed.join(F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), "bucket", "left_anti")
@@ -229,12 +248,16 @@ def simhash_candidates(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    repartition: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into four 16-bit chunks —
     any pair within Hamming ≤ 3 shares at least one exact chunk (pigeonhole),
     so chunk-equality buckets are a complete candidate set; verify with
     ``hamming64``.  Same shuffle shape as MinHash-LSH."""
-    sh = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sh"))
+    narrow = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+    if repartition:
+        narrow = narrow.repartition(repartition)
+    sh = narrow.select("doc", simhash(F.col("__text")).alias("sh"))
     chunks = sh.select(
         "doc",
         "sh",

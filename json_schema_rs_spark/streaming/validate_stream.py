@@ -1,0 +1,54 @@
+"""Structured Streaming validation — the same compiled constraint projection
+applied to a streaming DataFrame.  (No reference counterpart: the reference
+is strictly batch, SURVEY §2.9.)
+
+Because the row-level plan is a pure stateless projection (engine.annotate),
+it applies to ``readStream`` sources unchanged — violations stream out with
+``explode`` and pass/fail summaries become watermarked windowed aggregates
+for late data.  No ``applyInPandasWithState`` is needed for the core
+semantics; all state lives in Spark's windowed-aggregation store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.engine import ValidationEngine
+
+
+def annotate_stream(stream_df: DataFrame, engine: ValidationEngine) -> DataFrame:
+    """Row-level validation on a streaming DF — identical plan to batch."""
+    return engine.annotate(stream_df)
+
+
+def violations_stream(stream_df: DataFrame, engine: ValidationEngine) -> DataFrame:
+    """Streaming violations feed ``(row_key, constraint_id, observed_value)``."""
+    return engine.row_violations(engine.annotate(stream_df))
+
+
+def windowed_summary(
+    stream_df: DataFrame,
+    engine: ValidationEngine,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window pass/fail summary: late rows beyond the
+    watermark are dropped from their window (bounded state)."""
+    # watermarks require TIMESTAMP (LTZ); NTZ sources are reinterpreted in
+    # the session timezone (UTC, session.py)
+    ann = (
+        engine.annotate(stream_df)
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+    )
+    group = [F.window(F.col(ts_col), window).alias("win")]
+    if engine.group_col:
+        group.append(F.col(engine.group_col))
+    return ann.groupBy(*group).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("passed").cast("long")).alias("n_passed"),
+        F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
+        F.sum(F.size("violations").cast("long")).alias("n_violations"),
+    )

@@ -1,0 +1,73 @@
+"""Checkpoint/resume tests: per-bucket lineage, spec-hash invalidation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import TableSpec, ValidationEngine
+from json_schema_rs_spark.plans.checkpoint import CheckpointManager
+from json_schema_rs_spark.sources.corpus import corpus_table_spec, synthesize_corpus
+from json_schema_rs_spark.spec import spec_hash, string_field
+
+
+@pytest.fixture()
+def engine():
+    spec = TableSpec()
+    spec.add_field(string_field("path", required=True))
+    spec.add_field(string_field("lang").with_enum(["rust", "python", "java", "go", "js"]))
+    return ValidationEngine(spec, key_cols=["repo", "path", "commit"], group_col="repo")
+
+
+def test_full_run_then_resume_skips_everything(spark, tmp_path, engine):
+    df = synthesize_corpus(spark, 2000)
+    mgr = CheckpointManager(spark, str(tmp_path / "ckpt"), n_buckets=8)
+    rep1 = mgr.run_resumable(df, engine, partition_col="repo", chunk_buckets=4)
+    assert rep1.buckets_validated == 8 and rep1.buckets_skipped == 0
+    assert rep1.n_rows == 2000
+
+    rep2 = mgr.run_resumable(df, engine, partition_col="repo", chunk_buckets=4)
+    assert rep2.buckets_skipped == 8 and rep2.buckets_validated == 0
+    assert rep2.n_rows == 0  # nothing replayed
+
+
+def test_partial_run_resumes_only_pending(spark, tmp_path, engine):
+    df = synthesize_corpus(spark, 2000)
+    path = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(spark, path, n_buckets=8)
+    sh = spec_hash(engine.spec)
+
+    # simulate a killed job: pretend buckets 0-2 completed
+    import time as _t
+    rows = [("deadrun", b, sh, "completed", 10, 10, 0, _t.time()) for b in (0, 1, 2)]
+    mgr._record(rows)
+
+    rep = mgr.run_resumable(df, engine, partition_col="repo", chunk_buckets=3)
+    assert rep.buckets_skipped == 3
+    assert rep.buckets_validated == 5
+    # validated rows = rows NOT in buckets 0-2
+    bucket = F.pmod(F.xxhash64(F.col("repo")), F.lit(8)).cast("int")
+    expected = df.withColumn("b", bucket).filter(~F.col("b").isin([0, 1, 2])).count()
+    assert rep.n_rows == expected
+
+
+def test_spec_change_invalidates_progress(spark, tmp_path, engine):
+    df = synthesize_corpus(spark, 1000)
+    path = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(spark, path, n_buckets=4)
+    mgr.run_resumable(df, engine, partition_col="repo")
+
+    stricter = ValidationEngine(
+        corpus_table_spec(), key_cols=["repo", "path", "commit"], group_col="repo"
+    )
+    rep = mgr.run_resumable(df, stricter, partition_col="repo")
+    assert rep.buckets_skipped == 0 and rep.buckets_validated == 4
+
+
+def test_lineage_metrics_sum_to_totals(spark, tmp_path, engine):
+    df = synthesize_corpus(spark, 3000)
+    path = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(spark, path, n_buckets=8)
+    rep = mgr.run_resumable(df, engine, partition_col="repo", chunk_buckets=8)
+    lineage = spark.read.parquet(path)
+    tot = lineage.agg(F.sum("n_rows"), F.sum("n_violations")).collect()[0]
+    assert tot[0] == 3000 == rep.n_rows
+    assert tot[1] == rep.n_violations

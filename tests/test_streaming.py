@@ -1,0 +1,83 @@
+"""Structured Streaming validation tests (file source, availableNow trigger,
+memory sink) — streaming results must equal the batch results."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import TableSpec, ValidationEngine
+from json_schema_rs_spark.spec import number_field, string_field
+from json_schema_rs_spark.streaming.validate_stream import (
+    violations_stream,
+    windowed_summary,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def doc_engine():
+    spec = TableSpec()
+    spec.add_field(string_field("text", required=True))
+    spec.add_field(string_field("lang").with_enum(["en", "de", "fr"]))
+    spec.add_field(number_field("n_chars").with_range(50.0, 500.0))
+    return ValidationEngine(spec, key_cols=["doc_id"], group_col="lang")
+
+
+def _run_to_memory(sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_violations_match_batch(spark, doc_engine, tmp_path):
+    import shutil
+
+    src_dir = tmp_path / "docs"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src_dir / "part-0.parquet")
+    batch = spark.read.parquet(str(src_dir))
+    schema = batch.schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+
+    _run_to_memory(violations_stream(stream, doc_engine), "v_stream")
+    got = spark.sql("SELECT * FROM v_stream")
+    want = doc_engine.row_violations(doc_engine.annotate(batch))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_windowed_summary(spark, tmp_path):
+    # events table has a real timestamp column — validate value bounds per window
+    spec = TableSpec().add_field(number_field("value").with_range(-1e9, 100.0))
+    eng = ValidationEngine(spec, key_cols=["event_id"], group_col="event_type")
+    import shutil
+
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    batch = spark.read.parquet(str(src_dir))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+
+    sdf = windowed_summary(stream, eng, ts_col="ts", window="1 hour", watermark="2 hours")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("w_sum")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM w_sum")
+    total = got.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == batch.count()
+    # per-window totals reconcile pass+fail
+    bad = got.filter(F.col("n_passed") + F.col("n_failed") != F.col("n_rows")).count()
+    assert bad == 0
