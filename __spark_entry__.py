@@ -332,6 +332,28 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return embedding_near_dup(emb, dim=64, n_planes=8, threshold=0.5)
 
 
+def q_json_props_validate(spark, sf_dir):
+    # raw-JSON-document validation (the reference's primary entry point):
+    # events.props is a JSON string column validated against an object spec
+    from json_schema_rs_spark.sources.jsondoc import validate_json_column
+    from json_schema_rs_spark.spec import spec_from_json
+
+    spec = spec_from_json(
+        {"fields": {"props": {
+            "type": "object",
+            "properties": {"k": {"type": "number", "minimum": 10.0, "maximum": 80.0}},
+            "required": ["k"],
+        }}}
+    ).fields["props"]
+    ev = _t(spark, sf_dir, "events")
+    ann = validate_json_column(ev, "props", spec, key_cols=["event_id"])
+    return ann.select(
+        "row_key",
+        F.explode("violations").alias("v"),
+    ).select("row_key", F.col("v.constraint_id").alias("constraint_id"),
+             F.col("v.observed_value").alias("observed_value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -361,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "json_props_validate": q_json_props_validate,
     }
 
 
@@ -629,6 +652,26 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
               FROM scored)
             SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 3
+        """,
+        "json_props_validate": """
+            SELECT CAST(event_id AS VARCHAR) AS row_key,
+                   'missing_property:props.k' AS constraint_id, 'k' AS observed_value
+            FROM events WHERE json_valid(props) AND json_extract(props, '$.k') IS NULL
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'number_range:props.k',
+                   CAST(CAST(json_extract(props, '$.k') AS DOUBLE) AS VARCHAR)
+            FROM events
+            WHERE json_valid(props) AND json_extract(props, '$.k') IS NOT NULL
+              AND NOT (CAST(json_extract(props, '$.k') AS DOUBLE) > 10.0)
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'number_range:props.k',
+                   CAST(CAST(json_extract(props, '$.k') AS DOUBLE) AS VARCHAR)
+            FROM events
+            WHERE json_valid(props) AND json_extract(props, '$.k') IS NOT NULL
+              AND NOT (CAST(json_extract(props, '$.k') AS DOUBLE) < 80.0)
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'json_parse:props', props
+            FROM events WHERE props IS NOT NULL AND NOT json_valid(props)
         """,
         "embedding_near_dup_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

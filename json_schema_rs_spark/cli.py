@@ -1,0 +1,76 @@
+"""CLI — mirrors the reference's entry point (reference: cli/src/main.rs:25-64):
+a schema/spec file plus N inputs, per-input verdict with wall-clock ms.
+
+    python -m json_schema_rs_spark.cli --spec spec.json \\
+        --input table1.parquet --input docs.jsonl [--key col1,col2] [--group col]
+
+Inputs may be parquet (validated as a table against the spec's ``fields``) or
+JSON-lines files (each line a document, validated like the reference's
+per-file DOM walk).  Like the reference, the timer spans read AND validation
+(cli/src/main.rs:50-53 includes JSON parse time).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="json_schema_rs_spark")
+    p.add_argument("-s", "--spec", required=True, help="JSON table-spec file")
+    p.add_argument("-i", "--input", action="append", required=True, help="parquet/jsonl input (repeatable)")
+    p.add_argument("--key", default=None, help="comma-separated row-key columns (default: first column)")
+    p.add_argument("--group", default=None, help="summary group column")
+    p.add_argument("--master", default=None)
+    p.add_argument("--show-violations", type=int, default=10, metavar="N")
+    args = p.parse_args(argv)
+
+    from json_schema_rs_spark import ValidationEngine, get_spark, spec_from_json
+
+    with open(args.spec) as f:
+        spec = spec_from_json(f.read())
+
+    spark = get_spark(app_name="jsval-cli", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    exit_code = 0
+    try:
+        for path in args.input:
+            t0 = time.perf_counter()
+            if path.endswith((".json", ".jsonl", ".ndjson")):
+                df = spark.read.json(path)
+            else:
+                df = spark.read.parquet(path)
+            key_cols = args.key.split(",") if args.key else [df.columns[0]]
+            eng = ValidationEngine(spec, key_cols=key_cols, group_col=args.group)
+            ann = eng.annotate(df)
+            agg = ann.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((~F.col("passed")).cast("long")).alias("failed"),
+                F.sum(F.size("violations").cast("long")).alias("viol"),
+            ).collect()[0]
+            ms = (time.perf_counter() - t0) * 1000.0
+            if agg["failed"] == 0:
+                # same success line shape as the reference (cli/src/main.rs:54-57)
+                print(f"{path} validated successfully in {ms:.0f} ms ({agg['n']} rows)")
+            else:
+                exit_code = 1
+                print(
+                    f"{path} FAILED in {ms:.0f} ms: {agg['failed']}/{agg['n']} rows, "
+                    f"{agg['viol']} violations"
+                )
+                head = (
+                    eng.row_violations(ann).limit(args.show_violations).collect()
+                )
+                for r in head:
+                    print(f"  {r['row_key']}: {r['constraint_id']} = {r['observed_value']}")
+    finally:
+        spark.stop()
+    return exit_code
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

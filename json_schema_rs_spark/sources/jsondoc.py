@@ -1,0 +1,87 @@
+"""Raw-JSON-document validation — the reference's PRIMARY use case
+(one JSON file parsed to a DOM then tree-walked, cli/src/main.rs:49-52)
+re-expressed over a column of JSON strings:
+
+  ``from_json(json_col, schema_derived_from_spec)`` → nested struct →
+  the same compiled constraint projection as any other column.
+
+The Spark schema is DERIVED from the constraint spec (spec_to_spark_schema),
+mirroring how the reference's parsed ``Schema`` doubles as the shape of the
+data it accepts (SURVEY §1.2).  A string that fails to parse (or fails
+structural conformance — from_json yields null) gets a ``json_parse``
+violation, matching the reference's parse-before-validate failure mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from json_schema_rs_spark.compile import _value_violations, VIOLATION_SCHEMA
+from json_schema_rs_spark.spec import FieldSpec
+
+
+def spec_to_spark_schema(spec: FieldSpec) -> T.DataType:
+    """Derive the Spark type a spec accepts (JsonType → Spark, SURVEY §1.4)."""
+    t = spec.type
+    if t == "string":
+        return T.StringType()
+    if t == "integer":
+        return T.LongType()
+    if t == "number":
+        return T.DoubleType()
+    if t == "boolean":
+        return T.BooleanType()
+    if t == "array":
+        if spec.tuple_items:
+            # tuple-typed arrays: element type = widest child type; Spark
+            # arrays are homogeneous, so mixed tuples fall back to string
+            kinds = {c.type for c in spec.tuple_items}
+            elem = spec_to_spark_schema(spec.tuple_items[0]) if len(kinds) == 1 else T.StringType()
+            return T.ArrayType(elem)
+        child = spec.items or FieldSpec(type=None)
+        return T.ArrayType(spec_to_spark_schema(child) if child.type else T.StringType())
+    if t == "object" or spec.properties:
+        fields = [
+            T.StructField(name, spec_to_spark_schema(child), True)
+            for name, child in (spec.properties or {}).items()
+        ]
+        return T.StructType(fields)
+    # empty / ref / untyped: accept anything — keep the raw string
+    return T.StringType()
+
+
+def json_violations(json_col: Column, spec: FieldSpec, path: str, parity: bool = True) -> Column:
+    """Violations array for one JSON-string column validated against ``spec``."""
+    schema = spec_to_spark_schema(spec)
+    parsed = F.from_json(json_col, schema)
+    parse_fail = json_col.isNotNull() & parsed.isNull()
+    body = _value_violations(spec, parsed, schema, path, parity)
+    return F.when(
+        parse_fail,
+        F.array(
+            F.struct(
+                F.lit(f"json_parse:{path}").alias("constraint_id"),
+                json_col.cast("string").alias("observed_value"),
+            )
+        ).cast(VIOLATION_SCHEMA),
+    ).otherwise(body)
+
+
+def validate_json_column(
+    df: DataFrame,
+    json_col: str,
+    spec: FieldSpec,
+    key_cols: list[str],
+    parity: bool = True,
+) -> DataFrame:
+    """Annotate ``df`` with row_key / violations / passed for a JSON column —
+    the per-file validate loop (cli/src/main.rs:49-64) as one projection."""
+    v = json_violations(F.col(json_col), spec, json_col, parity)
+    out = df.select(
+        "*",
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias("row_key"),
+        v.alias("violations"),
+    )
+    return out.withColumn("passed", F.size("violations") == 0)

@@ -1,0 +1,93 @@
+"""Physical-plan quality gates — the 100 TB checklist (task brief):
+filters pushed to the scan, columns pruned, broadcasts where expected,
+whole-stage codegen over the validation projection, no needless shuffles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import TableSpec, ValidationEngine
+from json_schema_rs_spark.spec import number_field, string_field
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").filter(F.col("l_quantity") > 30.0)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+
+
+def test_column_pruning_in_validation(spark):
+    # spec touches only lang + n_chars; text/source must not be read
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spec = (
+        TableSpec()
+        .add_field(string_field("lang").with_enum(["en", "de"]))
+        .add_field(number_field("n_chars").with_range(0.0, 1000.0))
+    )
+    eng = ValidationEngine(spec, key_cols=["doc_id"])
+    slim = eng.annotate(docs).select("row_key", "passed")
+    plan = _plan(slim)
+    scan_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_line and "text" not in scan_line[0] and "source" not in scan_line[0]
+
+
+def test_validation_is_single_codegen_stage(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spec = TableSpec().add_field(string_field("text", required=True).with_length(1, 2000))
+    ann = ValidationEngine(spec, key_cols=["doc_id"], sha_col="text").annotate(docs)
+    plan = _plan(ann)
+    assert "Exchange" not in plan                      # shuffle-free
+    assert "*(1)" in plan and "*(2)" not in plan       # one fused codegen stage
+
+
+def test_ri_uses_broadcast_join(spark):
+    from json_schema_rs_spark.operators.integrity import orphan_rows
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orphans = orphan_rows(orders, "o_custkey", cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey")
+    plan = _plan(orphans)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_join_broadcasts_queries(spark):
+    from json_schema_rs_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.limit(3).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    plan = _plan(knn_join(queries, emb, k=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered_not_full_sort(spark):
+    from json_schema_rs_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.1] * 64
+    plan = _plan(brute_force_topk(emb, q, k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unique_key_two_phase_shape(spark):
+    from json_schema_rs_spark.operators.uniqueness import duplicate_keys
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(duplicate_keys(docs, ["lang", "source"]))
+    # partial agg before the exchange (map-side combine) + final after
+    assert plan.count("HashAggregate") >= 4        # partial+final × two phases
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_summary_aggregates_without_extra_exchange(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spec = TableSpec().add_field(string_field("text", required=True))
+    eng = ValidationEngine(spec, key_cols=["doc_id"], group_col="lang")
+    plan = _plan(eng.summarize(eng.annotate(docs)))
+    # exactly one shuffle: the groupBy(lang)
+    assert plan.count("Exchange") == 1
