@@ -218,6 +218,19 @@ def _object_keywords(spec: FieldSpec, x: Column, dtype: T.DataType, path: str, p
             out.append(_fail(cnt >= spec.min_properties, f"property_count:{path}", cnt))
         if spec.max_properties is not None:
             out.append(_fail(cnt <= spec.max_properties, f"property_count:{path}", cnt))
+    if spec.pattern_properties and is_map:
+        # patternProperties (object.rs:107-137): for each (regex, schema),
+        # validate every value whose key matches; NO error when nothing
+        # matches (explicit reference TODO, object.rs:126-128).  The regex
+        # compiles once into the plan (the reference recompiles per call —
+        # its own TODO at object.rs:116).
+        for rex, child in spec.pattern_properties.items():
+            matched = F.map_filter(x, lambda k, v: k.rlike(rex))
+            per_val = F.transform(
+                F.map_values(matched),
+                lambda v: _value_violations(child, v, dtype.valueType, f"{path}{{{rex}}}", parity),
+            )
+            out.append(F.flatten(per_val))
     return out
 
 

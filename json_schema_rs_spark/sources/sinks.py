@@ -1,0 +1,58 @@
+"""Result sinks — the S4 operator (reference: cli/src/main.rs:54-63 prints
+per-file verdicts; errors.rs:41-48 formats the error vector).  At table scale
+the verdict print becomes persisted outputs:
+
+  * ``violations/``  — (row_key, constraint_id, observed_value), partitioned
+                       by constraint kind so downstream triage reads only the
+                       kinds it cares about (partition pruning)
+  * ``summary/``     — per-group pass/fail/violation counts
+  * ``metrics``      — one run-level row (rows, passed, violations, wall sec)
+                       appended for trend dashboards
+
+Writers coalesce the (tiny) summary but leave violations at natural
+parallelism — at 100 TB the violations set can itself be large.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.engine import ValidationResult
+
+
+def write_results(result: ValidationResult, base_path: str, mode: str = "overwrite") -> dict:
+    """Persist violations + summary under ``base_path``; returns run metrics."""
+    t0 = time.perf_counter()
+    viol = result.violations.withColumn(
+        "kind", F.split(F.col("constraint_id"), ":").getItem(0)
+    )
+    viol.write.mode(mode).partitionBy("kind").parquet(f"{base_path}/violations")
+    result.summary.coalesce(1).write.mode(mode).parquet(f"{base_path}/summary")
+
+    spark = result.summary.sparkSession
+    tot = result.summary.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_passed").alias("n_passed"),
+        F.sum("n_violations").alias("n_violations"),
+    ).collect()[0]
+    metrics = {
+        "n_rows": int(tot["n_rows"] or 0),
+        "n_passed": int(tot["n_passed"] or 0),
+        "n_violations": int(tot["n_violations"] or 0),
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+    spark.createDataFrame(
+        [tuple(metrics.values())], "n_rows long, n_passed long, n_violations long, wall_sec double"
+    ).coalesce(1).write.mode("append").parquet(f"{base_path}/metrics")
+    return metrics
+
+
+def read_violations(spark, base_path: str, kinds: list[str] | None = None) -> DataFrame:
+    """Read back violations; ``kinds`` prunes partitions at the scan."""
+    df = spark.read.parquet(f"{base_path}/violations")
+    if kinds:
+        df = df.filter(F.col("kind").isin(*kinds))
+    return df

@@ -85,6 +85,7 @@ class FieldSpec:
     additional_properties: bool = False  # parsed default false (object.rs:30-32).
     # Quirk: extras are NEVER rejected; the flag's only effect is that
     # declared properties become required (object.rs:47-53, test 294-302).
+    pattern_properties: Optional[dict[str, "FieldSpec"]] = None  # object.rs:107-137
 
     def __post_init__(self) -> None:
         if self.type is not None and self.type not in VALID_TYPES:
@@ -291,14 +292,29 @@ _FIELD_KEYS = {
 }
 
 
-def _field_from_dict(name: str, d: dict[str, Any]) -> FieldSpec:
+def _field_from_dict(
+    name: str,
+    d: dict[str, Any],
+    defs: dict[str, Any] | None = None,
+    resolve_refs: bool = False,
+) -> FieldSpec:
     if "$ref" in d:
-        # Reference behavior: $ref subschema validation is a NO-OP
+        ref = d["$ref"]
+        if resolve_refs and ref.startswith("#/definitions/"):
+            # proper same-document resolution — what the reference's
+            # resolve_references INTENDS but never does (schema.rs:98-117,
+            # the URI branch is empty and the tree is never rewritten)
+            target = (defs or {}).get(ref.rsplit("/", 1)[-1])
+            if target is None:
+                raise ValueError(f"unresolvable $ref {ref!r}")
+            return _field_from_dict(name, target, defs, resolve_refs)
+        # Reference-parity behavior: $ref subschema validation is a NO-OP
         # (reference: src/reference.rs:13-18) — everything passes.
         return FieldSpec(name=name, type="ref")
     kw: dict[str, Any] = {"name": name}
     for k, v in d.items():
-        if k in ("items", "properties", "required", "description", "title"):
+        if k in ("items", "properties", "required", "patternProperties",
+                 "description", "title", "definitions"):
             continue
         if k in _FIELD_KEYS:
             kw[_FIELD_KEYS[k]] = v
@@ -310,20 +326,28 @@ def _field_from_dict(name: str, d: dict[str, Any]) -> FieldSpec:
                 raise ValueError(f"unknown keyword {k!r} in spec for {name!r}")
     items = d.get("items")
     if isinstance(items, list):
-        kw["tuple_items"] = [_field_from_dict(f"{name}[{i}]", s) for i, s in enumerate(items)]
+        kw["tuple_items"] = [
+            _field_from_dict(f"{name}[{i}]", s, defs, resolve_refs) for i, s in enumerate(items)
+        ]
     elif isinstance(items, dict):
-        kw["items"] = _field_from_dict(f"{name}[]", items)
+        kw["items"] = _field_from_dict(f"{name}[]", items, defs, resolve_refs)
     props = d.get("properties")
     if isinstance(props, dict):
-        kw["properties"] = {p: _field_from_dict(p, s) for p, s in props.items()}
+        kw["properties"] = {p: _field_from_dict(p, s, defs, resolve_refs) for p, s in props.items()}
     req = d.get("required")
     if isinstance(req, list):
         kw["required_props"] = req
+    pprops = d.get("patternProperties")
+    if isinstance(pprops, dict):
+        kw["pattern_properties"] = {
+            rex: _field_from_dict(f"{name}{{{rex}}}", s, defs, resolve_refs)
+            for rex, s in pprops.items()
+        }
     spec = FieldSpec(**kw)
     return spec
 
 
-def spec_from_json(text: str | dict) -> TableSpec:
+def spec_from_json(text: str | dict, resolve_refs: bool = False) -> TableSpec:
     """Parse a JSON table spec.  Shape::
 
         {"fields": {"col": {"type": "string", "pattern": "..."}},
@@ -334,8 +358,9 @@ def spec_from_json(text: str | dict) -> TableSpec:
     This is the S1 schema source (reference: cli/src/main.rs:46-47)."""
     d = json.loads(text) if isinstance(text, str) else text
     ts = TableSpec(reference_parity=d.get("referenceParity", True))
+    defs = d.get("definitions", {})
     for col, fd in d.get("fields", {}).items():
-        ts.add_field(_field_from_dict(col, fd))
+        ts.add_field(_field_from_dict(col, fd, defs, resolve_refs))
     for key in d.get("uniqueKeys", []):
         ts.add_unique_key(*key)
     for ri in d.get("referential", []):

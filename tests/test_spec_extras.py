@@ -1,0 +1,80 @@
+"""patternProperties (O5), $ref resolution (F2), result sinks (S4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import TableSpec, ValidationEngine
+from json_schema_rs_spark.sources.sinks import read_violations, write_results
+from json_schema_rs_spark.spec import FieldSpec, number_field, spec_from_json, string_field
+
+
+def test_pattern_properties_on_map(spark):
+    # values under keys matching ^num_ must be in [0, 10) (parity bounds)
+    spec = TableSpec().add_field(
+        FieldSpec(
+            name="m",
+            type="object",
+            additional_properties=True,
+            pattern_properties={"^num_": number_field().with_range(0.0, 10.0)},
+        )
+    )
+    rows = [
+        (1, {"num_a": "5", "other": "999"}),          # other ignored (no match)
+        (2, {"num_a": "5", "num_b": "11"}),           # num_b out of range
+        (3, {"foo": "bar"}),                          # nothing matches → NO error (object.rs:126-128)
+    ]
+    df = spark.createDataFrame(rows, "k long, m map<string,string>")
+    eng = ValidationEngine(spec, key_cols=["k"])
+    res = eng.validate(df)
+    ann = {r["row_key"]: r["passed"] for r in res.annotated.select("row_key", "passed").collect()}
+    assert ann["1"] and not ann["2"] and ann["3"]
+    v = res.violations.collect()
+    assert len(v) == 1 and v[0]["constraint_id"] == "number_range:m{^num_}" and v[0]["observed_value"] == "11.0"
+
+
+def test_ref_resolution_from_definitions():
+    doc = {
+        "definitions": {
+            "address": {"type": "object",
+                        "properties": {"state": {"type": "string", "minLength": 2}},
+                        "required": ["state"]}
+        },
+        "fields": {
+            "billing": {"$ref": "#/definitions/address"},
+            "shipping": {"$ref": "#/definitions/address"},
+        },
+    }
+    # parity mode: $ref is a no-op node (reference.rs:13-18)
+    parity = spec_from_json(doc)
+    assert parity.fields["billing"].type == "ref"
+    # resolved mode: the shared definition is inlined (schema.rs:98-117 intent)
+    resolved = spec_from_json(doc, resolve_refs=True)
+    assert resolved.fields["billing"].type == "object"
+    assert resolved.fields["billing"].properties["state"].min_length == 2
+    assert resolved.fields["shipping"].required_props == ["state"]
+
+
+def test_ref_resolution_unknown_target():
+    with pytest.raises(ValueError, match="unresolvable"):
+        spec_from_json({"fields": {"x": {"$ref": "#/definitions/nope"}}}, resolve_refs=True)
+
+
+def test_write_and_read_results(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spec = (
+        TableSpec()
+        .add_field(string_field("lang").with_enum(["en", "de", "fr"]))
+        .add_field(number_field("n_chars").with_range(50.0, 500.0))
+    )
+    eng = ValidationEngine(spec, key_cols=["doc_id"], group_col="lang")
+    res = eng.validate(docs)
+    base = str(tmp_path / "out")
+    metrics = write_results(res, base)
+    assert metrics["n_rows"] == 500
+    assert metrics["n_violations"] == res.summary.agg(F.sum("n_violations")).collect()[0][0]
+
+    back = read_violations(spark, base, kinds=["enum"])
+    assert back.count() == res.violations.filter(F.col("constraint_id").startswith("enum")).count()
+    # partition pruning reaches the scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(kind" in plan
