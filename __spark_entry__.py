@@ -332,6 +332,57 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return embedding_near_dup(emb, dim=64, n_planes=8, threshold=0.5)
 
 
+def q_rollup_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("timestamp").cast("long").alias("day_ts")
+    return ev.rollup("event_type", day).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+def q_semi_join_active_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_anti_join_unordered_parts(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name", "p_size"
+    )
+
+
+def q_intersect_click_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys)
+
+
+def q_conditional_agg_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+def q_having_big_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("total_spend") > 1_000_000)
+    )
+
+
 def q_json_props_validate(spark, sf_dir):
     # raw-JSON-document validation (the reference's primary entry point):
     # events.props is a JSON string column validated against an object spec
@@ -384,6 +435,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "json_props_validate": q_json_props_validate,
+        "rollup_events": q_rollup_events,
+        "semi_join_active_customers": q_semi_join_active_customers,
+        "anti_join_unordered_parts": q_anti_join_unordered_parts,
+        "intersect_click_purchase": q_intersect_click_purchase,
+        "conditional_agg_orders": q_conditional_agg_orders,
+        "having_big_customers": q_having_big_customers,
     }
 
 
@@ -652,6 +709,38 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
               FROM scored)
             SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 3
+        """,
+        "rollup_events": """
+            SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_ts,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        """,
+        "semi_join_active_customers": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join_unordered_parts": """
+            SELECT p_partkey, p_name, p_size FROM part
+            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "intersect_click_purchase": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "conditional_agg_orders": """
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "having_big_customers": """
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+            HAVING round(sum(o_totalprice), 2) > 1000000
         """,
         "json_props_validate": """
             SELECT CAST(event_id AS VARCHAR) AS row_key,

@@ -85,7 +85,11 @@ class ValidationEngine:
         return out.withColumn("passed", F.size("violations") == 0)
 
     def row_violations(self, annotated: DataFrame) -> DataFrame:
-        v = annotated.select("row_key", F.explode("violations").alias("v"))
+        # pre-filter: most rows pass, so drop empty arrays BEFORE the
+        # generate — the explode then touches only failing rows
+        v = annotated.filter(F.size("violations") > 0).select(
+            "row_key", F.explode("violations").alias("v")
+        )
         return v.select(
             "row_key",
             F.col("v.constraint_id").alias("constraint_id"),
