@@ -233,10 +233,10 @@ def q_doc_length_stats(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    from json_schema_rs_spark.operators.text import quality_score
+    from json_schema_rs_spark.operators.text import staged_quality
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return staged_quality(docs, "text").select("doc_id", "quality")
 
 
 def q_text_lang_guess(spark, sf_dir):
@@ -325,11 +325,103 @@ def q_embedding_near_dup_exact(spark, sf_dir):
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
-    # rows-only check: LSH bucket recall has no SQL-expressible oracle
+    # fully oracle-checked: the hyperplanes are deterministic literals, and
+    # bucketing signs use round(dot, 6) so DuckDB reproduces them exactly
     from json_schema_rs_spark.operators.similarity import embedding_near_dup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, dim=64, n_planes=8, threshold=0.5)
+    return embedding_near_dup(
+        emb, dim=64, n_planes=4, threshold=0.5, n_tables=8, seed=42
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    from json_schema_rs_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cents = ivf_centroids(64, n_centroids=16, seed=7)
+    return ivf_topk(emb, qvec, cents, n_probe=4, k=10)
+
+
+def q_ivf_cell_sizes(spark, sf_dir):
+    # the IVF partitioning itself: cell → population (skew visibility)
+    from json_schema_rs_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(64, n_centroids=16, seed=7)
+    return ivf_assign(emb, cents).groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_asof_join_events(spark, sf_dir):
+    # as-of join: every click gets the user's most recent purchase value
+    from json_schema_rs_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(clicks, purchases, on="user_id", value_cols=["value"])
+    return joined.select(
+        "event_id", "user_id", F.round("value_r", 2).alias("purchase_value")
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    from json_schema_rs_spark.operators.temporal import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_stats(ev, gap_minutes=30.0)
+    return s.select(
+        "user_id", "session_id", "n_events", F.round("duration_sec", 3).alias("duration_sec")
+    )
+
+
+def q_cube_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("timestamp").cast("long").alias("day_ts")
+    return ev.cube("event_type", day).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+def q_exists_discounted_orders(spark, sf_dir):
+    # correlated EXISTS via left-semi join (Catalyst's rewrite of EXISTS)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    discounted = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return (
+        orders.join(discounted, orders.o_orderkey == discounted.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_percentiles_doclen(spark, sf_dir):
+    # exact linear-interpolation percentiles (Spark `percentile` == DuckDB
+    # `quantile_cont`); at 100 TB swap for approx_percentile + wider oracle tol
+    docs = _t(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return docs.groupBy("lang").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+    )
+
+
+def q_stats_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    from json_schema_rs_spark.operators.dedup import drop_exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return drop_exact_duplicates(docs, "doc_id", "text").select("doc_id")
 
 
 def q_rollup_events(spark, sf_dir):
@@ -434,6 +526,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ivf_cell_sizes": q_ivf_cell_sizes,
+        "asof_join_events": q_asof_join_events,
+        "sessionize_events": q_sessionize_events,
+        "cube_events": q_cube_events,
+        "exists_discounted_orders": q_exists_discounted_orders,
+        "percentiles_doclen": q_percentiles_doclen,
+        "stats_lineitem": q_stats_lineitem,
+        "dedup_keep_first": q_dedup_keep_first,
         "json_props_validate": q_json_props_validate,
         "rollup_events": q_rollup_events,
         "semi_join_active_customers": q_semi_join_active_customers,
@@ -503,6 +604,72 @@ _MINHASH_BANDS = """
       UNION ALL SELECT doc_id, 2, h4 || ',' || h5 FROM sig
       UNION ALL SELECT doc_id, 3, h6 || ',' || h7 FROM sig)
 """
+
+
+def _lsh_near_dup_oracle(dim=64, n_planes=4, n_tables=8, seed=42, threshold=0.5) -> str:
+    """DuckDB mirror of embedding_near_dup: the hyperplanes are emitted as
+    exact ``repr`` literals (shortest round-trip decimal → identical doubles),
+    and bucket signs use round(dot, 6) on both sides."""
+    from json_schema_rs_spark.operators.similarity import _hyperplanes
+
+    keys = []
+    for t in range(n_tables):
+        terms = []
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + t)):
+            lits = ", ".join(repr(v) for v in plane)
+            terms.append(
+                f"(CASE WHEN round(list_dot_product(embedding::DOUBLE[], [{lits}]), 6) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        keys.append(f"({t << n_planes} + " + " + ".join(terms) + ")")
+    keys_sql = ",\n               ".join(keys)
+    return f"""
+        WITH keyed AS (
+          SELECT vec_id, embedding,
+                 unnest([{keys_sql}]) AS bucket
+          FROM embeddings),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+          FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM pairs WHERE cos >= {threshold}
+    """
+
+
+def _ivf_cents_values(dim=64, n_centroids=16, seed=7) -> str:
+    from json_schema_rs_spark.operators.similarity import ivf_centroids
+
+    return ", ".join(
+        f"({cid}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
+        for cid, c in enumerate(ivf_centroids(dim, n_centroids, seed))
+    )
+
+
+def _ivf_assign_cte() -> str:
+    return f"""
+        WITH cents(cid, c) AS (VALUES {_ivf_cents_values()}),
+        assign AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.c), 6) DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cents c),
+        cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1)
+    """
+
+
+def _ivf_topk_oracle(n_probe=4, k=10) -> str:
+    return _ivf_assign_cte() + f"""
+        , q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        probes AS (
+          SELECT c.cid, row_number() OVER (
+            ORDER BY round(list_dot_product(q.qe, c.c), 6) DESC, c.cid) AS prn
+          FROM cents c CROSS JOIN q)
+        SELECT v.vec_id, v.cell,
+               round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe), 6) AS cos
+        FROM cells v CROSS JOIN q
+        WHERE v.cell IN (SELECT cid FROM probes WHERE prn <= {n_probe})
+        ORDER BY cos DESC, vec_id LIMIT {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -767,5 +934,69 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+        """,
+        "embedding_near_dup_lsh": _lsh_near_dup_oracle(),
+        "ann_ivf": _ivf_topk_oracle(),
+        "ivf_cell_sizes": _ivf_assign_cte() + """
+            SELECT cell, count(*) AS n FROM cells GROUP BY cell
+        """,
+        "asof_join_events": """
+            WITH r AS (
+              SELECT user_id, ts, value FROM (
+                SELECT user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) AS rn
+                FROM events WHERE event_type = 'purchase')
+              WHERE rn = 1),
+            l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+            SELECT l.event_id, l.user_id, round(r.value, 2) AS purchase_value
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "sessionize_events": """
+            WITH e AS (SELECT user_id, ts, epoch(ts) AS tse FROM events),
+            g AS (
+              SELECT user_id, ts, tse,
+                     CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w > 1800.0
+                          THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, tse,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(max(tse) - min(tse), 3) AS duration_sec
+            FROM s GROUP BY user_id, session_id
+        """,
+        "cube_events": """
+            SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_ts,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY CUBE(event_type, date_trunc('day', ts))
+        """,
+        "exists_discounted_orders": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+            GROUP BY o_orderpriority
+        """,
+        "percentiles_doclen": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.50), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 4) AS p75
+            FROM documents GROUP BY lang
+        """,
+        "stats_lineitem": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "dedup_keep_first": """
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn = 1
         """,
     }

@@ -107,11 +107,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(emb: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Sign-pattern bucket id (0 .. 2^n_planes-1) — shuffle-free projection."""
+    """Sign-pattern bucket id (0 .. 2^n_planes-1) — shuffle-free projection.
+
+    Signs are taken on the dot product ROUNDED to 6 decimals so the bucket
+    assignment is reproducible bit-for-bit by an external oracle (DuckDB
+    ``list_dot_product``) regardless of 1-ulp summation differences."""
     e = emb.cast("array<double>")
     bucket = F.lit(0)
     for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        bucket = bucket + F.when(dot(e, _lit_vec(plane)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + F.when(
+            F.round(dot(e, _lit_vec(plane)), 6) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
     return bucket
 
 
@@ -123,14 +129,26 @@ def embedding_near_dup(
     n_planes: int = 8,
     threshold: float = 0.95,
     round_to: int = 6,
+    n_tables: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) via LSH buckets +
-    exact verify: ``(id_a, id_b, cos)``.  Recall is per-bucket (multi-probe
-    left to a second seed pass); precision is exact."""
+    exact verify: ``(id_a, id_b, cos)``.  Precision is exact (cosine verify);
+    recall is controlled by ``n_tables`` independent hash tables (seeds
+    ``seed .. seed+n_tables-1``) — a pair at angle θ is recalled with
+    probability ``1 - (1 - (1-θ/π)^n_planes)^n_tables``.
+
+    All tables are computed in ONE projection (array of ``(table<<planes)|
+    bucket`` keys, exploded), so the candidate join is a single shuffle on the
+    composite key, not ``n_tables`` separate jobs."""
+    keys = F.array(*[
+        (F.lit(t << n_planes) + lsh_bucket(F.col(emb_col), dim, n_planes, seed + t))
+        for t in range(n_tables)
+    ])
     b = df.select(
         F.col(id_col).alias("doc"),
         F.col(emb_col).alias("emb"),
-        lsh_bucket(F.col(emb_col), dim, n_planes).alias("bucket"),
+        F.explode(keys).alias("bucket"),
     )
     a, c = b.alias("a"), b.alias("b")
     return (
@@ -143,5 +161,78 @@ def embedding_near_dup(
                 round_to,
             ).alias("cos"),
         )
+        .distinct()
         .filter(F.col("cos") >= threshold)
     )
+
+
+# -- IVF (inverted-file) approximate nearest neighbor --------------------------
+
+
+def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-vector centroids (same LCG as the hyperplanes, so
+    the partitioning is reproducible in the oracle as literals).  A production
+    build would k-means these on a sample; random unit centroids already give
+    the IVF plan shape (assign once, probe few cells)."""
+    return _hyperplanes(dim, n_centroids, seed)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its argmax-dot centroid cell — one shuffle-free
+    projection.  Ties break to the smallest cell id.  At datalake scale the
+    output would be written partitioned by ``cell`` so probes prune files."""
+    e = F.col(emb_col).cast("array<double>")
+    scored = F.array(*[
+        F.struct(
+            F.round(dot(e, _lit_vec(c)), 6).alias("d"),
+            F.lit(-cid).alias("negcid"),
+        )
+        for cid, c in enumerate(centroids)
+    ])
+    best = F.array_max(scored)
+    return df.select(
+        F.col(id_col), F.col(emb_col), (-best.getField("negcid")).alias("cell")
+    )
+
+
+def ivf_probe_cells(query_vec: list[float], centroids: list[list[float]], n_probe: int) -> list[int]:
+    """Driver-side: the ``n_probe`` cells nearest the query (rounded dot,
+    ties to smaller cid) — mirrors ``ivf_assign``'s scoring exactly."""
+    scores = []
+    for cid, c in enumerate(centroids):
+        s = 0.0
+        for x, y in zip(query_vec, c):
+            s += float(x) * y
+        scores.append((round(s, 6), -cid))
+    scores.sort(reverse=True)
+    return [-negcid for _, negcid in scores[:n_probe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k: score ONLY vectors whose cell is among the
+    ``n_probe`` cells nearest the query.  With cell-partitioned storage the
+    probe filter prunes partitions at the scan; here it is a pushed-down
+    predicate on the assign projection."""
+    probes = ivf_probe_cells(query_vec, centroids, n_probe)
+    assigned = ivf_assign(df, centroids, id_col, emb_col)
+    q = _lit_vec(query_vec)
+    scored = assigned.filter(F.col("cell").isin(probes)).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.round(cosine(F.col(emb_col).cast("array<double>"), q), round_to).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

@@ -1,0 +1,115 @@
+"""Temporal operators Spark lacks as built-ins: as-of join and
+sessionization.
+
+No reference counterpart (the reference is a per-document validator with no
+time dimension; its only timestamp notion is the ``date-time`` string format,
+src/string.rs:203-204).  These are standard temporal primitives a
+training-data/event pipeline needs, implemented as compositions of existing
+DataFrame ops — no ``mapInPandas``, no range cross-join:
+
+  * as-of join  — the union-tag trick: tag both sides, union, one window
+    sorted by (key, ts, tag) carrying the last right-side value forward, then
+    keep left rows.  ONE shuffle on the join key (the window partition),
+    versus the naive ``l.ts >= r.ts`` range join which is O(|L|·|R|) per key.
+  * sessionize  — lag + gap flag + running sum over a (user, ts) window; one
+    shuffle on the user key.
+
+Scale notes: both shuffle once on the entity key; skewed entities (one user
+with millions of events) are a window-partition hotspot — at 100 TB, bound
+sessions per user per day by adding a coarse date bucket to the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row with the
+    LARGEST ``right_ts`` ≤ ``left_ts`` for the same ``on`` key (NULLs when no
+    prior right row exists) — DuckDB ``ASOF JOIN`` semantics.
+
+    Right-side duplicate timestamps per key are deduplicated deterministically
+    (the lexicographically-largest value tuple wins), so results are
+    reproducible regardless of input order.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    # deterministic dedupe of right rows sharing (key, ts)
+    r = right.select(on, F.col(right_ts).alias("__ts"), *value_cols)
+    w_dedup = Window.partitionBy(on, "__ts").orderBy(*[F.col(c).desc() for c in value_cols])
+    r = r.withColumn("__rn", F.row_number().over(w_dedup)).filter(F.col("__rn") == 1).drop("__rn")
+
+    tagged_r = r.select(
+        F.col(on).alias("__k"),
+        F.col("__ts"),
+        F.lit(0).alias("__tag"),  # right sorts BEFORE left at equal ts → ties join
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
+        F.lit(None).cast("long").alias("__lid"),
+    )
+    l = left.withColumn("__lid", F.monotonically_increasing_id())
+    tagged_l = l.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(tagged_r.schema["__rv"].dataType).alias("__rv"),
+        F.col("__lid"),
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("__last_rv", F.last("__rv", ignorenulls=True).over(w))
+    matched = carried.filter(F.col("__tag") == 1).select(
+        "__lid",
+        *[F.col("__last_rv").getField(c).alias(c + suffix) for c in value_cols],
+    )
+    return l.join(matched, "__lid", "left").drop("__lid")
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Assign a per-user session id: a new session starts when the gap since
+    the previous event exceeds ``gap_minutes``.  Adds ``session_id`` (1-based
+    per user).  One shuffle on the user key."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("timestamp").cast("double") - F.lag(F.col(ts_col).cast("timestamp").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60.0), 1).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Session-level rollup: per (user, session) → event count, start, end,
+    duration seconds."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        (F.max(F.col(ts_col).cast("timestamp").cast("double")) - F.min(F.col(ts_col).cast("timestamp").cast("double"))).alias(
+            "duration_sec"
+        ),
+    )

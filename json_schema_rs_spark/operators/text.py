@@ -52,17 +52,46 @@ def mean_word_length(col: Column) -> Column:
     return F.when(toks == 0, F.lit(0.0)).otherwise(visible.cast("double") / toks)
 
 
+def base_counts(col: Column) -> list[Column]:
+    """The five scan-level counts every derived text metric is built from,
+    each regex evaluated exactly ONCE.  Materialize these in their own select
+    (aliases ``__toks __sw_hits __visible __punct __n``) and feed them to
+    :func:`quality_score_from` — inlining them (as ``quality_score`` does for
+    API convenience) duplicates the regex subtrees across the expression tree,
+    which Catalyst does not CSE, costing both codegen time and per-row work."""
+    return [
+        token_count(col).cast("double"),
+        F.regexp_count(F.lower(col), F.lit(rf"\b({'|'.join(LANG_MARKERS['en'])})\b"))
+        .cast("double"),
+        F.length(F.regexp_replace(col, r"\s+", "")).cast("double"),
+        F.regexp_count(col, F.lit(r"[^A-Za-z0-9_\s]")).cast("double"),
+        F.length(col).cast("double"),
+    ]
+
+
+def quality_score_from(toks: Column, sw_hits: Column, visible: Column,
+                       punct: Column, n: Column) -> Column:
+    """Quality arithmetic over precomputed counts (see :func:`base_counts`).
+    Deterministic arithmetic only — reproducible in ANSI SQL for the oracle."""
+    len_ok = F.least(toks / 20.0, F.lit(1.0))                       # ≥20 tokens → full credit
+    swr = F.when(toks == 0, F.lit(0.0)).otherwise(sw_hits / toks)
+    sw = F.least(swr * 4.0, F.lit(1.0))                             # ≥25% stopwords → full credit
+    mwl = F.when(toks == 0, F.lit(0.0)).otherwise(visible / toks)
+    wl_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    pr = F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+    punct_ok = F.lit(1.0) - F.least(pr * 2.0, F.lit(1.0))
+    return F.round((len_ok + sw + wl_ok + punct_ok) / 4.0, 6)
+
+
 def quality_score(col: Column) -> Column:
     """Heuristic quality in [0,1]: rewards stopword presence and sane word
     lengths, penalizes punctuation soup and extreme shortness.
-    Deterministic arithmetic only — reproducible in ANSI SQL for the oracle."""
-    toks = token_count(col).cast("double")
-    len_ok = F.least(toks / 20.0, F.lit(1.0))                       # ≥20 tokens → full credit
-    sw = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))             # ≥25% stopwords → full credit
-    mwl = mean_word_length(col)
-    wl_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 2.0, F.lit(1.0))
-    return F.round((len_ok + sw + wl_ok + punct_ok) / 4.0, 6)
+
+    Convenience single-expression form; for hot paths stage the counts with
+    :func:`base_counts` + :func:`quality_score_from` instead (one regex pass
+    per metric instead of one per *use*)."""
+    c = base_counts(col)
+    return quality_score_from(*c)
 
 
 def lang_scores(col: Column) -> Column:
@@ -96,17 +125,39 @@ def fingerprint(col: Column) -> Column:
     return F.sha2(normalized, 256)
 
 
+def staged_quality(df: DataFrame, text_col: str = "text",
+                   out_col: str = "quality") -> DataFrame:
+    """Quality score with the base counts materialized once (one regex pass
+    per metric; ~4× smaller codegen than the inlined ``quality_score``)."""
+    names = ["__toks", "__sw_hits", "__visible", "__punct", "__n"]
+    staged = df.select("*", *[c.alias(n) for c, n in zip(base_counts(F.col(text_col)), names)])
+    q = quality_score_from(*[F.col(n) for n in names])
+    return staged.select(*df.columns, q.alias(out_col))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass profile: all text metrics as added columns."""
+    """One-pass profile: all text metrics as added columns.  The five base
+    counts are materialized in a staging select so each regex runs once;
+    derived ratios/quality are arithmetic over the staged columns."""
     c = F.col(text_col)
-    return df.select(
+    names = ["__toks", "__sw_hits", "__visible", "__punct", "__n"]
+    staged = df.select(
         "*",
-        token_count(c).alias("n_tokens"),
+        *[col.alias(n) for col, n in zip(base_counts(c), names)],
         token_count(c, BPE_TOKEN_RE).alias("n_bpe_tokens"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
-        F.round(mean_word_length(c), 6).alias("mean_word_len"),
-        quality_score(c).alias("quality"),
         lang_id(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
+    )
+    toks, sw_hits, visible, punct, n = [F.col(x) for x in names]
+    nz = lambda num, den: F.when(den == 0, F.lit(0.0)).otherwise(num / den)  # noqa: E731
+    return staged.select(
+        *df.columns,
+        toks.cast("int").alias("n_tokens"),
+        "n_bpe_tokens",
+        F.round(nz(punct, n), 6).alias("punct_ratio"),
+        F.round(nz(sw_hits, toks), 6).alias("stopword_ratio"),
+        F.round(nz(visible, toks), 6).alias("mean_word_len"),
+        quality_score_from(toks, sw_hits, visible, punct, n).alias("quality"),
+        "lang_guess",
+        "fingerprint",
     )

@@ -85,3 +85,48 @@ def test_embedding_near_dup_self_consistency(spark):
     pairs = embedding_near_dup(df, dim=4, n_planes=4, threshold=0.99).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
     assert pairs[0]["cos"] == pytest.approx(1.0)
+
+
+def test_multi_table_lsh_recall_superset(emb):
+    # multi-table candidates are a superset of single-table candidates
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(emb, dim=64, n_planes=4, threshold=0.3, n_tables=1).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(emb, dim=64, n_planes=4, threshold=0.3, n_tables=4).collect()
+    }
+    assert single <= multi
+
+
+def test_ivf_assign_partitions_everything(emb):
+    from json_schema_rs_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(64, n_centroids=8, seed=7)
+    assigned = ivf_assign(emb, cents)
+    n = emb.count()
+    assert assigned.count() == n                       # total preserved
+    cells = assigned.select("cell").distinct().collect()
+    assert all(0 <= r["cell"] < 8 for r in cells)
+    assert len(cells) > 1                              # actually spreads
+
+
+def test_ivf_topk_contains_self_when_probed(emb):
+    from json_schema_rs_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_probe_cells,
+        ivf_topk,
+    )
+
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cents = ivf_centroids(64, n_centroids=8, seed=7)
+    # vec 0's own cell is by construction the top probe for its own query
+    own_cell = ivf_assign(emb, cents).filter(F.col("vec_id") == 0).collect()[0]["cell"]
+    probes = ivf_probe_cells(q, cents, n_probe=2)
+    assert probes[0] == own_cell
+    top = ivf_topk(emb, q, cents, n_probe=2, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos"] == pytest.approx(1.0)
+    # scored set is restricted to probed cells
+    assert all(r["cell"] in probes for r in top)

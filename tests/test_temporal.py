@@ -1,0 +1,85 @@
+"""As-of join and sessionization operator tests (hand-computable fixtures)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.temporal import asof_join, session_stats, sessionize
+
+
+def _ts(minute, second=0):
+    return datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    # left side: lookups at t=1, 5, 10 for two keys
+    return spark.createDataFrame(
+        [(1, 100, _ts(1)), (2, 100, _ts(5)), (3, 100, _ts(10)), (4, 200, _ts(3))],
+        "event_id long, user_id long, ts timestamp",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # right side: key 100 has quotes at t=0, 5 (tie with left t=5), 8;
+    # key 200 has none before t=3 except an exact duplicate-ts pair at t=3
+    return spark.createDataFrame(
+        [
+            (100, _ts(0), 1.0),
+            (100, _ts(5), 2.0),
+            (100, _ts(8), 3.0),
+            (200, _ts(3), 7.0),
+            (200, _ts(3), 9.0),  # duplicate ts: larger value must win
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+
+
+def test_asof_backward_semantics(trades, quotes):
+    out = {
+        r["event_id"]: r["value_r"]
+        for r in asof_join(trades, quotes, on="user_id", value_cols=["value"]).collect()
+    }
+    assert out[1] == 1.0          # last quote at/before t=1 is t=0
+    assert out[2] == 2.0          # tie: right row at the same ts matches
+    assert out[3] == 3.0          # t=8 quote
+    assert out[4] == 9.0          # duplicate-ts dedupe keeps the larger value
+
+
+def test_asof_no_prior_right_row(spark, quotes):
+    early = spark.createDataFrame(
+        [(9, 300, _ts(2))], "event_id long, user_id long, ts timestamp"
+    )
+    row = asof_join(early, quotes, on="user_id", value_cols=["value"]).collect()[0]
+    assert row["value_r"] is None
+
+
+def test_sessionize_gap_splits(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, datetime(2024, 1, 1, 0, 0)),
+            (2, 1, datetime(2024, 1, 1, 0, 10)),   # same session (10 min)
+            (3, 1, datetime(2024, 1, 1, 1, 0)),    # 50-min gap → new session
+            (4, 2, datetime(2024, 1, 1, 0, 0)),    # other user: own session
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    s = {r["event_id"]: r["session_id"] for r in sessionize(ev, gap_minutes=30).collect()}
+    assert s[1] == 1 and s[2] == 1 and s[3] == 2 and s[4] == 1
+
+    stats = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_sec"])
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    assert stats[(1, 1)] == (2, 600.0)
+    assert stats[(1, 2)] == (1, 0.0)
+    assert stats[(2, 1)] == (1, 0.0)
+
+
+def test_asof_plan_is_single_window_no_range_join(trades, quotes):
+    # the whole as-of is window + hash joins — no cartesian/range product
+    plan = asof_join(trades, quotes, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
