@@ -424,6 +424,53 @@ def q_dedup_keep_first(spark, sf_dir):
     return drop_exact_duplicates(docs, "doc_id", "text").select("doc_id")
 
 
+def q_format_checks(spark, sf_dir):
+    # the reference's `format` keyword surface (string.rs:199-230) over
+    # deterministic candidate strings; uri/ipv4/ipv6 are anchored RE2-safe
+    # regexes identical in Spark (Java) and DuckDB (RE2), email is the
+    # reference's always-valid quirk.  date-time is excluded here (its
+    # normalizer needs lookahead, absent in RE2) — pinned by unit tests.
+    from json_schema_rs_spark.functions.formats import format_predicate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ip4 = F.concat_ws(".", (d % 300).cast("string"), (d % 256).cast("string"),
+                      F.lit("0"), ((d * 7) % 260).cast("string"))
+    uri = F.when(d % 3 == 0, F.concat(F.lit("https://example.com/"), d.cast("string"))) \
+        .when(d % 3 == 1, F.concat(F.lit("not a uri "), d.cast("string"))) \
+        .otherwise(F.concat(F.lit("mailto:u"), d.cast("string")))
+    ip6 = F.when(d % 2 == 0, F.concat(F.lit("2001:db8::"), (d % 10).cast("string"))) \
+        .otherwise(F.concat(F.lit("2001:db8::g"), (d % 10).cast("string")))
+    return docs.select(
+        "doc_id",
+        format_predicate(ip4, "ipv4").alias("ipv4_ok"),
+        format_predicate(uri, "uri").alias("uri_ok"),
+        format_predicate(ip6, "ipv6").alias("ipv6_ok"),
+        format_predicate(F.lit("anything@at@all"), "email").alias("email_ok"),
+    )
+
+
+_MEDIA_ROWS = 300
+
+
+def q_multimodal_features(spark, sf_dir):
+    # Arrow-batched mapInPandas feature extraction over binary payloads;
+    # the deterministic synthetic media table is reproducible in SQL, so
+    # n_bytes + payload sha are fully oracle-checked (features themselves are
+    # float32 — computed in the UDF but excluded from the hashed output)
+    from json_schema_rs_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, _MEDIA_ROWS)
+    return extract_features(media).select("media_id", "n_bytes", "payload_sha")
+
+
+def q_multimodal_frame_plan(spark, sf_dir):
+    from json_schema_rs_spark.operators.multimodal import frame_sample_plan, synthesize_media
+
+    media = synthesize_media(spark, _MEDIA_ROWS)
+    return frame_sample_plan(media, every_ms=1000)
+
+
 def q_rollup_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").cast("timestamp").cast("long").alias("day_ts")
@@ -535,6 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_doclen": q_percentiles_doclen,
         "stats_lineitem": q_stats_lineitem,
         "dedup_keep_first": q_dedup_keep_first,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
+        "format_checks": q_format_checks,
         "json_props_validate": q_json_props_validate,
         "rollup_events": q_rollup_events,
         "semi_join_active_customers": q_semi_join_active_customers,
@@ -669,6 +719,28 @@ def _ivf_topk_oracle(n_probe=4, k=10) -> str:
         FROM cells v CROSS JOIN q
         WHERE v.cell IN (SELECT cid FROM probes WHERE prn <= {n_probe})
         ORDER BY cos DESC, vec_id LIMIT {k}
+    """
+
+
+def _format_checks_oracle() -> str:
+    from json_schema_rs_spark.functions.formats import IPV4_REGEX, IPV6_REGEX, URI_REGEX
+
+    return f"""
+        SELECT doc_id,
+               regexp_matches(ip4, '{IPV4_REGEX}') AS ipv4_ok,
+               regexp_matches(uri, '{URI_REGEX}') AS uri_ok,
+               regexp_matches(ip6, '{IPV6_REGEX}') AS ipv6_ok,
+               TRUE AS email_ok
+        FROM (
+          SELECT doc_id,
+                 (doc_id % 300)::VARCHAR || '.' || (doc_id % 256)::VARCHAR
+                   || '.0.' || ((doc_id * 7) % 260)::VARCHAR AS ip4,
+                 CASE WHEN doc_id % 3 = 0 THEN 'https://example.com/' || doc_id::VARCHAR
+                      WHEN doc_id % 3 = 1 THEN 'not a uri ' || doc_id::VARCHAR
+                      ELSE 'mailto:u' || doc_id::VARCHAR END AS uri,
+                 CASE WHEN doc_id % 2 = 0 THEN '2001:db8::' || (doc_id % 10)::VARCHAR
+                      ELSE '2001:db8::g' || (doc_id % 10)::VARCHAR END AS ip6
+          FROM documents)
     """
 
 
@@ -999,4 +1071,22 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE rn = 1
         """,
+        "multimodal_features": f"""
+            WITH p AS (
+              SELECT range AS media_id,
+                     repeat(sha256(range::VARCHAR), (range % 7 + 1)::INT) AS payload
+              FROM range({_MEDIA_ROWS}))
+            SELECT media_id, strlen(payload)::BIGINT AS n_bytes,
+                   sha256(payload) AS payload_sha
+            FROM p
+        """,
+        "multimodal_frame_plan": f"""
+            WITH d AS (
+              SELECT range AS media_id, (range % 10) * 500 + 500 AS duration_ms
+              FROM range({_MEDIA_ROWS}) WHERE range % 3 = 2)
+            SELECT media_id,
+                   unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS frame_ts_ms
+            FROM d
+        """,
+        "format_checks": _format_checks_oracle(),
     }

@@ -39,6 +39,13 @@ def get_spark(
         # Broadcast threshold: dimension tables (repos enum, nations) are tiny.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Throughput GC: the validation hot path allocates per-row (regex
+        # Matcher + UTF8String→String); G1's young-gen pauses cost ~2× per-core
+        # throughput at 8 threads (measured: regex pass 643k rows/s/core on G1
+        # vs 935k on ParallelGC, scaling efficiency 0.48 → 0.90).  Batch jobs
+        # have no latency SLO, so the throughput collector is strictly better.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

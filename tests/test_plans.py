@@ -91,3 +91,25 @@ def test_summary_aggregates_without_extra_exchange(spark):
     plan = _plan(eng.summarize(eng.annotate(docs)))
     # exactly one shuffle: the groupBy(lang)
     assert plan.count("Exchange") == 1
+
+
+def test_ivf_assign_is_shuffle_free_projection(spark):
+    from json_schema_rs_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = ivf_assign(emb, ivf_centroids(64, 8, 7))
+    plan = _plan(assigned)
+    assert "Exchange" not in plan          # pure projection — no shuffle
+
+
+def test_multitable_lsh_single_candidate_shuffle(spark):
+    # all hash tables share ONE bucket-join shuffle (composite key), not one
+    # shuffle per table
+    from json_schema_rs_spark.operators.similarity import embedding_near_dup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = embedding_near_dup(emb, dim=64, n_planes=4, threshold=0.5, n_tables=4)
+    plan = _plan(pairs)
+    # join on the exploded (table<<planes)|bucket key: at most the two join
+    # inputs + the distinct each exchange once — no per-table fan-out of scans
+    assert plan.count("Generate explode") <= 2
