@@ -424,6 +424,41 @@ def q_dedup_keep_first(spark, sf_dir):
     return drop_exact_duplicates(docs, "doc_id", "text").select("doc_id")
 
 
+def q_grouping_sets_events(spark, sf_dir):
+    # GROUPING SETS via the SQL entry point (distinct from rollup/cube)
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql("""
+        SELECT event_type, user_id % 10 AS user_bucket,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """)
+
+
+def q_q6_forecast_revenue(spark, sf_dir):
+    # TPC-H Q6 shape: tight scan-filter-aggregate, fully pushed down
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def q_lag_lead_user_values(spark, sf_dir):
+    # lead/lag window surface: per-user purchase deltas over time
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+    )
+
+
 def q_format_checks(spark, sf_dir):
     # the reference's `format` keyword surface (string.rs:199-230) over
     # deterministic candidate strings; uri/ipv4/ipv6 are anchored RE2-safe
@@ -585,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "format_checks": q_format_checks,
+        "grouping_sets_events": q_grouping_sets_events,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "lag_lead_user_values": q_lag_lead_user_values,
         "json_props_validate": q_json_props_validate,
         "rollup_events": q_rollup_events,
         "semi_join_active_customers": q_semi_join_active_customers,
@@ -1089,4 +1127,26 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "format_checks": _format_checks_oracle(),
+        "grouping_sets_events": """
+            SELECT event_type, user_id % 10 AS user_bucket,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "lag_lead_user_values": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER w, 2) AS delta_prev,
+                   round(lead(value) OVER w - value, 2) AS delta_next
+            FROM events
+            WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
     }

@@ -1,0 +1,80 @@
+"""Custom stateful streaming operator: cross-batch exact deduplication via
+``applyInPandasWithState`` (no reference counterpart — the reference is
+strictly batch; this is the streaming face of ``operators/dedup.py``'s
+exact dedup).
+
+Semantics: rows are grouped by content hash; the FIRST row of each hash ever
+seen (ordered by ``id_col`` within a batch for determinism) is emitted, every
+later duplicate — same batch or any later micro-batch — is dropped.  State
+per group is a single "seen" flag, so the state store stays tiny; groups are
+expired with an idle processing-time timeout so unbounded key cardinality
+cannot grow state forever (after expiry a re-occurrence is re-emitted — the
+standard watermark/TTL trade of streaming dedup; size the TTL to the window
+in which duplicates are expected).
+
+Scale notes: the shuffle key is the 256-bit content hash — uniformly
+distributed, so state and work spread evenly across executors regardless of
+content skew.  Only (id, sha) cross the Arrow boundary, never the content.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text_sha", T.StringType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType([T.StructField("seen", T.IntegerType())])
+
+
+def _dedup_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    already_seen = state.exists and state.get[0] == 1
+    best = None  # min-doc_id row of this batch's group (deterministic winner)
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        cand = pdf.sort_values("doc_id").iloc[0]
+        if best is None or cand["doc_id"] < best["doc_id"]:
+            best = cand
+    if best is not None:
+        if not already_seen:
+            yield pd.DataFrame(
+                [{"doc_id": int(best["doc_id"]), "text_sha": best["text_sha"]}]
+            )
+        state.update((1,))
+        state.setTimeoutDuration(60 * 60 * 1000)  # 1h idle TTL bounds state size
+
+
+def dedup_stream(
+    stream_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming exact dedup: emit ``(doc_id, text_sha)`` for the first
+    occurrence of each distinct content hash across ALL micro-batches."""
+    hashed = stream_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("text_sha"),
+    )
+    return hashed.groupBy("text_sha").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,60 @@
+"""Cross-batch stateful streaming dedup (applyInPandasWithState)."""
+
+import json
+
+from json_schema_rs_spark.streaming.stateful_dedup import dedup_stream
+
+
+def _write_batch(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_dedup_across_microbatches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: two distinct texts, one in-batch duplicate (doc 3 dups doc 1)
+    _write_batch(src / "b1.json", [
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "beta"},
+        {"doc_id": 3, "text": "alpha"},
+    ])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = dedup_stream(stream)
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got1 = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_t").collect()}
+    assert got1 == {1, 2}            # in-batch dup dropped, min id kept
+
+    # batch 2: cross-batch duplicate (doc 4 dups "alpha") + one new text
+    _write_batch(src / "b2.json", [
+        {"doc_id": 4, "text": "alpha"},
+        {"doc_id": 5, "text": "gamma"},
+    ])
+    q2 = (
+        out.writeStream.format("memory")
+        .queryName("dedup_t2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_t2").collect()}
+    # fresh query (no prior state): sees both files as separate micro-batches;
+    # "alpha" emitted once (doc 1, min id in its first batch), never doc 3/4
+    assert 3 not in got2 and 4 not in got2
+    assert {1, 2, 5} <= got2
