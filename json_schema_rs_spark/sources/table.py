@@ -1,0 +1,47 @@
+"""Table source adapter — Iceberg-first with parquet fallback.
+
+The north-star input is an Iceberg table of source-code repositories
+(BASELINE.json input_hint).  This container has no Iceberg runtime jars, so
+the adapter probes for the connector and falls back to parquet paths; on a
+real cluster (``--packages org.apache.iceberg:iceberg-spark-runtime-...``)
+the same call reads the catalog table and Iceberg supplies snapshot
+isolation, hidden partitioning, and min/max file pruning on top of the same
+DataFrame plan.  Engine code never branches on the storage format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg DataSourceV2 connector is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Read ``ref`` as an Iceberg catalog table when the connector is
+    present and ``ref`` is not a filesystem path; otherwise read parquet.
+
+    ``ref`` forms: ``catalog.db.table`` (Iceberg) or ``/path/to/table.parquet``
+    / ``s3://.../table/`` (parquet directory or file).
+    """
+    looks_like_path = "/" in ref or ref.endswith(".parquet")
+    if not looks_like_path and iceberg_available(spark):
+        return spark.read.format("iceberg").load(ref)
+    return spark.read.parquet(ref)
+
+
+def write_table(df: DataFrame, ref: str, mode: str = "append") -> None:
+    """Write ``df`` to an Iceberg table (connector present, catalog ref) or
+    a parquet path — the violations/summary/checkpoint sinks all route
+    through here so swapping storage needs no engine change."""
+    looks_like_path = "/" in ref or ref.endswith(".parquet")
+    if not looks_like_path and iceberg_available(df.sparkSession):
+        df.writeTo(ref).append() if mode == "append" else df.writeTo(ref).createOrReplace()
+        return
+    df.write.mode(mode if mode != "createOrReplace" else "overwrite").parquet(ref)

@@ -73,3 +73,15 @@ def test_drift_detection(spark):
     stats_shift = drift_stats(shifted, DriftSpec(column="v", bucket_edges=edges,
                                                  baseline=[0.25, 0.25, 0.25, 0.25, 0.0]))
     assert stats_shift["drifted"] and stats_shift["psi"] > 0.2
+
+
+def test_table_adapter_parquet_fallback(spark):
+    from json_schema_rs_spark.sources.table import iceberg_available, read_table, write_table
+
+    assert iceberg_available(spark) is False     # no Iceberg jars in container
+    df = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert df.count() == 500
+    import tempfile, os
+    out = os.path.join(tempfile.mkdtemp(), "t.parquet")
+    write_table(df.limit(5), out, mode="overwrite")
+    assert read_table(spark, out).count() == 5

@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Package the engine for a cluster and smoke-test it through spark-submit,
+# exactly as a user would deploy it:
+#
+#   tools/package_and_submit.sh [sf_dir]
+#
+# 1. zip the package (the --py-files artifact)
+# 2. spark-submit a driver script that imports ONLY from the zip
+# 3. exit non-zero if the validation job fails
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${1:-/root/testdata/sf0.001}"
+OUT="$(mktemp -d)"
+ZIP="$OUT/jsval.zip"
+
+zip -qr "$ZIP" json_schema_rs_spark/
+
+cat > "$OUT/job.py" <<'PY'
+import sys
+from pyspark.sql import SparkSession, functions as F
+
+# the package must come from --py-files, not the repo checkout
+from json_schema_rs_spark import ValidationEngine, TableSpec
+from json_schema_rs_spark.spec import string_field
+
+sf_dir = sys.argv[1]
+spark = SparkSession.builder.getOrCreate()
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+spec = TableSpec().add_field(string_field("text", required=True))
+res = ValidationEngine(spec, key_cols=["doc_id"], group_col="lang").validate(docs)
+rows = res.summary.agg(F.sum("n_rows")).collect()[0][0]
+assert rows == docs.count(), (rows, docs.count())
+print(f"SPARK-SUBMIT-OK rows={rows}")
+spark.stop()
+PY
+
+exec spark-submit \
+  --master "local[4]" \
+  --conf spark.sql.shuffle.partitions=4 \
+  --conf spark.ui.enabled=false \
+  --py-files "$ZIP" \
+  "$OUT/job.py" "$SF_DIR"
