@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Physical-plan audit over every ``__spark_entry__.queries()`` entry.
+
+For each query, inspects the executed plan for 100-TB red flags:
+
+  * CartesianProduct / BroadcastNestedLoopJoin — O(n·m) joins (whitelisted
+    where intentional: kNN scores a small broadcast query set against the
+    corpus, which Spark plans as a BNLJ of a broadcast side)
+  * BatchEvalPython — row-at-a-time Python UDF (banned by input_hint;
+    ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas are the approved
+    vectorized forms)
+  * missing WholeStageCodegen — interpreted, non-fused execution
+  * SortMergeJoin where a dimension side should broadcast
+
+Writes BENCH/PLAN_AUDIT.md and exits 1 on any non-whitelisted flag.
+
+Usage: python tools/plan_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+#: queries where a nested-loop join of a BROADCAST side is the intended plan
+BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact",
+           "ann_topk", "ann_ivf"}
+#: queries whose joins are big-×-big on purpose (no broadcast expectation)
+SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
+          "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
+          "embedding_near_dup_lsh", "semi_join_active_customers",
+          "anti_join_unordered_parts", "intersect_click_purchase",
+          "having_big_customers", "exists_discounted_orders", "q3_top_revenue",
+          "q5_region_volume", "lag_lead_user_values", "dedup_keep_first"}
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from json_schema_rs_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="plan-audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lines = ["# BENCH/PLAN_AUDIT.md — physical-plan audit (auto-generated)", "",
+             f"Checked at sf dir: {SF_DIR}.  Flags: CartesianProduct, non-whitelisted",
+             "BroadcastNestedLoopJoin, row-at-a-time Python UDF (BatchEvalPython),",
+             "missing WholeStageCodegen.", ""]
+    failures: list[str] = []
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        df = fn(spark, SF_DIR)
+        df.collect()  # finalize AQE so the plan shows real join/codegen choices
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            flags.append("BNLJ")
+        if "BatchEvalPython" in plan:
+            flags.append("ROW_PYTHON_UDF")
+        if "*(" not in plan:   # codegen stages render as "*(n)" prefixes
+            flags.append("NO_CODEGEN")
+        if "SortMergeJoin" in plan and name not in SMJ_OK:
+            flags.append("SMJ_UNEXPECTED")
+        verdict = "OK" if not flags else "FLAG:" + ",".join(flags)
+        lines.append(f"- {name}: {verdict}")
+        print(f"  {name:34s} {verdict}")
+        if flags:
+            failures.append(name)
+    lines += ["", f"Result: {'ALL OK' if not failures else 'FLAGGED: ' + ', '.join(failures)}"]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/PLAN_AUDIT.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    spark.stop()
+    print("ALL OK" if not failures else f"FLAGGED: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
