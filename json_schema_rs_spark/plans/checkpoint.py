@@ -79,14 +79,19 @@ class CheckpointManager:
         partition_col: str,
         chunk_buckets: int = 16,
         run_id: str | None = None,
+        max_buckets: int | None = None,
     ) -> ResumeReport:
         """Validate ``df`` bucket-chunk by bucket-chunk, committing lineage
         after each chunk.  Restart with the same checkpoint path + spec to
-        resume: completed buckets are skipped."""
+        resume: completed buckets are skipped.  ``max_buckets`` bounds how
+        many pending buckets THIS invocation processes (bounded work per
+        scheduled run; the rest stay pending for the next invocation)."""
         sh = _spec_hash(engine.spec)
         run_id = run_id or uuid.uuid4().hex[:12]
         done = self.completed_buckets(sh)
         pending = [b for b in range(self.n_buckets) if b not in done]
+        if max_buckets is not None:
+            pending = pending[:max_buckets]
 
         bucket_expr = F.pmod(F.xxhash64(F.col(partition_col)), F.lit(self.n_buckets)).cast("int")
         bucketed = df.withColumn("__bucket", bucket_expr)
