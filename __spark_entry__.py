@@ -424,6 +424,34 @@ def q_dedup_keep_first(spark, sf_dir):
     return drop_exact_duplicates(docs, "doc_id", "text").select("doc_id")
 
 
+def q_scalar_subquery_orders(spark, sf_dir):
+    # correlated scalar subquery (Catalyst rewrites to aggregate + join)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__ss_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__ss_lineitem")
+    return spark.sql("""
+        SELECT o_orderkey, round(o_totalprice, 2) AS total
+        FROM __ss_orders o
+        WHERE o_totalprice > 3 * (SELECT max(l_extendedprice)
+                                  FROM __ss_lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey)
+    """)
+
+
+def q_range_frame_events(spark, sf_dir):
+    # RANGE window frame: per-user rolling 1-hour sum of purchase values
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    tse = F.col("ts").cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(tse)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h_sum"),
+    )
+
+
 def q_grouping_sets_events(spark, sf_dir):
     # GROUPING SETS via the SQL entry point (distinct from rollup/cube)
     ev = _t(spark, sf_dir, "events")
@@ -621,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "format_checks": q_format_checks,
         "grouping_sets_events": q_grouping_sets_events,
+        "scalar_subquery_orders": q_scalar_subquery_orders,
+        "range_frame_events": q_range_frame_events,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "lag_lead_user_values": q_lag_lead_user_values,
         "json_props_validate": q_json_props_validate,
@@ -1127,6 +1157,20 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "format_checks": _format_checks_oracle(),
+        "scalar_subquery_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total
+            FROM orders o
+            WHERE o_totalprice > 3 * (SELECT max(l_extendedprice)
+                                      FROM lineitem l
+                                      WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "range_frame_events": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_1h_sum
+            FROM events WHERE event_type = 'purchase'
+        """,
         "grouping_sets_events": """
             SELECT event_type, user_id % 10 AS user_bucket,
                    count(*) AS n, round(sum(value), 2) AS sum_value

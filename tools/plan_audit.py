@@ -34,7 +34,7 @@ SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
           "embedding_near_dup_lsh", "semi_join_active_customers",
           "anti_join_unordered_parts", "intersect_click_purchase",
-          "having_big_customers", "exists_discounted_orders", "q3_top_revenue",
+          "having_big_customers", "exists_discounted_orders", "q3_top_revenue", "scalar_subquery_orders",
           "q5_region_volume", "lag_lead_user_values", "dedup_keep_first"}
 
 
