@@ -43,6 +43,10 @@ def spec_to_spark_schema(spec: FieldSpec) -> T.DataType:
         child = spec.items or FieldSpec(type=None)
         return T.ArrayType(spec_to_spark_schema(child) if child.type else T.StringType())
     if t == "object" or spec.properties:
+        if not spec.properties:
+            # open-world object with no declared properties (e.g. GeoJSON
+            # feature "properties"): map type, any string-keyed content
+            return T.MapType(T.StringType(), T.StringType())
         fields = [
             T.StructField(name, spec_to_spark_schema(child), True)
             for name, child in (spec.properties or {}).items()

@@ -1,0 +1,72 @@
+"""Golden-file parity with the reference's own fixtures (read-only at
+/root/reference/data): canada-schema.json is a real JSON-Schema document and
+canada.json / canada-small.json are the documents the reference's golden
+tests validate successfully (reference: src/object.rs:387-407,
+``test_canada_small`` / ``test_canada_big`` / ``parse_schema``).
+
+Our loader parses the SAME schema document (the reference's serde role,
+schema.rs:66-91) and the engine must reach the same verdict: both documents
+pass with zero violations.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.sources.jsondoc import json_violations
+from json_schema_rs_spark.spec import _field_from_dict
+
+REF_DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def canada_spec():
+    with open(f"{REF_DATA}/canada-schema.json") as f:
+        doc = json.load(f)
+    return _field_from_dict("$", doc)
+
+
+def _validate_file(spark, spec, path):
+    with open(path) as f:
+        payload = f.read()
+    df = spark.createDataFrame([(path, payload)], "src string, body string")
+    out = df.select(
+        "src", json_violations(F.col("body"), spec, "doc").alias("violations")
+    )
+    return out.collect()[0]["violations"]
+
+
+def test_schema_document_parses(canada_spec):
+    # structure mirrors the reference's parsed Schema tree
+    assert canada_spec.type == "object"
+    feats = canada_spec.properties["features"]
+    assert feats.type == "array" and feats.items.type == "object"
+    coords = feats.items.properties["geometry"].properties["coordinates"]
+    # rings: array -> array -> array -> (number, number) tuple
+    assert coords.items.items.tuple_items is not None
+    assert [t.type for t in coords.items.items.tuple_items] == ["number", "number"]
+
+
+def test_canada_small_passes(spark, canada_spec):
+    # reference test_canada_small (object.rs:387-392): document validates
+    assert _validate_file(spark, canada_spec, f"{REF_DATA}/canada-small.json") == []
+
+
+def test_canada_big_passes(spark, canada_spec):
+    # reference test_canada_big (object.rs:394-399): the 2.2 MB
+    # nativejson-benchmark document validates
+    assert _validate_file(spark, canada_spec, f"{REF_DATA}/canada.json") == []
+
+
+def test_mutated_canada_fails(spark, canada_spec):
+    # negative control: breaking the nesting must produce violations —
+    # proves the pass above is not vacuous
+    with open(f"{REF_DATA}/canada-small.json") as f:
+        doc = json.load(f)
+    doc["features"][0]["geometry"]["coordinates"] = "not-an-array"
+    df = spark.createDataFrame([(json.dumps(doc),)], "body string")
+    viol = df.select(
+        json_violations(F.col("body"), canada_spec, "doc").alias("v")
+    ).collect()[0]["v"]
+    assert viol != []
