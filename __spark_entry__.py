@@ -284,11 +284,14 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    # rows-only check: xxhash64+pandas-UDF SimHash has no DuckDB equivalent
+    # portable=True: md5-based 60-bit token hashes, so the ENTIRE fingerprint
+    # (token split → hash → per-bit majority) replays in DuckDB and the
+    # Arrow-batched bit-count kernel is fully oracle-checked; the xxhash64
+    # production path shares the same kernel (pinned equal-pairs unit tests)
     from json_schema_rs_spark.operators.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(F.col("text")).alias("sh"))
+    return docs.select("doc_id", simhash(F.col("text"), portable=True).alias("sh"))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -367,13 +370,13 @@ def q_asof_join_events(spark, sf_dir):
 
 
 def q_sessionize_events(spark, sf_dir):
+    # duration_us is an exact integer (unix_micros difference) so Spark and
+    # the DuckDB oracle emit bit-identical values — no float formatting drift
     from json_schema_rs_spark.operators.temporal import session_stats
 
     ev = _t(spark, sf_dir, "events")
     s = session_stats(ev, gap_minutes=30.0)
-    return s.select(
-        "user_id", "session_id", "n_events", F.round("duration_sec", 3).alias("duration_sec")
-    )
+    return s.select("user_id", "session_id", "n_events", "duration_us")
 
 
 def q_cube_events(spark, sf_dir):
@@ -487,12 +490,32 @@ def q_lag_lead_user_values(spark, sf_dir):
     )
 
 
+#: date-time candidates cycled by doc_id — exercises the RFC3339 regex, the
+#: lookahead-free leap-second normalizer, AND real calendar validation
+#: (Feb-30 / Feb-29 / Apr-31); verified value-identical between Spark
+#: try_to_timestamp and DuckDB TRY_CAST on every case.
+_DT_CANDIDATES = [
+    "2024-03-15T10:24:30Z",            # plain valid
+    "2024-03-15T10:24:30+05:30",       # offset valid
+    "2023-12-31T23:59:60Z",            # leap second (chrono-accepted, string.rs:264-266)
+    "2023-06-30T23:59:60.123+02:00",   # leap second + fraction + offset
+    "2024-02-30T00:00:00Z",            # calendar-invalid day
+    "2024-03-15T10:00:30",             # missing timezone (chrono rejects, string.rs:268-275)
+    "2024-03-15 10:00:30Z",            # space separator (RFC3339 relaxed)
+    "2024-03-15T10:00:30.123456Z",     # fractional seconds
+    "2023-02-29T12:00:00Z",            # Feb 29 in non-leap year
+    "2024-02-29T12:00:00Z",            # Feb 29 in leap year
+    "2024-04-31T12:00:00Z",            # April 31
+    "not a date",
+]
+
+
 def q_format_checks(spark, sf_dir):
     # the reference's `format` keyword surface (string.rs:199-230) over
     # deterministic candidate strings; uri/ipv4/ipv6 are anchored RE2-safe
     # regexes identical in Spark (Java) and DuckDB (RE2), email is the
-    # reference's always-valid quirk.  date-time is excluded here (its
-    # normalizer needs lookahead, absent in RE2) — pinned by unit tests.
+    # reference's always-valid quirk, and date-time uses the lookahead-free
+    # leap-second normalizer so the oracle replays it under RE2.
     from json_schema_rs_spark.functions.formats import format_predicate
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -504,12 +527,17 @@ def q_format_checks(spark, sf_dir):
         .otherwise(F.concat(F.lit("mailto:u"), d.cast("string")))
     ip6 = F.when(d % 2 == 0, F.concat(F.lit("2001:db8::"), (d % 10).cast("string"))) \
         .otherwise(F.concat(F.lit("2001:db8::g"), (d % 10).cast("string")))
+    dt = F.element_at(
+        F.array(*[F.lit(s) for s in _DT_CANDIDATES]),
+        (d % len(_DT_CANDIDATES) + 1).cast("int"),
+    )
     return docs.select(
         "doc_id",
         format_predicate(ip4, "ipv4").alias("ipv4_ok"),
         format_predicate(uri, "uri").alias("uri_ok"),
         format_predicate(ip6, "ipv6").alias("ipv6_ok"),
         format_predicate(F.lit("anything@at@all"), "email").alias("email_ok"),
+        format_predicate(dt, "date-time").alias("datetime_ok"),
     )
 
 
@@ -791,14 +819,22 @@ def _ivf_topk_oracle(n_probe=4, k=10) -> str:
 
 
 def _format_checks_oracle() -> str:
-    from json_schema_rs_spark.functions.formats import IPV4_REGEX, IPV6_REGEX, URI_REGEX
+    from json_schema_rs_spark.functions.formats import (
+        IPV4_REGEX, IPV6_REGEX, LEAP_SECOND_PATTERN, LEAP_SECOND_REPLACEMENT_RE2,
+        RFC3339_REGEX, URI_REGEX,
+    )
 
+    dt_list = ", ".join("'" + s.replace("'", "''") + "'" for s in _DT_CANDIDATES)
     return f"""
         SELECT doc_id,
                regexp_matches(ip4, '{IPV4_REGEX}') AS ipv4_ok,
                regexp_matches(uri, '{URI_REGEX}') AS uri_ok,
                regexp_matches(ip6, '{IPV6_REGEX}') AS ipv6_ok,
-               TRUE AS email_ok
+               TRUE AS email_ok,
+               regexp_matches(dt, '{RFC3339_REGEX}')
+                 AND TRY_CAST(regexp_replace(regexp_replace(dt,
+                       '{LEAP_SECOND_PATTERN}', '{LEAP_SECOND_REPLACEMENT_RE2}'),
+                       '[Tt ]', ' ') AS TIMESTAMPTZ) IS NOT NULL AS datetime_ok
         FROM (
           SELECT doc_id,
                  (doc_id % 300)::VARCHAR || '.' || (doc_id % 256)::VARCHAR
@@ -807,7 +843,8 @@ def _format_checks_oracle() -> str:
                       WHEN doc_id % 3 = 1 THEN 'not a uri ' || doc_id::VARCHAR
                       ELSE 'mailto:u' || doc_id::VARCHAR END AS uri,
                  CASE WHEN doc_id % 2 = 0 THEN '2001:db8::' || (doc_id % 10)::VARCHAR
-                      ELSE '2001:db8::g' || (doc_id % 10)::VARCHAR END AS ip6
+                      ELSE '2001:db8::g' || (doc_id % 10)::VARCHAR END AS ip6,
+                 ([{dt_list}])[(doc_id % {len(_DT_CANDIDATES)})::INT + 1] AS dt
           FROM documents)
     """
 
@@ -999,6 +1036,26 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs p JOIN shl a ON a.doc_id = p.id_a JOIN shl b ON b.doc_id = p.id_b)
             SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.3
         """,
+        # portable SimHash: md5-based 60-bit token hashes + per-bit majority
+        # vote — replays the whole fingerprint (operators/dedup.py simhash
+        # portable path + _simhash_kernel) in SQL.  sum over tokens of
+        # (bit? +1 : -1) > 0 sets the bit; bits 60-63 are always 0 (60-bit
+        # hash), matching the kernel's sign rule exactly.
+        "dedup_simhash": r"""
+            WITH toks AS (
+              SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+              FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents WHERE text IS NOT NULL)),
+            bits AS (
+              SELECT doc_id, b.b,
+                     CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                          THEN (1::BIGINT << b.b) ELSE 0 END AS bit
+              FROM toks, (SELECT unnest(range(60)) AS b) b
+              GROUP BY doc_id, b.b),
+            hashes AS (SELECT doc_id, sum(bit)::BIGINT AS sh FROM bits GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(h.sh, 0) AS sh
+            FROM documents d LEFT JOIN hashes h ON d.doc_id = h.doc_id
+        """,
         "ann_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],
@@ -1092,18 +1149,18 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "sessionize_events": """
-            WITH e AS (SELECT user_id, ts, epoch(ts) AS tse FROM events),
+            WITH e AS (SELECT user_id, ts, epoch_us(ts) AS tsu FROM events),
             g AS (
-              SELECT user_id, ts, tse,
-                     CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w > 1800.0
+              SELECT user_id, ts, tsu,
+                     CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 1800000000
                           THEN 1 ELSE 0 END AS ns
               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (
-              SELECT user_id, tse,
+              SELECT user_id, tsu,
                      sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
               FROM g)
             SELECT user_id, session_id, count(*) AS n_events,
-                   round(max(tse) - min(tse), 3) AS duration_sec
+                   max(tsu) - min(tsu) AS duration_us
             FROM s GROUP BY user_id, session_id
         """,
         "cube_events": """

@@ -85,12 +85,11 @@ def _validate_corpus_job(spark, corpus) -> int:
     )
     ann = eng.annotate(corpus)
     n = eng.row_violations(ann).count()
-    summary = ann.groupBy(F.col("repo").alias("group")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("passed").cast("long")).alias("n_passed"),
-        F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
-        F.sum(F.size("violations").cast("long")).alias("n_violations"),
-        F.sum(F.length("content_sha256")).alias("sha_bytes"),
+    # the engine's real summarize path, with one extra agg forcing the
+    # per-row sha256 fidelity column (input_hint invariant) to be computed
+    # inside the timed aggregation rather than pruned away
+    summary = eng.summarize(
+        ann, extra_aggs={"sha_bytes": F.sum(F.length("content_sha256"))}
     )
     n += summary.count()
     ds, _ = eng.dataset_violations(corpus)
@@ -208,10 +207,12 @@ def bench_scaling() -> dict:
       jobs (observed 9 s..67 s for the same warm local[8] job), and best-of-N
       measures the plan's capability rather than the noisiest neighbor;
     * legs run back-to-back inside ``SPARK_GRAFT_SCALE_ROUNDS`` paired
-      rounds; efficiency is computed WITHIN a round and the best round is
-      reported (all rounds listed for transparency)."""
+      rounds; efficiency is computed WITHIN a round and the MEDIAN round is
+      the headline (best-of-N stays within a leg only — round-1 advice:
+      stacking best-of-samples AND best-of-rounds double-maxes the headline;
+      all rounds are listed for transparency)."""
     lo, hi = SCALE_PAIR
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
     samples = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "3"))
     assert hi == 4 * lo, "scaling pair must be N and 4N"
     out: dict = {"job": "validate_corpus", "rows": SCALING_ROWS, "pair": [lo, hi]}
@@ -238,11 +239,15 @@ def bench_scaling() -> dict:
                 _confine_jvm(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
         eff = (legs[hi]["rows_per_sec"] / legs[lo]["rows_per_sec"]) / 4.0
         all_rounds.append({"legs": legs, "efficiency": round(eff, 3)})
-    best = max(all_rounds, key=lambda r: r["efficiency"])
-    out[f"local{lo}"] = best["legs"][lo]
-    out[f"local{hi}"] = best["legs"][hi]
-    out["scaling_efficiency"] = best["efficiency"]
+    # headline = MEDIAN round (lower of the middle two when even), so the
+    # single reported number is not a double maximum; best round also listed
+    ordered = sorted(all_rounds, key=lambda r: r["efficiency"])
+    median = ordered[(len(ordered) - 1) // 2]
+    out[f"local{lo}"] = median["legs"][lo]
+    out[f"local{hi}"] = median["legs"][hi]
+    out["scaling_efficiency"] = median["efficiency"]
     out["rounds"] = [r["efficiency"] for r in all_rounds]
+    out["best_round_efficiency"] = ordered[-1]["efficiency"]
     out["jvm_confined_to_n_cores"] = confined
     out["target"] = 0.8
     return out
@@ -274,7 +279,8 @@ def write_baseline_md(result: dict) -> None:
             f"  - efficiency = (throughput@{hi} / throughput@{lo}) / 4 = **{sc['scaling_efficiency']}**"
             f" (target ≥ {sc['target']})",
             f"  - paired back-to-back rounds (efficiency per round): {sc.get('rounds', [])} —"
-            " best round reported; legs inside a round share background-load conditions"
+            f" MEDIAN round is the headline (best: {sc.get('best_round_efficiency')});"
+            " legs inside a round share background-load conditions"
             " (this co-tenant VM swings identical warm jobs by multi-× wall-clock,"
             " observed 9 s..67 s for the same local[8] job, hence best-of-"
             f"{os.environ.get('SPARK_GRAFT_SCALE_SAMPLES', '3')} samples per leg)",

@@ -96,7 +96,45 @@ class CompiledField:
 # ---------------------------------------------------------------------------
 
 
-def _string_keywords(spec: FieldSpec, x: Column, path: str) -> list[Column]:
+# Constructs Rust regex 0.2 (the reference's engine) does NOT support but
+# Java/Python do: lookaround and backreferences.  In parity mode a pattern
+# using them must emit per-document invalid_regex (the reference's
+# Regex::new would Err → string.rs:99-102), never silently use Java
+# semantics the reference engine lacks.
+_RUST_UNSUPPORTED = _pyre.compile(
+    r"(?<!\\)(?:\\\\)*(?:\(\?=|\(\?!|\(\?<=|\(\?<!|\(\?P=|\\[1-9]|\\k<)"
+)
+
+
+def compiled_pattern(pattern: str, parity: bool):
+    """Dialect-guarded pattern compile at PLAN BUILD time.
+
+    Returns the Java-executable pattern string, or ``None`` when the pattern
+    must emit ``invalid_regex`` violations instead of executing:
+
+      * not Python-compilable → invalid (both dialect families reject it);
+      * parity mode + Rust-regex-0.2-unsupported construct (lookaround,
+        backreference) → invalid, because the reference's ``Regex::new``
+        errors on these (string.rs:99-102) — executing them with Java
+        semantics would diverge from the reference;
+      * Python-only syntax (``(?P<name>``, ``(?P=name)``) is TRANSLATED to
+        the Java spelling so a Python-valid pattern never throws inside an
+        executor (the round-1 gap: ``(?P<x>...)`` compiled under ``re`` but
+        crashed Java's ``rlike`` at run time).
+    """
+    try:
+        _pyre.compile(pattern)
+    except _pyre.error:
+        return None
+    if parity and _RUST_UNSUPPORTED.search(pattern):
+        return None
+    # Python → Java named-group spelling (semantics preserved)
+    java_pattern = pattern.replace("(?P<", "(?<")
+    java_pattern = _pyre.sub(r"\(\?P=(\w+)\)", r"\\k<\1>", java_pattern)
+    return java_pattern
+
+
+def _string_keywords(spec: FieldSpec, x: Column, path: str, parity: bool = True) -> list[Column]:
     out: list[Column] = []
     if spec.min_length is not None:
         # BYTE length to match Rust str::len (string.rs:71) — octet_length, not length.
@@ -104,11 +142,11 @@ def _string_keywords(spec: FieldSpec, x: Column, path: str) -> list[Column]:
     if spec.max_length is not None:
         out.append(_fail(F.octet_length(x) <= spec.max_length, f"max_length:{path}", F.octet_length(x)))
     if spec.pattern is not None:
-        try:
-            _pyre.compile(spec.pattern)
+        java_pattern = compiled_pattern(spec.pattern, parity)
+        if java_pattern is not None:
             # unanchored search — same semantics as Rust Regex::is_match (string.rs:104)
-            out.append(_fail(x.rlike(spec.pattern), f"pattern:{path}", x))
-        except _pyre.error:
+            out.append(_fail(x.rlike(java_pattern), f"pattern:{path}", x))
+        else:
             # Reference: invalid regex is a *validation-time* error per document,
             # not a parse failure (string.rs:99-102).
             out.append(F.array(_v(f"invalid_regex:{path}", F.lit(spec.pattern))))
@@ -290,7 +328,7 @@ def _value_violations(spec: FieldSpec, x: Column, dtype: T.DataType, path: str, 
 
     parts: list[Column] = []
     if spec.type == "string" or (spec.type is None and isinstance(dtype, T.StringType)):
-        parts += _string_keywords(spec, x, path)
+        parts += _string_keywords(spec, x, path, parity)
     if spec.type in ("number", "integer"):
         if spec.type == "number" or not parity:
             # IntegerSchema bounds are parsed but NEVER enforced (integer.rs:16-20)

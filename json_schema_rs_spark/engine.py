@@ -96,17 +96,20 @@ class ValidationEngine:
             F.col("v.observed_value").alias("observed_value"),
         )
 
-    def summarize(self, annotated: DataFrame) -> DataFrame:
+    def summarize(self, annotated: DataFrame, extra_aggs: Optional[dict] = None) -> DataFrame:
+        """Per-group pass/fail rollup.  ``extra_aggs`` appends named aggregate
+        Columns (e.g. ``{"sha_bytes": F.sum(F.length("content_sha256"))}`` to
+        force the fidelity-hash column into the aggregated pass)."""
         group = F.col(self.group_col) if self.group_col else F.lit("__all__")
-        return (
-            annotated.groupBy(group.alias("group"))
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col("passed").cast("long")).alias("n_passed"),
-                F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
-                F.sum(F.size("violations").cast("long")).alias("n_violations"),
-            )
-        )
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("passed").cast("long")).alias("n_passed"),
+            F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
+            F.sum(F.size("violations").cast("long")).alias("n_violations"),
+        ]
+        for name, agg in (extra_aggs or {}).items():
+            aggs.append(agg.alias(name))
+        return annotated.groupBy(group.alias("group")).agg(*aggs)
 
     # -- dataset-level constraints ---------------------------------------------
 

@@ -53,6 +53,14 @@ IPV6_REGEX = (
 URI_REGEX = r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$"
 
 
+# Leap-second normalizer, deliberately lookahead-free so the SAME regex runs
+# under Java regex (Spark rlike/regexp_replace) and RE2 (DuckDB): the char
+# after the seconds field is CAPTURED and re-emitted rather than looked-ahead.
+LEAP_SECOND_PATTERN = r":60(\.\d+)?([Zz+-])"
+LEAP_SECOND_REPLACEMENT_JAVA = ":59$1$2"
+LEAP_SECOND_REPLACEMENT_RE2 = r":59\1\2"
+
+
 def _rfc3339_datetime(col: Column) -> Column:
     """Regex shape check + real calendar validation via ``try_to_timestamp``.
 
@@ -60,7 +68,7 @@ def _rfc3339_datetime(col: Column) -> Column:
     to ``:59`` before the timestamp parse, since the JVM parser rejects it.
     """
     normalized = F.regexp_replace(
-        F.regexp_replace(col, r":60(\.\d+)?(?=[Zz+-])", ":59$1"),
+        F.regexp_replace(col, LEAP_SECOND_PATTERN, LEAP_SECOND_REPLACEMENT_JAVA),
         r"[Tt ]", " ",
     )
     return col.rlike(RFC3339_REGEX) & F.try_to_timestamp(normalized).isNotNull()

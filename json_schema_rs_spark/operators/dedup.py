@@ -119,6 +119,7 @@ def minhash_lsh_candidates(
     portable: bool = False,
     max_bucket: int = 1000,
     repartition: int | None = None,
+    cache_candidates: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(id_a, id_b)`` with id_a < id_b.
 
@@ -131,6 +132,12 @@ def minhash_lsh_candidates(
     The shingle array is MATERIALIZED in its own select so the ``num_hashes``
     signature expressions share one shingling pass instead of inlining
     ``num_hashes`` copies of it.
+
+    ``cache_candidates`` memory-caches the exploded (doc, bucket) relation,
+    which feeds three consumers (bucket-size histogram + both join sides).
+    Right call at single-node scale; at 100 TB it is rows×bands entries, so
+    pass False — the hash pipeline recomputes per consumer (cheap, fused
+    codegen) — or checkpoint/write the relation to a temp table yourself.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
@@ -147,9 +154,8 @@ def minhash_lsh_candidates(
     keyed = with_sig.select(
         "doc", F.explode(lsh_band_keys(F.col("__sig"), bands, r)).alias("bucket")
     )
-    # keyed feeds three consumers (bucket sizes + both join sides): cache the
-    # tiny (doc, bucket) relation instead of recomputing the hash pipeline.
-    keyed = keyed.cache()
+    if cache_candidates:
+        keyed = keyed.cache()
     # boilerplate guard: drop pathologically hot buckets
     sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
     keyed = keyed.join(F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), "bucket", "left_anti")
@@ -208,6 +214,8 @@ def _simhash_kernel(hash_arrays: pd.Series) -> pd.Series:
     out = np.zeros(len(hash_arrays), dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
     for i, arr in enumerate(hash_arrays):
+        if arr is None:
+            continue  # null token array (null input string) → fingerprint 0
         a = np.asarray(arr, dtype=np.int64).view(np.uint64)
         if a.size == 0:
             continue
@@ -230,10 +238,22 @@ def _simhash_from_hashes(hashes: Column) -> Column:
     return _simhash_udf(hashes)
 
 
-def simhash(col: Column) -> Column:
-    """SimHash-64 over whitespace tokens (token weights = 1)."""
+def simhash(col: Column, portable: bool = False) -> Column:
+    """SimHash-64 over whitespace tokens (token weights = 1).
+
+    Default token hash is ``xxhash64`` (JVM, fast — the production path).
+    ``portable=True`` hashes each token as the first 15 hex chars of its md5
+    (a 60-bit value, top 4 bits zero) — md5 is reproducible in any engine
+    (DuckDB: ``CAST('0x' || substr(md5(t),1,15) AS BIGINT)``), which makes the
+    whole fingerprint oracle-checkable end-to-end; the bit-count kernel is
+    identical for both."""
     tokens = F.split(F.trim(col), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    if portable:
+        hashes = F.transform(
+            tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     return _simhash_from_hashes(hashes)
 
 

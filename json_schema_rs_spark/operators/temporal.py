@@ -9,10 +9,15 @@ DataFrame ops — no ``mapInPandas``, no range cross-join:
 
   * as-of join  — the union-tag trick: tag both sides, union, one window
     sorted by (key, ts, tag) carrying the last right-side value forward, then
-    keep left rows.  ONE shuffle on the join key (the window partition),
-    versus the naive ``l.ts >= r.ts`` range join which is O(|L|·|R|) per key.
+    keep left rows.  The LEFT payload rides through the union as a struct, so
+    the whole join is ONE shuffle on the join key (the window partition) —
+    no row-id re-join, no nondeterministic ``monotonically_increasing_id``
+    (two plan branches could assign different ids under AQE / task retries),
+    and no ``l.ts >= r.ts`` range join which is O(|L|·|R|) per key.
   * sessionize  — lag + gap flag + running sum over a (user, ts) window; one
-    shuffle on the user key.
+    shuffle on the user key.  Gap arithmetic is exact integer MICROseconds
+    (``unix_micros``), never floating seconds, so session assignment and
+    durations are bit-reproducible across engines.
 
 Scale notes: both shuffle once on the entity key; skewed entities (one user
 with millions of events) are a window-partition hotspot — at 100 TB, bound
@@ -41,41 +46,52 @@ def asof_join(
     Right-side duplicate timestamps per key are deduplicated deterministically
     (the lexicographically-largest value tuple wins), so results are
     reproducible regardless of input order.
+
+    Plan shape: ONE Exchange on the join key (the union'd window partition).
+    The left payload is carried through the union as a struct column, so no
+    second shuffle and no synthetic row id is needed.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+    if not value_cols:
+        raise ValueError(
+            "asof_join: right side has no value columns beyond the key and "
+            "timestamp — pass value_cols or add at least one payload column"
+        )
 
-    # deterministic dedupe of right rows sharing (key, ts)
-    r = right.select(on, F.col(right_ts).alias("__ts"), *value_cols)
-    w_dedup = Window.partitionBy(on, "__ts").orderBy(*[F.col(c).desc() for c in value_cols])
-    r = r.withColumn("__rn", F.row_number().over(w_dedup)).filter(F.col("__rn") == 1).drop("__rn")
-
-    tagged_r = r.select(
+    left_cols = left.columns
+    tagged_r = right.select(
         F.col(on).alias("__k"),
-        F.col("__ts"),
+        F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),  # right sorts BEFORE left at equal ts → ties join
         F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
-        F.lit(None).cast("long").alias("__lid"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in left_cols) + ">"
+        ).alias("__lv"),
     )
-    l = left.withColumn("__lid", F.monotonically_increasing_id())
-    tagged_l = l.select(
+    tagged_l = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
         F.lit(None).cast(tagged_r.schema["__rv"].dataType).alias("__rv"),
-        F.col("__lid"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("__lv"),
     )
     unioned = tagged_r.unionByName(tagged_l)
+    # Ordering right rows at equal (key, ts) by ascending value tuple means
+    # ``last(ignorenulls)`` carries the LARGEST tuple — the per-(key, ts)
+    # dedup falls out of the sort instead of needing its own window (and its
+    # own (key, ts) Exchange).  __rv is null on left rows, which sort among
+    # themselves arbitrarily (irrelevant: each left row reads only the
+    # carried value, never a neighbor's).
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__tag")
+        .orderBy(F.col("__ts"), F.col("__tag"), F.col("__rv").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__last_rv", F.last("__rv", ignorenulls=True).over(w))
-    matched = carried.filter(F.col("__tag") == 1).select(
-        "__lid",
+    return carried.filter(F.col("__tag") == 1).select(
+        *[F.col("__lv").getField(c).alias(c) for c in left_cols],
         *[F.col("__last_rv").getField(c).alias(c + suffix) for c in value_cols],
     )
-    return l.join(matched, "__lid", "left").drop("__lid")
 
 
 def sessionize(
@@ -86,10 +102,17 @@ def sessionize(
 ) -> DataFrame:
     """Assign a per-user session id: a new session starts when the gap since
     the previous event exceeds ``gap_minutes``.  Adds ``session_id`` (1-based
-    per user).  One shuffle on the user key."""
+    per user).  One shuffle on the user key.
+
+    The gap compare is exact integer microseconds — no floating-point
+    epoch subtraction, so the boundary case (gap == threshold) is decided
+    identically on every engine.
+    """
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("timestamp").cast("double") - F.lag(F.col(ts_col).cast("timestamp").cast("double")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60.0), 1).otherwise(0)
+    tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = tsu - F.lag(tsu).over(w)
+    gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
+    new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
     return events.withColumn(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
@@ -103,13 +126,18 @@ def session_stats(
     gap_minutes: float = 30.0,
 ) -> DataFrame:
     """Session-level rollup: per (user, session) → event count, start, end,
-    duration seconds."""
+    duration.  ``duration_us`` is an EXACT integer (microseconds between the
+    session's first and last event); ``duration_sec`` is the derived double —
+    consumers needing bit-stable output should use ``duration_us``."""
     s = sessionize(events, user_col, ts_col, gap_minutes)
-    return s.groupBy(user_col, "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min(ts_col).alias("start_ts"),
-        F.max(ts_col).alias("end_ts"),
-        (F.max(F.col(ts_col).cast("timestamp").cast("double")) - F.min(F.col(ts_col).cast("timestamp").cast("double"))).alias(
-            "duration_sec"
-        ),
+    tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        s.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            (F.max(tsu) - F.min(tsu)).alias("duration_us"),
+        )
+        .withColumn("duration_sec", F.col("duration_us") / F.lit(1_000_000.0))
     )

@@ -7,11 +7,24 @@ real cluster (``--packages org.apache.iceberg:iceberg-spark-runtime-...``)
 the same call reads the catalog table and Iceberg supplies snapshot
 isolation, hidden partitioning, and min/max file pruning on top of the same
 DataFrame plan.  Engine code never branches on the storage format.
+
+Ref forms (explicit, no guessing):
+
+* ``iceberg:catalog.db.table`` — always the Iceberg connector;
+* ``catalog.db.table`` (≥2 dots, no path separators, no .parquet suffix) —
+  Iceberg when the connector is present;
+* anything else — a parquet path.  A bare relative name like ``outdir`` is a
+  PATH, never a table ref (round-1 advice: the old '/'-based heuristic
+  misrouted it).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: write modes accepted by write_table, per storage branch
+_PARQUET_MODES = {"append", "overwrite", "ignore", "error", "errorifexists"}
+_ICEBERG_MODES = {"append", "overwrite", "createOrReplace"}
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -23,25 +36,50 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_table(spark: SparkSession, ref: str) -> DataFrame:
-    """Read ``ref`` as an Iceberg catalog table when the connector is
-    present and ``ref`` is not a filesystem path; otherwise read parquet.
+def is_table_ref(ref: str) -> bool:
+    """True when ``ref`` names a catalog table rather than a filesystem path.
 
-    ``ref`` forms: ``catalog.db.table`` (Iceberg) or ``/path/to/table.parquet``
-    / ``s3://.../table/`` (parquet directory or file).
+    Explicit ``iceberg:`` prefix always wins; otherwise a fully-qualified
+    ``catalog.db.table`` (at least two dots) with no path separators and no
+    parquet suffix.  Bare names and relative paths route to parquet.
     """
-    looks_like_path = "/" in ref or ref.endswith(".parquet")
-    if not looks_like_path and iceberg_available(spark):
-        return spark.read.format("iceberg").load(ref)
+    if ref.startswith("iceberg:"):
+        return True
+    if "/" in ref or "\\" in ref or ref.endswith(".parquet"):
+        return False
+    return ref.count(".") >= 2
+
+
+def _strip_prefix(ref: str) -> str:
+    return ref[len("iceberg:"):] if ref.startswith("iceberg:") else ref
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Read ``ref`` as an Iceberg catalog table (``is_table_ref`` + connector
+    present) or a parquet path/directory."""
+    if is_table_ref(ref):
+        if not iceberg_available(spark) and not ref.startswith("iceberg:"):
+            return spark.read.parquet(ref)
+        return spark.read.format("iceberg").load(_strip_prefix(ref))
     return spark.read.parquet(ref)
 
 
 def write_table(df: DataFrame, ref: str, mode: str = "append") -> None:
-    """Write ``df`` to an Iceberg table (connector present, catalog ref) or
-    a parquet path — the violations/summary/checkpoint sinks all route
-    through here so swapping storage needs no engine change."""
-    looks_like_path = "/" in ref or ref.endswith(".parquet")
-    if not looks_like_path and iceberg_available(df.sparkSession):
-        df.writeTo(ref).append() if mode == "append" else df.writeTo(ref).createOrReplace()
+    """Write ``df`` to an Iceberg table or a parquet path — the violations/
+    summary/checkpoint sinks all route through here so swapping storage needs
+    no engine change.  ``mode`` is validated against the target branch's
+    supported set instead of silently mapping everything to a replace."""
+    if is_table_ref(ref) and (ref.startswith("iceberg:") or iceberg_available(df.sparkSession)):
+        if mode not in _ICEBERG_MODES:
+            raise ValueError(f"unsupported Iceberg write mode {mode!r}; expected one of {sorted(_ICEBERG_MODES)}")
+        target = df.writeTo(_strip_prefix(ref))
+        if mode == "append":
+            target.append()
+        elif mode == "overwrite":
+            target.overwritePartitions()
+        else:
+            target.createOrReplace()
         return
-    df.write.mode(mode if mode != "createOrReplace" else "overwrite").parquet(ref)
+    if mode not in _PARQUET_MODES:
+        raise ValueError(f"unsupported parquet write mode {mode!r}; expected one of {sorted(_PARQUET_MODES)}")
+    df.write.mode(mode).parquet(ref)

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, field
 from typing import Any, Optional
 
 # ---------------------------------------------------------------------------
@@ -255,7 +255,85 @@ class TableSpec:
         return self
 
     def to_json(self) -> str:
-        return json.dumps(asdict(self), sort_keys=True, default=str)
+        """Serialize to the SAME camelCase JSON shape ``spec_from_json``
+        parses, so ``spec_from_json(spec.to_json())`` round-trips (the serde
+        Serialize half the reference derives, schema.rs:66-91).  Nested
+        FieldSpec names are derived from their position (``col[]``,
+        ``col[0]``, …) on parse, so builder-assigned nested names normalize
+        to the positional form after one round trip."""
+        return json.dumps(_table_to_dict(self), sort_keys=True)
+
+
+#: dataclass snake_case → JSON camelCase (inverse of _FIELD_KEYS, defined
+#: below; bool keywords are emitted only when they differ from the parse
+#: default so the dump is minimal and stable)
+_FIELD_BOOL_DEFAULTS = {
+    "required": False,
+    "exclusive_minimum": False,
+    "exclusive_maximum": False,
+    "unique_items": False,
+    "additional_items": False,
+    "additional_properties": False,
+}
+
+
+def _field_to_dict(fs: FieldSpec) -> dict[str, Any]:
+    inv = {v: k for k, v in _FIELD_KEYS.items() if v != "required"}
+    out: dict[str, Any] = {}
+    for snake, camel in inv.items():
+        val = getattr(fs, snake)
+        if snake in _FIELD_BOOL_DEFAULTS:
+            if val != _FIELD_BOOL_DEFAULTS[snake]:
+                out[camel] = val
+        elif val is not None:
+            out[camel] = val
+    if fs.items is not None:
+        out["items"] = _field_to_dict(fs.items)
+    if fs.tuple_items is not None:
+        out["items"] = [_field_to_dict(c) for c in fs.tuple_items]
+    if fs.properties:
+        out["properties"] = {p: _field_to_dict(c) for p, c in fs.properties.items()}
+    if fs.pattern_properties:
+        out["patternProperties"] = {
+            rex: _field_to_dict(c) for rex, c in fs.pattern_properties.items()
+        }
+    # "required" carries the object-level list (JSON-Schema draft-4 style);
+    # the draft-3-style bool (this column itself is required) shares the key
+    # when no list is present, else moves to "selfRequired"
+    if fs.required_props:
+        out["required"] = list(fs.required_props)
+        if fs.required:
+            out["selfRequired"] = True
+    elif fs.required:
+        out["required"] = True
+    return out
+
+
+def _table_to_dict(ts: TableSpec) -> dict[str, Any]:
+    out: dict[str, Any] = {
+        "fields": {name: _field_to_dict(fs) for name, fs in ts.fields.items()},
+    }
+    if ts.unique_keys:
+        out["uniqueKeys"] = [list(uk.columns) for uk in ts.unique_keys]
+    if ts.referential:
+        out["referential"] = [
+            {"column": ri.column, "dimTable": ri.dim_table, "dimColumn": ri.dim_column}
+            for ri in ts.referential
+        ]
+    if ts.drift:
+        out["drift"] = [
+            {
+                "column": dr.column,
+                "bucketEdges": list(dr.bucket_edges),
+                **({"baseline": list(dr.baseline)} if dr.baseline is not None else {}),
+                "psiThreshold": dr.psi_threshold,
+                "ksThreshold": dr.ks_threshold,
+            }
+            for dr in ts.drift
+        ]
+    if not ts.reference_parity:
+        out["referenceParity"] = False
+    return out
 
 
 def spec_hash(spec: TableSpec) -> str:
@@ -314,7 +392,7 @@ def _field_from_dict(
     kw: dict[str, Any] = {"name": name}
     for k, v in d.items():
         if k in ("items", "properties", "required", "patternProperties",
-                 "description", "title", "definitions"):
+                 "description", "title", "definitions", "selfRequired"):
             continue
         if k in _FIELD_KEYS:
             kw[_FIELD_KEYS[k]] = v
@@ -337,6 +415,13 @@ def _field_from_dict(
     req = d.get("required")
     if isinstance(req, list):
         kw["required_props"] = req
+    elif isinstance(req, bool):
+        # draft-3-style bool: this value itself is required
+        kw["required"] = req
+    if d.get("selfRequired") is True:
+        # bool-required alongside an object-level "required" list (see
+        # _field_to_dict — the two meanings share the "required" key)
+        kw["required"] = True
     pprops = d.get("patternProperties")
     if isinstance(pprops, dict):
         kw["pattern_properties"] = {

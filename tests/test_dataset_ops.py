@@ -85,3 +85,25 @@ def test_table_adapter_parquet_fallback(spark):
     out = os.path.join(tempfile.mkdtemp(), "t.parquet")
     write_table(df.limit(5), out, mode="overwrite")
     assert read_table(spark, out).count() == 5
+
+
+def test_table_ref_routing_and_mode_validation(spark, tmp_path):
+    # round-1 advice: bare relative names must be paths, not Iceberg refs;
+    # write modes validated instead of collapsing to createOrReplace
+    import pytest
+
+    from json_schema_rs_spark.sources.table import is_table_ref, read_table, write_table
+
+    assert is_table_ref("iceberg:db.tbl")
+    assert is_table_ref("catalog.db.tbl")
+    assert not is_table_ref("outdir")              # bare relative name → path
+    assert not is_table_ref("db.tbl")              # under-qualified → path
+    assert not is_table_ref("dir/table.parquet")
+    assert not is_table_ref("catalog.db.tbl.parquet")
+
+    out = str(tmp_path / "t.parquet")
+    df = read_table(spark, "/root/testdata/sf0.001/region.parquet")
+    write_table(df, out, mode="overwrite")
+    assert read_table(spark, out).count() == df.count()
+    with pytest.raises(ValueError, match="unsupported parquet write mode"):
+        write_table(df, out, mode="createOrReplace")

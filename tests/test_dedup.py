@@ -112,3 +112,45 @@ def test_simhash_candidates(spark):
         for r in simhash_candidates(_docs(spark), "doc_id", max_hamming=10).collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
+
+
+def test_simhash_portable_matches_python_reimplementation(spark):
+    # independent oracle: recompute the portable fingerprint (md5 60-bit token
+    # hashes + per-bit majority) in pure Python and compare bit-for-bit —
+    # pins the Arrow kernel's sign rule and the md5 hex-prefix convention
+    import hashlib
+    import re
+
+    def py_simhash(text: str) -> int:
+        tokens = re.split(r"\s+", text.strip()) if text.strip() else [""]
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in tokens]
+        bits = 0
+        for b in range(64):
+            if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+                bits |= 1 << b
+        return bits
+
+    rows = _docs(spark).select("doc_id", simhash(F.col("text"), portable=True).alias("sh")).collect()
+    expected = {doc_id: py_simhash(text) for doc_id, text in DOCS}
+    assert {r["doc_id"]: r["sh"] for r in rows} == expected
+
+
+def test_simhash_portable_same_structure_as_default(spark):
+    # both hash families agree on the structure: exact dups identical, near
+    # dups close, unrelated docs far
+    for portable in (False, True):
+        sh = {
+            r["doc_id"]: r["sh"]
+            for r in _docs(spark).select("doc_id", simhash(F.col("text"), portable).alias("sh")).collect()
+        }
+        df = spark.createDataFrame([(k, v) for k, v in sh.items()], "doc_id long, sh long")
+        d = {
+            (r["a"], r["b"]): r["h"]
+            for r in df.alias("x").join(df.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+                    hamming64(F.col("x.sh"), F.col("y.sh")).alias("h"))
+            .collect()
+        }
+        assert d[(1, 2)] == 0            # exact duplicate
+        assert d[(1, 3)] <= 6            # near duplicate (one word differs)
+        assert d[(1, 4)] > 10            # unrelated

@@ -1,0 +1,60 @@
+"""Regex dialect guard (VERDICT round-1 item 7): patterns are vetted at PLAN
+BUILD, so a Python-valid/Java-invalid or Rust-unsupported pattern emits
+per-document ``invalid_regex`` violations (reference behavior for a failed
+``Regex::new``, string.rs:99-102) instead of throwing inside an executor."""
+
+import pytest
+
+from json_schema_rs_spark import TableSpec, ValidationEngine
+from json_schema_rs_spark.compile import compiled_pattern
+from json_schema_rs_spark.spec import string_field
+
+
+def test_python_named_group_translates_to_java():
+    # `(?P<x>...)` compiled under Python re but crashed Java rlike (round-1 gap)
+    assert compiled_pattern(r"(?P<x>ab)+", parity=False) == r"(?<x>ab)+"
+    assert compiled_pattern(r"(?P<x>a)(?P=x)", parity=False) == r"(?<x>a)\k<x>"
+
+
+def test_rust_unsupported_constructs_rejected_in_parity():
+    # Rust regex 0.2 has no lookaround or backreferences — the reference's
+    # Regex::new errors, so parity mode must route these to invalid_regex
+    for pat in (r"a(?=b)", r"a(?!b)", r"(?<=a)b", r"(?<!a)b", r"(a)\1", r"(?P<x>a)(?P=x)"):
+        assert compiled_pattern(pat, parity=True) is None, pat
+        assert compiled_pattern(pat, parity=False) is not None, pat  # strict mode executes them
+
+
+def test_escaped_specials_not_misflagged():
+    # literal `\\1` (escaped backslash + digit) is not a backreference
+    assert compiled_pattern(r"a\\1", parity=True) is not None
+    assert compiled_pattern(r"price \(\?=\d+\)", parity=True) is not None
+
+
+def test_python_invalid_pattern_rejected_both_modes():
+    assert compiled_pattern(r"a[", parity=True) is None
+    assert compiled_pattern(r"a[", parity=False) is None
+
+
+def test_named_group_pattern_validates_without_executor_error(spark):
+    # end-to-end: the translated pattern executes fine under rlike
+    spec = TableSpec(reference_parity=False).add_field(
+        string_field("s").with_pattern(r"(?P<word>ab)+")
+    )
+    df = spark.createDataFrame([(1, "abab"), (2, "zz")], "k long, s string")
+    res = ValidationEngine(spec, key_cols=["k"]).validate(df)
+    verdicts = {r["row_key"]: r["passed"] for r in res.annotated.collect()}
+    assert verdicts == {"1": True, "2": False}
+
+
+def test_lookahead_emits_invalid_regex_in_parity(spark):
+    spec = TableSpec(reference_parity=True).add_field(
+        string_field("s").with_pattern(r"a(?=b)")
+    )
+    df = spark.createDataFrame([(1, "ab"), (2, "ac")], "k long, s string")
+    res = ValidationEngine(spec, key_cols=["k"]).validate(df)
+    viols = [tuple(r) for r in res.violations.orderBy("row_key").collect()]
+    # EVERY document gets the invalid_regex violation (string.rs:99-102)
+    assert viols == [
+        ("1", "invalid_regex:s", "a(?=b)"),
+        ("2", "invalid_regex:s", "a(?=b)"),
+    ]

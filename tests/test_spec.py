@@ -77,3 +77,50 @@ def test_spec_hash_stable_and_sensitive():
     c = TableSpec().add_field(string_field("s").with_length(1, 6))
     assert spec_hash(a) == spec_hash(b)
     assert spec_hash(a) != spec_hash(c)
+
+
+SPEC_JSON = """
+{"fields": {
+    "commit": {"type": "string", "pattern": "^[0-9a-f]{40}$", "required": true},
+    "lang": {"type": "string", "enum": ["rust", "go"]},
+    "n": {"type": "number", "minimum": 0, "maximum": 10, "exclusiveMaximum": true},
+    "xs": {"type": "array", "minItems": 1, "uniqueItems": true, "items": {"type": "integer"}},
+    "tup": {"type": "array", "items": [{"type": "integer"}, {"type": "string"}]},
+    "obj": {"type": "object", "required": ["a"], "selfRequired": true,
+            "properties": {"a": {"type": "string", "minLength": 1}},
+            "patternProperties": {"^x_": {"type": "number"}},
+            "minProperties": 1, "maxProperties": 9}
+},
+"uniqueKeys": [["repo", "path", "commit"]],
+"referential": [{"column": "repo", "dimTable": "repos", "dimColumn": "repo"}],
+"drift": [{"column": "n", "bucketEdges": [1.0, 2.0], "baseline": [0.2, 0.3, 0.5]}]}
+"""
+
+
+def test_to_json_roundtrip_identity():
+    # VERDICT round-1 item 9: spec_from_json(spec.to_json()) must be identity
+    # (to_json emits the documented camelCase shape, not asdict's snake_case)
+    spec = spec_from_json(SPEC_JSON)
+    again = spec_from_json(spec.to_json())
+    assert again == spec
+    assert again.to_json() == spec.to_json()          # fixed point
+    assert spec_hash(again) == spec_hash(spec)
+    # bool-required round-trips both standalone and next to a required list
+    assert again.fields["commit"].required is True
+    assert again.fields["obj"].required is True
+    assert again.fields["obj"].required_props == ["a"]
+
+
+def test_to_json_roundtrip_builder_spec():
+    ts = (
+        TableSpec()
+        .add_field(string_field("path").with_required().with_length(1, 4096))
+        .add_field(number_field("score").with_range(0.0, 1.0, exclusive_maximum=True))
+        .add_unique_key("repo", "path")
+    )
+    rt = spec_from_json(ts.to_json())
+    assert rt.fields["path"].required is True
+    assert rt.fields["path"].max_length == 4096
+    assert rt.fields["score"].exclusive_maximum is True
+    assert rt.unique_keys[0].columns == ["repo", "path"]
+    assert rt == spec_from_json(rt.to_json())

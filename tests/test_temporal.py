@@ -83,3 +83,47 @@ def test_asof_plan_is_single_window_no_range_join(trades, quotes):
     plan = asof_join(trades, quotes, on="user_id")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_empty_value_cols_raises(spark, trades):
+    bare = spark.createDataFrame([(100, _ts(0))], "user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="value columns"):
+        asof_join(trades, bare, on="user_id")
+
+
+def test_asof_deterministic_under_repartition(trades, quotes):
+    # round-1 advice: monotonically_increasing_id across two plan branches
+    # could mis-join under reshuffles/AQE; the rewrite carries the left
+    # payload through the union, so any input partitioning gives one answer
+    base = sorted(
+        tuple(r) for r in asof_join(trades, quotes, on="user_id", value_cols=["value"]).collect()
+    )
+    for n in (1, 3, 7):
+        got = sorted(
+            tuple(r)
+            for r in asof_join(
+                trades.repartition(n), quotes.repartition(max(1, 8 - n)), on="user_id", value_cols=["value"]
+            ).collect()
+        )
+        assert got == base
+
+
+def test_asof_single_exchange_on_key_only(trades, quotes):
+    # the whole as-of join is: union → ONE hash Exchange on the key → window.
+    # No row-id re-join, no (key, ts) dedup shuffle.
+    plan = asof_join(trades, quotes, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_sessionize_duration_us_exact(spark):
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1, 0, 0, 0, 250)  # sub-second µs offsets
+    ev = spark.createDataFrame(
+        [(1, 1, base), (2, 1, base + timedelta(seconds=600, microseconds=125))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    row = session_stats(ev, gap_minutes=30).collect()[0]
+    assert row["duration_us"] == 600_000_125          # exact integer micros
+    assert row["duration_sec"] == 600_000_125 / 1e6   # derived double

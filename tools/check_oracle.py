@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
@@ -23,14 +24,20 @@ SF_DIR = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+STRICT = os.environ.get("ORACLE_STRICT", "1") != "0"
+
+
 def _norm(v):
     if v is None:
         return "␀"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # canonical float formatting (driver-style value hash tolerance)
-        return repr(round(v, 9))
+        # STRICT (default): exact float repr — mirrors the driver's value
+        # hash, which is bit-exact (a last-ulp mismatch failed sessionize in
+        # round 1 while the old round-9 tolerance here passed it).  Set
+        # ORACLE_STRICT=0 for the loose mode when triaging.
+        return repr(v) if STRICT else repr(round(v, 9))
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)
