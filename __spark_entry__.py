@@ -635,6 +635,74 @@ def q_json_props_validate(spark, sf_dir):
              F.col("v.observed_value").alias("observed_value"))
 
 
+def _verified_pairs(spark, sf_dir):
+    """Shared stage: MinHash-LSH candidates verified at Jaccard ≥ 0.3
+    (portable hashes so every stage replays in the oracle)."""
+    from json_schema_rs_spark.operators.dedup import jaccard_verify, minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", k=5, num_hashes=8, bands=4, portable=True, max_bucket=10**9
+    )
+    return docs, jaccard_verify(docs, pairs, "doc_id", k=5, threshold=0.3)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    # pairs → transitive closure → (doc_id, cluster_id = min reachable id):
+    # the cluster-resolution stage of a full dedup pipeline (Lee et al. 2022)
+    from json_schema_rs_spark.operators.clusters import connected_components
+
+    _, verified = _verified_pairs(spark, sf_dir)
+    cc = connected_components(verified, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def q_dedup_keep_docs(spark, sf_dir):
+    # canonical selection: every doc survives except non-canonical cluster
+    # members (doc != cluster min) — the corpus after near-dup pruning
+    from json_schema_rs_spark.operators.clusters import canonical_keep, connected_components
+
+    docs, verified = _verified_pairs(spark, sf_dir)
+    cc = connected_components(verified, "id_a", "id_b")
+    return canonical_keep(docs, "doc_id", cc).select("doc_id")
+
+
+def q_text_repetition(spark, sf_dir):
+    # Gopher-style repetition filters (Rae et al. 2021 §A.1.1)
+    from json_schema_rs_spark.operators.text import repetition_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_profile(docs, "doc_id", ngram_n=2)
+
+
+def q_crossdoc_ngram_share(spark, sf_dir):
+    # cross-document duplication at 3-gram granularity (Lee et al. 2022)
+    from json_schema_rs_spark.operators.text import crossdoc_ngram_share
+
+    docs = _t(spark, sf_dir, "documents")
+    return crossdoc_ngram_share(docs, "doc_id", n=3)
+
+
+def q_sample_stratified(spark, sf_dir):
+    # deterministic per-language mixture sampling — same sample at any
+    # cluster size / partitioning (md5-derived uniform, oracle-replayable)
+    from json_schema_rs_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.1}, id_col="doc_id", salt="strat"
+    )
+    return kept.select("doc_id", "lang")
+
+
+def q_hash_split_docs(spark, sf_dir):
+    # stable train/val/test assignment — membership survives re-runs
+    from json_schema_rs_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -688,6 +756,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_click_purchase": q_intersect_click_purchase,
         "conditional_agg_orders": q_conditional_agg_orders,
         "having_big_customers": q_having_big_customers,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_docs": q_dedup_keep_docs,
+        "text_repetition": q_text_repetition,
+        "crossdoc_ngram_share": q_crossdoc_ngram_share,
+        "sample_stratified": q_sample_stratified,
+        "hash_split_docs": q_hash_split_docs,
     }
 
 
@@ -847,6 +921,60 @@ def _format_checks_oracle() -> str:
                  ([{dt_list}])[(doc_id % {len(_DT_CANDIDATES)})::INT + 1] AS dt
           FROM documents)
     """
+
+
+# Jaccard-verified pairs (threshold 0.3) on top of the minhash band CTEs —
+# the shared front half of the cluster-resolution oracles.  ``vp`` is the
+# verified pair set; ``reach``/``lbl`` are the transitive-closure labels
+# (min reachable doc_id), mirroring operators/clusters.connected_components.
+_VERIFIED_PAIRS = _MINHASH_BANDS + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                                          i -> substr(text, i, 5))) AS sh
+      FROM documents),
+    vp AS (
+      SELECT p.id_a, p.id_b
+      FROM cand p JOIN shl a ON a.doc_id = p.id_a JOIN shl b ON b.doc_id = p.id_b
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3)
+"""
+
+_CLUSTER_LABELS = _MINHASH_SIG.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1) + _VERIFIED_PAIRS + """
+    , nodes AS (SELECT id_a AS n FROM vp UNION SELECT id_b FROM vp),
+    edges AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n),
+    lbl AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
+"""
+
+_PORTABLE_UNIFORM = (
+    "(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT)::DOUBLE"
+    " / 4503599627370496.0"
+)
+
+
+def _hash_split_oracle(weights=None, salt="split") -> str:
+    """Replays operators/sampling.hash_split EXACTLY, including the Python
+    float accumulation of the interval breakpoints (0.8 + 0.1 is
+    0.9000000000000001, not 0.9 — the oracle must use the same double)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    u = _PORTABLE_UNIFORM.format(salt=salt)
+    names = list(weights)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cases.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    return (
+        f"SELECT doc_id, CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split "
+        "FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1250,4 +1378,62 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'purchase'
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
+        "dedup_clusters": _CLUSTER_LABELS + """
+            SELECT n AS doc_id, cluster_id FROM lbl
+        """,
+        "dedup_keep_docs": _CLUSTER_LABELS + """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT n FROM lbl WHERE n != cluster_id)
+        """,
+        "text_repetition": r"""
+            WITH words AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents WHERE text IS NOT NULL),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+            ws AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
+                          max(c) AS top_w
+                   FROM wc GROUP BY doc_id),
+            garr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wa
+                     FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(wa) - 1, 1)),
+                                           i -> array_to_string(wa[i:i+1], ' '))) AS g
+              FROM garr),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+            gs AS (SELECT doc_id, sum(c) AS n_g, max(c) AS top_g FROM gc GROUP BY doc_id)
+            SELECT ws.doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+                   round(1.0 - n_distinct_words::DOUBLE / n_words, 6) AS dup_word_frac,
+                   round(top_w::DOUBLE / n_words, 6) AS top_word_frac,
+                   round(top_g::DOUBLE / n_g, 6) AS top_ngram_frac
+            FROM ws JOIN gs ON ws.doc_id = gs.doc_id
+        """,
+        "crossdoc_ngram_share": r"""
+            WITH wa AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wa
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       list_transform(generate_series(1, greatest(len(wa) - 2, 1)),
+                                      i -> array_to_string(wa[i:i+2], ' ')))) AS g
+              FROM wa),
+            gc AS (SELECT g, count(*) AS nd FROM grams GROUP BY g),
+            per AS (
+              SELECT doc_id, count(*) AS n_ngrams,
+                     sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+              FROM grams JOIN gc USING (g) GROUP BY doc_id)
+            SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+                   CAST(n_shared AS BIGINT) AS n_shared,
+                   round(n_shared::DOUBLE / n_ngrams, 6) AS shared_frac
+            FROM per
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_PORTABLE_UNIFORM.format(salt="strat")}
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                              WHEN 'fr' THEN 0.1 ELSE 0.0 END
+        """,
+        "hash_split_docs": _hash_split_oracle(),
     }

@@ -1,0 +1,109 @@
+"""Duplicate-cluster resolution: connected components over near-duplicate
+pairs, and canonical-document selection.
+
+The dedup family (MinHash/SimHash/embedding-LSH, operators/dedup.py and
+operators/similarity.py) emits PAIRS; an actually-usable dedup pass needs
+CLUSTERS (the transitive closure of the pair relation) and ONE kept
+representative per cluster — the pipeline shape of Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" (ACL 2022).
+No reference counterpart (the reference validates single documents,
+src/lib.rs); this is a north-star dataset-scope addition.
+
+Spark has no built-in connected components and GraphFrames is not in this
+container, so the closure is min-label propagation expressed as DataFrame
+joins:
+
+    label(v)  <-  min(label(v), min over edges (u,v) of label(u))
+
+iterated to fixpoint.  Each iteration is one join + one groupBy (two key
+shuffles); the iteration count is the graph diameter, which for near-dup
+graphs is tiny — LSH clusters are near-cliques, so 2-4 rounds converge.
+``localCheckpoint`` after every round truncates the lineage: without it,
+round k re-analyzes a 2k-join plan tree (quadratic driver-side planning, and
+a real stack-overflow risk past ~50 rounds).
+
+Scale notes (10^9+ edges): min-label propagation shuffles the full edge list
+every round and a giant component makes its label's reducer hot.  At that
+scale switch to alternating large-star/small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — O(log²n) rounds,
+per-round volume bounded by edge rewriting.  For near-dup graphs the
+hot-bucket guard in ``minhash_lsh_candidates`` (max_bucket) already bounds
+component sizes, so the simple propagation is the right default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Cluster labels for every node appearing in ``pairs``:
+    ``(node, cluster_id)`` where ``cluster_id`` is the MINIMUM node id
+    reachable through the pair relation (undirected).  Deterministic for any
+    input order.
+
+    ``max_iter`` bounds the loop (propagation moves labels one hop per
+    round, so it must be ≥ the component diameter; 25 covers any realistic
+    near-dup graph).  Raises ``RuntimeError`` if the fixpoint is not reached
+    — silent truncation would emit WRONG clusters.
+
+    ``truncate_lineage`` localCheckpoints each round (eager).  On a real
+    cluster prefer ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint``
+    for fault-tolerant truncation; localCheckpoint trades lineage for
+    executor-loss resilience.
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(max_iter):
+        # best label offered to each node by its neighbours this round
+        offered = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("label").alias("nbr_label"))
+            .groupBy("node")
+            .agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        merged = labels.join(offered, "node", "left")
+        new_labels = merged.select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            (F.coalesce("nbr_label", F.col("label")) < F.col("label")).cast("long").alias("__chg"),
+        )
+        if truncate_lineage:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
+        labels = new_labels.drop("__chg")
+        if n_changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (component diameter exceeds it)"
+    )
+
+
+def canonical_keep(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Rows of ``df`` that SURVIVE dedup: everything except non-canonical
+    cluster members (node != cluster min).  Broadcast-anti-join shaped when
+    the loser set is small relative to the corpus — which it is by
+    construction (losers ≤ nodes in pairs ≪ corpus at real dup rates)."""
+    losers = clusters.filter(F.col(node_col) != F.col(cluster_col)).select(
+        F.col(node_col).alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

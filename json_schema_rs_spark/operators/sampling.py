@@ -1,0 +1,78 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+No reference counterpart (per-document validation has no sampling notion);
+these are the reproducibility primitives a 100 TB curation pass needs:
+every keep/drop decision is a pure function of (salt, row id), so
+
+  * re-runs, retries, and different cluster sizes produce THE SAME sample
+    (``df.sample`` is seeded per-partition — repartitioning changes it);
+  * train/val/test membership is stable forever (no leakage when the corpus
+    is re-processed);
+  * the decision is expressible in ANSI SQL, so the oracle gate replays it
+    bit-for-bit (same md5-derived uniform as the portable MinHash path,
+    operators/dedup.py).
+
+All pure Column expressions — the hash fuses into the scan projection, a
+sample is filter-pushdown-friendly, and nothing shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 16^13 — the uniform's denominator.  13 hex digits = 52 bits, which a
+#: double represents EXACTLY, so u is identical in any engine that can hash
+#: md5 and divide (DuckDB oracle: ('0x'||substr(md5(..),1,13))::BIGINT).
+_DENOM = float(16**13)
+
+
+def uniform_hash(col: Column, salt: str = "u") -> Column:
+    """Deterministic uniform in [0, 1): first 52 bits of
+    ``md5(salt ':' value)`` as an exact double.  Collision-free enough for
+    rate decisions; NOT a crypto stream."""
+    h = F.substring(F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, 13)
+    return F.conv(h, 16, 10).cast("double") / F.lit(_DENOM)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    salt: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by the row's
+    deterministic uniform — per-language mixture weighting (e.g. upweight
+    low-resource languages) without a shuffle or a random source.
+
+    Unknown strata get ``default_rate`` (0.0 = drop: an allowlist)."""
+    mapping = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    rate = F.coalesce(mapping[F.col(strata_col)], F.lit(float(default_rate)))
+    return df.filter(uniform_hash(F.col(id_col), salt) < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a stable split label by cumulative-weight intervals
+    over the deterministic uniform (default 80/10/10 train/val/test).
+    Membership never changes across runs, engines, or cluster sizes."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    u = uniform_hash(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

@@ -125,6 +125,104 @@ def fingerprint(col: Column) -> Column:
     return F.sha2(normalized, 256)
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """All word ``n``-grams (space-joined, NOT distinct), as array<string>.
+    Texts shorter than ``n`` words yield one truncated gram (whole text) —
+    mirrors :func:`word_shingles`'s short-input rule."""
+    words = F.split(F.trim(col), r"\s+")
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), cnt), lambda i: F.array_join(F.slice(words, i, n), " "))
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str = "text", ngram_n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", §A.1.1 repetition filters):
+
+      * ``dup_word_frac``   — 1 − distinct words / total words
+      * ``top_word_frac``   — occurrences of the most frequent word / total
+      * ``top_ngram_frac``  — occurrences of the most frequent word n-gram /
+                              total n-grams (default bigram)
+
+    Implemented as explode → (doc, term) count → per-doc aggregate: one
+    shuffle per granularity, both keyed on ``id_col`` at the end so the
+    final join is co-partitioned.  NEVER per-doc O(words²) Column loops —
+    ``array_max(transform(...filter...))`` would be quadratic per document
+    and melts on 64 kB documents.  Null texts are dropped (no tokens).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    )
+    wstats = (
+        words.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("__top_w"),
+        )
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("g")
+    )
+    gstats = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("__n_g"), F.max("c").alias("__top_g"))
+    )
+    return (
+        wstats.join(gstats, id_col)
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            F.round(1.0 - F.col("n_distinct_words") / F.col("n_words"), 6).alias("dup_word_frac"),
+            F.round(F.col("__top_w") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(F.col("__top_g") / F.col("__n_g"), 6).alias("top_ngram_frac"),
+        )
+    )
+
+
+def crossdoc_ngram_share(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """CROSS-document duplication: per document, the fraction of its distinct
+    word ``n``-grams that also occur in at least one OTHER document — the
+    corpus-level signal behind exact-substring dedup (Lee et al., ACL 2022),
+    at n-gram granularity so it stays a join, not a suffix array.
+
+    Plan: distinct-gram explode → gram→doc-count aggregate (one shuffle on
+    the gram) → join back on the gram → per-doc aggregate (one shuffle on
+    the doc).  At 100 TB the gram key is skewed (boilerplate n-grams appear
+    in millions of docs) — the count side is pre-aggregated so the join's
+    build side is one row per gram, and AQE skew-join splits the probe;
+    ``spark.sql.adaptive.skewJoin`` stays on in session defaults.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    gram_docs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        grams.join(gram_docs, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_ngrams"), 6).alias("shared_frac"),
+        )
+    )
+
+
 def staged_quality(df: DataFrame, text_col: str = "text",
                    out_col: str = "quality") -> DataFrame:
     """Quality score with the base counts materialized once (one regex pass

@@ -173,6 +173,15 @@ def array_field(name: str = "", **kw) -> FieldSpec:
     return FieldSpec(name=name, type="array", **kw)
 
 
+def object_field(name: str = "", *, additional_properties: bool = True, **kw) -> FieldSpec:
+    """Object builder.  Mirrors the reference's BUILDER default
+    ``additional_properties: true`` (object.rs:190), which differs from the
+    PARSED-schema default ``false`` (object.rs:30-32) — the one place the two
+    construction paths disagree in the reference.  ``spec_from_json`` keeps
+    the parsed default; this helper keeps the builder default."""
+    return FieldSpec(name=name, type="object", additional_properties=additional_properties, **kw)
+
+
 def empty_field(name: str = "") -> FieldSpec:
     """The Empty schema: `{}` accepts everything (reference: schema.rs:49-63)."""
     return FieldSpec(name=name, type="empty")

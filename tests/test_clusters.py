@@ -1,0 +1,46 @@
+"""Connected-components / canonical-keep tests (operators/clusters.py)."""
+
+import pytest
+
+from json_schema_rs_spark.operators.clusters import canonical_keep, connected_components
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    rows = connected_components(df).collect()
+    return {r["node"]: r["cluster_id"] for r in rows}
+
+
+def test_two_components(spark):
+    labels = _cc(spark, [(1, 2), (2, 3), (5, 6)])
+    assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_chain_diameter(spark):
+    # a long chain needs diameter-many propagation rounds, entered backwards
+    # so labels must flow the "hard" direction
+    chain = [(i + 1, i) for i in range(8)]
+    labels = _cc(spark, chain)
+    assert set(labels.values()) == {0}
+    assert len(labels) == 9
+
+
+def test_clique_and_singletons_absent(spark):
+    # nodes that appear in no pair are not emitted (callers anti-join)
+    labels = _cc(spark, [(10, 11), (11, 12), (10, 12)])
+    assert labels == {10: 10, 11: 10, 12: 10}
+
+
+def test_non_convergence_raises(spark):
+    df = spark.createDataFrame([(i + 1, i) for i in range(6)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_canonical_keep(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (4, 5)], ["id_a", "id_b"])
+    cc = connected_components(pairs)
+    kept = sorted(r["doc_id"] for r in canonical_keep(docs, "doc_id", cc).collect())
+    # losers 2 and 5 pruned; untouched docs 0 and 3 survive
+    assert kept == [0, 1, 3, 4]

@@ -1,0 +1,58 @@
+"""Deterministic sampling/splitting tests (operators/sampling.py)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+    uniform_hash,
+)
+
+
+def _py_uniform(salt: str, value) -> float:
+    h = hashlib.md5(f"{salt}:{value}".encode()).hexdigest()[:13]
+    return int(h, 16) / float(16**13)
+
+
+def test_uniform_matches_python_reimplementation(spark):
+    df = spark.range(50).select(F.col("id"), uniform_hash(F.col("id"), "u").alias("u"))
+    for r in df.collect():
+        assert r["u"] == _py_uniform("u", r["id"])
+
+
+def test_uniform_is_partitioning_invariant(spark):
+    base = spark.range(200)
+    a = {r["id"]: r["u"] for r in base.select("id", uniform_hash(F.col("id")).alias("u")).collect()}
+    b = {
+        r["id"]: r["u"]
+        for r in base.repartition(7).select("id", uniform_hash(F.col("id")).alias("u")).collect()
+    }
+    assert a == b
+
+
+def test_stratified_rates_and_determinism(spark):
+    df = spark.range(2000).select(
+        F.col("id"), F.when(F.col("id") % 2 == 0, "en").otherwise("xx").alias("lang")
+    )
+    kept1 = stratified_sample(df, "lang", {"en": 0.5}, id_col="id")
+    kept2 = stratified_sample(df.repartition(13), "lang", {"en": 0.5}, id_col="id")
+    ids1 = sorted(r["id"] for r in kept1.collect())
+    ids2 = sorted(r["id"] for r in kept2.collect())
+    assert ids1 == ids2                       # same sample at any partitioning
+    assert all(i % 2 == 0 for i in ids1)      # unknown strata dropped (rate 0)
+    assert 0.4 < len(ids1) / 1000 < 0.6       # ~50% of the 1000 'en' rows
+
+
+def test_hash_split_partitions_everything_once(spark):
+    df = spark.range(1000)
+    out = hash_split(df, "id").groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert sum(counts.values()) == 1000
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stable across runs
+    again = {r["id"]: r["split"] for r in hash_split(df, "id").collect()}
+    first = {r["id"]: r["split"] for r in hash_split(df.repartition(9), "id").collect()}
+    assert again == first

@@ -8,6 +8,7 @@ from json_schema_rs_spark.spec import (
     array_field,
     integer_field,
     number_field,
+    object_field,
     spec_from_json,
     spec_hash,
     string_field,
@@ -17,6 +18,14 @@ from json_schema_rs_spark.spec import (
 def test_builder_chain():
     f = string_field("path").with_required().with_length(1, 4096).with_pattern(r"^\S+$")
     assert f.required and f.min_length == 1 and f.max_length == 4096
+
+
+def test_object_builder_vs_parsed_additional_properties_default():
+    # Reference parity: ObjectSchemaBuilder defaults additional_properties=true
+    # (object.rs:190) while a parsed schema defaults false (object.rs:30-32).
+    assert object_field("o").additional_properties is True
+    parsed = spec_from_json('{"fields": {"o": {"type": "object"}}}')
+    assert parsed.fields["o"].additional_properties is False
 
 
 def test_unknown_type_rejected():

@@ -68,3 +68,41 @@ def test_text_profile_one_pass(spark):
     assert "Exchange" not in plan
     row = prof.limit(1).collect()[0]
     assert row["n_tokens"] > 0 and len(row["fingerprint"]) == 64
+
+
+def test_repetition_profile_hand_computed(spark):
+    from json_schema_rs_spark.operators.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b"),          # words: 4 total, 2 distinct, top 'a'=3
+                                     # bigrams: "a a","a a","a b" → top 2/3
+            (1, "x y z"),            # no repetition at all
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_profile(docs, "doc_id").collect()}
+    r0 = out[0]
+    assert r0["n_words"] == 4 and r0["n_distinct_words"] == 2
+    assert r0["dup_word_frac"] == 0.5
+    assert r0["top_word_frac"] == 0.75
+    assert r0["top_ngram_frac"] == round(2 / 3, 6)
+    r1 = out[1]
+    assert r1["dup_word_frac"] == 0.0 and r1["top_word_frac"] == round(1 / 3, 6)
+
+
+def test_crossdoc_ngram_share_hand_computed(spark):
+    from json_schema_rs_spark.operators.text import crossdoc_ngram_share
+
+    docs = spark.createDataFrame(
+        [
+            (0, "p q r s"),     # 3-grams: "p q r", "q r s"
+            (1, "p q r t"),     # 3-grams: "p q r", "q r t"  → shares "p q r"
+            (2, "u v w"),       # 3-gram: "u v w" — shares nothing
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in crossdoc_ngram_share(docs, "doc_id", n=3).collect()}
+    assert out[0]["n_ngrams"] == 2 and out[0]["n_shared"] == 1 and out[0]["shared_frac"] == 0.5
+    assert out[1]["n_shared"] == 1
+    assert out[2]["n_shared"] == 0 and out[2]["shared_frac"] == 0.0
