@@ -2,17 +2,26 @@
 (reference: src/array.rs:102-123, an O(n²) pairwise scan over one in-memory
 array) lifted to table scope as a distributed aggregate.
 
-Executed as a **salted two-phase hash-aggregate** (north_rule):
+Executed **hash-first** (north_rule: shuffle bytes are THE cost at 100 TB):
 
-  phase 1: groupBy(key, salt).count()   — salt = pmod(xxhash64(whole row), S)
-           spreads a pathologically hot key across S reducers, bounding any
-           single reducer's input even when one (repo,path) dominates;
-  phase 2: groupBy(key).sum(partial)    — combines the ≤S partials per key.
+  phase 1: groupBy(xxhash64(key), salt).count() → groupBy(hash).sum()
+           — the shuffle carries an 8-byte hash + salt instead of the full
+           key tuple (~100 bytes for (repo, path, commit)), a ~10× shuffle-
+           volume reduction.  salt = pmod(xxhash64(row), S) spreads a
+           pathologically hot key across S reducers, bounding any single
+           reducer's input even when one (repo, path) dominates.
+  phase 2: the "hot" hash set (count > 1) is TINY (true duplicates + 64-bit
+           birthday collisions); broadcast-semi-join the input on it and
+           re-aggregate the REAL key columns.  This keeps the result EXACT:
+           two distinct keys sharing a hash separate here, and the cnt > 1
+           filter is re-applied on real keys.
 
-Spark's map-side partial aggregation already combines within a task; the salt
-guards the reduce side.  AQE skew handling is on as a second line of defense
-(session.py).  At 100 TB the phase-1 output is ≤ |distinct keys| × S rows of
-(key, count) — tiny relative to the input — so phase 2 is cheap.
+The cost is a second scan of the key columns (pruned + broadcast-filtered —
+cheap against a columnar source), bought against shuffling every key string.
+``via_hash=False`` keeps the direct one-scan salted aggregate for narrow
+keys where the hash buys nothing.  Map-side partial aggregation combines
+within a task in both modes; AQE skew handling stays on as a second line of
+defense (session.py).
 """
 
 from __future__ import annotations
@@ -23,20 +32,50 @@ from pyspark.sql import functions as F
 from json_schema_rs_spark.spec import UniqueKeySpec
 
 
-def duplicate_keys(df: DataFrame, columns: list[str], salt_buckets: int = 64) -> DataFrame:
+def duplicate_keys(
+    df: DataFrame,
+    columns: list[str],
+    salt_buckets: int = 64,
+    via_hash: bool = True,
+) -> DataFrame:
     """Keys occurring more than once, with their total count.
 
-    Returns ``columns... , cnt:long`` — one row per duplicated key.
+    Returns ``columns... , cnt:long`` — one row per duplicated key.  Exact in
+    both modes (hash collisions are resolved by the phase-2 re-aggregation
+    over the real key columns).
     """
     key = [F.col(c) for c in columns]
-    salt = F.pmod(F.xxhash64(*key), F.lit(salt_buckets)).alias("__salt")
-    partial = (
-        df.select(*key, salt)
-        .groupBy(*columns, "__salt")
+    # salt must vary WITHIN a key group to spread a hot key across reducers —
+    # derive it from the whole row (a key-derived salt maps every occurrence
+    # of a hot key to one bucket, spreading nothing)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
+    ).alias("__salt")
+    if not via_hash:
+        partial = (
+            df.select(*key, salt)
+            .groupBy(*columns, "__salt")
+            .agg(F.count(F.lit(1)).alias("__partial_cnt"))
+        )
+        total = partial.groupBy(*columns).agg(F.sum("__partial_cnt").alias("cnt"))
+        return total.filter(F.col("cnt") > 1)
+
+    h = F.xxhash64(*key).alias("__kh")
+    hot = (
+        df.select(h, salt)
+        .groupBy("__kh", "__salt")
         .agg(F.count(F.lit(1)).alias("__partial_cnt"))
+        .groupBy("__kh")
+        .agg(F.sum("__partial_cnt").alias("__hcnt"))
+        .filter(F.col("__hcnt") > 1)
+        .select("__kh")
     )
-    total = partial.groupBy(*columns).agg(F.sum("__partial_cnt").alias("cnt"))
-    return total.filter(F.col("cnt") > 1)
+    suspects = df.select(*key, h).join(F.broadcast(hot), "__kh")
+    return (
+        suspects.groupBy(*columns)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
 
 
 def unique_key_violations(df: DataFrame, spec: UniqueKeySpec) -> DataFrame:

@@ -107,3 +107,19 @@ def test_table_ref_routing_and_mode_validation(spark, tmp_path):
     assert read_table(spark, out).count() == df.count()
     with pytest.raises(ValueError, match="unsupported parquet write mode"):
         write_table(df, out, mode="createOrReplace")
+
+
+def test_duplicate_keys_hash_and_direct_agree(spark):
+    # hash-first (8-byte shuffle + hot-hash verify) must be EXACTLY the
+    # direct salted aggregate, including multi-column keys and counts
+    rows = [("r1", "a"), ("r1", "a"), ("r1", "a"), ("r2", "b"), ("r2", "c"), ("r3", "b")]
+    df = spark.createDataFrame(rows, ["repo", "path"])
+    via_hash = {
+        tuple(r[c] for c in ("repo", "path")): r["cnt"]
+        for r in duplicate_keys(df, ["repo", "path"], via_hash=True).collect()
+    }
+    direct = {
+        tuple(r[c] for c in ("repo", "path")): r["cnt"]
+        for r in duplicate_keys(df, ["repo", "path"], via_hash=False).collect()
+    }
+    assert via_hash == direct == {("r1", "a"): 3}
