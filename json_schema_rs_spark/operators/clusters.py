@@ -98,12 +98,21 @@ def canonical_keep(
     clusters: DataFrame,
     node_col: str = "node",
     cluster_col: str = "cluster_id",
+    broadcast_losers: bool = True,
 ) -> DataFrame:
     """Rows of ``df`` that SURVIVE dedup: everything except non-canonical
-    cluster members (node != cluster min).  Broadcast-anti-join shaped when
-    the loser set is small relative to the corpus — which it is by
-    construction (losers ≤ nodes in pairs ≪ corpus at real dup rates)."""
+    cluster members (node != cluster min).
+
+    The loser side is broadcast by default: it is small relative to the
+    corpus by construction (losers ≤ nodes in pairs ≪ corpus at real dup
+    rates), but Spark can't see that — ``connected_components`` ends in a
+    localCheckpoint whose size statistics are unknown, so the planner would
+    fall back to a sort-merge anti-join that shuffles the ENTIRE corpus.
+    Set ``broadcast_losers=False`` only if the duplicate fraction is so
+    high the loser ids exceed driver/executor broadcast memory."""
     losers = clusters.filter(F.col(node_col) != F.col(cluster_col)).select(
         F.col(node_col).alias(id_col)
     )
+    if broadcast_losers:
+        losers = F.broadcast(losers)
     return df.join(losers, id_col, "left_anti")

@@ -64,7 +64,11 @@ def main() -> int:
             flags.append("BNLJ")
         if "BatchEvalPython" in plan:
             flags.append("ROW_PYTHON_UDF")
-        if "*(" not in plan:   # codegen stages render as "*(n)" prefixes
+        if "*(" not in plan and "EmptyRelation" not in plan:
+            # codegen stages render as "*(n)" prefixes; a plan AQE collapsed
+            # to EmptyRelation (empty-relation propagation — e.g. zero
+            # duplicate keys at this sf) executes nothing, so "no codegen"
+            # is vacuous there, not a red flag
             flags.append("NO_CODEGEN")
         if "SortMergeJoin" in plan and name not in SMJ_OK:
             flags.append("SMJ_UNEXPECTED")
