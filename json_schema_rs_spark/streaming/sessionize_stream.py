@@ -1,0 +1,136 @@
+"""Custom stateful streaming operator: cross-batch sessionization via
+``applyInPandasWithState`` — the streaming face of
+``operators/temporal.sessionize`` (no reference counterpart: the reference is
+a strictly-batch per-document validator, cli/src/main.rs:49-64).
+
+Semantics (mirrors the batch operator): per user, a new session starts when
+the gap since the previous event exceeds ``gap_minutes``; sessions get
+1-based ids in event-time order.  A session is EMITTED when it closes —
+either a later event opens the next session, or the group's idle
+processing-time timeout fires (the streaming stand-in for "no more events
+will arrive"; size it ≥ the gap so a session can't be closed early by the
+timeout while in-gap events are still possible).
+
+All gap arithmetic is exact integer microseconds (``unix_micros``), computed
+JVM-side before the Arrow boundary — only ``(user, ts_us)`` pairs cross into
+Python, never payloads, and the state per user is four longs.
+
+Out-of-order handling: within a micro-batch, events are sorted by event
+time; ACROSS batches an event older than the open session's last timestamp
+joins that session (it cannot re-open a closed one).  For strict event-time
+sessions under heavy disorder use the watermarked windowed path in
+``validate_stream.windowed_summary`` — this operator trades that for exact
+batch-parity session ids.
+
+Scale notes: the shuffle key is the user id; state is O(active users) and
+bounded by the idle timeout.  A single hot user serializes through one
+state partition — the same skew bound as the batch window, see
+operators/temporal.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+    ]
+)
+
+#: open session: (session_id, start_us, last_us, n_events)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _closed_row(user: int, sid: int, start: int, last: int, n: int) -> dict:
+    return {
+        "user_id": user,
+        "session_id": sid,
+        "start_us": start,
+        "end_us": last,
+        "n_events": n,
+        "duration_us": last - start,
+    }
+
+
+def _make_fn(gap_us: int, timeout_ms: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user = int(key[0])
+        if state.hasTimedOut:
+            # no events within the TTL: the open session is over — flush it
+            sid, start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([_closed_row(user, sid, start, last, n)])
+            return
+        ts = sorted(
+            int(t)
+            for pdf in pdfs
+            if not pdf.empty
+            for t in pdf["ts_us"].tolist()
+        )
+        if not ts:
+            return
+        sid, start, last, n = state.get if state.exists else (0, None, None, 0)
+        closed: list[dict] = []
+        for t in ts:
+            if start is None:  # no open session yet for this user
+                sid, start, last, n = sid + 1, t, t, 1
+            elif t - last > gap_us:
+                closed.append(_closed_row(user, sid, start, last, n))
+                sid, start, last, n = sid + 1, t, t, 1
+            else:  # in-gap; late (t < last) events join the open session
+                last, n = max(last, t), n + 1
+        state.update((sid, start, last, n))
+        state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return fn
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    idle_timeout_minutes: float = 60.0,
+) -> DataFrame:
+    """Streaming sessionization: emit one row per CLOSED session
+    ``(user_id, session_id, start_us, end_us, n_events, duration_us)``.
+    Session boundaries and durations match the batch
+    ``operators/temporal.session_stats`` for the same events."""
+    gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
+    timeout_ms = int(round(idle_timeout_minutes * 60.0 * 1000))
+    slim = stream_df.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        _make_fn(gap_us, timeout_ms),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

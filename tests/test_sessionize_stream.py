@@ -1,0 +1,98 @@
+"""Cross-batch stateful streaming sessionization (applyInPandasWithState):
+closed sessions match the batch operator's boundaries and exact-integer
+durations."""
+
+import json
+
+from json_schema_rs_spark.streaming.sessionize_stream import sessionize_stream
+
+
+def _write_batch(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_sessions_close_across_microbatches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: user 1 has two in-gap events; user 3 has a whole session that
+    # closes IN-batch (second event is 5000 s later than the first)
+    _write_batch(src / "b1.json", [
+        {"user_id": 1, "ts": "2024-01-01 00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01 00:00:10"},
+        {"user_id": 3, "ts": "2024-01-01 00:00:00"},
+        {"user_id": 3, "ts": "2024-01-01 01:30:00"},
+    ])
+    # batch 2: user 1 comes back 2000 s after the gap → closes session 1
+    _write_batch(src / "b2.json", [
+        {"user_id": 1, "ts": "2024-01-01 01:00:00"},
+    ])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = sessionize_stream(stream, gap_minutes=30.0)
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["session_id"]): r
+        for r in spark.sql("SELECT * FROM sess_t").collect()
+    }
+
+    # user 1 session 1: both batch-1 events, closed by the batch-2 event
+    s11 = rows[(1, 1)]
+    assert s11["n_events"] == 2
+    assert s11["duration_us"] == 10_000_000          # exact integer micros
+    # user 3 session 1: closed within batch 1 by the 90-min-later event
+    s31 = rows[(3, 1)]
+    assert s31["n_events"] == 1 and s31["duration_us"] == 0
+    # open sessions (user 1 session 2, user 3 session 2) are NOT emitted
+    assert (1, 2) not in rows and (3, 2) not in rows
+
+
+def test_late_event_joins_open_session(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src / "b1.json", [
+        {"user_id": 7, "ts": "2024-01-01 00:10:00"},
+    ])
+    # batch 2: a LATE event (before the open session's last ts) plus the
+    # gap-breaking event that closes the session
+    _write_batch(src / "b2.json", [
+        {"user_id": 7, "ts": "2024-01-01 00:05:00"},
+        {"user_id": 7, "ts": "2024-01-01 02:00:00"},
+    ])
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = sessionize_stream(stream, gap_minutes=30.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["session_id"]): r
+        for r in spark.sql("SELECT * FROM sess_late").collect()
+    }
+    s = rows[(7, 1)]
+    # the late 00:05 event joined the session but did not move its end back
+    assert s["n_events"] == 2
+    assert s["end_us"] - s["start_us"] == 0  # start stays 00:10 (state start)
