@@ -703,6 +703,35 @@ def q_hash_split_docs(spark, sf_dir):
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_curate_pipeline(spark, sf_dir):
+    """The full training-data curation pass as ONE composed plan — what a
+    user of the reference would actually run end-to-end:
+
+      near-dup dedup (MinHash-LSH -> Jaccard verify -> connected components
+      -> canonical keep) -> schema/constraint validity gate (the engine's
+      ``passed`` verdict) -> quality filter -> deterministic train/val/test
+      split -> per-(lang, split) corpus summary.
+
+    Every stage reuses an independently oracle-checked operator; summary
+    aggregates are integers only (counts, bigint char sums), so the result
+    is bit-stable under any partitioning or aggregation order."""
+    from json_schema_rs_spark.operators.clusters import canonical_keep, connected_components
+    from json_schema_rs_spark.operators.sampling import hash_split
+    from json_schema_rs_spark.operators.text import staged_quality
+
+    docs, verified = _verified_pairs(spark, sf_dir)
+    cc = connected_components(verified, "id_a", "id_b")
+    kept = canonical_keep(docs, "doc_id", cc)
+    valid = _doc_engine().annotate(kept).filter("passed").select(*docs.columns)
+    scored = staged_quality(valid, "text").filter(F.col("quality") >= 0.3)
+    split = hash_split(scored, "doc_id")
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.sum((F.col("quality") >= 0.5).cast("long")).alias("n_hi_quality"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -762,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_ngram_share": q_crossdoc_ngram_share,
         "sample_stratified": q_sample_stratified,
         "hash_split_docs": q_hash_split_docs,
+        "curate_pipeline": q_curate_pipeline,
     }
 
 
@@ -975,6 +1005,58 @@ def _hash_split_oracle(weights=None, salt="split") -> str:
         f"SELECT doc_id, CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split "
         "FROM documents"
     )
+
+
+def _curate_pipeline_oracle() -> str:
+    """Replays q_curate_pipeline stage by stage: cluster-dedup keep (the
+    recursive-CTE closure from _CLUSTER_LABELS) -> the 8-check validity gate
+    (_DOC_CHECKS over the kept set) -> the text_quality arithmetic ->
+    md5-uniform split (same Python-float breakpoints as hash_split) ->
+    integer-only (lang, split) rollup."""
+    u = _PORTABLE_UNIFORM.format(salt="split")
+    checked = _DOC_CHECKS.replace("FROM documents", "FROM kept")
+    return _CLUSTER_LABELS + f"""
+    , kept AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id NOT IN (SELECT n FROM lbl WHERE n != cluster_id)),
+    checked AS ({checked}),
+    valid AS (
+        SELECT k.* FROM kept k JOIN checked c ON k.doc_id = c.doc_id
+        WHERE c.v_text_req + c.v_text_min + c.v_text_max + c.v_lang
+            + c.v_src_req + c.v_src_pat + c.v_nc_min + c.v_nc_max = 0),
+    m AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '\\S+'))::DOUBLE AS toks,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b'))::DOUBLE AS sw_hits,
+        length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS visible,
+        len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))::DOUBLE AS punct,
+        length(text)::DOUBLE AS n
+      FROM valid),
+    parts AS (
+      SELECT doc_id,
+        least(toks / 20.0, 1.0) AS len_ok,
+        least((CASE WHEN toks = 0 THEN 0.0 ELSE sw_hits / toks END) * 4.0, 1.0) AS sw,
+        CASE WHEN (CASE WHEN toks = 0 THEN 0.0 ELSE visible / toks END) >= 3.0
+              AND (CASE WHEN toks = 0 THEN 0.0 ELSE visible / toks END) <= 10.0
+             THEN 1.0 ELSE 0.5 END AS wl_ok,
+        1.0 - least((CASE WHEN n = 0 THEN 0.0 ELSE punct / n END) * 2.0, 1.0) AS punct_ok
+      FROM m),
+    q AS (
+      SELECT doc_id, round((len_ok + sw + wl_ok + punct_ok) / 4.0, 6) AS quality
+      FROM parts),
+    scored AS (
+      SELECT v.*, q.quality FROM valid v JOIN q ON v.doc_id = q.doc_id
+      WHERE q.quality >= 0.3),
+    sp AS (
+      SELECT *, CASE WHEN {u} < {0.8!r} THEN 'train'
+                     WHEN {u} < {0.8 + 0.1!r} THEN 'val'
+                     ELSE 'test' END AS split
+      FROM scored)
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_quality
+    FROM sp GROUP BY lang, split
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1436,4 +1518,5 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'fr' THEN 0.1 ELSE 0.0 END
         """,
         "hash_split_docs": _hash_split_oracle(),
+        "curate_pipeline": _curate_pipeline_oracle(),
     }
