@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from json_schema_rs_spark import TableSpec, ValidationEngine
 from json_schema_rs_spark.operators.integrity import orphan_rows
+from json_schema_rs_spark.operators.stats import profile_oracle_sql
 from json_schema_rs_spark.operators.uniqueness import duplicate_keys, unique_key_violations
 from json_schema_rs_spark.spec import UniqueKeySpec, number_field, string_field
 
@@ -420,6 +421,27 @@ def q_stats_lineitem(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_column_profile(spark, sf_dir):
+    # two-level (tree) global aggregation — the north rule's "two-level
+    # treeAggregate for stats" expressed as DataFrame ops; every accumulator
+    # is merge-associative and bit-reproducible (decimal sums), so the result
+    # is identical at ANY partitioning and matches DuckDB exactly
+    from json_schema_rs_spark.operators.stats import column_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    prof = column_profile(li, _PROFILE_COLS, tree_width=16)
+    # counts/min/max/decimal-sum are bit-exact cross-engine; the two derived
+    # doubles go through a decimal(38,*)→double cast whose final ulp differs
+    # between Java BigDecimal and DuckDB int128/10^s conversion — round those
+    # (and only those) for the oracle compare
+    return prof.withColumn("mean", F.round("mean", 6)).withColumn(
+        "stddev", F.round("stddev", 6)
+    )
+
+
 def q_dedup_keep_first(spark, sf_dir):
     from json_schema_rs_spark.operators.dedup import drop_exact_duplicates
 
@@ -769,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_discounted_orders": q_exists_discounted_orders,
         "percentiles_doclen": q_percentiles_doclen,
         "stats_lineitem": q_stats_lineitem,
+        "column_profile_lineitem": q_column_profile,
         "dedup_keep_first": q_dedup_keep_first,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
@@ -1399,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
                    round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
             FROM lineitem GROUP BY l_returnflag
         """,
+        "column_profile_lineitem": profile_oracle_sql("lineitem", _PROFILE_COLS),
         "dedup_keep_first": """
             SELECT doc_id FROM (
               SELECT doc_id, row_number() OVER (

@@ -1,0 +1,143 @@
+"""Column-statistics profile via a TWO-LEVEL (tree) aggregation — the
+DataFrame analogue of RDD ``treeAggregate(depth=2)`` named by the north rule
+("two-level treeAggregate for stats to avoid driver hotspots").
+
+The reference has no dataset-level statistics at all (it validates one
+document at a time — SURVEY §2.9); this is a north-star addition.
+
+Why two levels.  A global (ungrouped) aggregate in Spark runs as
+partial-per-task → ONE final reducer.  At 100 TB that final reducer merges
+one partial row from each of ~10^5..10^6 map tasks; with a wide profile
+(C columns × several accumulators each) that single task's fan-in — and,
+for a ``collect``-style plan, the driver itself — becomes the hotspot
+treeAggregate exists to avoid.  The tree shape caps fan-in at both levels:
+
+  level 1: group by ``__t = spark_partition_id() % width`` — each of
+           ``width`` intermediate reducers merges ~P/width task partials
+           (map-side combine already reduced each task to ONE row, so the
+           shuffle moves P tiny rows split across width reducers);
+  level 2: a final merge over exactly ``width`` rows.
+
+Every accumulator is chosen to be MERGE-ASSOCIATIVE **and bit-reproducible**
+regardless of partitioning: counts (long), min/max (order-free), and sums in
+DECIMAL — floating-point sums are order-dependent (a different partitioning
+yields a different last ulp, which would also break the DuckDB oracle), so
+values are cast to exact decimals before summing and only the FINAL derived
+quantities (mean, stddev) are computed in double.  Those two are the one
+cross-engine soft spot: the decimal(38,*)→double cast is rounded differently
+by Java BigDecimal vs DuckDB's int128/10^scale path (observed 1-ulp stddev
+drift at sf0.01), so the oracle-facing query rounds mean/stddev to 6
+decimals on both sides; everything else matches bit-for-bit unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: decimal scales for the exact sums: 6 fractional digits for Σx (inputs are
+#: money/quantity-like doubles with ≤2 stored digits), 12 for Σx² (squares
+#: need double the scale to stay exact enough for a stable variance).
+_SUM_TYPE = "decimal(38,6)"
+_SUMSQ_TYPE = "decimal(38,12)"
+
+
+def column_profile(
+    df: DataFrame,
+    columns: list[str],
+    tree_width: int = 32,
+) -> DataFrame:
+    """One row per profiled numeric column:
+
+    ``(col_name:string, n_rows:long, n_nulls:long, min_val:double,
+    max_val:double, sum_dec:decimal(38,6), mean:double, stddev:double)``
+
+    ``stddev`` is the POPULATION standard deviation (÷n, not n−1), derived
+    from exact decimal Σx and Σx²; NULL when the column has no non-null
+    values.  ``tree_width`` is the level-1 reducer count — size it ≈ √(map
+    tasks) at scale (32 covers ~1k tasks; 10^6 tasks want ~1k).
+    """
+    if not columns:
+        raise ValueError("column_profile: need at least one column")
+
+    def partials(c: str) -> list:
+        col = F.col(c)
+        d = col.cast("double")
+        return [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+            F.sum(d.cast(_SUM_TYPE)).alias(f"{c}__s"),
+            F.sum((d * d).cast(_SUMSQ_TYPE)).alias(f"{c}__s2"),
+        ]
+
+    def merges(c: str) -> list:
+        return [
+            F.sum(f"{c}__n").alias(f"{c}__n"),
+            F.sum(f"{c}__nulls").alias(f"{c}__nulls"),
+            F.min(f"{c}__min").alias(f"{c}__min"),
+            F.max(f"{c}__max").alias(f"{c}__max"),
+            F.sum(f"{c}__s").cast(_SUM_TYPE).alias(f"{c}__s"),
+            F.sum(f"{c}__s2").cast(_SUMSQ_TYPE).alias(f"{c}__s2"),
+        ]
+
+    level1 = (
+        df.select(*[e for c in columns for e in (F.col(c),)])
+        .withColumn("__t", F.pmod(F.spark_partition_id(), F.lit(tree_width)))
+        .groupBy("__t")
+        .agg(*[e for c in columns for e in partials(c)])
+    )
+    merged = level1.agg(*[e for c in columns for e in merges(c)])
+
+    def row_struct(c: str):
+        n = F.col(f"{c}__n")
+        nulls = F.col(f"{c}__nulls")
+        nn = (n - nulls).cast("double")  # non-null count as the divisor
+        s = F.col(f"{c}__s").cast("double")
+        s2 = F.col(f"{c}__s2").cast("double")
+        mean = F.when(nn > 0, s / nn)
+        var = F.when(nn > 0, F.greatest(F.lit(0.0), s2 / nn - (s / nn) * (s / nn)))
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            n.alias("n_rows"),
+            nulls.alias("n_nulls"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__s").alias("sum_dec"),
+            mean.alias("mean"),
+            F.sqrt(var).alias("stddev"),
+        )
+
+    exploded = merged.select(
+        F.explode(F.array(*[row_struct(c) for c in columns])).alias("p")
+    )
+    return exploded.select("p.*")
+
+
+def profile_oracle_sql(table: str, columns: list[str]) -> str:
+    """The DuckDB oracle for :func:`column_profile` — one UNION ALL branch per
+    column, every derived expression mirrored VERBATIM (same casts, same
+    operation order) so doubles match bit-for-bit."""
+    branches = []
+    for c in columns:
+        branches.append(f"""
+SELECT '{c}' AS col_name,
+       count(*) AS n_rows,
+       coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS n_nulls,
+       min(CAST({c} AS double)) AS min_val,
+       max(CAST({c} AS double)) AS max_val,
+       CAST(sum(CAST(CAST({c} AS double) AS {_SUM_TYPE})) AS {_SUM_TYPE}) AS sum_dec,
+       CASE WHEN count({c}) > 0 THEN round(
+         CAST(sum(CAST(CAST({c} AS double) AS {_SUM_TYPE})) AS double)
+           / CAST(count({c}) AS double), 6) END AS mean,
+       CASE WHEN count({c}) > 0 THEN round(
+         sqrt(greatest(0.0,
+           CAST(sum(CAST(CAST({c} AS double) * CAST({c} AS double) AS {_SUMSQ_TYPE})) AS double)
+             / CAST(count({c}) AS double)
+           - (CAST(sum(CAST(CAST({c} AS double) AS {_SUM_TYPE})) AS double)
+              / CAST(count({c}) AS double))
+           * (CAST(sum(CAST(CAST({c} AS double) AS {_SUM_TYPE})) AS double)
+              / CAST(count({c}) AS double)))), 6) END AS stddev
+FROM {table}""")
+    return "\nUNION ALL\n".join(branches)

@@ -1,0 +1,79 @@
+"""Unit tests for the two-level column profile (operators/stats.py) — the
+north rule's "two-level treeAggregate for stats" analogue."""
+
+import math
+
+import pytest
+
+from json_schema_rs_spark.operators.stats import column_profile, profile_oracle_sql
+
+
+def _profile_map(df, cols, **kw):
+    return {r["col_name"]: r.asDict() for r in column_profile(df, cols, **kw).collect()}
+
+
+def test_profile_basic_stats(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (3.0, 30.0), (4.0, None)], "a double, b double"
+    )
+    p = _profile_map(df, ["a", "b"])
+    assert p["a"]["n_rows"] == 4 and p["a"]["n_nulls"] == 0
+    assert p["a"]["min_val"] == 1.0 and p["a"]["max_val"] == 4.0
+    assert float(p["a"]["sum_dec"]) == 10.0
+    assert p["a"]["mean"] == pytest.approx(2.5)
+    # population stddev of 1..4 = sqrt(1.25)
+    assert p["a"]["stddev"] == pytest.approx(math.sqrt(1.25))
+    assert p["b"]["n_rows"] == 4 and p["b"]["n_nulls"] == 2
+    assert p["b"]["mean"] == pytest.approx(20.0)
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "a double")
+    p = _profile_map(df, ["a"])
+    assert p["a"]["n_nulls"] == 2
+    assert p["a"]["mean"] is None and p["a"]["stddev"] is None
+    assert p["a"]["min_val"] is None and p["a"]["sum_dec"] is None
+
+
+def test_profile_partitioning_invariant(spark):
+    # THE two-level claim: bit-identical output at any partitioning and any
+    # tree width (decimal sums are merge-associative; float sums would not be)
+    rows = [(float(i) * 0.1 + 0.03,) for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, "x double")
+    baseline = None
+    for parts, width in ((1, 1), (7, 4), (64, 32)):
+        p = _profile_map(df.repartition(parts), ["x"], tree_width=width)["x"]
+        key = (p["n_rows"], p["n_nulls"], p["min_val"], p["max_val"],
+               str(p["sum_dec"]), p["mean"], p["stddev"])
+        baseline = baseline or key
+        assert key == baseline
+
+
+def test_profile_rejects_empty_cols(spark):
+    df = spark.createDataFrame([(1.0,)], "a double")
+    with pytest.raises(ValueError):
+        column_profile(df, [])
+
+
+def test_profile_oracle_matches_duckdb(spark, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    df = spark.createDataFrame(
+        [(float(i % 17) + 0.25, float(i) if i % 5 else None) for i in range(500)],
+        "a double, b double",
+    )
+    path = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = {r[0]: r for r in con.sql(profile_oracle_sql("t", ["a", "b"])).fetchall()}
+    got = _profile_map(df, ["a", "b"])
+    for c in ("a", "b"):
+        o = want[c]
+        g = got[c]
+        assert (g["n_rows"], g["n_nulls"]) == (o[1], o[2])
+        assert g["min_val"] == o[3] and g["max_val"] == o[4]
+        assert g["sum_dec"] == o[5]
+        # oracle rounds the derived doubles to 6 (decimal→double cast is the
+        # one engine-divergent op); mirror that here
+        assert round(g["mean"], 6) == o[6]
+        assert round(g["stddev"], 6) == o[7]
