@@ -754,6 +754,82 @@ def q_curate_pipeline(spark, sf_dir):
     )
 
 
+def q_decontam_overlap(spark, sf_dir):
+    # benchmark decontamination: word-3-gram overlap vs a deterministic
+    # "eval set" (doc_id % 97 == 0); eval grams broadcast, corpus never
+    # shuffles on the gram (operators/decontam.py)
+    from json_schema_rs_spark.operators.decontam import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination(docs, ev, "doc_id", "text", n=3)
+
+
+def q_decontam_keep(spark, sf_dir):
+    # the corpus after dropping every doc sharing ANY 3-gram with the eval
+    # set — broadcast left-anti, corpus side unshuffled
+    from json_schema_rs_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, ev, "doc_id", "text", n=3).select("doc_id", "lang")
+
+
+def q_pii_scrub(spark, sf_dir):
+    # PII detect + redact on text with deterministically injected PII
+    # (the corpus itself is synthetic word soup — the injection makes the
+    # detector paths real positives on both engines); md5 of the redacted
+    # text is the portable value check
+    from json_schema_rs_spark.operators.pii import scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.1."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    s = scrub(docs, "doc_id", "text")
+    return s.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+def _docs_with_tokens(spark, sf_dir):
+    from json_schema_rs_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.select("doc_id", "lang", token_count(F.col("text")).alias("tok"))
+
+
+def q_pack_chunks_docs(spark, sf_dir):
+    # concat-and-chunk sequence packing: per-lang token stream cut every
+    # 512 tokens; exact integer prefix sums (operators/packing.py)
+    from json_schema_rs_spark.operators.packing import pack_chunks
+
+    toks = _docs_with_tokens(spark, sf_dir)
+    return pack_chunks(toks, "tok", 512, part_col="lang").select(
+        "doc_id", "lang", "tok", "chunk_id", "chunk_off", "n_chunks"
+    )
+
+
+def q_pack_next_fit_bins(spark, sf_dir):
+    # greedy next-fit packing (docs never split): the sequential reset
+    # recurrence runs as applyInPandas per lang group; oracle = recursive CTE
+    from json_schema_rs_spark.operators.packing import bin_stats, pack_next_fit
+
+    toks = _docs_with_tokens(spark, sf_dir)
+    packed = pack_next_fit(toks, "tok", 512, part_col="lang")
+    return bin_stats(packed, "tok", "bin_id", keys=["lang"]).withColumnRenamed(
+        "n_tokens", "n_tok"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -815,6 +891,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "hash_split_docs": q_hash_split_docs,
         "curate_pipeline": q_curate_pipeline,
+        "decontam_overlap": q_decontam_overlap,
+        "decontam_keep": q_decontam_keep,
+        "pii_scrub": q_pii_scrub,
+        "pack_chunks_docs": q_pack_chunks_docs,
+        "pack_next_fit_bins": q_pack_next_fit_bins,
     }
 
 
@@ -1543,4 +1624,107 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_split_docs": _hash_split_oracle(),
         "curate_pipeline": _curate_pipeline_oracle(),
+        # decontamination: distinct word-3-grams per doc (mirrors
+        # text.word_ngrams incl. the short-text truncated-gram rule); eval
+        # set = doc_id % 97 == 0; only docs with >=1 hit are emitted
+        "decontam_overlap": r"""
+            WITH wa AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wa
+              FROM documents WHERE text IS NOT NULL),
+            dg AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(wa) - 2, 1)),
+                       i -> array_to_string(wa[i:i+2], ' '))) AS gs
+              FROM wa),
+            ev AS (SELECT DISTINCT unnest(gs) AS g FROM dg WHERE doc_id % 97 = 0),
+            grams AS (SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g FROM dg)
+            SELECT doc_id, CAST(n_ngrams AS INT) AS n_ngrams,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM grams JOIN ev USING (g)
+            GROUP BY doc_id, n_ngrams
+        """,
+        "decontam_keep": r"""
+            WITH wa AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wa
+              FROM documents WHERE text IS NOT NULL),
+            dg AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(wa) - 2, 1)),
+                       i -> array_to_string(wa[i:i+2], ' '))) AS gs
+              FROM wa),
+            ev AS (SELECT DISTINCT unnest(gs) AS g FROM dg WHERE doc_id % 97 = 0),
+            grams AS (SELECT doc_id, unnest(gs) AS g FROM dg),
+            bad AS (SELECT DISTINCT doc_id FROM grams JOIN ev USING (g))
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        # PII scrub on deterministically injected PII; same Java/RE2-shared
+        # patterns as operators/pii.PII_PATTERNS, same replace order
+        "pii_scrub": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                          || '@mail.example.com from 10.1.'
+                          || (doc_id % 256)::VARCHAR || '.7 call +1 555-01'
+                          || lpad((doc_id % 100)::VARCHAR, 2, '0') AS t
+              FROM documents),
+            counted AS (
+              SELECT doc_id, t,
+                len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+                len(regexp_extract_all(t, '\+[0-9]{1,3} [0-9]{3}-[0-9]{4}')) AS n_phone
+              FROM injected)
+            SELECT doc_id, CAST(n_email AS INT) AS n_email,
+                   CAST(n_ipv4 AS INT) AS n_ipv4, CAST(n_phone AS INT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\+[0-9]{1,3} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+            FROM counted
+        """,
+        # concat-and-chunk packing: exact integer prefix sums per lang
+        "pack_chunks_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+              FROM documents WHERE text IS NOT NULL),
+            s AS (
+              SELECT doc_id, lang, tok,
+                     COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+              FROM toks)
+            SELECT doc_id, lang, CAST(tok AS INT) AS tok,
+                   st // 512 AS chunk_id,
+                   st - (st // 512) * 512 AS chunk_off,
+                   (greatest(st + tok, st + 1) - 1) // 512 - st // 512 + 1 AS n_chunks
+            FROM s
+        """,
+        # greedy next-fit packing: the reset recurrence as a recursive CTE
+        # (mirrors packing.pack_next_fit's loop incl. the fill>0 guard so a
+        # doc larger than the budget keeps the bin it opens)
+        "pack_next_fit_bins": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+              FROM documents WHERE text IS NOT NULL),
+            d AS (
+              SELECT lang, doc_id, tok,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM toks),
+            nf AS (
+              SELECT lang, doc_id, tok, rn, CAST(0 AS BIGINT) AS bin_id, tok AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.lang, d.doc_id, d.tok, d.rn,
+                     CASE WHEN nf.fill > 0 AND nf.fill + d.tok > 512
+                          THEN nf.bin_id + 1 ELSE nf.bin_id END,
+                     CASE WHEN nf.fill > 0 AND nf.fill + d.tok > 512
+                          THEN d.tok ELSE nf.fill + d.tok END
+              FROM nf JOIN d ON d.lang = nf.lang AND d.rn = nf.rn + 1)
+            SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS n_tok
+            FROM nf GROUP BY lang, bin_id
+        """,
     }

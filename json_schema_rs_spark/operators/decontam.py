@@ -1,0 +1,106 @@
+"""Benchmark decontamination: flag / drop training documents that share word
+n-grams with a (small) evaluation set.
+
+The standard pretraining-hygiene pass (GPT-3 appendix C; PaLM §7; Llama 2
+appendix A.6 all describe n-gram--overlap decontamination): any training
+document containing an n-gram that also occurs in a held-out benchmark is
+contaminated and must be dropped or flagged before training.
+
+No reference counterpart (`/root/reference` validates single JSON documents;
+it has no corpus-level notion) — this is a north-star training-data-pipeline
+operator.
+
+Plan shape (the 100 TB-safe one):
+
+  * the eval set is SMALL by construction (benchmarks are thousands of rows,
+    the corpus is billions) → its distinct n-grams are **broadcast**; the
+    corpus side is never shuffled on the gram;
+  * the corpus side explodes each doc's DISTINCT n-grams, inner-joins the
+    broadcast eval grams, and aggregates hits per doc — ONE shuffle, on the
+    doc id, with map-side partial aggregation;
+  * total n-grams per doc is ``size(array_distinct(...))`` computed inline —
+    no second explode, no second shuffle;
+  * the final decontaminate() keep-filter is a broadcast LEFT ANTI join of
+    the (tiny) contaminated-id set against the corpus — the corpus again
+    does not shuffle.
+
+Everything is pure Column expressions (split / transform / explode) — no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_ngrams
+
+
+def eval_ngrams(
+    eval_docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word ``n``-grams of the evaluation set, one per row
+    (column ``g``).  Small by assumption — the caller broadcasts it."""
+    return eval_docs.select(
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g")
+    ).distinct()
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document contamination profile vs the eval set:
+
+      (id_col, n_ngrams, n_hits) — distinct word n-grams in the doc, and how
+      many of them also occur anywhere in ``eval_docs``.
+
+    Docs with zero hits are NOT emitted (the clean case is the overwhelming
+    majority at scale; emitting it would materialize a row per corpus doc
+    for no information).  Join is broadcast on the eval grams; the only
+    shuffle is the per-doc hit aggregate.
+    """
+    ev = eval_ngrams(eval_docs, text_col, n)
+    # stage the distinct-gram array in its own select so the shingling
+    # expression is evaluated ONCE per row (Catalyst does not CSE regex/
+    # transform subtrees — same measured pitfall as text.base_counts)
+    garr = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("__gs"),
+    )
+    grams = garr.select(
+        F.col(id_col),
+        F.size("__gs").alias("n_ngrams"),
+        F.explode("__gs").alias("g"),
+    )
+    return (
+        grams.join(F.broadcast(ev), "g")
+        .groupBy(id_col, "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(id_col, "n_ngrams", "n_hits")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Corpus minus contaminated documents: drop every doc whose eval-set
+    n-gram hit count exceeds ``max_hits`` (default: any hit contaminates).
+
+    The contaminated-id set is tiny relative to the corpus, so the removal
+    is a broadcast left-anti join — the corpus itself never shuffles.
+    """
+    bad = (
+        contamination(docs, eval_docs, id_col, text_col, n)
+        .filter(F.col("n_hits") > max_hits)
+        .select(id_col)
+    )
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

@@ -1,0 +1,137 @@
+"""Sequence packing: assign documents to fixed-token-budget training bins.
+
+The last stage of a pretraining data pipeline — documents are concatenated
+into fixed-length contexts (e.g. 4096 tokens), so the pipeline must decide
+which documents land in which context ("packing").  Two standard policies:
+
+  * **concat-and-chunk** (GPT-2/3 style): concatenate the ordered stream and
+    cut every ``budget`` tokens; a document belongs to the chunk where it
+    STARTS (and may span several).  This is a pure prefix-sum → one window
+    per partition key, fully expressible in SQL on any engine — the
+    oracle-checked path.
+  * **greedy next-fit** (no document split): keep appending documents to the
+    current bin until the next one would overflow, then open a new bin.
+    The running total RESETS on overflow, which no window function
+    expresses — it is an ``applyInPandas`` per group, vectorized inside
+    (a numpy loop over the group's token counts, not per-row Python objects
+    crossing the boundary).
+
+No reference counterpart (`/root/reference` validates single documents) —
+north-star training-data-pipeline operator.
+
+Scale notes: both shapes shuffle ONCE on the partition key.  Ordering inside
+a key is a window sort (concat-and-chunk) or a per-group pandas sort
+(next-fit).  A single giant key is the usual skew hazard — partition by
+(lang, date-bucket) in production so no group exceeds executor memory;
+next-fit's state is O(1) per group either way.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def pack_chunks(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    part_col: str | None = None,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing: documents ordered by ``order_col`` within
+    ``part_col`` form one token stream per partition; every ``budget`` tokens
+    starts a new chunk.  Adds:
+
+      * ``chunk_id``   — 0-based chunk where this doc's first token lands
+      * ``chunk_off``  — this doc's starting token offset inside that chunk
+      * ``n_chunks``   — how many chunks the doc spans
+
+    Exact integer arithmetic throughout (no doubles) — bit-identical on any
+    engine and any partitioning.
+    """
+    keys = [part_col] if part_col else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    end = start + F.col(token_col)  # exclusive
+    chunk = F.floor(start / budget)
+    # a doc spans chunks [floor(start/b), floor((end-1)/b)]; empty docs span 1
+    last = F.floor((F.greatest(end, start + 1) - 1) / budget)
+    return (
+        docs.withColumn("chunk_id", chunk)
+        .withColumn("chunk_off", start - chunk * budget)
+        .withColumn("n_chunks", last - chunk + 1)
+    )
+
+
+def pack_next_fit(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    part_col: str | None = None,
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy next-fit packing (documents never split): walk the docs in
+    ``order_col`` order within each ``part_col`` group; if the current bin
+    cannot fit the next doc, close it and open a new one.  A doc larger than
+    ``budget`` gets a bin of its own.  Returns (part?, id_col, bin_id) with
+    0-based ``bin_id`` per group.
+
+    The running-total-with-reset recurrence is inherently sequential per
+    group, so this is ``applyInPandas``: one shuffle on the group key, then a
+    vectorized numpy loop per group (ints only cross the Arrow boundary —
+    never the text).
+    """
+    cols = list(dict.fromkeys(([part_col] if part_col else []) + [id_col, order_col, token_col]))
+    slim = docs.select(*cols)
+    if part_col:
+        keys = [part_col]
+    else:
+        keys = ["__g"]  # single synthetic group; dropped below
+        slim = slim.withColumn("__g", F.lit(1).cast("long"))
+    out_fields = [StructField(k, slim.schema[k].dataType) for k in keys] + [
+        StructField(id_col, slim.schema[id_col].dataType),
+        StructField(token_col, slim.schema[token_col].dataType),
+        StructField("bin_id", LongType()),
+    ]
+    schema = StructType(out_fields)
+    b = int(budget)
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        toks = pdf[token_col].to_numpy()
+        bins = []
+        cur_bin, cur_tok = 0, 0
+        for t in toks:
+            t = int(t)
+            if cur_tok > 0 and cur_tok + t > b:
+                cur_bin += 1
+                cur_tok = 0
+            bins.append(cur_bin)
+            cur_tok += t
+        out = {k: pdf[k] for k in keys}
+        out[id_col] = pdf[id_col]
+        out[token_col] = pdf[token_col]
+        out["bin_id"] = pd.Series(bins, index=pdf.index, dtype="int64")
+        return pd.DataFrame(out)
+
+    packed = slim.groupBy(*keys).applyInPandas(assign, schema)
+    return packed.drop("__g") if not part_col else packed
+
+
+def bin_stats(packed: DataFrame, token_col: str, bin_col: str,
+              keys: Iterable[str] = ()) -> DataFrame:
+    """Per-bin rollup of a packed assignment: docs per bin + token fill."""
+    return packed.groupBy(*keys, bin_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("n_tokens"),
+    )

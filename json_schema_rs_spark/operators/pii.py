@@ -1,0 +1,70 @@
+"""PII detection and redaction over a text column — the privacy-scrub stage
+of a training-data pipeline (emails, IPv4 addresses, phone numbers).
+
+No reference counterpart (`/root/reference` has no notion of content
+scrubbing; its closest surface is the string `pattern` keyword,
+src/string.rs:97-104) — north-star training-data-pipeline operator.
+
+Everything is pure Column expressions (`regexp_count` / `regexp_replace`),
+so detection + redaction fuse into the same whole-stage-codegen projection
+as the rest of a validation/curation pass: zero extra scans, zero shuffles,
+zero Python.  That is the only shape that survives 100 TB — a per-row Python
+scrubber would bottleneck the whole pipeline on serialization.
+
+Dialect note: the patterns below deliberately use only syntax shared by
+Java `java.util.regex` (Spark executors) and RE2 (DuckDB oracles, Go/C++
+tooling): character classes, bounded repetition, non-capturing groups, `\\b`.
+No lookaround, no backreferences — so the SAME pattern string is executable
+on both engines and the oracle compare is exact.  (The engine-level guard
+for user-supplied patterns lives in compile.compiled_pattern.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: detector patterns, ordered — redaction applies them in this order, so an
+#: email is rewritten before the phone regex could ever see its digits
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (kind, pattern, replacement token)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{1,3} [0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """One ``n_<kind>`` int column per PII pattern (match counts)."""
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact(col: Column) -> Column:
+    """The text with every PII match replaced by its token, patterns applied
+    in ``PII_PATTERNS`` order (sequential ``regexp_replace`` — each stage's
+    output feeds the next, exactly like a chained sed)."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII profile + redacted text:
+
+      (id_col, n_email, n_ipv4, n_phone, redacted)
+
+    Shuffle-free: a single projection over the scan.  NULL text yields NULL
+    redacted and 0 counts (coalesce) so downstream filters stay total.
+    """
+    x = F.col(text_col)
+    counts = [
+        F.coalesce(F.regexp_count(x, F.lit(pat)), F.lit(0)).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    return df.select(F.col(id_col), *counts, redact(x).alias("redacted"))

@@ -1,0 +1,154 @@
+"""Decontamination, PII scrub, and sequence-packing operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.decontam import contamination, decontaminate
+from json_schema_rs_spark.operators.packing import bin_stats, pack_chunks, pack_next_fit
+from json_schema_rs_spark.operators.pii import PII_PATTERNS, redact, scrub
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_counts(spark):
+    docs = _docs(spark, [
+        (1, "the quick brown fox jumps"),       # shares "the quick brown", "quick brown fox"
+        (2, "completely unrelated words here"),
+        (3, "the quick brown dog"),             # shares "the quick brown"
+    ])
+    ev = _docs(spark, [(100, "so the quick brown fox ran")])
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_hits"])
+           for r in contamination(docs, ev, n=3).collect()}
+    # doc 1: grams {the quick brown, quick brown fox, brown fox jumps} → 2 hits
+    assert got[1] == (3, 2)
+    assert got[3] == (2, 1)
+    assert 2 not in got  # clean docs are not emitted
+
+
+def test_decontaminate_drops_hits_keeps_clean(spark):
+    docs = _docs(spark, [
+        (1, "the quick brown fox jumps"),
+        (2, "completely unrelated words here"),
+        (3, None),  # null text has no grams → kept
+    ])
+    ev = _docs(spark, [(100, "the quick brown fox")])
+    kept = sorted(r["doc_id"] for r in decontaminate(docs, ev, n=3).collect())
+    assert kept == [2, 3]
+
+
+def test_decontaminate_max_hits_threshold(spark):
+    docs = _docs(spark, [(1, "the quick brown fox jumps over")])  # 4 grams, 2 hits
+    ev = _docs(spark, [(100, "the quick brown fox")])
+    assert decontaminate(docs, ev, n=3, max_hits=2).count() == 1
+    assert decontaminate(docs, ev, n=3, max_hits=1).count() == 0
+
+
+def test_contamination_plan_broadcasts_eval(spark):
+    docs = _docs(spark, [(1, "a b c d")])
+    ev = _docs(spark, [(2, "c d e")])
+    plan = contamination(docs, ev, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the eval grams, never the corpus
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+def test_redact_all_kinds(spark):
+    df = spark.createDataFrame(
+        [("reach me at bob.smith+x@corp.example.org or 192.168.0.1 or +44 123-4567",)],
+        "t string",
+    )
+    out = df.select(redact(F.col("t")).alias("r")).collect()[0]["r"]
+    assert out == "reach me at <EMAIL> or <IP> or <PHONE>"
+
+
+def test_scrub_counts_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.co and c@d.io meet at 10.0.0.1"), (2, "clean text"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in scrub(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (2, 1, 0)
+    assert got[2]["n_email"] == 0 and got[2]["redacted"] == "clean text"
+    assert got[3]["n_email"] == 0 and got[3]["redacted"] is None
+
+
+def test_pii_patterns_shared_dialect():
+    # every pattern must compile in Python's re (a superset check for the
+    # RE2/Java-shared subset we claim) and contain no lookaround/backrefs
+    import re
+    for kind, pat, _ in PII_PATTERNS:
+        re.compile(pat)
+        assert "(?=" not in pat and "(?!" not in pat and "(?<" not in pat, kind
+        assert "\\1" not in pat, kind
+
+
+def test_scrub_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+def _toks(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, tok int")
+
+
+def test_pack_chunks_offsets_and_spans(spark):
+    df = _toks(spark, [(1, "en", 300), (2, "en", 300), (3, "en", 500), (4, "de", 100)])
+    got = {r["doc_id"]: (r["chunk_id"], r["chunk_off"], r["n_chunks"])
+           for r in pack_chunks(df, "tok", 512, part_col="lang").collect()}
+    assert got[1] == (0, 0, 1)          # tokens [0, 300)
+    assert got[2] == (0, 300, 2)        # [300, 600) spans chunks 0-1
+    assert got[3] == (1, 88, 2)         # [600, 1100) spans chunks 1-2
+    assert got[4] == (0, 0, 1)          # separate lang stream
+
+
+def test_pack_chunks_zero_token_doc(spark):
+    df = _toks(spark, [(1, "en", 0), (2, "en", 512), (3, "en", 1)])
+    got = {r["doc_id"]: (r["chunk_id"], r["n_chunks"])
+           for r in pack_chunks(df, "tok", 512).collect()}
+    assert got[1] == (0, 1)   # empty doc still "lands" in chunk 0
+    assert got[2] == (0, 1)   # exactly fills chunk 0
+    assert got[3] == (1, 1)
+
+
+def test_pack_next_fit_resets_on_overflow(spark):
+    df = _toks(spark, [(1, "en", 400), (2, "en", 200), (3, "en", 500), (4, "en", 10)])
+    got = {r["doc_id"]: r["bin_id"] for r in pack_next_fit(df, "tok", 512, part_col="lang").collect()}
+    # 400 | 200 overflows → bin 1; 500 overflows bin 1 (200+500>512) → bin 2; 10 fits
+    assert got == {1: 0, 2: 1, 3: 2, 4: 2}
+
+
+def test_pack_next_fit_oversized_doc_owns_its_bin(spark):
+    df = _toks(spark, [(1, "en", 9999), (2, "en", 10)])
+    got = {r["doc_id"]: r["bin_id"] for r in pack_next_fit(df, "tok", 512, part_col="lang").collect()}
+    assert got == {1: 0, 2: 1}
+
+
+def test_pack_next_fit_no_bin_overflows(spark):
+    # property: no bin exceeds the budget unless it holds a single oversize doc
+    rows = [(i, "en" if i % 2 else "de", (i * 37) % 300 + 1) for i in range(1, 200)]
+    df = _toks(spark, rows)
+    packed = pack_next_fit(df, "tok", 512, part_col="lang")
+    stats = bin_stats(packed, "tok", "bin_id", keys=["lang"]).collect()
+    for r in stats:
+        assert r["n_tokens"] <= 512 or r["n_docs"] == 1
+
+
+def test_pack_next_fit_global_group(spark):
+    df = _toks(spark, [(1, "en", 400), (2, "de", 200)])
+    out = pack_next_fit(df, "tok", 512)
+    assert sorted(out.columns) == ["bin_id", "doc_id", "tok"]
+    got = {r["doc_id"]: r["bin_id"] for r in out.collect()}
+    assert got == {1: 0, 2: 1}  # 400+200 > 512 → second doc opens bin 1
