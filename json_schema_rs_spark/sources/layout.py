@@ -1,0 +1,71 @@
+"""Data-layout writer: range-partitioned, sorted-within-file parquet output.
+
+At 100 TB, HOW the validated/curated corpus is written decides every later
+scan's cost.  Parquet keeps per-column min/max statistics per row group; if
+the rows inside each file are sorted on the read-predicate columns, those
+stats become tight and the reader (Spark, DuckDB, Trino — anything
+footer-aware) skips whole row groups/files.  Randomly-ordered output makes
+every min/max span the full domain and nothing prunes.
+
+``write_clustered`` =
+  ``repartitionByRange(cluster_cols)``  — one range shuffle; each output file
+                                          owns a contiguous key range (file-
+                                          level pruning), sampled range
+                                          bounds absorb skew;
+  ``sortWithinPartitions(cluster_cols)``— no extra shuffle; tightens ROW-
+                                          GROUP-level stats inside each file.
+
+This is the linear-clustering half of the usual layout menu; interleaved
+(Z-order) clustering trades single-column locality for multi-column pruning
+and needs a space-filling-curve key — ``zorder_key`` provides a bit-
+interleaved key over int columns, usable as the range column for a
+2-4 column Z-layout.
+
+No reference counterpart (`/root/reference` is a per-document validator with
+no storage layer) — north-star scale infrastructure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    mode: str = "overwrite",
+    files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet range-clustered on ``cluster_cols``: one range
+    shuffle (sampled bounds → skew-tolerant), then an in-partition sort so
+    row-group min/max stats are tight on the cluster key.  ``files`` caps the
+    output file count (defaults to the session shuffle parallelism)."""
+    n = files or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(int(n), *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Bit-interleaved (Morton / Z-order) key over up to 4 non-negative int
+    columns, ``bits`` low bits each — rows close in the key are close in
+    EVERY input dimension, so range-clustering on it prunes multi-column
+    predicates.  Pure Column bit arithmetic (shifts/masks), no UDF.
+
+    Columns must already be rank-ish ints (bucketized doubles, epoch
+    minutes, dictionary codes...); clamp is the caller's job."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_key interleaves 1-4 columns")
+    k = len(cols)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * k + i))
+    return out

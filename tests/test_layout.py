@@ -1,0 +1,69 @@
+"""Range-clustered parquet writer + Z-order key tests."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.sources.layout import write_clustered, zorder_key
+
+
+def test_write_clustered_files_are_range_disjoint(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 100_000).select(
+        (F.xxhash64("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+    )
+    write_clustered(df, path, ["k"], files=8)
+
+    # verify via the parquet FOOTERS (what a pruning reader actually uses):
+    # per-file [min,max] ranges of k must not overlap across files
+    meta = duckdb.connect().execute(
+        f"""SELECT file_name,
+                   min(stats_min_value::BIGINT) AS lo,
+                   max(stats_max_value::BIGINT) AS hi
+            FROM parquet_metadata('{path}/*.parquet')
+            WHERE path_in_schema = 'k' GROUP BY file_name ORDER BY lo"""
+    ).fetchall()
+    assert len(meta) > 1
+    for (_, _, prev_hi), (_, next_lo, _) in zip(meta, meta[1:]):
+        assert prev_hi <= next_lo, "file key ranges overlap — not range-clustered"
+
+
+def test_write_clustered_rows_sorted_within_files(spark, tmp_path):
+    path = str(tmp_path / "sorted")
+    df = spark.range(0, 10_000).select((F.xxhash64("id") % 997).alias("k"))
+    write_clustered(df, path, ["k"], files=4)
+    # row-group stats are tight only if rows are sorted inside each file;
+    # spot-check: within every file, reading in storage order gives sorted k
+    con = duckdb.connect()
+    files = [r[0] for r in con.execute(
+        f"SELECT DISTINCT file_name FROM parquet_metadata('{path}/*.parquet')"
+    ).fetchall()]
+    for fname in files:
+        ks = [r[0] for r in con.execute(
+            f"SELECT k FROM read_parquet('{fname}')").fetchall()]
+        assert ks == sorted(ks)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "x int, y int")
+    got = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+    ).collect()}
+    # morton(x, y) with x in even bit positions, y in odd
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    # x=3 (0b011), y=5 (0b101) → interleave: y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1
+    assert got[(3, 5)] == 0b100111
+
+
+def test_zorder_key_locality(spark):
+    # rows close in BOTH dims are close in z; far in one dim is far in z
+    df = spark.createDataFrame([(10, 10), (11, 11), (10, 200)], "x int, y int")
+    z = [r["z"] for r in df.select(zorder_key([F.col("x"), F.col("y")]).alias("z")).collect()]
+    assert abs(z[0] - z[1]) < abs(z[0] - z[2])
+
+
+def test_zorder_key_arity_guard():
+    with pytest.raises(ValueError):
+        zorder_key([])
