@@ -830,6 +830,146 @@ def q_pack_next_fit_bins(spark, sf_dir):
     )
 
 
+def q_q10_returned_revenue(spark, sf_dir):
+    # TPC-H Q10 shape: top customers by revenue lost to returned items.
+    # lineitem⋈orders is the one legit shuffle join; customer is broadcast.
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_q12_priority_lines(spark, sf_dir):
+    # TPC-H Q12 shape (no shipmode column in this corpus → group by
+    # linestatus): conditional counts of high- vs low-priority orders
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q_q14_promo_revenue(spark, sf_dir):
+    # TPC-H Q14 shape: promo revenue share.  part is a broadcast dim; the
+    # ratio is one scalar agg over the joined month slice
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-09-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def q_q19_disjunctive(spark, sf_dir):
+    # TPC-H Q19 shape: disjunction of (brand, size, quantity) triples.  The
+    # OR predicate references both sides, so it rides ON the join — Catalyst
+    # still pushes the per-side prunable parts (p_size>0, brand IN set) down
+    # to the scans
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (part.p_brand == "Brand#2") & (part.p_size.between(1, 10)) & (li.l_quantity.between(1, 20))
+    ) | (
+        (part.p_brand == "Brand#19") & (part.p_size.between(5, 20)) & (li.l_quantity.between(10, 40))
+    ) | (
+        (part.p_brand == "Brand#23") & (part.p_size.between(1, 30)) & (li.l_quantity.between(20, 50))
+    )
+    return li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+def q_q2_top_supplier_nation(spark, sf_dir):
+    # TPC-H Q2 shape (correlated max): suppliers holding their nation's max
+    # account balance.  The per-nation max is a tiny agg broadcast back —
+    # never a window over the full supplier table
+    supp = _t(spark, sf_dir, "supplier")
+    mx = (
+        supp.groupBy(F.col("s_nationkey").alias("mx_nationkey"))
+        .agg(F.max("s_acctbal").alias("max_bal"))
+    )
+    return (
+        supp.join(
+            F.broadcast(mx),
+            (F.col("s_nationkey") == F.col("mx_nationkey")) & (F.col("s_acctbal") == F.col("max_bal")),
+        )
+        .select("s_suppkey", "s_name", F.col("s_nationkey").alias("nationkey"), "s_acctbal")
+    )
+
+
+def q_distinct_users_by_type(spark, sf_dir):
+    # exact per-type distinct users via the two-phase aggregation
+    # (operators/cardinality.py) — unique (type, user) pairs cross the wire,
+    # not raw events; no Expand in the plan
+    from json_schema_rs_spark.operators.cardinality import distinct_exact
+
+    ev = _t(spark, sf_dir, "events")
+    return distinct_exact(ev, ["event_type"], "user_id").withColumnRenamed(
+        "n_distinct", "n_users"
+    )
+
+
+def q_multi_distinct_events(spark, sf_dir):
+    # two distinct counts per group WITHOUT the Expand row blow-up: per-column
+    # two-phase counts joined on the (post-agg, tiny) group keys
+    from json_schema_rs_spark.operators.cardinality import multi_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return multi_distinct(ev, ["event_type"], ["user_id", "value"])
+
+
+def _doc_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    return docs.select(tok).filter(F.col("token") != "")
+
+
+def q_topk_tokens(spark, sf_dir):
+    # corpus heavy hitters: hash-agg with map-side combine, then
+    # TakeOrderedAndProject (per-partition heaps, no global sort)
+    from json_schema_rs_spark.operators.cardinality import heavy_hitters
+
+    return heavy_hitters(_doc_tokens(spark, sf_dir), "token", k=20)
+
+
+def q_topk_tokens_by_lang(spark, sf_dir):
+    # grouped heavy hitters: row_number window over the (already aggregated)
+    # per-lang token counts
+    from json_schema_rs_spark.operators.cardinality import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters(toks, "token", k=3, group_cols=["lang"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -896,6 +1036,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "pack_chunks_docs": q_pack_chunks_docs,
         "pack_next_fit_bins": q_pack_next_fit_bins,
+        "q10_returned_revenue": q_q10_returned_revenue,
+        "q12_priority_lines": q_q12_priority_lines,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q19_disjunctive": q_q19_disjunctive,
+        "q2_top_supplier_nation": q_q2_top_supplier_nation,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "multi_distinct_events": q_multi_distinct_events,
+        "topk_tokens": q_topk_tokens,
+        "topk_tokens_by_lang": q_topk_tokens_by_lang,
     }
 
 
@@ -1726,5 +1875,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(tok) AS BIGINT) AS n_tok
             FROM nf GROUP BY lang, bin_id
+        """,
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_nationkey, c_acctbal
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "q12_priority_lines": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+              AND l_shipdate < TIMESTAMP '1995-09-01'
+        """,
+        "q19_disjunctive": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+             AND ((p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1  AND 20)
+               OR (p_brand = 'Brand#19' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 40)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 50))
+        """,
+        "q2_top_supplier_nation": """
+            SELECT s_suppkey, s_name, s_nationkey AS nationkey, s_acctbal
+            FROM supplier s
+            WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                               WHERE s2.s_nationkey = s.s_nationkey)
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "multi_distinct_events": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_distinct_user_id,
+                   count(DISTINCT value) AS n_distinct_value
+            FROM events GROUP BY event_type
+        """,
+        "topk_tokens": r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+              FROM documents WHERE text IS NOT NULL)
+            SELECT token, count(*) AS n FROM toks WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "topk_tokens_by_lang": r"""
+            WITH toks AS (
+              SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS token
+              FROM documents WHERE text IS NOT NULL),
+            counts AS (
+              SELECT lang, token, count(*) AS n FROM toks WHERE token <> ''
+              GROUP BY lang, token),
+            ranked AS (
+              SELECT lang, token, n,
+                     row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+              FROM counts)
+            SELECT lang, token, n FROM ranked WHERE rank <= 3
         """,
     }

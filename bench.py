@@ -186,6 +186,9 @@ def bench_queries(spark) -> dict[str, float]:
         "asof_join_events",
         "sessionize_events",
         "text_quality",
+        "topk_tokens",
+        "distinct_users_by_type",
+        "q10_returned_revenue",
     ]
     qs = entrymod.queries()
 

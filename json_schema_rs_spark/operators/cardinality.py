@@ -1,0 +1,98 @@
+"""Cardinality & heavy-hitter operators: exact/approx distinct counts and
+top-k frequency, shaped for the 100 TB path.
+
+No reference counterpart (`/root/reference` is a per-document validator;
+src/lib.rs has no aggregation surface) — north-star dataset-level additions,
+same family as operators/uniqueness.py.
+
+Scale notes, per operator:
+
+* ``distinct_exact`` — two-phase aggregation: dedupe on (group, value) first
+  (map-side combine shrinks the shuffle to unique pairs), then count per
+  group.  This is also what Catalyst rewrites a lone ``COUNT(DISTINCT x)``
+  into; writing it explicitly matters when you need several distinct counts
+  or distinct+plain aggregates together, where the single-agg form goes
+  through ``Expand`` (row multiplication by the number of distinct clauses —
+  an N× input blow-up before the shuffle at 100 TB).  ``multi_distinct``
+  composes per-column two-phase counts with a broadcast-joined reassembly,
+  so NO Expand appears in the plan.
+* ``approx_distinct`` — HyperLogLog++ via ``approx_count_distinct``: fixed
+  ~kilobytes of state per group regardless of cardinality, mergeable across
+  partitions — the only sane distinct at 10^12 rows.  Exact variant is the
+  small-scale oracle.
+* ``heavy_hitters`` — exact top-k by frequency: hash-aggregate (map-side
+  combine collapses each partition to its local counts) then
+  ``TakeOrderedAndProject`` — per-partition top-k heaps merged on the
+  driver, never a global sort.  Deterministic tie-break on the value itself.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_exact(df: DataFrame, group_cols: list[str], col: str) -> DataFrame:
+    """Exact per-group distinct count of ``col`` as a two-phase aggregation:
+    ``groupBy(group, col)`` (map-side combine → unique pairs only cross the
+    wire) then ``groupBy(group).count()``.  Output: group_cols + ``n_distinct``.
+    """
+    pairs = df.select(*group_cols, col).groupBy(*group_cols, col).agg(F.lit(1))
+    return pairs.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_distinct"))
+
+
+def multi_distinct(
+    df: DataFrame, group_cols: list[str], distinct_cols: list[str]
+) -> DataFrame:
+    """Several exact distinct counts per group WITHOUT the ``Expand`` row
+    blow-up of ``agg(countDistinct(a), countDistinct(b), ...)``: one
+    two-phase count per column, reassembled with joins on the (small,
+    post-aggregation) group keys.  Output column per input: ``n_distinct_<col>``.
+
+    The joins are on grouped results — tiny relative to the input — and
+    Spark broadcast-joins them under AQE; the big data is only ever
+    shuffled as (group, value) unique pairs, once per distinct column."""
+    parts = [
+        distinct_exact(df, group_cols, c).withColumnRenamed(
+            "n_distinct", f"n_distinct_{c}"
+        )
+        for c in distinct_cols
+    ]
+    return reduce(lambda a, b: a.join(b, group_cols), parts)
+
+
+def approx_distinct(
+    df: DataFrame, group_cols: list[str], col: str, rsd: float = 0.05
+) -> DataFrame:
+    """HyperLogLog++ distinct count per group (relative std-dev ``rsd``) —
+    constant memory per group, mergeable, the 100 TB default.  Validate
+    against ``distinct_exact`` at small scale (tests/test_cardinality.py)."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(col, rsd).alias("n_distinct_approx")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 20, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Top-``k`` most frequent values of ``col`` (optionally per group).
+
+    Global form compiles to hash-aggregate + ``TakeOrderedAndProject`` (the
+    orderBy+limit pattern: per-partition heaps, driver merge of k rows per
+    partition — no global sort).  Grouped form uses a row_number window over
+    the (already aggregated, group-sized) counts.  Ties break on the value
+    ascending, so results are deterministic across engines."""
+    if group_cols:
+        from pyspark.sql import Window
+
+        counts = df.groupBy(*group_cols, col).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy(*group_cols).orderBy(F.desc("n"), F.asc(col))
+        return (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("rank")
+        )
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc(col)).limit(k)

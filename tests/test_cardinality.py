@@ -1,0 +1,86 @@
+"""Cardinality / heavy-hitter operator tests (operators/cardinality.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.cardinality import (
+    approx_distinct,
+    distinct_exact,
+    heavy_hitters,
+    multi_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def groups(spark):
+    # 3 groups; group g has g*100 distinct users, each seen g+1 times
+    rows = [
+        (f"g{g}", u, float(u % 7))
+        for g in (1, 2, 3)
+        for u in range(g * 100)
+        for _ in range(g + 1)
+    ]
+    return spark.createDataFrame(rows, "grp string, user long, val double")
+
+
+def test_distinct_exact(groups):
+    got = {r["grp"]: r["n_distinct"] for r in distinct_exact(groups, ["grp"], "user").collect()}
+    assert got == {"g1": 100, "g2": 200, "g3": 300}
+
+
+def test_multi_distinct_matches_count_distinct(groups):
+    got = {
+        r["grp"]: (r["n_distinct_user"], r["n_distinct_val"])
+        for r in multi_distinct(groups, ["grp"], ["user", "val"]).collect()
+    }
+    want = {
+        r["grp"]: (r["u"], r["v"])
+        for r in groups.groupBy("grp")
+        .agg(F.countDistinct("user").alias("u"), F.countDistinct("val").alias("v"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_multi_distinct_plan_has_no_expand(groups):
+    plan = multi_distinct(groups, ["grp"], ["user", "val"])._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, "multi_distinct must avoid the Expand row blow-up"
+    # the naive form DOES expand — guards that the assertion means something
+    naive = groups.groupBy("grp").agg(F.countDistinct("user"), F.countDistinct("val"))
+    assert "Expand" in naive._jdf.queryExecution().executedPlan().toString()
+
+
+def test_approx_distinct_within_rsd(groups):
+    approx = {
+        r["grp"]: r["n_distinct_approx"]
+        for r in approx_distinct(groups, ["grp"], "user", rsd=0.05).collect()
+    }
+    for grp, exact in (("g1", 100), ("g2", 200), ("g3", 300)):
+        assert abs(approx[grp] - exact) / exact < 0.15  # 3σ of rsd=0.05
+
+
+def test_heavy_hitters_global_and_ties(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1, "tok string"
+    )
+    got = [(r["tok"], r["n"]) for r in heavy_hitters(df, "tok", k=3).collect()]
+    # ties (b, c at 3) break ascending on the value — deterministic
+    assert got == [("a", 5), ("b", 3), ("c", 3)]
+
+
+def test_heavy_hitters_global_plan_take_ordered(spark):
+    df = spark.range(1000).select((F.col("id") % 13).cast("string").alias("tok"))
+    plan = heavy_hitters(df, "tok", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "global top-k must not be a global sort"
+
+
+def test_heavy_hitters_grouped(spark):
+    df = spark.createDataFrame(
+        [("en", "x")] * 4 + [("en", "y")] * 2 + [("en", "z")] * 1 + [("fr", "q")] * 3,
+        "lang string, tok string",
+    )
+    got = sorted(
+        (r["lang"], r["tok"], r["n"])
+        for r in heavy_hitters(df, "tok", k=2, group_cols=["lang"]).collect()
+    )
+    assert got == [("en", "x", 4), ("en", "y", 2), ("fr", "q", 3)]
