@@ -970,6 +970,42 @@ def q_topk_tokens_by_lang(spark, sf_dir):
     return heavy_hitters(toks, "token", k=3, group_cols=["lang"])
 
 
+def q_check_constraints_events(spark, sf_dir):
+    # Row-level SQL CHECK constraints (spec.CheckSpec): a plain check plus a
+    # conditional one (where-gated).  Both ride in the engine's shuffle-free
+    # row pass — no extra scan per check.
+    from json_schema_rs_spark.engine import ValidationEngine
+    from json_schema_rs_spark.spec import TableSpec
+
+    spec = (
+        TableSpec()
+        .add_check("value_nonneg", "value >= 0", observed="value")
+        .add_check("purchase_value_floor", "value > 10",
+                   where="event_type = 'purchase'", observed="value")
+    )
+    ev = _t(spark, sf_dir, "events")
+    return ValidationEngine(spec, key_cols=["event_id"]).validate(ev).violations
+
+
+def q_check_cross_column_lineitem(spark, sf_dir):
+    # Cross-column CHECKs — constraints the reference cannot express at all
+    # (it validates one value at a time, schema.rs:31-46): a unit-price floor
+    # relating price to quantity, and a conditional tax-vs-discount relation
+    # on returned lines only.
+    from json_schema_rs_spark.engine import ValidationEngine
+    from json_schema_rs_spark.spec import TableSpec
+
+    spec = (
+        TableSpec()
+        .add_check("unit_price_floor", "l_extendedprice >= l_quantity * 900",
+                   observed="CAST(floor(l_extendedprice / l_quantity) AS BIGINT)")
+        .add_check("tax_le_discount", "l_tax <= l_discount",
+                   where="l_returnflag = 'R'", observed="l_tax")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return ValidationEngine(spec, key_cols=["l_orderkey", "l_linenumber"]).validate(li).violations
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -1045,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_distinct_events": q_multi_distinct_events,
         "topk_tokens": q_topk_tokens,
         "topk_tokens_by_lang": q_topk_tokens_by_lang,
+        "check_constraints_events": q_check_constraints_events,
+        "check_cross_column_lineitem": q_check_cross_column_lineitem,
     }
 
 
@@ -1946,5 +1984,25 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
               FROM counts)
             SELECT lang, token, n FROM ranked WHERE rank <= 3
+        """,
+        "check_constraints_events": """
+            SELECT CAST(event_id AS VARCHAR) AS row_key,
+                   'check:value_nonneg' AS constraint_id,
+                   CAST(value AS VARCHAR) AS observed_value
+            FROM events WHERE (value >= 0) = false
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'check:purchase_value_floor',
+                   CAST(value AS VARCHAR)
+            FROM events WHERE event_type = 'purchase' AND (value > 10) = false
+        """,
+        "check_cross_column_lineitem": """
+            SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS row_key,
+                   'check:unit_price_floor' AS constraint_id,
+                   CAST(CAST(floor(l_extendedprice / l_quantity) AS BIGINT) AS VARCHAR) AS observed_value
+            FROM lineitem WHERE (l_extendedprice >= l_quantity * 900) = false
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR),
+                   'check:tax_le_discount', CAST(l_tax AS VARCHAR)
+            FROM lineitem WHERE l_returnflag = 'R' AND (l_tax <= l_discount) = false
         """,
     }

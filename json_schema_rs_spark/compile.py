@@ -382,3 +382,28 @@ def compile_table(spec: TableSpec, schema: T.StructType) -> list[CompiledField]:
                 v = _empty()
         out.append(CompiledField(name=name, violations=v))
     return out
+
+
+def compile_checks(spec: TableSpec) -> list[Column]:
+    """Compile the table's row-level CHECK constraints (spec.CheckSpec) to
+    violation-array Columns, one per check, for the same single-select row
+    pass as the field constraints.
+
+    SQL-standard CHECK semantics: only ``expr IS FALSE`` violates — NULL
+    (unknown) passes, matching RDBMS CHECK and Delta table constraints.  The
+    ``where`` gate short-circuits first, so rows outside the subset are never
+    evaluated against the check (conditional constraints).  Everything is one
+    ``F.expr`` tree per check — vectorized, codegen'd, shuffle-free.
+    """
+    out: list[Column] = []
+    for ck in spec.checks:
+        cid = f"check:{ck.id}"
+        observed = F.expr(ck.observed) if ck.observed else F.expr(ck.expr)
+        viol = F.when(
+            F.expr(ck.expr) == F.lit(False),            # FALSE only; NULL passes
+            F.array(_v(cid, observed)),
+        ).otherwise(_empty())
+        if ck.where:
+            viol = F.when(F.coalesce(F.expr(ck.where), F.lit(False)), viol).otherwise(_empty())
+        out.append(viol)
+    return out

@@ -1,0 +1,83 @@
+"""Row-level SQL CHECK constraints (spec.CheckSpec / compile.compile_checks).
+
+North-star addition — the reference validates one value at a time
+(src/schema.rs:31-46) and has no cross-field surface; CHECK brings
+RDBMS/Delta-style row constraints (cross-column comparisons, conditional
+subsets) into the same shuffle-free row pass.
+"""
+
+import pytest
+
+from json_schema_rs_spark.engine import ValidationEngine
+from json_schema_rs_spark.spec import CheckSpec, TableSpec, spec_from_json
+
+
+def _engine(spec):
+    return ValidationEngine(spec, key_cols=["id"])
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    return spark.createDataFrame(
+        [
+            # id, lo, hi, flag
+            (1, 1.0, 2.0, "a"),    # ok
+            (2, 5.0, 2.0, "a"),    # lo > hi → cross-column violation
+            (3, None, 2.0, "a"),   # NULL comparison → unknown → passes (SQL CHECK)
+            (4, 1.0, 2.0, "b"),    # conditional: flag='b' requires hi >= 10
+            (5, 1.0, 12.0, "b"),   # conditional satisfied
+        ],
+        "id int, lo double, hi double, flag string",
+    )
+
+
+def test_cross_column_check(rows):
+    spec = TableSpec().add_check("lo_le_hi", "lo <= hi", observed="lo")
+    res = _engine(spec).validate(rows)
+    got = {(r.row_key, r.constraint_id) for r in res.violations.collect()}
+    assert got == {("2", "check:lo_le_hi")}
+
+
+def test_null_passes_like_sql_check(rows):
+    # row 3 has lo NULL: lo <= hi is UNKNOWN, which SQL CHECK accepts
+    spec = TableSpec().add_check("lo_le_hi", "lo <= hi")
+    res = _engine(spec).validate(rows)
+    keys = [r.row_key for r in res.violations.collect()]
+    assert "3" not in keys
+
+
+def test_conditional_where_gate(rows):
+    spec = TableSpec().add_check("b_needs_big_hi", "hi >= 10", where="flag = 'b'", observed="hi")
+    res = _engine(spec).validate(rows)
+    viol = res.violations.collect()
+    assert [(r.row_key, r.observed_value) for r in viol] == [("4", "2.0")]
+    # rows outside the subset are never checked, even when expr is false there
+    assert {r.row_key for r in viol} == {"4"}
+
+
+def test_checks_count_into_summary_passed(rows):
+    spec = TableSpec().add_check("lo_le_hi", "lo <= hi")
+    res = _engine(spec).validate(rows)
+    s = res.summary.collect()[0]
+    assert (s.n_rows, s.n_passed, s.n_failed, s.n_violations) == (5, 4, 1, 1)
+
+
+def test_check_spec_json_roundtrip():
+    spec = (
+        TableSpec()
+        .add_check("a", "x > 0")
+        .add_check("b", "x < y", where="flag = 'b'", observed="x")
+    )
+    rt = spec_from_json(spec.to_json())
+    assert rt.checks == [
+        CheckSpec(id="a", expr="x > 0"),
+        CheckSpec(id="b", expr="x < y", where="flag = 'b'", observed="x"),
+    ]
+    assert rt.to_json() == spec.to_json()
+
+
+def test_check_validation_errors():
+    with pytest.raises(ValueError):
+        CheckSpec(id="", expr="x > 0")
+    with pytest.raises(ValueError):
+        CheckSpec(id="a", expr="")
