@@ -1006,6 +1006,35 @@ def q_check_cross_column_lineitem(spark, sf_dir):
     return ValidationEngine(spec, key_cols=["l_orderkey", "l_linenumber"]).validate(li).violations
 
 
+def q_quality_report_docs(spark, sf_dir):
+    # Deequ-style dataset thresholds: ALL metrics in ONE aggregation pass
+    # (operators/quality.py).  exact=True so the DuckDB oracle can reproduce
+    # the distinct count bit-for-bit.
+    from json_schema_rs_spark.operators.quality import quality_report
+    from json_schema_rs_spark.spec import QualitySpec
+
+    docs = _t(spark, sf_dir, "documents")
+    specs = [
+        QualitySpec("text", min_completeness=0.99),
+        QualitySpec("lang", max_distinct_ratio=0.005),
+        QualitySpec("n_chars", min_mean=100.0, max_mean=250.0),
+    ]
+    return quality_report(docs, specs, exact=True)
+
+
+def q_quality_report_events(spark, sf_dir):
+    from json_schema_rs_spark.operators.quality import quality_report
+    from json_schema_rs_spark.spec import QualitySpec
+
+    ev = _t(spark, sf_dir, "events")
+    specs = [
+        QualitySpec("props", min_completeness=0.9),
+        QualitySpec("user_id", min_distinct_ratio=0.05),
+        QualitySpec("value", min_mean=40.0, max_mean=45.0),
+    ]
+    return quality_report(ev, specs, exact=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -1083,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_tokens_by_lang": q_topk_tokens_by_lang,
         "check_constraints_events": q_check_constraints_events,
         "check_cross_column_lineitem": q_check_cross_column_lineitem,
+        "quality_report_docs": q_quality_report_docs,
+        "quality_report_events": q_quality_report_events,
     }
 
 
@@ -2004,5 +2035,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR),
                    'check:tax_le_discount', CAST(l_tax AS VARCHAR)
             FROM lineitem WHERE l_returnflag = 'R' AND (l_tax <= l_discount) = false
+        """,
+        "quality_report_docs": """
+            WITH m AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n, count(text) AS nn,
+                     count(DISTINCT lang) AS nd, avg(n_chars) AS mean_c
+              FROM documents)
+            SELECT 'quality:completeness:text' AS constraint_id,
+                   CAST(round(nn / n, 6) AS VARCHAR) AS observed_value,
+                   CAST(0.99 AS DOUBLE) AS threshold, nn / n >= 0.99 AS passed FROM m
+            UNION ALL
+            SELECT 'quality:max_distinct_ratio:lang', CAST(round(nd / n, 6) AS VARCHAR),
+                   CAST(0.005 AS DOUBLE), nd / n <= 0.005 FROM m
+            UNION ALL
+            SELECT 'quality:min_mean:n_chars', CAST(round(mean_c, 6) AS VARCHAR),
+                   CAST(100.0 AS DOUBLE), mean_c >= 100.0 FROM m
+            UNION ALL
+            SELECT 'quality:max_mean:n_chars', CAST(round(mean_c, 6) AS VARCHAR),
+                   CAST(250.0 AS DOUBLE), mean_c <= 250.0 FROM m
+        """,
+        "quality_report_events": """
+            WITH m AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n, count(props) AS nn,
+                     count(DISTINCT user_id) AS nd, avg(value) AS mean_v
+              FROM events)
+            SELECT 'quality:completeness:props' AS constraint_id,
+                   CAST(round(nn / n, 6) AS VARCHAR) AS observed_value,
+                   CAST(0.9 AS DOUBLE) AS threshold, nn / n >= 0.9 AS passed FROM m
+            UNION ALL
+            SELECT 'quality:min_distinct_ratio:user_id', CAST(round(nd / n, 6) AS VARCHAR),
+                   CAST(0.05 AS DOUBLE), nd / n >= 0.05 FROM m
+            UNION ALL
+            SELECT 'quality:min_mean:value', CAST(round(mean_v, 6) AS VARCHAR),
+                   CAST(40.0 AS DOUBLE), mean_v >= 40.0 FROM m
+            UNION ALL
+            SELECT 'quality:max_mean:value', CAST(round(mean_v, 6) AS VARCHAR),
+                   CAST(45.0 AS DOUBLE), mean_v <= 45.0 FROM m
         """,
     }

@@ -128,6 +128,10 @@ class ValidationEngine:
         for dr in self.spec.drift:
             stats.append({**drift_stats(df, dr), "column": dr.column})
             parts.append(drift_violations(spark, df, dr))
+        if self.spec.quality:
+            from json_schema_rs_spark.operators.quality import quality_violations
+
+            parts.append(quality_violations(df, self.spec.quality))
         if not parts:
             return None, stats
         out = parts[0]

@@ -1,0 +1,115 @@
+"""Dataset-level data-quality thresholds: completeness, distinct ratio, and
+mean-in-range per column, checked in ONE aggregation pass.
+
+North-star addition (the reference, /root/reference src/schema.rs, has no
+dataset-level surface at all — it validates one document at a time); the
+shape follows the published Deequ / Great Expectations model: declare metric
+thresholds, compute all metrics in a single scan, emit violations for the
+ones that miss.
+
+Scale notes:
+
+* All metrics for all columns ride in ONE ``df.agg(...)`` — one scan, one
+  (tiny, single-row) shuffle, map-side partial aggregation.  Adding a metric
+  adds a vectorized expression, never a pass.
+* ``distinct`` defaults to HyperLogLog++ (``approx_count_distinct``):
+  constant memory, mergeable, no plan blow-up.  ``exact=True`` uses
+  ``count(DISTINCT ...)`` — correct at small scale (and what the DuckDB
+  oracle runs), but with MULTIPLE exact-distinct columns Catalyst plans an
+  ``Expand`` (input row multiplication per distinct clause) — at 100 TB keep
+  exact distinct to one column per pass or use the two-phase trick in
+  operators/cardinality.multi_distinct.
+* Threshold comparison happens IN the plan (a literal compare on the
+  aggregated row) — no driver-side collect; the report is a DataFrame you
+  can union into the violations sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.spec import QualitySpec
+
+
+#: report row type shared with the violations union
+REPORT_COLS = ("constraint_id", "observed_value", "threshold", "passed")
+
+
+def quality_report(df: DataFrame, specs: list[QualitySpec], exact: bool = False) -> DataFrame:
+    """One row per (column, metric-threshold): ``constraint_id``
+    (``quality:<metric>:<column>``), ``observed_value`` (round-6 string, so
+    the value is engine-portable), ``threshold``, ``passed``.
+
+    The whole report is one aggregation + a constant-size explode of the
+    single aggregated row.
+    """
+    if not specs:
+        raise ValueError("no quality specs given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, q in enumerate(specs):
+        c = q.column
+        if q.min_completeness is not None:
+            aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        if q._needs_distinct():
+            d = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
+            aggs.append(d.alias(f"__nd_{i}"))
+        if q._needs_mean():
+            aggs.append(F.avg(F.col(c)).alias(f"__mean_{i}"))
+    row = df.agg(*aggs)
+
+    def entry(cid: str, observed, threshold: float, ok) -> F.Column:
+        return F.struct(
+            F.lit(cid).alias("constraint_id"),
+            F.round(observed, 6).cast("string").alias("observed_value"),
+            F.lit(float(threshold)).alias("threshold"),
+            ok.alias("passed"),
+        )
+
+    entries = []
+    n = F.col("__n").cast("double")
+    for i, q in enumerate(specs):
+        c = q.column
+        if q.min_completeness is not None:
+            comp = F.col(f"__nn_{i}") / n
+            entries.append(
+                entry(f"quality:completeness:{c}", comp, q.min_completeness,
+                      comp >= q.min_completeness)
+            )
+        if q._needs_distinct():
+            ratio = F.col(f"__nd_{i}") / n
+            if q.min_distinct_ratio is not None:
+                entries.append(
+                    entry(f"quality:min_distinct_ratio:{c}", ratio,
+                          q.min_distinct_ratio, ratio >= q.min_distinct_ratio)
+                )
+            if q.max_distinct_ratio is not None:
+                entries.append(
+                    entry(f"quality:max_distinct_ratio:{c}", ratio,
+                          q.max_distinct_ratio, ratio <= q.max_distinct_ratio)
+                )
+        if q._needs_mean():
+            mean = F.col(f"__mean_{i}")
+            if q.min_mean is not None:
+                entries.append(
+                    entry(f"quality:min_mean:{c}", mean, q.min_mean, mean >= q.min_mean)
+                )
+            if q.max_mean is not None:
+                entries.append(
+                    entry(f"quality:max_mean:{c}", mean, q.max_mean, mean <= q.max_mean)
+                )
+    return row.select(F.explode(F.array(*entries)).alias("m")).select(
+        *[F.col(f"m.{c}").alias(c) for c in REPORT_COLS]
+    )
+
+
+def quality_violations(df: DataFrame, specs: list[QualitySpec], exact: bool = False) -> DataFrame:
+    """Failed thresholds as violation rows in the engine's shared shape
+    (``row_key='__dataset__'``, constraint_id, observed_value) — unioned into
+    ``ValidationEngine.dataset_violations`` alongside uniqueness/RI/drift."""
+    rep = quality_report(df, specs, exact=exact)
+    return rep.filter(~F.col("passed")).select(
+        F.lit("__dataset__").alias("row_key"),
+        "constraint_id",
+        "observed_value",
+    )

@@ -229,6 +229,46 @@ class DriftSpec:
 
 
 @dataclass
+class QualitySpec:
+    """Dataset-level quality thresholds for one column — the declarative half
+    of operators/quality.py (execution: one aggregation pass for ALL specs).
+    Any subset of thresholds may be set; unset means unchecked.
+
+    * ``min_completeness`` — non-null fraction ≥ this (0..1)
+    * ``min_distinct_ratio`` / ``max_distinct_ratio`` — distinct/count bounds
+    * ``min_mean`` / ``max_mean`` — numeric mean bounds
+
+    North-star addition following the published Deequ / Great Expectations
+    model; no reference counterpart (the reference has no dataset scope)."""
+
+    column: str
+    min_completeness: Optional[float] = None
+    min_distinct_ratio: Optional[float] = None
+    max_distinct_ratio: Optional[float] = None
+    min_mean: Optional[float] = None
+    max_mean: Optional[float] = None
+
+    def __post_init__(self) -> None:
+        if not any(
+            v is not None
+            for v in (
+                self.min_completeness,
+                self.min_distinct_ratio,
+                self.max_distinct_ratio,
+                self.min_mean,
+                self.max_mean,
+            )
+        ):
+            raise ValueError(f"quality spec for {self.column!r} sets no threshold")
+
+    def _needs_distinct(self) -> bool:
+        return self.min_distinct_ratio is not None or self.max_distinct_ratio is not None
+
+    def _needs_mean(self) -> bool:
+        return self.min_mean is not None or self.max_mean is not None
+
+
+@dataclass
 class CheckSpec:
     """Row-level SQL CHECK constraint — arbitrary boolean expression over the
     whole row, so it can relate columns to each other (north-star addition:
@@ -271,6 +311,7 @@ class TableSpec:
     referential: list[ReferentialIntegritySpec] = field(default_factory=list)
     drift: list[DriftSpec] = field(default_factory=list)
     checks: list[CheckSpec] = field(default_factory=list)
+    quality: list[QualitySpec] = field(default_factory=list)
     #: preserve the reference's as-implemented quirks (SURVEY §7 "hard parts")
     reference_parity: bool = True
 
@@ -293,6 +334,10 @@ class TableSpec:
     def add_check(self, id: str, expr: str, where: str | None = None,
                   observed: str | None = None) -> "TableSpec":
         self.checks.append(CheckSpec(id=id, expr=expr, where=where, observed=observed))
+        return self
+
+    def add_quality(self, column: str, **thresholds) -> "TableSpec":
+        self.quality.append(QualitySpec(column=column, **thresholds))
         return self
 
     def add_drift(self, column: str, bucket_edges: list[float], baseline: list[float] | None = None,
@@ -377,6 +422,22 @@ def _table_to_dict(ts: TableSpec) -> dict[str, Any]:
                 "ksThreshold": dr.ks_threshold,
             }
             for dr in ts.drift
+        ]
+    if ts.quality:
+        _qkeys = {
+            "min_completeness": "minCompleteness",
+            "min_distinct_ratio": "minDistinctRatio",
+            "max_distinct_ratio": "maxDistinctRatio",
+            "min_mean": "minMean",
+            "max_mean": "maxMean",
+        }
+        out["quality"] = [
+            {
+                "column": q.column,
+                **{camel: getattr(q, snake) for snake, camel in _qkeys.items()
+                   if getattr(q, snake) is not None},
+            }
+            for q in ts.quality
         ]
     if ts.checks:
         out["checks"] = [
@@ -512,4 +573,15 @@ def spec_from_json(text: str | dict, resolve_refs: bool = False) -> TableSpec:
                      dr.get("psiThreshold", 0.2), dr.get("ksThreshold", 0.1))
     for ck in d.get("checks", []):
         ts.add_check(ck["id"], ck["expr"], ck.get("where"), ck.get("observed"))
+    for q in d.get("quality", []):
+        ts.add_quality(
+            q["column"],
+            **{snake: q[camel] for snake, camel in {
+                "min_completeness": "minCompleteness",
+                "min_distinct_ratio": "minDistinctRatio",
+                "max_distinct_ratio": "maxDistinctRatio",
+                "min_mean": "minMean",
+                "max_mean": "maxMean",
+            }.items() if camel in q},
+        )
     return ts

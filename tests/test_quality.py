@@ -1,0 +1,67 @@
+"""Dataset-level quality thresholds (spec.QualitySpec / operators/quality.py):
+completeness, distinct-ratio, and mean bounds computed in one aggregation.
+"""
+
+import pytest
+
+from json_schema_rs_spark.engine import ValidationEngine
+from json_schema_rs_spark.operators.quality import quality_report, quality_violations
+from json_schema_rs_spark.spec import QualitySpec, TableSpec, spec_from_json
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    # 10 rows; col a: 2 nulls (completeness 0.8); col b: 2 distinct of 10
+    # (ratio 0.2); col c numeric mean 4.5
+    data = [(i, None if i < 2 else f"v{i}", "x" if i % 2 else "y", float(i)) for i in range(10)]
+    return spark.createDataFrame(data, "id int, a string, b string, c double")
+
+
+def test_completeness(rows):
+    rep = quality_report(rows, [QualitySpec("a", min_completeness=0.9)], exact=True)
+    r = rep.collect()[0]
+    assert r.constraint_id == "quality:completeness:a"
+    assert r.observed_value == "0.8"
+    assert not r.passed
+
+
+def test_distinct_ratio_bounds(rows):
+    specs = [QualitySpec("b", min_distinct_ratio=0.1, max_distinct_ratio=0.15)]
+    rep = {r.constraint_id: r for r in quality_report(rows, specs, exact=True).collect()}
+    assert rep["quality:min_distinct_ratio:b"].passed            # 0.2 >= 0.1
+    assert not rep["quality:max_distinct_ratio:b"].passed        # 0.2 > 0.15
+
+
+def test_mean_bounds_and_violation_shape(rows):
+    specs = [QualitySpec("c", min_mean=5.0, max_mean=10.0)]
+    viol = quality_violations(rows, specs, exact=True).collect()
+    assert [(v.row_key, v.constraint_id, v.observed_value) for v in viol] == [
+        ("__dataset__", "quality:min_mean:c", "4.5")
+    ]
+
+
+def test_single_aggregation_pass(rows):
+    # all metrics for all specs in ONE agg: exactly one Aggregate pair
+    # (partial+final) over the input, regardless of spec count
+    specs = [
+        QualitySpec("a", min_completeness=0.5),
+        QualitySpec("b", min_distinct_ratio=0.05),
+        QualitySpec("c", min_mean=0.0, max_mean=100.0),
+    ]
+    plan = quality_report(rows, specs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 4  # partial+final (+distinct expand pair)
+
+
+def test_engine_integration_and_roundtrip(rows):
+    spec = TableSpec().add_quality("a", min_completeness=0.9).add_quality("c", max_mean=3.0)
+    res = ValidationEngine(spec, key_cols=["id"]).validate(rows)
+    got = {r.constraint_id for r in res.violations.collect()}
+    assert got == {"quality:completeness:a", "quality:max_mean:c"}
+    rt = spec_from_json(spec.to_json())
+    assert rt.quality == spec.quality
+    assert rt.to_json() == spec.to_json()
+
+
+def test_no_threshold_rejected():
+    with pytest.raises(ValueError):
+        QualitySpec("a")
