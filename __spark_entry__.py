@@ -1035,6 +1035,16 @@ def q_quality_report_events(spark, sf_dir):
     return quality_report(ev, specs, exact=True)
 
 
+def q_suggest_constraints_docs(spark, sf_dir):
+    # Constraint-spec inference (operators/infer.py): one aggregation over
+    # the table suggests types, nullability, bounds, byte-lengths, and enum
+    # membership for low-cardinality strings (Deequ-suggestion shape).
+    from json_schema_rs_spark.operators.infer import suggest_constraints
+
+    docs = _t(spark, sf_dir, "documents")
+    return suggest_constraints(docs, exact=True, enum_max=24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -1114,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_cross_column_lineitem": q_check_cross_column_lineitem,
         "quality_report_docs": q_quality_report_docs,
         "quality_report_events": q_quality_report_events,
+        "suggest_constraints_docs": q_suggest_constraints_docs,
     }
 
 
@@ -2071,5 +2082,45 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'quality:max_mean:value', CAST(round(mean_v, 6) AS VARCHAR),
                    CAST(45.0 AS DOUBLE), mean_v <= 45.0 FROM m
+        """,
+        "suggest_constraints_docs": """
+            WITH m AS (
+              SELECT count(*) AS n,
+                     count(doc_id) AS nn_id, min(doc_id) AS min_id, max(doc_id) AS max_id,
+                     count(text) AS nn_t, min(strlen(text)) AS minlen_t,
+                     max(strlen(text)) AS maxlen_t, count(DISTINCT text) AS nd_t,
+                     count(lang) AS nn_l, min(strlen(lang)) AS minlen_l,
+                     max(strlen(lang)) AS maxlen_l, count(DISTINCT lang) AS nd_l,
+                     string_agg(DISTINCT lang, ',' ORDER BY lang) AS enum_l,
+                     count(source) AS nn_s, min(strlen(source)) AS minlen_s,
+                     max(strlen(source)) AS maxlen_s, count(DISTINCT source) AS nd_s,
+                     string_agg(DISTINCT source, ',' ORDER BY source) AS enum_s,
+                     count(n_chars) AS nn_c, min(n_chars) AS min_c, max(n_chars) AS max_c
+              FROM documents),
+            sugg AS (
+              SELECT 'doc_id' AS col, 'type' AS keyword, 'integer' AS value FROM m
+              UNION ALL SELECT 'doc_id', 'required', CASE WHEN nn_id = n THEN 'true' END FROM m
+              UNION ALL SELECT 'doc_id', 'minimum', CAST(min_id AS VARCHAR) FROM m
+              UNION ALL SELECT 'doc_id', 'maximum', CAST(max_id AS VARCHAR) FROM m
+              UNION ALL SELECT 'text', 'type', 'string' FROM m
+              UNION ALL SELECT 'text', 'required', CASE WHEN nn_t = n THEN 'true' END FROM m
+              UNION ALL SELECT 'text', 'minLength', CAST(minlen_t AS VARCHAR) FROM m
+              UNION ALL SELECT 'text', 'maxLength', CAST(maxlen_t AS VARCHAR) FROM m
+              UNION ALL SELECT 'text', 'enum', CASE WHEN nd_t <= 24 THEN '' END FROM m
+              UNION ALL SELECT 'lang', 'type', 'string' FROM m
+              UNION ALL SELECT 'lang', 'required', CASE WHEN nn_l = n THEN 'true' END FROM m
+              UNION ALL SELECT 'lang', 'minLength', CAST(minlen_l AS VARCHAR) FROM m
+              UNION ALL SELECT 'lang', 'maxLength', CAST(maxlen_l AS VARCHAR) FROM m
+              UNION ALL SELECT 'lang', 'enum', CASE WHEN nd_l <= 24 THEN enum_l END FROM m
+              UNION ALL SELECT 'source', 'type', 'string' FROM m
+              UNION ALL SELECT 'source', 'required', CASE WHEN nn_s = n THEN 'true' END FROM m
+              UNION ALL SELECT 'source', 'minLength', CAST(minlen_s AS VARCHAR) FROM m
+              UNION ALL SELECT 'source', 'maxLength', CAST(maxlen_s AS VARCHAR) FROM m
+              UNION ALL SELECT 'source', 'enum', CASE WHEN nd_s <= 24 THEN enum_s END FROM m
+              UNION ALL SELECT 'n_chars', 'type', 'integer' FROM m
+              UNION ALL SELECT 'n_chars', 'required', CASE WHEN nn_c = n THEN 'true' END FROM m
+              UNION ALL SELECT 'n_chars', 'minimum', CAST(min_c AS VARCHAR) FROM m
+              UNION ALL SELECT 'n_chars', 'maximum', CAST(max_c AS VARCHAR) FROM m)
+            SELECT col AS "column", keyword, value FROM sugg WHERE value IS NOT NULL
         """,
     }

