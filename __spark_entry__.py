@@ -1045,6 +1045,48 @@ def q_suggest_constraints_docs(spark, sf_dir):
     return suggest_constraints(docs, exact=True, enum_max=24)
 
 
+def q_range_join_ship_windows(spark, sf_dir):
+    # Point-in-interval join WITHOUT a nested-loop plan (operators/joins.py):
+    # lineitem ship dates bucketed onto a 30-day grain, urgent high-value
+    # order windows [o_orderdate, +30d) exploded over covered buckets,
+    # equi-join on the bucket + residual interval filter.
+    from json_schema_rs_spark.operators.joins import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice")
+    win = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("win_start"),
+            F.date_add("o_orderdate", 30).cast("timestamp").alias("win_end"),
+        )
+    )
+    joined = range_join(li, win, "l_shipdate", "win_start", "win_end",
+                        grain_seconds=86400 * 30)
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_salted_join_events_segment(spark, sf_dir):
+    # Skew-resistant equi-join (operators/joins.py): events salted into 8
+    # deterministic sub-keys, the customer dim replicated per salt; result is
+    # row-identical to the plain join (which is exactly what the oracle runs).
+    from json_schema_rs_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, "user_id", n_salts=8, fingerprint_cols=["event_id"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -1125,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report_docs": q_quality_report_docs,
         "quality_report_events": q_quality_report_events,
         "suggest_constraints_docs": q_suggest_constraints_docs,
+        "range_join_ship_windows": q_range_join_ship_windows,
+        "salted_join_events_segment": q_salted_join_events_segment,
     }
 
 
@@ -2122,5 +2166,24 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'n_chars', 'minimum', CAST(min_c AS VARCHAR) FROM m
               UNION ALL SELECT 'n_chars', 'maximum', CAST(max_c AS VARCHAR) FROM m)
             SELECT col AS "column", keyword, value FROM sugg WHERE value IS NOT NULL
+        """,
+        "range_join_ship_windows": """
+            SELECT o.o_orderkey,
+                   count(*) AS n_in_window,
+                   round(sum(l.l_extendedprice), 2) AS sum_price
+            FROM lineitem l
+            JOIN (SELECT o_orderkey, o_orderdate AS win_start,
+                         o_orderdate + INTERVAL 30 DAY AS win_end
+                  FROM orders
+                  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000) o
+              ON l.l_shipdate >= o.win_start AND l.l_shipdate < o.win_end
+            GROUP BY o.o_orderkey
+        """,
+        "salted_join_events_segment": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n,
+                   round(sum(e.value), 2) AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
     }

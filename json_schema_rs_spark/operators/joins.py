@@ -1,0 +1,133 @@
+"""Join strategies Spark's planner won't pick on its own: bucketed interval
+(range) joins and deterministic salted joins for skewed keys.
+
+No reference counterpart (`/root/reference` is a per-document validator,
+src/lib.rs — it never joins two relations); these are north-star additions a
+100 TB curation pipeline needs when the built-in planner falls back to a bad
+physical plan:
+
+* ``range_join`` — point-in-interval join.  Naive ``l.ts BETWEEN r.lo AND
+  r.hi`` with no equi-key compiles to BroadcastNestedLoopJoin (O(|L|·|R|)
+  compares, driver-melting at scale).  Instead both sides are mapped onto a
+  coarse time grain: each interval explodes into the grain buckets it
+  covers (``sequence`` — at most ``len/grain + 1`` rows per interval), each
+  point lands in exactly ONE bucket, and the join becomes a plain equi-join
+  on the bucket (plus any real equi-keys) with the exact interval predicate
+  as a residual filter.  Each point is in one bucket and an interval appears
+  at most once per bucket, so no dedup pass is needed.  Pick ``grain``
+  close to the typical interval length: the explosion factor stays ~2 and
+  the bucket key spreads uniformly — the shuffle is as skewed as time
+  itself, not as skewed as the data.
+* ``salted_join`` — equi-join where the big side's key distribution is
+  skewed (one key holding a large share of rows turns sort-merge/shuffle-hash
+  into a single straggler task).  The big side gets a DETERMINISTIC salt —
+  ``pmod(xxhash64(fingerprint_cols), n_salts)`` over caller-named columns,
+  never ``rand()`` (retried tasks must re-derive the same salt or rows
+  duplicate/vanish) — and the small side is replicated once per salt via a
+  literal ``explode(sequence)``.  Joining on (key, salt) splits every hot
+  key across ``n_salts`` tasks.  Result is row-for-row identical to the
+  plain inner join, which is exactly what the oracle checks.  AQE's
+  skew-join handles sort-merge skew automatically when the driver sees the
+  stats; this operator is for the cases AQE can't touch (first shuffle of a
+  scan, bucketed tables, deliberately disabled AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    grain_seconds: int = 86400 * 30,
+    equi_keys: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join every point row to every interval row with
+    ``start <= point < end`` (and equal ``equi_keys``, if given), as a
+    bucketed equi-join instead of a nested-loop join.
+
+    Output: all point columns + all interval columns (names must not
+    collide; select/alias beforehand).  ``how`` is ``inner`` or ``left``
+    (left keeps unmatched points with NULL interval columns).
+
+    Plan shape: one projection per side (bucket assignment; the interval
+    side explodes ×(len/grain + 1)), one equi-shuffle on the bucket key,
+    residual interval filter.  No BroadcastNestedLoopJoin, no cartesian.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: how must be inner|left, got {how!r}")
+    equi_keys = equi_keys or []
+    grain = F.lit(int(grain_seconds))
+
+    def bucket_of(col):
+        return F.floor(F.unix_timestamp(F.col(col).cast("timestamp")) / grain)
+
+    p = points.withColumn("__b", bucket_of(point_col))
+    # end is exclusive: an interval touching bucket boundary t_end exactly
+    # still only needs buckets up to bucket(end - 1us), but sequence over
+    # [bucket(start), bucket(end)] is correct and at most one bucket wider.
+    i = intervals.withColumn(
+        "__b", F.explode(F.sequence(bucket_of(start_col), bucket_of(end_col)))
+    )
+    on = [p["__b"] == i["__b"]] + [p[k] == i[k] for k in equi_keys]
+    pred = (p[point_col] >= i[start_col]) & (p[point_col] < i[end_col])
+    inner = p.join(i, on, "inner").filter(pred)
+    drop = [p["__b"], i["__b"]] + [i[k] for k in equi_keys]
+    inner = inner.drop(*drop)
+    if how == "inner":
+        return inner
+    # LEFT: a plain left-outer on the bucket key would emit a row for every
+    # bucket-matching-but-predicate-failing interval; instead take the inner
+    # matches and union the points with NO match at all (anti-join on the
+    # same bucketed condition+predicate — still equi-shuffled, no NLJ).
+    unmatched = p.join(i, on + [pred], "left_anti").drop("__b")
+    icols = [c for c in intervals.columns if c not in equi_keys]
+    null_pad = unmatched.select(
+        *points.columns,
+        *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in icols],
+    )
+    return inner.unionByName(null_pad)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    fingerprint_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big (skewed) side into ``n_salts``
+    deterministic sub-keys, replicate the small side once per salt, join on
+    (key..., salt).  Row-identical to ``big.join(small, on, how)``.
+
+    ``fingerprint_cols`` names the big-side columns hashed into the salt
+    (default: all non-key columns) — the hash is over DATA, so a retried
+    task recomputes the same salt; never use ``rand()`` here.  The small
+    side is replicated ×``n_salts`` before its shuffle: keep ``n_salts`` ≈
+    (rows of the hottest key) / (rows a single task should own), not "big
+    number just in case".
+
+    ``how``: inner or left (left keeps unmatched big rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: how must be inner|left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    fp = fingerprint_cols or [c for c in big.columns if c not in keys]
+    if not fp:
+        raise ValueError(
+            "salted_join: big side has no non-key columns to fingerprint — "
+            "pass fingerprint_cols explicitly"
+        )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fp]), F.lit(n_salts))
+    b = big.withColumn("__salt", salt.cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, keys + ["__salt"], how).drop("__salt")

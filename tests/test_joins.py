@@ -1,0 +1,141 @@
+"""Range (point-in-interval) join and salted skew join — row-identical to the
+naive formulations, but with equi-join plan shapes."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.joins import range_join, salted_join
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [(i, _ts(1 + i % 28, i % 24), f"k{i % 3}") for i in range(200)]
+    return spark.createDataFrame(rows, "pid int, ts timestamp, key string")
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    rows = [
+        (j, _ts(1 + (j * 3) % 25), _ts(1 + (j * 3) % 25 + 2), f"k{j % 3}")
+        for j in range(20)
+    ]
+    return spark.createDataFrame(rows, "iid int, lo timestamp, hi timestamp, key string")
+
+
+def _naive(points, intervals, equi=False):
+    cond = (points["ts"] >= intervals["lo"]) & (points["ts"] < intervals["hi"])
+    if equi:
+        cond = cond & (points["key"] == intervals["key"])
+    out = points.crossJoin(intervals.withColumnRenamed("key", "ikey")).filter(
+        (F.col("ts") >= F.col("lo"))
+        & (F.col("ts") < F.col("hi"))
+        & ((F.col("key") == F.col("ikey")) if equi else F.lit(True))
+    )
+    return sorted(out.select("pid", "iid").collect())
+
+
+def test_range_join_inner_matches_naive(points, intervals):
+    got = range_join(
+        points, intervals.drop("key"), "ts", "lo", "hi", grain_seconds=86400 * 2
+    )
+    assert sorted(got.select("pid", "iid").collect()) == _naive(points, intervals)
+
+
+def test_range_join_equi_keys(points, intervals):
+    got = range_join(
+        points, intervals, "ts", "lo", "hi", grain_seconds=86400 * 2, equi_keys=["key"]
+    )
+    assert sorted(got.select("pid", "iid").collect()) == _naive(
+        points, intervals, equi=True
+    )
+    # the equi key appears once (the interval side's copy is dropped)
+    assert got.columns.count("key") == 1
+
+
+@pytest.mark.parametrize("grain", [3600, 86400, 86400 * 7])
+def test_range_join_grain_invariant(points, intervals, grain):
+    got = range_join(points, intervals.drop("key"), "ts", "lo", "hi", grain_seconds=grain)
+    assert sorted(got.select("pid", "iid").collect()) == _naive(points, intervals)
+
+
+def test_range_join_left_pads_unmatched(spark, intervals):
+    # one point far outside every interval
+    pts = spark.createDataFrame(
+        [(1, _ts(2)), (2, dt.datetime(2030, 1, 1))], "pid int, ts timestamp"
+    )
+    got = range_join(pts, intervals.drop("key"), "ts", "lo", "hi", how="left")
+    rows = {r.pid: r for r in got.collect() if r.pid == 2}
+    assert rows[2].iid is None and rows[2].lo is None
+    inner_n = range_join(pts, intervals.drop("key"), "ts", "lo", "hi").count()
+    assert got.count() == inner_n + 1
+
+
+def test_range_join_plan_has_no_nested_loop(points, intervals):
+    got = range_join(points, intervals.drop("key"), "ts", "lo", "hi")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_rejects_bad_how(points, intervals):
+    with pytest.raises(ValueError):
+        range_join(points, intervals, "ts", "lo", "hi", how="full")
+
+
+@pytest.fixture(scope="module")
+def big(spark):
+    # skewed: key 0 holds half the rows
+    rows = [(i, i % 7 if i % 2 else 0, float(i)) for i in range(500)]
+    return spark.createDataFrame(rows, "rid int, k int, v double")
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame(
+        [(k, f"name{k}") for k in range(5)], "k int, name string"
+    )
+
+
+def test_salted_join_equals_plain_inner(big, dim):
+    got = sorted(salted_join(big, dim, "k", n_salts=8).select("rid", "name").collect())
+    want = sorted(big.join(dim, "k").select("rid", "name").collect())
+    assert got == want
+
+
+def test_salted_join_left(big, dim):
+    got = salted_join(big, dim, "k", n_salts=4, how="left")
+    want = big.join(dim, "k", "left")
+    assert got.count() == want.count() == 500
+    # keys 5,6 have no dim row → null name, preserved
+    assert got.filter(F.col("name").isNull()).count() == want.filter(
+        F.col("name").isNull()
+    ).count()
+
+
+def test_salted_join_deterministic_and_spreads(big, dim):
+    a = sorted(salted_join(big, dim, "k", n_salts=8).select("rid").collect())
+    b = sorted(salted_join(big, dim, "k", n_salts=8).select("rid").collect())
+    assert a == b
+    # the hot key's rows land on >1 salt
+    salts = (
+        big.withColumn(
+            "__salt", F.pmod(F.xxhash64("rid", "v"), F.lit(8)).cast("int")
+        )
+        .filter(F.col("k") == 0)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+
+
+def test_salted_join_requires_fingerprint(spark, dim):
+    keys_only = spark.createDataFrame([(1,), (2,)], "k int")
+    with pytest.raises(ValueError):
+        salted_join(keys_only, dim, "k")
