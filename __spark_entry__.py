@@ -1087,6 +1087,104 @@ def q_salted_join_events_segment(spark, sf_dir):
     )
 
 
+def q_reconcile_orders_lineitem(spark, sf_dir):
+    # Cross-table aggregate reconciliation (operators/reconcile.py): detail
+    # lineitem collapses to one row per order key BEFORE the full-outer join
+    # against the orders summary; rollup output is ≤4 rows at any scale.
+    from json_schema_rs_spark.operators.reconcile import (
+        reconcile_aggregates,
+        reconcile_summary,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rec = reconcile_aggregates(
+        li, orders, "l_orderkey", "o_orderkey", F.col("l_extendedprice"), "o_totalprice"
+    )
+    # round_to=0: the global sum of ~|orders| double diffs carries ~1e-3 of
+    # summation-order noise — integer rounding keeps both engines identical
+    return reconcile_summary(rec, round_to=0)
+
+
+def q_outliers_events_value(spark, sf_dir):
+    # Robust per-group outliers (operators/reconcile.py): exact median/MAD
+    # here (oracle-comparable); approx=True is the corpus-scale path.
+    from json_schema_rs_spark.operators.reconcile import robust_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = robust_outliers(ev, "value", group_cols=["event_type"], k=3.5)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("group_median", 6).alias("group_median"),
+        F.round("group_mad", 6).alias("group_mad"),
+        "robust_z",
+    )
+
+
+def q_freshness_events(spark, sf_dir):
+    # Per-group freshness vs a pinned as-of instant (never wall-clock).
+    from json_schema_rs_spark.operators.reconcile import freshness_check
+
+    ev = _t(spark, sf_dir, "events")
+    out = freshness_check(ev, "ts", "2024-02-01 00:00:00", 36.0, ["event_type"])
+    return out.select(
+        "event_type",
+        F.unix_timestamp("latest_ts").alias("latest_epoch_s"),
+        "age_hours",
+        "fresh",
+    )
+
+
+def q_benford_orders_totalprice(spark, sf_dir):
+    # First-digit Benford profile: 9-row reduce output at any input size.
+    from json_schema_rs_spark.operators.reconcile import benford_digits
+
+    return benford_digits(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_drift_psi_windows(spark, sf_dir):
+    # Streaming drift monitor's exact plan on the batch path (stream==batch
+    # parity is pinned in tests/test_drift_stream.py): one windowed agg with
+    # per-bucket conditional sums, PSI as a projection.
+    from json_schema_rs_spark.streaming.drift_stream import windowed_psi
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_psi(
+        ev, "value", "ts",
+        edges=[10.0, 20.0, 40.0, 80.0, 160.0],
+        baseline=[1 / 6] * 6,
+        window="6 hours",
+    )
+    return out.select(
+        F.unix_timestamp("win_start").alias("win_start_s"),
+        F.unix_timestamp("win_end").alias("win_end_s"),
+        "n_rows",
+        "psi",
+    )
+
+
+def q_fd_lineitem_returnflag(spark, sf_dir):
+    # Functional-dependency check l_orderkey → l_returnflag: two-phase
+    # aggregation (unique pairs shuffle, never raw rows).
+    from json_schema_rs_spark.operators.reconcile import fd_violations
+
+    return fd_violations(_t(spark, sf_dir, "lineitem"), ["l_orderkey"], "l_returnflag")
+
+
+def q_violation_diff_docs(spark, sf_dir):
+    # Run-over-run regression report: previous run saw only doc_id < 250,
+    # current sees the full table — which violations are new, which resolved?
+    from json_schema_rs_spark.operators.reconcile import violation_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    eng = _doc_engine()
+    prev = eng.validate(docs.filter(F.col("doc_id") < 250)).violations
+    cur = eng.validate(docs).violations
+    return violation_diff(prev, cur)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -1169,6 +1267,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_constraints_docs": q_suggest_constraints_docs,
         "range_join_ship_windows": q_range_join_ship_windows,
         "salted_join_events_segment": q_salted_join_events_segment,
+        "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
+        "outliers_events_value": q_outliers_events_value,
+        "freshness_events": q_freshness_events,
+        "benford_orders_totalprice": q_benford_orders_totalprice,
+        "fd_lineitem_returnflag": q_fd_lineitem_returnflag,
+        "violation_diff_docs": q_violation_diff_docs,
+        "drift_psi_windows": q_drift_psi_windows,
     }
 
 
@@ -1436,6 +1541,40 @@ def _curate_pipeline_oracle() -> str:
     """
 
 
+def _doc_violations_oracle(table: str) -> str:
+    """The documents-spec violations as DuckDB SQL over ``table`` (a table
+    name or a parenthesized subquery) — shared by the doc_violations oracle
+    and the run-over-run violation_diff oracle."""
+    return f"""
+            SELECT CAST(doc_id AS VARCHAR) AS row_key, 'required:text' AS constraint_id,
+                   'text' AS observed_value FROM {table} WHERE text IS NULL
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'min_length:text', CAST(strlen(text) AS VARCHAR)
+              FROM {table} WHERE text IS NOT NULL AND strlen(text) < 1
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'max_length:text', CAST(strlen(text) AS VARCHAR)
+              FROM {table} WHERE text IS NOT NULL AND strlen(text) > 2000
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'enum:lang', lang
+              FROM {table} WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'required:source', 'source'
+              FROM {table} WHERE source IS NULL
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'pattern:source', source
+              FROM {table} WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'number_range:n_chars', CAST(n_chars::DOUBLE AS VARCHAR)
+              FROM {table} WHERE n_chars IS NOT NULL AND NOT (n_chars > 50)
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'number_range:n_chars', CAST(n_chars::DOUBLE AS VARCHAR)
+              FROM {table} WHERE n_chars IS NOT NULL AND NOT (n_chars < 500)
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'unique_key:doc_id', CAST(count(*) AS VARCHAR)
+              FROM {table} GROUP BY doc_id HAVING count(*) > 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_validate_summary": f"""
@@ -1449,34 +1588,7 @@ def oracle_sql() -> dict[str, str]:
                   AS n_violations
             FROM checked GROUP BY lang
         """,
-        "doc_violations": """
-            SELECT CAST(doc_id AS VARCHAR) AS row_key, 'required:text' AS constraint_id,
-                   'text' AS observed_value FROM documents WHERE text IS NULL
-            UNION ALL
-            SELECT CAST(doc_id AS VARCHAR), 'min_length:text', CAST(strlen(text) AS VARCHAR)
-              FROM documents WHERE text IS NOT NULL AND strlen(text) < 1
-            UNION ALL
-            SELECT CAST(doc_id AS VARCHAR), 'max_length:text', CAST(strlen(text) AS VARCHAR)
-              FROM documents WHERE text IS NOT NULL AND strlen(text) > 2000
-            UNION ALL
-            SELECT CAST(doc_id AS VARCHAR), 'enum:lang', lang
-              FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
-            UNION ALL
-            SELECT CAST(doc_id AS VARCHAR), 'required:source', 'source'
-              FROM documents WHERE source IS NULL
-            UNION ALL
-            SELECT CAST(doc_id AS VARCHAR), 'pattern:source', source
-              FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
-            UNION ALL
-            SELECT CAST(doc_id AS VARCHAR), 'number_range:n_chars', CAST(n_chars::DOUBLE AS VARCHAR)
-              FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars > 50)
-            UNION ALL
-            SELECT CAST(doc_id AS VARCHAR), 'number_range:n_chars', CAST(n_chars::DOUBLE AS VARCHAR)
-              FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars < 500)
-            UNION ALL
-            SELECT CAST(doc_id AS VARCHAR), 'unique_key:doc_id', CAST(count(*) AS VARCHAR)
-              FROM documents GROUP BY doc_id HAVING count(*) > 1
-        """,
+        "doc_violations": _doc_violations_oracle("documents"),
         "doc_sha256": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "unique_key_docs": """
             SELECT CAST(doc_id AS VARCHAR) AS row_key, 'unique_key:doc_id' AS constraint_id,
@@ -2185,5 +2297,108 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(e.value), 2) AS sum_value
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "reconcile_orders_lineitem": """
+            WITH agg AS (
+              SELECT l_orderkey AS key, sum(l_extendedprice) AS dv
+              FROM lineitem GROUP BY 1),
+            j AS (
+              SELECT CASE WHEN dv IS NULL THEN 'missing_detail'
+                          WHEN o.o_totalprice IS NULL THEN 'missing_summary'
+                          WHEN abs(dv - o.o_totalprice) <= 0.0 THEN 'ok'
+                          ELSE 'mismatch' END AS status,
+                     abs(dv - o.o_totalprice) AS ad
+              FROM agg FULL OUTER JOIN orders o ON agg.key = o.o_orderkey)
+            SELECT status, count(*) AS n_keys,
+                   round(sum(ad), 0) AS total_abs_diff
+            FROM j GROUP BY status
+        """,
+        "outliers_events_value": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY 1),
+            mad AS (
+              SELECT e.event_type,
+                     quantile_cont(abs(e.value - m.med), 0.5) AS mad
+              FROM events e JOIN med m USING (event_type) GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value,
+                   round(m.med, 6) AS group_median,
+                   round(d.mad, 6) AS group_mad,
+                   round(abs(e.value - m.med) / (d.mad * 1.4826), 4) AS robust_z
+            FROM events e
+            JOIN med m USING (event_type)
+            JOIN mad d USING (event_type)
+            WHERE d.mad > 0 AND abs(e.value - m.med) / (d.mad * 1.4826) > 3.5
+        """,
+        "freshness_events": """
+            WITH g AS (
+              SELECT event_type, max(ts) AS latest_ts FROM events GROUP BY 1)
+            SELECT event_type,
+                   CAST(floor(epoch(latest_ts)) AS BIGINT) AS latest_epoch_s,
+                   round((epoch(TIMESTAMP '2024-02-01 00:00:00')
+                          - floor(epoch(latest_ts))) / 3600.0, 4) AS age_hours,
+                   ((epoch(TIMESTAMP '2024-02-01 00:00:00')
+                     - floor(epoch(latest_ts))) / 3600.0) <= 36.0 AS fresh
+            FROM g
+        """,
+        "benford_orders_totalprice": """
+            WITH d AS (
+              SELECT CAST(floor(abs(o_totalprice)
+                     / pow(10.0, floor(log10(abs(o_totalprice))))) AS INT) AS digit
+              FROM orders WHERE abs(o_totalprice) > 0),
+            c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c)
+            SELECT digit, n,
+                   round(n / total, 6) AS observed_p,
+                   round(log10(1.0 + 1.0 / digit), 6) AS expected_p,
+                   round(total * pow(n / total - log10(1.0 + 1.0 / digit), 2.0)
+                         / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+            FROM c, t
+        """,
+        "drift_psi_windows": """
+            WITH b AS (
+              SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS ws,
+                     CASE WHEN value < 10 THEN 0 WHEN value < 20 THEN 1
+                          WHEN value < 40 THEN 2 WHEN value < 80 THEN 3
+                          WHEN value < 160 THEN 4 ELSE 5 END AS bucket
+              FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+            c AS (
+              SELECT ws, count(*) AS n_rows,
+                     sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS n0,
+                     sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS n1,
+                     sum(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS n2,
+                     sum(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS n3,
+                     sum(CASE WHEN bucket = 4 THEN 1 ELSE 0 END) AS n4,
+                     sum(CASE WHEN bucket = 5 THEN 1 ELSE 0 END) AS n5
+              FROM b GROUP BY 1)
+            SELECT ws AS win_start_s, ws + 21600 AS win_end_s, n_rows,
+                   round(
+                     ((n0+1.0)/(n_rows+6.0) - (1.0/6)) * ln(((n0+1.0)/(n_rows+6.0)) / (1.0/6))
+                   + ((n1+1.0)/(n_rows+6.0) - (1.0/6)) * ln(((n1+1.0)/(n_rows+6.0)) / (1.0/6))
+                   + ((n2+1.0)/(n_rows+6.0) - (1.0/6)) * ln(((n2+1.0)/(n_rows+6.0)) / (1.0/6))
+                   + ((n3+1.0)/(n_rows+6.0) - (1.0/6)) * ln(((n3+1.0)/(n_rows+6.0)) / (1.0/6))
+                   + ((n4+1.0)/(n_rows+6.0) - (1.0/6)) * ln(((n4+1.0)/(n_rows+6.0)) / (1.0/6))
+                   + ((n5+1.0)/(n_rows+6.0) - (1.0/6)) * ln(((n5+1.0)/(n_rows+6.0)) / (1.0/6))
+                   , 6) AS psi
+            FROM c
+        """,
+        "fd_lineitem_returnflag": """
+            SELECT l_orderkey, count(*) AS n_rows,
+                   count(DISTINCT l_returnflag) AS n_distinct_dependent
+            FROM lineitem GROUP BY 1
+            HAVING count(DISTINCT l_returnflag) > 1
+        """,
+        "violation_diff_docs": f"""
+            WITH cur AS ({_doc_violations_oracle("documents")}),
+            prev AS ({_doc_violations_oracle("(SELECT * FROM documents WHERE doc_id < 250)")})
+            SELECT c.row_key, c.constraint_id, 'new' AS change FROM cur c
+            WHERE NOT EXISTS (SELECT 1 FROM prev p
+                              WHERE p.row_key = c.row_key
+                                AND p.constraint_id = c.constraint_id)
+            UNION ALL
+            SELECT p.row_key, p.constraint_id, 'resolved' FROM prev p
+            WHERE NOT EXISTS (SELECT 1 FROM cur c
+                              WHERE c.row_key = p.row_key
+                                AND c.constraint_id = p.constraint_id)
         """,
     }

@@ -345,8 +345,8 @@ def bench_scaling() -> dict:
     import multiprocessing as mp
 
     lo, hi = SCALE_PAIR
-    pairs_n = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "5"))
-    reps_n = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    pairs_n = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "7"))
+    reps_n = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     assert hi == 4 * lo, "scaling pair must be N and 4N"
     out: dict = {"job": "validate_corpus", "rows": SCALING_ROWS, "pair": [lo, hi]}
 

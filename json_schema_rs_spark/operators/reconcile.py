@@ -1,0 +1,236 @@
+"""Cross-table reconciliation and anomaly checks.
+
+No reference counterpart (`/root/reference` validates one document at a time,
+src/lib.rs — it can never compare two relations); these extend the engine's
+validation tier (uniqueness, referential integrity, drift) with the remaining
+classic warehouse data-quality family:
+
+* ``reconcile_aggregates`` — does a summary table agree with the aggregate of
+  its detail table?  (orders.o_totalprice vs the sum over lineitem, ledger vs
+  journal, daily rollup vs raw events.)  One aggregation of the detail side
+  (map-side combine on the key), full-outer join to the summary — at 100 TB
+  the join is between two already-aggregated relations keyed identically, so
+  Catalyst plans a single co-partitioned shuffle; keys missing from either
+  side are reported, not dropped.
+* ``robust_outliers`` — per-group median/MAD outlier flags.  Median and MAD
+  are computed with EXACT ``percentile`` at test scale (oracle-comparable);
+  at corpus scale pass ``approx=True`` for ``approx_percentile`` (t-digest:
+  bounded state per group, mergeable across partitions — exact percentile
+  materializes every value per group, which a 10^12-row group cannot).
+  Mean/stddev z-scores break down under the heavy tails that make outlier
+  detection worth running — median/MAD has a 50% breakdown point.
+* ``freshness_check`` — max(ts) per group within ``max_age`` of ``as_of``.
+  ``as_of`` is an explicit parameter, never wall-clock ``now()``: checks must
+  be replayable (same input → same verdict) for checkpoint/resume and for
+  the oracle gate.
+* ``benford_digits`` — first-significant-digit distribution vs Benford's law
+  (chi-square statistic).  Naturally-occurring amount columns follow it;
+  fabricated or truncated data does not.  One groupBy on a 9-value key —
+  the reduce side is 9 rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def reconcile_aggregates(
+    detail: DataFrame,
+    summary: DataFrame,
+    detail_key: str,
+    summary_key: str,
+    detail_expr,
+    summary_col: str,
+    tolerance: float = 0.0,
+) -> DataFrame:
+    """Per-key comparison of ``sum(detail_expr)`` over ``detail`` against
+    ``summary[summary_col]``.
+
+    Output: ``key, detail_value, summary_value, abs_diff, status`` where
+    status ∈ ``ok | mismatch | missing_detail | missing_summary``.
+    ``missing_detail`` = key present only in the summary table;
+    ``missing_summary`` = detail rows whose key the summary lacks.
+
+    The detail side collapses to one row per key BEFORE the join (partial
+    aggregation map-side), so the full-outer join touches |keys| rows, not
+    |detail| rows.  The summary side is assumed key-unique — feed it through
+    operators/uniqueness.py first if that's not guaranteed.
+    """
+    agg = detail.groupBy(F.col(detail_key).alias("key")).agg(
+        F.sum(detail_expr).alias("detail_value")
+    )
+    summ = summary.select(
+        F.col(summary_key).alias("key"), F.col(summary_col).alias("summary_value")
+    )
+    joined = agg.join(summ, "key", "full_outer")
+    diff = F.abs(F.col("detail_value") - F.col("summary_value"))
+    status = (
+        F.when(F.col("detail_value").isNull(), F.lit("missing_detail"))
+        .when(F.col("summary_value").isNull(), F.lit("missing_summary"))
+        .when(diff <= F.lit(tolerance), F.lit("ok"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return joined.select(
+        "key",
+        "detail_value",
+        "summary_value",
+        F.when(diff.isNotNull(), diff).alias("abs_diff"),
+        status.alias("status"),
+    )
+
+
+def reconcile_summary(recon: DataFrame, round_to: int = 2) -> DataFrame:
+    """Collapse a ``reconcile_aggregates`` result to one row per status:
+    ``status, n_keys, total_abs_diff`` — the bounded artifact a 10^12-key
+    reconciliation actually ships (per-key rows stay queryable upstream)."""
+    return recon.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.sum("abs_diff"), round_to).alias("total_abs_diff"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Rows where ``|value - median| > k * MAD`` within their group
+    (MAD = median absolute deviation, scaled by 1.4826 to estimate sigma
+    under normality — the standard robust z-score).
+
+    Two grouped aggregations (median, then MAD around it) joined back to the
+    rows; all three joins share the group key, one shuffle partitioning.
+    Groups where MAD == 0 (>50% identical values) flag nothing rather than
+    everything.  ``approx=True`` swaps exact ``percentile`` for t-digest
+    ``approx_percentile`` — required at scale, see module docstring.
+    """
+    group_cols = group_cols or []
+    pct = F.approx_percentile if approx else F.percentile
+    g = lambda d: d.groupBy(*group_cols) if group_cols else d.groupBy()
+    med = g(df).agg(pct(F.col(value_col), F.lit(0.5)).alias("__med"))
+    with_med = df.join(F.broadcast(med), group_cols) if group_cols else df.crossJoin(F.broadcast(med))
+    mad = g(with_med).agg(
+        pct(F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)).alias("__mad")
+    )
+    full = with_med.join(F.broadcast(mad), group_cols) if group_cols else with_med.crossJoin(F.broadcast(mad))
+    sigma = F.col("__mad") * F.lit(1.4826)
+    score = F.abs(F.col(value_col) - F.col("__med")) / sigma
+    return (
+        full.filter((F.col("__mad") > 0) & (score > F.lit(k)))
+        .withColumn("robust_z", F.round(score, 4))
+        .withColumnRenamed("__med", "group_median")
+        .withColumnRenamed("__mad", "group_mad")
+    )
+
+
+def freshness_check(
+    df: DataFrame,
+    ts_col: str,
+    as_of: str,
+    max_age_hours: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group staleness: ``group..., latest_ts, age_hours, fresh``.
+    ``as_of`` is an ISO timestamp string pinned by the caller — replayable,
+    never wall-clock.  One max-aggregation; reduce output is |groups| rows."""
+    group_cols = group_cols or []
+    g = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    out = g.agg(F.max(F.col(ts_col).cast("timestamp")).alias("latest_ts"))
+    age = (
+        F.unix_timestamp(F.lit(as_of).cast("timestamp"))
+        - F.unix_timestamp(F.col("latest_ts"))
+    ) / 3600.0
+    return out.select(
+        *group_cols,
+        "latest_ts",
+        F.round(age, 4).alias("age_hours"),
+        (age <= F.lit(max_age_hours)).alias("fresh"),
+    )
+
+
+def fd_violations(
+    df: DataFrame, determinant: list[str], dependent: str, max_groups: int | None = None
+) -> DataFrame:
+    """Functional-dependency check ``determinant → dependent``: keys under
+    which the dependent column takes MORE than one distinct value.
+
+    Output: ``determinant..., n_rows, n_distinct_dependent`` for violating
+    keys only.  Two-phase aggregation (dedupe on (key, dependent) first —
+    map-side combine shrinks the shuffle to unique pairs, same shape as
+    operators/cardinality.distinct_exact), so a 10^12-row table shuffles
+    only its distinct pairs.  ``max_groups`` caps the report with a
+    deterministic worst-first ordering (most distinct values first) via
+    TakeOrdered — never a global sort."""
+    pairs = df.groupBy(*determinant, dependent).agg(F.count(F.lit(1)).alias("__n"))
+    out = (
+        pairs.groupBy(*determinant)
+        .agg(
+            F.sum("__n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct_dependent"),
+        )
+        .filter(F.col("n_distinct_dependent") > 1)
+    )
+    if max_groups is not None:
+        out = out.orderBy(
+            F.col("n_distinct_dependent").desc(), *[F.col(c) for c in determinant]
+        ).limit(max_groups)
+    return out
+
+
+def violation_diff(
+    previous: DataFrame, current: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Run-over-run regression report between two violation tables (the
+    ``engine.validate(...).violations`` shape, or any table keyed by
+    ``key_cols``): which violations are ``new`` (in current only) and which
+    are ``resolved`` (in previous only)?
+
+    Two anti-joins on the violation key, unioned with a ``change`` tag —
+    both sides shuffle once on the same key, unchanged violations never
+    leave the executors.  This is the continuous-validation primitive: a
+    scheduled job alerts on ``new`` rows instead of re-reporting the
+    backlog."""
+    key_cols = key_cols or ["row_key", "constraint_id"]
+    new = current.select(*key_cols).join(
+        previous.select(*key_cols), key_cols, "left_anti"
+    )
+    resolved = previous.select(*key_cols).join(
+        current.select(*key_cols), key_cols, "left_anti"
+    )
+    return new.withColumn("change", F.lit("new")).unionByName(
+        resolved.withColumn("change", F.lit("resolved"))
+    )
+
+
+def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit frequencies vs Benford's law.
+
+    Output: ``digit (1-9), n, observed_p, expected_p, chi2_term``; the
+    chi-square statistic is ``sum(chi2_term)``.  Zero/null/non-finite values
+    are excluded.  The aggregate key has 9 values — reduce side is constant
+    size at any input scale."""
+    v = F.abs(F.col(value_col))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    counted = (
+        df.filter(v > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # global window over ≤9 rows — the single-partition collapse is a 9-row
+    # relation, not the input
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs = F.col("n") / total
+    return counted.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(expected, 6).alias("expected_p"),
+        F.round(total * F.pow(obs - expected, F.lit(2.0)) / expected, 6).alias("chi2_term"),
+    )

@@ -1,0 +1,89 @@
+"""Streaming distribution-drift monitor: per-window histogram + PSI against
+a pinned baseline.
+
+No reference counterpart (the reference is strictly batch, SURVEY §2.9);
+this closes the streaming side of the drift family — ``operators/drift.py``
+is the batch implementation and supplies the shared bucket expression, so
+stream and batch agree bucket-for-bucket.
+
+Design for unbounded input — Structured Streaming allows ONE aggregation
+per query, so the whole computation is a single watermarked windowed
+aggregate:
+
+* the histogram is ``len(edges)+1`` CONDITIONAL SUMS inside that one
+  aggregation (never a second groupBy over bucket counts — that chained
+  shape is rejected by the streaming planner and would add a shuffle in
+  batch);
+* state per window is one row of ``n_buckets+1`` longs, bounded regardless
+  of row volume; late rows beyond the watermark are dropped;
+* the baseline proportions are Python floats baked into literal columns —
+  broadcast with the plan, no join, no lookup state;
+* PSI is a pure projection over the aggregated row.
+
+Laplace smoothing (+1 per bucket) keeps PSI finite when a window misses a
+bucket entirely — the batch ``operators/drift.py`` epsilon-clamp is fine
+over a full table but explodes on sparse windows.  The same function runs
+on a batch DataFrame unchanged (no watermark applied) — parity tests run
+both paths on identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.drift import bucket_expr
+
+
+def windowed_psi(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    edges: list[float],
+    baseline: list[float],
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-tumbling-window PSI of ``value_col``'s bucketed distribution vs
+    ``baseline`` (proportions over the same ``edges``, e.g. from a
+    ``operators/drift.drift_stats`` run on the reference corpus).
+
+    Output per window: ``win_start, win_end, n_rows, psi`` (rounded to 6).
+    """
+    n_buckets = len(edges) + 1
+    if len(baseline) != n_buckets:
+        raise ValueError(
+            f"baseline must have {n_buckets} proportions (len(edges)+1), "
+            f"got {len(baseline)}"
+        )
+    if any(q <= 0 for q in baseline):
+        raise ValueError("baseline proportions must be positive (smooth them)")
+
+    # null values would otherwise fall through bucket_expr's CASE chain into
+    # the overflow bucket; null timestamps have no window
+    src = stream_df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).withColumn("__ts", F.col(ts_col).cast("timestamp"))
+    if stream_df.isStreaming:
+        src = src.withWatermark("__ts", watermark)
+    bucket = bucket_expr(value_col, edges)
+
+    counts = src.groupBy(F.window(F.col("__ts"), window).alias("win")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"__n{b}")
+            for b in range(n_buckets)
+        ],
+    )
+    total = F.col("n_rows") + F.lit(float(n_buckets))  # +1 smoothing per bucket
+    psi = None
+    for b, q in enumerate(baseline):
+        p = (F.col(f"__n{b}") + 1.0) / total
+        term = (p - F.lit(float(q))) * F.log(p / F.lit(float(q)))
+        psi = term if psi is None else psi + term
+    return counts.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_rows",
+        F.round(psi, 6).alias("psi"),
+    )

@@ -1,0 +1,67 @@
+"""Streaming windowed PSI — stream == batch parity, smoothing behavior."""
+
+import math
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.streaming.drift_stream import windowed_psi
+
+SF = "/root/testdata/sf0.001"
+EDGES = [20.0, 40.0, 60.0, 80.0]
+BASE = [0.2, 0.2, 0.2, 0.2, 0.2]
+
+
+def _psi_py(counts, baseline):
+    n_b = len(baseline)
+    total = sum(counts) + n_b
+    psi = 0.0
+    for n, q in zip(counts, baseline):
+        p = (n + 1.0) / total
+        psi += (p - q) * math.log(p / q)
+    return round(psi, 6)
+
+
+def test_windowed_psi_batch_exact(spark):
+    import datetime as dt
+
+    rows = [(dt.datetime(2024, 1, 1, 0, 0, 30), float(v)) for v in [5, 25, 25, 45, 99]]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = windowed_psi(df, "value", "ts", EDGES, BASE, window="1 minute").collect()
+    assert len(got) == 1
+    # buckets: 5→0, 25→1, 25→1, 45→2, 99→4 ⇒ counts [1,2,1,0,1]
+    assert got[0].n_rows == 5
+    assert got[0].psi == pytest.approx(_psi_py([1, 2, 1, 0, 1], BASE), abs=1e-6)
+
+
+def test_windowed_psi_stream_matches_batch(spark, tmp_path):
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    batch = spark.read.parquet(str(src_dir))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+
+    kwargs = dict(value_col="value", ts_col="ts", edges=EDGES, baseline=BASE,
+                  window="6 hours", watermark="12 hours")
+    q = (
+        windowed_psi(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName("psi_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(spark.sql("SELECT * FROM psi_stream").collect())
+    want = sorted(windowed_psi(batch, **kwargs).collect())
+    assert len(got) == len(want) > 10
+    assert got == want
+
+
+def test_windowed_psi_rejects_bad_baseline(spark):
+    df = spark.createDataFrame([("2024-01-01 00:00:00", 1.0)], "ts string, value double")
+    with pytest.raises(ValueError):
+        windowed_psi(df, "value", "ts", EDGES, [0.5, 0.5])
+    with pytest.raises(ValueError):
+        windowed_psi(df, "value", "ts", EDGES, [0.25, 0.25, 0.25, 0.25, 0.0])

@@ -1,0 +1,144 @@
+"""Cross-table reconciliation, robust outliers, freshness, Benford."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.reconcile import (
+    benford_digits,
+    freshness_check,
+    reconcile_aggregates,
+    reconcile_summary,
+    robust_outliers,
+)
+
+
+@pytest.fixture(scope="module")
+def detail(spark):
+    rows = [
+        (1, 10.0), (1, 15.0),          # sums to 25 → ok
+        (2, 5.0),                      # summary says 7 → mismatch
+        (3, 9.0),                      # no summary row → missing_summary
+    ]
+    return spark.createDataFrame(rows, "k int, amt double")
+
+
+@pytest.fixture(scope="module")
+def summary(spark):
+    rows = [(1, 25.0), (2, 7.0), (4, 3.0)]  # 4 has no detail → missing_detail
+    return spark.createDataFrame(rows, "k int, total double")
+
+
+def test_reconcile_statuses(detail, summary):
+    rec = reconcile_aggregates(detail, summary, "k", "k", F.col("amt"), "total")
+    got = {r.key: r.status for r in rec.collect()}
+    assert got == {1: "ok", 2: "mismatch", 3: "missing_summary", 4: "missing_detail"}
+    two = {r.key: r for r in rec.collect()}[2]
+    assert two.abs_diff == pytest.approx(2.0)
+
+
+def test_reconcile_tolerance(detail, summary):
+    rec = reconcile_aggregates(detail, summary, "k", "k", F.col("amt"), "total", tolerance=2.0)
+    got = {r.key: r.status for r in rec.collect()}
+    assert got[2] == "ok"
+
+
+def test_reconcile_summary_rollup(detail, summary):
+    rec = reconcile_aggregates(detail, summary, "k", "k", F.col("amt"), "total")
+    roll = {r.status: (r.n_keys, r.total_abs_diff) for r in reconcile_summary(rec).collect()}
+    assert roll["ok"] == (1, 0.0)
+    assert roll["mismatch"] == (1, 2.0)
+    assert roll["missing_summary"][0] == 1 and roll["missing_detail"][0] == 1
+
+
+def test_robust_outliers_flags_only_true_outliers(spark):
+    vals = [float(v) for v in [10, 11, 9, 10, 12, 10, 9, 11, 10, 100]]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "rid int, v double")
+    out = robust_outliers(df, "v", k=3.5)
+    rows = out.collect()
+    assert [r.rid for r in rows] == [9]
+    # robust z of 100 against median 10, MAD 1*1.4826
+    assert rows[0].robust_z == pytest.approx(abs(100 - 10) / 1.4826, abs=1e-3)
+
+
+def test_robust_outliers_grouped_and_zero_mad(spark):
+    rows = [("a", float(v)) for v in [5, 5, 5, 5, 99]] + [
+        ("b", float(v)) for v in [1, 2, 3, 2, 2, 50]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "v", group_cols=["g"], k=3.5)
+    got = [(r.g, r.v) for r in out.collect()]
+    # group a has MAD 0 → flags nothing; group b flags only 50
+    assert got == [("b", 50.0)]
+
+
+def test_robust_outliers_approx_mode_runs(spark):
+    df = spark.createDataFrame([(i, float(i % 10)) for i in range(100)] + [(999, 1e6)],
+                               "rid int, v double")
+    assert [r.rid for r in robust_outliers(df, "v", approx=True).collect()] == [999]
+
+
+def test_freshness(spark):
+    rows = [
+        ("a", dt.datetime(2024, 1, 10, 12)),
+        ("a", dt.datetime(2024, 1, 10, 18)),
+        ("b", dt.datetime(2024, 1, 5, 0)),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r.g: r for r in freshness_check(df, "ts", "2024-01-11 00:00:00", 24.0, ["g"]).collect()}
+    assert out["a"].fresh is True and out["a"].age_hours == pytest.approx(6.0)
+    assert out["b"].fresh is False and out["b"].age_hours == pytest.approx(144.0)
+
+
+def test_benford_uniform_digits(spark):
+    # values 1..999: each leading digit d covers 1+10+100 = 111 values
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1000)], "v double")
+    rows = {r.digit: r for r in benford_digits(df, "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert all(rows[d].n == 111 for d in range(1, 10))
+    assert rows[1].expected_p == pytest.approx(math.log10(2), abs=1e-6)
+    # chi-square total is positive (uniform digits are NOT Benford)
+    assert sum(rows[d].chi2_term for d in range(1, 10)) > 0
+
+
+def test_benford_excludes_nonpositive(spark):
+    df = spark.createDataFrame([(0.0,), (None,), (-300.0,), (7.0,)], "v double")
+    rows = {r.digit: r.n for r in benford_digits(df, "v").collect()}
+    assert rows == {3: 1, 7: 1}  # -300 → digit 3 via abs(); 0/null excluded
+
+
+def test_fd_violations(spark):
+    rows = [
+        ("z1", "NY"), ("z1", "NY"),          # consistent
+        ("z2", "LA"), ("z2", "SF"),          # violated: 2 values
+        ("z3", "CHI"),
+    ]
+    df = spark.createDataFrame(rows, "zip string, city string")
+    from json_schema_rs_spark.operators.reconcile import fd_violations
+
+    got = {r.zip: (r.n_rows, r.n_distinct_dependent) for r in fd_violations(df, ["zip"], "city").collect()}
+    assert got == {"z2": (2, 2)}
+
+
+def test_fd_violations_max_groups_deterministic(spark):
+    rows = [("a", i) for i in range(5)] + [("b", i) for i in range(3)] + [("c", 1)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    from json_schema_rs_spark.operators.reconcile import fd_violations
+
+    top = fd_violations(df, ["k"], "v", max_groups=1).collect()
+    assert [(r.k, r.n_distinct_dependent) for r in top] == [("a", 5)]
+
+
+def test_violation_diff(spark):
+    from json_schema_rs_spark.operators.reconcile import violation_diff
+
+    prev = spark.createDataFrame(
+        [("1", "required:text"), ("2", "enum:lang")], "row_key string, constraint_id string"
+    )
+    cur = spark.createDataFrame(
+        [("1", "required:text"), ("3", "pattern:source")], "row_key string, constraint_id string"
+    )
+    got = {(r.row_key, r.constraint_id): r.change for r in violation_diff(prev, cur).collect()}
+    assert got == {("3", "pattern:source"): "new", ("2", "enum:lang"): "resolved"}
