@@ -189,6 +189,11 @@ def bench_queries(spark) -> dict[str, float]:
         "topk_tokens",
         "distinct_users_by_type",
         "q10_returned_revenue",
+        "range_join_ship_windows",
+        "reconcile_orders_lineitem",
+        "outliers_events_value",
+        "fd_lineitem_returnflag",
+        "drift_psi_windows",
     ]
     qs = entrymod.queries()
 
