@@ -35,7 +35,11 @@ SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "embedding_near_dup_lsh", "semi_join_active_customers",
           "anti_join_unordered_parts", "intersect_click_purchase",
           "having_big_customers", "exists_discounted_orders", "q3_top_revenue", "scalar_subquery_orders",
-          "q5_region_volume", "lag_lead_user_values", "dedup_keep_first"}
+          "q5_region_volume", "lag_lead_user_values", "dedup_keep_first",
+          # full-outer joins cannot use broadcast-hash in Spark; SMJ over two
+          # key-aggregated relations sharing one shuffle partitioning is the
+          # intended 100-TB plan for detail-vs-summary reconciliation
+          "reconcile_orders_lineitem"}
 
 
 def main() -> int:
