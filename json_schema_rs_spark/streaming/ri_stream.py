@@ -1,0 +1,57 @@
+"""Streaming referential integrity: foreign-key checks on an unbounded
+stream against a static (or slowly-refreshed) dimension.
+
+No reference counterpart (the reference is strictly batch and never joins
+relations, SURVEY §2.9); this is the streaming side of
+``operators/integrity.py`` — same semantics, stream-legal plan.
+
+Plan shape: a STREAM-STATIC join — the streaming side is never buffered
+into join state (stateless per micro-batch), and the static side is a
+broadcast of the DISTINCT dimension keys only, re-read per micro-batch.
+Structured Streaming's stream-static support matrix allows inner and left
+outer (static on the right) everywhere; left ANTI against a static frame
+is version-sensitive, so orphan detection is expressed as LEFT OUTER +
+null-probe filter, which plans identically (one BroadcastHashJoin, no
+state store) and works on every Spark 3.x/4.x.
+
+At 100 TB-of-dim scale a broadcast of distinct keys stops fitting; the
+batch path (operators/integrity.py) then switches to a shuffled anti-join,
+but a *streaming* job should instead pre-filter with an approximate
+membership structure and route the (rare) probable-orphans to a batch
+reconciler — document, don't hide, the asymmetry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ri_violations_stream(
+    stream_df: DataFrame,
+    fk_col: str,
+    dim_df: DataFrame,
+    dim_col: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Streaming orphan feed: one row per stream record whose ``fk_col``
+    has no match in ``dim_df[dim_col]`` (NULL foreign keys are not orphans —
+    that's a ``required`` constraint's job, matching the batch operator).
+
+    Output: ``key_cols..., constraint_id, observed_value`` — the engine's
+    violations shape, so the feed unions with ``violations_stream``.
+    """
+    dim_keys = F.broadcast(
+        dim_df.select(F.col(dim_col).alias("__dim_key")).distinct()
+    )
+    joined = stream_df.join(
+        dim_keys, stream_df[fk_col] == dim_keys["__dim_key"], "left_outer"
+    )
+    return (
+        joined.filter(F.col(fk_col).isNotNull() & F.col("__dim_key").isNull())
+        .select(
+            *key_cols,
+            F.lit(f"referential:{fk_col}").alias("constraint_id"),
+            F.col(fk_col).cast("string").alias("observed_value"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Stream-static referential integrity — stream == batch parity."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.integrity import orphan_rows
+from json_schema_rs_spark.streaming.ri_stream import ri_violations_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ri_stream_matches_batch(spark, tmp_path):
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    batch = spark.read.parquet(str(src_dir))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+
+    # dim: only even user ids are "registered" → odd ones are orphans
+    dim = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey")
+    )
+
+    sdf = ri_violations_stream(stream, "user_id", dim, "c_custkey", ["event_id"])
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ri_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ri_stream")
+
+    want = orphan_rows(batch, "user_id", dim, "c_custkey").select(
+        "event_id",
+        F.lit("referential:user_id").alias("constraint_id"),
+        F.col("user_id").cast("string").alias("observed_value"),
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.columns == ["event_id", "constraint_id", "observed_value"]
+
+
+def test_ri_stream_null_fk_not_orphan(spark, tmp_path):
+    src_dir = tmp_path / "s"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id int, fk int"
+    ).write.parquet(str(src_dir / "p"))
+    batch = spark.read.parquet(str(src_dir / "p"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir / "p"))
+    dim = spark.createDataFrame([(10,)], "k int")
+
+    sdf = ri_violations_stream(stream, "fk", dim, "k", ["id"])
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ri_nulls")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ri_nulls").collect()
+    assert [(r.id, r.observed_value) for r in rows] == [(3, "99")]
