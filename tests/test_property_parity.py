@@ -1,0 +1,115 @@
+"""Property-based parity: the compiled Spark constraint plan vs an
+independent pure-Python model of the reference's validator semantics
+(byte-length strings per string.rs:71, INVERTED range exclusivity per
+number.rs:42-51, null short-circuit, required-on-null) over
+hypothesis-generated rows, specs, and bounds.
+
+One Spark round-trip per hypothesis example (rows are batched into a single
+DataFrame), so the whole test is ~a dozen jobs, not thousands.
+"""
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from json_schema_rs_spark import TableSpec, ValidationEngine
+from json_schema_rs_spark.spec import number_field, string_field
+
+# boundary-heavy pools: sampled bounds reappear as values so the inverted
+# exclusivity quirk is actually exercised, not just passed by luck
+BOUNDS = [0.0, 1.5, 10.0]
+NUMS = st.one_of(
+    st.sampled_from(BOUNDS + [-1.0, 0.5, 2.0, 9.999, 10.001]),
+    st.floats(min_value=-50, max_value=50, allow_nan=False, allow_infinity=False),
+)
+TEXTS = st.one_of(
+    st.sampled_from(["", "a", "ab", "abc", "é", "日本語", "xyzzy"]),
+    st.text(max_size=6),
+)
+
+
+rows_st = st.lists(
+    st.tuples(st.one_of(st.none(), TEXTS), st.one_of(st.none(), NUMS)),
+    min_size=1,
+    max_size=12,
+)
+spec_st = st.fixed_dictionaries(
+    {
+        "s_required": st.booleans(),
+        "min_length": st.one_of(st.none(), st.integers(0, 5)),
+        "max_length": st.one_of(st.none(), st.integers(0, 8)),
+        "enum": st.one_of(st.none(), st.just(["a", "ab", "é"])),
+        "n_required": st.booleans(),
+        "minimum": st.one_of(st.none(), st.sampled_from(BOUNDS)),
+        "maximum": st.one_of(st.none(), st.sampled_from(BOUNDS)),
+        "excl_min": st.booleans(),
+        "excl_max": st.booleans(),
+    }
+)
+
+
+def _model(rows, cfg):
+    """Reference-parity semantics in plain Python: multiset of
+    (row_key, constraint_id)."""
+    out = Counter()
+    for rid, (s, n) in enumerate(rows):
+        if s is None:
+            if cfg["s_required"]:
+                out[(str(rid), "required:s")] += 1
+        else:
+            b = len(s.encode("utf-8"))
+            if cfg["min_length"] is not None and not b >= cfg["min_length"]:
+                out[(str(rid), "min_length:s")] += 1
+            if cfg["max_length"] is not None and not b <= cfg["max_length"]:
+                out[(str(rid), "max_length:s")] += 1
+            if cfg["enum"] is not None and s not in cfg["enum"]:
+                out[(str(rid), "enum:s")] += 1
+        if n is None:
+            if cfg["n_required"]:
+                out[(str(rid), "required:n")] += 1
+        else:
+            lo, hi = cfg["minimum"], cfg["maximum"]
+            if lo is not None:
+                ok = n >= lo if cfg["excl_min"] else n > lo  # INVERTED (parity)
+                if not ok:
+                    out[(str(rid), "number_range:n")] += 1
+            if hi is not None:
+                ok = n <= hi if cfg["excl_max"] else n < hi  # INVERTED (parity)
+                if not ok:
+                    out[(str(rid), "number_range:n")] += 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_st, cfg=spec_st)
+def test_compiled_plan_matches_python_model(_spark, rows, cfg):
+    s = string_field("s", required=cfg["s_required"])
+    if cfg["min_length"] is not None or cfg["max_length"] is not None:
+        s = s.with_length(cfg["min_length"], cfg["max_length"])
+    if cfg["enum"] is not None:
+        s = s.with_enum(cfg["enum"])
+    n = number_field("n", required=cfg["n_required"]).with_range(
+        cfg["minimum"], cfg["maximum"], cfg["excl_min"], cfg["excl_max"]
+    )
+    spec = TableSpec().add_field(s).add_field(n)
+    eng = ValidationEngine(spec, key_cols=["rid"])
+
+    df = _spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "rid int, s string, n double"
+    )
+    got = Counter(
+        (r.row_key, r.constraint_id)
+        for r in eng.validate(df).violations.collect()
+    )
+    assert got == _model(rows, cfg)
