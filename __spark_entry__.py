@@ -1087,6 +1087,18 @@ def q_salted_join_events_segment(spark, sf_dir):
     )
 
 
+def q_constraint_drift_docs(spark, sf_dir):
+    # Constraint-level drift between two snapshots (operators/infer.py):
+    # each side is one collapse-to-a-row aggregation; the join sees dozens
+    # of rows regardless of snapshot size.
+    from json_schema_rs_spark.operators.infer import constraint_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return constraint_drift(
+        docs.filter(F.col("doc_id") < 250), docs, exact=True, enum_max=24
+    )
+
+
 def q_reconcile_orders_lineitem(spark, sf_dir):
     # Cross-table aggregate reconciliation (operators/reconcile.py): detail
     # lineitem collapses to one row per order key BEFORE the full-outer join
@@ -1274,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_lineitem_returnflag": q_fd_lineitem_returnflag,
         "violation_diff_docs": q_violation_diff_docs,
         "drift_psi_windows": q_drift_psi_windows,
+        "constraint_drift_docs": q_constraint_drift_docs,
     }
 
 
@@ -1573,6 +1586,51 @@ def _doc_violations_oracle(table: str) -> str:
             SELECT CAST(doc_id AS VARCHAR), 'unique_key:doc_id', CAST(count(*) AS VARCHAR)
               FROM {table} GROUP BY doc_id HAVING count(*) > 1
     """
+
+
+def _suggest_constraints_oracle(table: str) -> str:
+    """suggest_constraints over ``table`` (name or parenthesized subquery)
+    as DuckDB SQL — shared by suggest_constraints_docs and constraint_drift."""
+    return f"""
+            WITH m AS (
+              SELECT count(*) AS n,
+                     count(doc_id) AS nn_id, min(doc_id) AS min_id, max(doc_id) AS max_id,
+                     count(text) AS nn_t, min(strlen(text)) AS minlen_t,
+                     max(strlen(text)) AS maxlen_t, count(DISTINCT text) AS nd_t,
+                     count(lang) AS nn_l, min(strlen(lang)) AS minlen_l,
+                     max(strlen(lang)) AS maxlen_l, count(DISTINCT lang) AS nd_l,
+                     string_agg(DISTINCT lang, ',' ORDER BY lang) AS enum_l,
+                     count(source) AS nn_s, min(strlen(source)) AS minlen_s,
+                     max(strlen(source)) AS maxlen_s, count(DISTINCT source) AS nd_s,
+                     string_agg(DISTINCT source, ',' ORDER BY source) AS enum_s,
+                     count(n_chars) AS nn_c, min(n_chars) AS min_c, max(n_chars) AS max_c
+              FROM {table}),
+            sugg AS (
+              SELECT 'doc_id' AS col, 'type' AS keyword, 'integer' AS value FROM m
+              UNION ALL SELECT 'doc_id', 'required', CASE WHEN nn_id = n THEN 'true' END FROM m
+              UNION ALL SELECT 'doc_id', 'minimum', CAST(min_id AS VARCHAR) FROM m
+              UNION ALL SELECT 'doc_id', 'maximum', CAST(max_id AS VARCHAR) FROM m
+              UNION ALL SELECT 'text', 'type', 'string' FROM m
+              UNION ALL SELECT 'text', 'required', CASE WHEN nn_t = n THEN 'true' END FROM m
+              UNION ALL SELECT 'text', 'minLength', CAST(minlen_t AS VARCHAR) FROM m
+              UNION ALL SELECT 'text', 'maxLength', CAST(maxlen_t AS VARCHAR) FROM m
+              UNION ALL SELECT 'text', 'enum', CASE WHEN nd_t <= 24 THEN '' END FROM m
+              UNION ALL SELECT 'lang', 'type', 'string' FROM m
+              UNION ALL SELECT 'lang', 'required', CASE WHEN nn_l = n THEN 'true' END FROM m
+              UNION ALL SELECT 'lang', 'minLength', CAST(minlen_l AS VARCHAR) FROM m
+              UNION ALL SELECT 'lang', 'maxLength', CAST(maxlen_l AS VARCHAR) FROM m
+              UNION ALL SELECT 'lang', 'enum', CASE WHEN nd_l <= 24 THEN enum_l END FROM m
+              UNION ALL SELECT 'source', 'type', 'string' FROM m
+              UNION ALL SELECT 'source', 'required', CASE WHEN nn_s = n THEN 'true' END FROM m
+              UNION ALL SELECT 'source', 'minLength', CAST(minlen_s AS VARCHAR) FROM m
+              UNION ALL SELECT 'source', 'maxLength', CAST(maxlen_s AS VARCHAR) FROM m
+              UNION ALL SELECT 'source', 'enum', CASE WHEN nd_s <= 24 THEN enum_s END FROM m
+              UNION ALL SELECT 'n_chars', 'type', 'integer' FROM m
+              UNION ALL SELECT 'n_chars', 'required', CASE WHEN nn_c = n THEN 'true' END FROM m
+              UNION ALL SELECT 'n_chars', 'minimum', CAST(min_c AS VARCHAR) FROM m
+              UNION ALL SELECT 'n_chars', 'maximum', CAST(max_c AS VARCHAR) FROM m)
+            SELECT col AS "column", keyword, value FROM sugg WHERE value IS NOT NULL
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2239,46 +2297,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'quality:max_mean:value', CAST(round(mean_v, 6) AS VARCHAR),
                    CAST(45.0 AS DOUBLE), mean_v <= 45.0 FROM m
         """,
-        "suggest_constraints_docs": """
-            WITH m AS (
-              SELECT count(*) AS n,
-                     count(doc_id) AS nn_id, min(doc_id) AS min_id, max(doc_id) AS max_id,
-                     count(text) AS nn_t, min(strlen(text)) AS minlen_t,
-                     max(strlen(text)) AS maxlen_t, count(DISTINCT text) AS nd_t,
-                     count(lang) AS nn_l, min(strlen(lang)) AS minlen_l,
-                     max(strlen(lang)) AS maxlen_l, count(DISTINCT lang) AS nd_l,
-                     string_agg(DISTINCT lang, ',' ORDER BY lang) AS enum_l,
-                     count(source) AS nn_s, min(strlen(source)) AS minlen_s,
-                     max(strlen(source)) AS maxlen_s, count(DISTINCT source) AS nd_s,
-                     string_agg(DISTINCT source, ',' ORDER BY source) AS enum_s,
-                     count(n_chars) AS nn_c, min(n_chars) AS min_c, max(n_chars) AS max_c
-              FROM documents),
-            sugg AS (
-              SELECT 'doc_id' AS col, 'type' AS keyword, 'integer' AS value FROM m
-              UNION ALL SELECT 'doc_id', 'required', CASE WHEN nn_id = n THEN 'true' END FROM m
-              UNION ALL SELECT 'doc_id', 'minimum', CAST(min_id AS VARCHAR) FROM m
-              UNION ALL SELECT 'doc_id', 'maximum', CAST(max_id AS VARCHAR) FROM m
-              UNION ALL SELECT 'text', 'type', 'string' FROM m
-              UNION ALL SELECT 'text', 'required', CASE WHEN nn_t = n THEN 'true' END FROM m
-              UNION ALL SELECT 'text', 'minLength', CAST(minlen_t AS VARCHAR) FROM m
-              UNION ALL SELECT 'text', 'maxLength', CAST(maxlen_t AS VARCHAR) FROM m
-              UNION ALL SELECT 'text', 'enum', CASE WHEN nd_t <= 24 THEN '' END FROM m
-              UNION ALL SELECT 'lang', 'type', 'string' FROM m
-              UNION ALL SELECT 'lang', 'required', CASE WHEN nn_l = n THEN 'true' END FROM m
-              UNION ALL SELECT 'lang', 'minLength', CAST(minlen_l AS VARCHAR) FROM m
-              UNION ALL SELECT 'lang', 'maxLength', CAST(maxlen_l AS VARCHAR) FROM m
-              UNION ALL SELECT 'lang', 'enum', CASE WHEN nd_l <= 24 THEN enum_l END FROM m
-              UNION ALL SELECT 'source', 'type', 'string' FROM m
-              UNION ALL SELECT 'source', 'required', CASE WHEN nn_s = n THEN 'true' END FROM m
-              UNION ALL SELECT 'source', 'minLength', CAST(minlen_s AS VARCHAR) FROM m
-              UNION ALL SELECT 'source', 'maxLength', CAST(maxlen_s AS VARCHAR) FROM m
-              UNION ALL SELECT 'source', 'enum', CASE WHEN nd_s <= 24 THEN enum_s END FROM m
-              UNION ALL SELECT 'n_chars', 'type', 'integer' FROM m
-              UNION ALL SELECT 'n_chars', 'required', CASE WHEN nn_c = n THEN 'true' END FROM m
-              UNION ALL SELECT 'n_chars', 'minimum', CAST(min_c AS VARCHAR) FROM m
-              UNION ALL SELECT 'n_chars', 'maximum', CAST(max_c AS VARCHAR) FROM m)
-            SELECT col AS "column", keyword, value FROM sugg WHERE value IS NOT NULL
-        """,
+        "suggest_constraints_docs": _suggest_constraints_oracle("documents"),
         "range_join_ship_windows": """
             SELECT o.o_orderkey,
                    count(*) AS n_in_window,
@@ -2387,6 +2406,19 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_returnflag) AS n_distinct_dependent
             FROM lineitem GROUP BY 1
             HAVING count(DISTINCT l_returnflag) > 1
+        """,
+        "constraint_drift_docs": f"""
+            WITH old_s AS ({_suggest_constraints_oracle("(SELECT * FROM documents WHERE doc_id < 250)")}),
+            new_s AS ({_suggest_constraints_oracle("documents")})
+            SELECT coalesce(o."column", n."column") AS "column",
+                   coalesce(o.keyword, n.keyword) AS keyword,
+                   o.value AS old_value, n.value AS new_value,
+                   CASE WHEN o.value IS NULL THEN 'added'
+                        WHEN n.value IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old_s o FULL OUTER JOIN new_s n
+              ON o."column" = n."column" AND o.keyword = n.keyword
+            WHERE o.value IS DISTINCT FROM n.value
         """,
         "violation_diff_docs": f"""
             WITH cur AS ({_doc_violations_oracle("documents")}),

@@ -124,6 +124,42 @@ def suggest_constraints(
     )
 
 
+def constraint_drift(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    columns: list[str] | None = None,
+    enum_max: int = 16,
+    exact: bool = False,
+) -> DataFrame:
+    """Constraint-level drift between two snapshots of the same table:
+    each snapshot's suggested constraints (``suggest_constraints``) joined
+    full-outer on (column, keyword), keeping only the entries that differ.
+
+    Output: ``column, keyword, old_value, new_value, status`` where status ∈
+    ``added | removed | changed`` (from the NEW snapshot's point of view —
+    ``added`` = constraint present only in new, e.g. a column stopped having
+    NULLs so ``required`` appears).
+
+    Scale shape: each side is ONE aggregation collapsing to a single row
+    before explode (suggest_constraints), so the join touches a few dozen
+    rows however large the snapshots are."""
+    a = suggest_constraints(df_old, columns, enum_max, exact).withColumnRenamed(
+        "value", "old_value"
+    )
+    b = suggest_constraints(df_new, columns, enum_max, exact).withColumnRenamed(
+        "value", "new_value"
+    )
+    joined = a.join(b, ["column", "keyword"], "full_outer")
+    status = (
+        F.when(F.col("old_value").isNull(), F.lit("added"))
+        .when(F.col("new_value").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.filter(
+        ~F.col("old_value").eqNullSafe(F.col("new_value"))
+    ).select("column", "keyword", "old_value", "new_value", status.alias("status"))
+
+
 def suggest_spec(
     df: DataFrame,
     columns: list[str] | None = None,

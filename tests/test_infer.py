@@ -69,3 +69,23 @@ def test_suggested_spec_catches_new_violations(rows, spark):
     cids = {r.constraint_id for r in res.violations.collect()}
     assert "enum:color" in cids               # unseen category
     assert "number_range:score" in cids       # above observed max
+
+
+def test_constraint_drift(spark):
+    from json_schema_rs_spark.operators.infer import constraint_drift
+
+    old = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 9.0)], "id int, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 9.0), (3, None, 42.0)], "id int, s string, v double"
+    )
+    got = {(r.column, r.keyword): (r.old_value, r.new_value, r.status)
+           for r in constraint_drift(old, new, exact=True).collect()}
+    # s gained a NULL → required disappears from the new suggestions
+    assert got[("s", "required")] == ("true", None, "removed")
+    # v's max moved 9 → 42
+    assert got[("v", "maximum")][2] == "changed"
+    assert got[("id", "maximum")] == ("2", "3", "changed")
+    # unchanged constraints are absent
+    assert ("v", "minimum") not in got and ("s", "type") not in got
