@@ -1087,6 +1087,19 @@ def q_salted_join_events_segment(spark, sf_dir):
     )
 
 
+def q_drift_psi_by_lang(spark, sf_dir):
+    # Per-segment drift: which lang's n_chars distribution departs from the
+    # shared baseline (single grouped agg, bounded state per group).
+    from json_schema_rs_spark.streaming.drift_stream import grouped_psi
+
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_psi(
+        docs, "n_chars", "lang",
+        edges=[150.0, 250.0, 350.0, 450.0],
+        baseline=[0.2] * 5,
+    )
+
+
 def q_constraint_drift_docs(spark, sf_dir):
     # Constraint-level drift between two snapshots (operators/infer.py):
     # each side is one collapse-to-a-row aggregation; the join sees dozens
@@ -1287,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_diff_docs": q_violation_diff_docs,
         "drift_psi_windows": q_drift_psi_windows,
         "constraint_drift_docs": q_constraint_drift_docs,
+        "drift_psi_by_lang": q_drift_psi_by_lang,
     }
 
 
@@ -2406,6 +2420,26 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_returnflag) AS n_distinct_dependent
             FROM lineitem GROUP BY 1
             HAVING count(DISTINCT l_returnflag) > 1
+        """,
+        "drift_psi_by_lang": """
+            WITH c AS (
+              SELECT lang, count(*) AS n_rows,
+                     sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS n0,
+                     sum(CASE WHEN n_chars >= 150 AND n_chars < 250 THEN 1 ELSE 0 END) AS n1,
+                     sum(CASE WHEN n_chars >= 250 AND n_chars < 350 THEN 1 ELSE 0 END) AS n2,
+                     sum(CASE WHEN n_chars >= 350 AND n_chars < 450 THEN 1 ELSE 0 END) AS n3,
+                     sum(CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END) AS n4
+              FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+              GROUP BY 1)
+            SELECT lang, n_rows,
+                   round(
+                     ((n0+1.0)/(n_rows+5.0) - 0.2) * ln(((n0+1.0)/(n_rows+5.0)) / 0.2)
+                   + ((n1+1.0)/(n_rows+5.0) - 0.2) * ln(((n1+1.0)/(n_rows+5.0)) / 0.2)
+                   + ((n2+1.0)/(n_rows+5.0) - 0.2) * ln(((n2+1.0)/(n_rows+5.0)) / 0.2)
+                   + ((n3+1.0)/(n_rows+5.0) - 0.2) * ln(((n3+1.0)/(n_rows+5.0)) / 0.2)
+                   + ((n4+1.0)/(n_rows+5.0) - 0.2) * ln(((n4+1.0)/(n_rows+5.0)) / 0.2)
+                   , 6) AS psi
+            FROM c
         """,
         "constraint_drift_docs": f"""
             WITH old_s AS ({_suggest_constraints_oracle("(SELECT * FROM documents WHERE doc_id < 250)")}),

@@ -57,7 +57,10 @@ def reconcile_aggregates(
     The detail side collapses to one row per key BEFORE the join (partial
     aggregation map-side), so the full-outer join touches |keys| rows, not
     |detail| rows.  The summary side is assumed key-unique — feed it through
-    operators/uniqueness.py first if that's not guaranteed.
+    operators/uniqueness.py first if that's not guaranteed.  A key whose
+    detail rows are ALL NULL under ``detail_expr`` sums to NULL and reports
+    ``missing_detail`` (SQL sum-of-nulls semantics) — pre-coalesce the
+    expression if you want those treated as 0.
     """
     agg = detail.groupBy(F.col(detail_key).alias("key")).agg(
         F.sum(detail_expr).alias("detail_value")
@@ -163,7 +166,10 @@ def fd_violations(
     keys only.  Two-phase aggregation (dedupe on (key, dependent) first —
     map-side combine shrinks the shuffle to unique pairs, same shape as
     operators/cardinality.distinct_exact), so a 10^12-row table shuffles
-    only its distinct pairs.  ``max_groups`` caps the report with a
+    only its distinct pairs.  NULL dependents count as one distinct value
+    (a key mapping to both 'x' and NULL violates the FD) — unlike SQL
+    ``count(DISTINCT ...)``, which silently ignores NULLs; filter them
+    first for that convention.  ``max_groups`` caps the report with a
     deterministic worst-first ordering (most distinct values first) via
     TakeOrdered — never a global sort."""
     pairs = df.groupBy(*determinant, dependent).agg(F.count(F.lit(1)).alias("__n"))

@@ -70,20 +70,64 @@ def windowed_psi(
 
     counts = src.groupBy(F.window(F.col("__ts"), window).alias("win")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        *[
-            F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"__n{b}")
-            for b in range(n_buckets)
-        ],
+        *_bucket_sums(bucket_expr(value_col, edges), n_buckets),
     )
-    total = F.col("n_rows") + F.lit(float(n_buckets))  # +1 smoothing per bucket
+    return counts.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_rows",
+        F.round(_psi_expr(baseline), 6).alias("psi"),
+    )
+
+
+def _bucket_sums(bucket, n_buckets: int):
+    """One conditional sum per bucket — the streaming-legal histogram."""
+    return [
+        F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"__n{b}")
+        for b in range(n_buckets)
+    ]
+
+
+def _psi_expr(baseline: list[float]):
+    """PSI over the ``__n{b}``/``n_rows`` aggregate row, Laplace-smoothed."""
+    total = F.col("n_rows") + F.lit(float(len(baseline)))
     psi = None
     for b, q in enumerate(baseline):
         p = (F.col(f"__n{b}") + 1.0) / total
         term = (p - F.lit(float(q))) * F.log(p / F.lit(float(q)))
         psi = term if psi is None else psi + term
+    return psi
+
+
+def grouped_psi(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    edges: list[float],
+    baseline: list[float],
+) -> DataFrame:
+    """Per-SEGMENT drift: PSI of each group's distribution vs the shared
+    baseline — the batch sibling of ``windowed_psi`` keyed by an entity
+    column instead of a time window (which segment drifted, not when).
+
+    Output: ``group_col, n_rows, psi``.  Same single-aggregation shape:
+    reduce state is one row of ``len(edges)+1`` longs per group."""
+    n_buckets = len(edges) + 1
+    if len(baseline) != n_buckets:
+        raise ValueError(
+            f"baseline must have {n_buckets} proportions (len(edges)+1), "
+            f"got {len(baseline)}"
+        )
+    if any(q <= 0 for q in baseline):
+        raise ValueError("baseline proportions must be positive (smooth them)")
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *_bucket_sums(bucket_expr(value_col, edges), n_buckets),
+        )
+    )
     return counts.select(
-        F.col("win.start").alias("win_start"),
-        F.col("win.end").alias("win_end"),
-        "n_rows",
-        F.round(psi, 6).alias("psi"),
+        group_col, "n_rows", F.round(_psi_expr(baseline), 6).alias("psi")
     )

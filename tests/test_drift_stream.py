@@ -65,3 +65,19 @@ def test_windowed_psi_rejects_bad_baseline(spark):
         windowed_psi(df, "value", "ts", EDGES, [0.5, 0.5])
     with pytest.raises(ValueError):
         windowed_psi(df, "value", "ts", EDGES, [0.25, 0.25, 0.25, 0.25, 0.0])
+
+
+def test_grouped_psi_matches_python(spark):
+    from json_schema_rs_spark.streaming.drift_stream import grouped_psi
+
+    rows = [("a", float(v)) for v in [5, 25, 25, 45, 99]] + [
+        ("b", float(v)) for v in [5, 5, 5, 5, 5]
+    ] + [("c", None), (None, 7.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r.g: r for r in grouped_psi(df, "value", "g", EDGES, BASE).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"].n_rows == 5
+    assert got["a"].psi == pytest.approx(_psi_py([1, 2, 1, 0, 1], BASE), abs=1e-6)
+    assert got["b"].psi == pytest.approx(_psi_py([5, 0, 0, 0, 0], BASE), abs=1e-6)
+    # b's distribution is concentrated in one bucket → more drift than a
+    assert got["b"].psi > got["a"].psi
