@@ -62,6 +62,11 @@ def range_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"range_join: how must be inner|left, got {how!r}")
+    if "__b" in points.columns or "__b" in intervals.columns:
+        raise ValueError(
+            "range_join: '__b' is reserved for the internal bucket column — "
+            "rename it on the input"
+        )
     equi_keys = equi_keys or []
     grain = F.lit(int(grain_seconds))
 
@@ -118,6 +123,11 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join: how must be inner|left, got {how!r}")
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError(
+            "salted_join: '__salt' is reserved for the internal salt column — "
+            "rename it on the input"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     fp = fingerprint_cols or [c for c in big.columns if c not in keys]
     if not fp:

@@ -80,7 +80,7 @@ def reconcile_aggregates(
         "key",
         "detail_value",
         "summary_value",
-        F.when(diff.isNotNull(), diff).alias("abs_diff"),
+        diff.alias("abs_diff"),
         status.alias("status"),
     )
 
@@ -111,16 +111,23 @@ def robust_outliers(
     Groups where MAD == 0 (>50% identical values) flag nothing rather than
     everything.  ``approx=True`` swaps exact ``percentile`` for t-digest
     ``approx_percentile`` — required at scale, see module docstring.
+
+    The median/MAD relations (one row per group) are joined back WITHOUT a
+    broadcast hint: at high group cardinality a forced broadcast would
+    collect millions of rows to the driver; AQE broadcasts them at runtime
+    whenever they are actually small.
     """
     group_cols = group_cols or []
     pct = F.approx_percentile if approx else F.percentile
     g = lambda d: d.groupBy(*group_cols) if group_cols else d.groupBy()
     med = g(df).agg(pct(F.col(value_col), F.lit(0.5)).alias("__med"))
-    with_med = df.join(F.broadcast(med), group_cols) if group_cols else df.crossJoin(F.broadcast(med))
+    # ungrouped: the stats frame is literally ONE row — broadcast is always
+    # safe there and keeps the crossJoin a broadcast NLJ, not a cartesian
+    with_med = df.join(med, group_cols) if group_cols else df.crossJoin(F.broadcast(med))
     mad = g(with_med).agg(
         pct(F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)).alias("__mad")
     )
-    full = with_med.join(F.broadcast(mad), group_cols) if group_cols else with_med.crossJoin(F.broadcast(mad))
+    full = with_med.join(mad, group_cols) if group_cols else with_med.crossJoin(F.broadcast(mad))
     sigma = F.col("__mad") * F.lit(1.4826)
     score = F.abs(F.col(value_col) - F.col("__med")) / sigma
     return (
@@ -218,12 +225,13 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
 
     Output: ``digit (1-9), n, observed_p, expected_p, chi2_term``; the
     chi-square statistic is ``sum(chi2_term)``.  Zero/null/non-finite values
-    are excluded.  The aggregate key has 9 values — reduce side is constant
-    size at any input scale."""
+    are excluded (NaN fails ``> 0``; ±Inf is screened explicitly — it would
+    otherwise produce a NULL digit via inf/inf).  The aggregate key has 9
+    values — reduce side is constant size at any input scale."""
     v = F.abs(F.col(value_col))
     digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
     counted = (
-        df.filter(v > 0)
+        df.filter((v > 0) & (v < F.lit(float("inf"))))
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))

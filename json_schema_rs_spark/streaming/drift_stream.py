@@ -66,7 +66,6 @@ def windowed_psi(
     ).withColumn("__ts", F.col(ts_col).cast("timestamp"))
     if stream_df.isStreaming:
         src = src.withWatermark("__ts", watermark)
-    bucket = bucket_expr(value_col, edges)
 
     counts = src.groupBy(F.window(F.col("__ts"), window).alias("win")).agg(
         F.count(F.lit(1)).alias("n_rows"),

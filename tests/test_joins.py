@@ -139,3 +139,14 @@ def test_salted_join_requires_fingerprint(spark, dim):
     keys_only = spark.createDataFrame([(1,), (2,)], "k int")
     with pytest.raises(ValueError):
         salted_join(keys_only, dim, "k")
+
+
+def test_reserved_internal_columns_rejected(spark, intervals, big, dim):
+    import datetime as dt
+
+    pts_b = spark.createDataFrame([(1, dt.datetime(2024, 1, 2), 0)], "pid int, ts timestamp, __b int")
+    with pytest.raises(ValueError, match="__b"):
+        range_join(pts_b, intervals, "ts", "lo", "hi")
+    big_s = big.withColumn("__salt", F.lit(1))
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(big_s, dim, "k")

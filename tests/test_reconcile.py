@@ -142,3 +142,11 @@ def test_violation_diff(spark):
     )
     got = {(r.row_key, r.constraint_id): r.change for r in violation_diff(prev, cur).collect()}
     assert got == {("3", "pattern:source"): "new", ("2", "enum:lang"): "resolved"}
+
+
+def test_benford_excludes_infinities(spark):
+    df = spark.createDataFrame(
+        [(float("inf"),), (float("-inf"),), (float("nan"),), (42.0,)], "v double"
+    )
+    rows = {r.digit: r.n for r in benford_digits(df, "v").collect()}
+    assert rows == {4: 1}

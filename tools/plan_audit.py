@@ -38,8 +38,14 @@ SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "q5_region_volume", "lag_lead_user_values", "dedup_keep_first",
           # full-outer joins cannot use broadcast-hash in Spark; SMJ over two
           # key-aggregated relations sharing one shuffle partitioning is the
-          # intended 100-TB plan for detail-vs-summary reconciliation
-          "reconcile_orders_lineitem"}
+          # intended plan for detail-vs-summary reconciliation and for the
+          # suggestion diff (both sides are pre-collapsed aggregates)
+          "reconcile_orders_lineitem", "constraint_drift_docs",
+          # the per-group median/MAD frames join back without a broadcast
+          # HINT (forced broadcast would be unbounded at high group
+          # cardinality); the initial plan is SMJ and AQE converts it to a
+          # broadcast join at runtime when the stats frame is small
+          "outliers_events_value"}
 
 
 def main() -> int:
