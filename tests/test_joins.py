@@ -150,3 +150,29 @@ def test_reserved_internal_columns_rejected(spark, intervals, big, dim):
     big_s = big.withColumn("__salt", F.lit(1))
     with pytest.raises(ValueError, match="__salt"):
         salted_join(big_s, dim, "k")
+
+
+def test_range_join_left_with_equi_keys(spark, intervals):
+    pts = spark.createDataFrame(
+        [(1, _ts(2), "k0"), (2, _ts(2), "nope"), (3, dt.datetime(2030, 1, 1), "k0")],
+        "pid int, ts timestamp, key string",
+    )
+    got = range_join(pts, intervals, "ts", "lo", "hi", equi_keys=["key"], how="left")
+    rows = {r.pid: r for r in got.collect()}
+    # pid 2 (no key match) and pid 3 (no time match) survive with null interval cols
+    assert rows[2].iid is None and rows[3].iid is None
+    assert rows[2].key == "nope"          # left payload kept on unmatched rows
+    matched = [r for r in got.collect() if r.pid == 1]
+    assert len(matched) >= 1 and all(r.iid is not None for r in matched)
+
+
+def test_salted_join_multi_key(spark):
+    big = spark.createDataFrame(
+        [(i, i % 3, i % 2, float(i)) for i in range(60)], "rid int, a int, b int, v double"
+    )
+    small = spark.createDataFrame(
+        [(x, y, f"d{x}{y}") for x in range(3) for y in range(2)], "a int, b int, name string"
+    )
+    got = sorted(salted_join(big, small, ["a", "b"], n_salts=4).select("rid", "name").collect())
+    want = sorted(big.join(small, ["a", "b"]).select("rid", "name").collect())
+    assert got == want
