@@ -1618,9 +1618,11 @@ def _suggest_constraints_oracle(table: str) -> str:
                      count(lang) AS nn_l, min(strlen(lang)) AS minlen_l,
                      max(strlen(lang)) AS maxlen_l, count(DISTINCT lang) AS nd_l,
                      string_agg(DISTINCT lang, ',' ORDER BY lang) AS enum_l,
+                     max(CASE WHEN contains(lang, ',') THEN 1 ELSE 0 END) AS enumbad_l,
                      count(source) AS nn_s, min(strlen(source)) AS minlen_s,
                      max(strlen(source)) AS maxlen_s, count(DISTINCT source) AS nd_s,
                      string_agg(DISTINCT source, ',' ORDER BY source) AS enum_s,
+                     max(CASE WHEN contains(source, ',') THEN 1 ELSE 0 END) AS enumbad_s,
                      count(n_chars) AS nn_c, min(n_chars) AS min_c, max(n_chars) AS max_c
               FROM {table}),
             sugg AS (
@@ -1637,12 +1639,12 @@ def _suggest_constraints_oracle(table: str) -> str:
               UNION ALL SELECT 'lang', 'required', CASE WHEN nn_l = n THEN 'true' END FROM m
               UNION ALL SELECT 'lang', 'minLength', CAST(minlen_l AS VARCHAR) FROM m
               UNION ALL SELECT 'lang', 'maxLength', CAST(maxlen_l AS VARCHAR) FROM m
-              UNION ALL SELECT 'lang', 'enum', CASE WHEN nd_l <= 24 THEN enum_l END FROM m
+              UNION ALL SELECT 'lang', 'enum', CASE WHEN nd_l <= 24 AND enumbad_l = 0 THEN enum_l END FROM m
               UNION ALL SELECT 'source', 'type', 'string' FROM m
               UNION ALL SELECT 'source', 'required', CASE WHEN nn_s = n THEN 'true' END FROM m
               UNION ALL SELECT 'source', 'minLength', CAST(minlen_s AS VARCHAR) FROM m
               UNION ALL SELECT 'source', 'maxLength', CAST(maxlen_s AS VARCHAR) FROM m
-              UNION ALL SELECT 'source', 'enum', CASE WHEN nd_s <= 24 THEN enum_s END FROM m
+              UNION ALL SELECT 'source', 'enum', CASE WHEN nd_s <= 24 AND enumbad_s = 0 THEN enum_s END FROM m
               UNION ALL SELECT 'n_chars', 'type', 'integer' FROM m
               UNION ALL SELECT 'n_chars', 'required', CASE WHEN nn_c = n THEN 'true' END FROM m
               UNION ALL SELECT 'n_chars', 'minimum', CAST(min_c AS VARCHAR) FROM m

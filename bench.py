@@ -371,7 +371,11 @@ def bench_scaling() -> dict:
             p = ctx.Process(target=_scale_worker, args=(child, cpus, start, SCALING_ROWS))
             p.start()
             workers[cpus] = (parent, p)
-        confined = all(workers[c][0].recv() == "ready" for c in (lo, hi))
+        # drain BOTH ready messages before any timed sample: all() over a
+        # generator would short-circuit on the first "unconfined", leaving
+        # the other worker's status queued and shifting every later recv()
+        statuses = [workers[c][0].recv() for c in (lo, hi)]
+        confined = all(s == "ready" for s in statuses)
 
         pair_stats = []
         for _ in range(pairs_n):

@@ -128,8 +128,11 @@ def compiled_pattern(pattern: str, parity: bool):
         return None
     if parity and _RUST_UNSUPPORTED.search(pattern):
         return None
-    # Python → Java named-group spelling (semantics preserved)
-    java_pattern = pattern.replace("(?P<", "(?<")
+    # Python → Java named-group spelling (semantics preserved).  Anchored to
+    # the full `(?P<name>` / `(?P=name)` shapes — a blind replace of "(?P<"
+    # would also rewrite those characters inside a character class like
+    # `[(?P<]`, silently dropping the literal 'P' from the class.
+    java_pattern = _pyre.sub(r"\(\?P<(\w+)>", r"(?<\1>", pattern)
     java_pattern = _pyre.sub(r"\(\?P=(\w+)\)", r"\\k<\1>", java_pattern)
     return java_pattern
 

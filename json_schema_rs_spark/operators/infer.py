@@ -88,6 +88,14 @@ def suggest_constraints(
                 aggs.append(
                     F.array_join(F.array_sort(F.collect_set(F.col(c))), ",").alias(f"__enum_{c}")
                 )
+                # a value containing the ',' delimiter would corrupt the
+                # joined suggestion (and suggest_spec's split) — suppress
+                # the enum suggestion for such columns instead
+                aggs.append(
+                    F.max(F.coalesce(F.col(c).contains(","), F.lit(False))).alias(
+                        f"__enumbad_{c}"
+                    )
+                )
     row = df.agg(*aggs)
 
     def s(column: str, keyword: str, value) -> F.Column:
@@ -115,7 +123,11 @@ def suggest_constraints(
             if collect_enums:
                 entries.append(
                     s(c, "enum",
-                      F.when(F.col(f"__nd_{c}") <= enum_max, F.col(f"__enum_{c}")))
+                      F.when(
+                          (F.col(f"__nd_{c}") <= enum_max)
+                          & ~F.col(f"__enumbad_{c}"),
+                          F.col(f"__enum_{c}"),
+                      ))
                 )
     return (
         row.select(F.explode(F.array(*entries)).alias("m"))

@@ -61,14 +61,20 @@ def pack_chunks(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    end = start + F.col(token_col)  # exclusive
-    chunk = F.floor(start / budget)
-    # a doc spans chunks [floor(start/b), floor((end-1)/b)]; empty docs span 1
-    last = F.floor((F.greatest(end, start + 1) - 1) / budget)
+    b = int(budget)
+    # `div` is LONG division (floor(x / y) via F.floor would round-trip
+    # through a double and lose ulps once the prefix sum passes 2^53)
+    staged = docs.withColumn("__start", start).withColumn(
+        "__end", F.col("__start") + F.col(token_col)  # exclusive
+    )
+    chunk = F.expr(f"__start div {b}")
+    # a doc spans chunks [start div b, (end-1) div b]; empty docs span 1
+    last = F.expr(f"(greatest(__end, __start + 1) - 1) div {b}")
     return (
-        docs.withColumn("chunk_id", chunk)
-        .withColumn("chunk_off", start - chunk * budget)
+        staged.withColumn("chunk_id", chunk)
+        .withColumn("chunk_off", F.col("__start") - chunk * b)
         .withColumn("n_chunks", last - chunk + 1)
+        .drop("__start", "__end")
     )
 
 

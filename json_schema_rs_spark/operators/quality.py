@@ -59,11 +59,15 @@ def quality_report(df: DataFrame, specs: list[QualitySpec], exact: bool = False)
     row = df.agg(*aggs)
 
     def entry(cid: str, observed, threshold: float, ok) -> F.Column:
+        # a NULL metric (all-NULL column → NULL avg; empty table → NULL
+        # ratios) makes `ok` NULL, which filter(~passed) would silently
+        # DROP — the degenerate data the gate exists to catch must FAIL,
+        # so NULL coalesces to False
         return F.struct(
             F.lit(cid).alias("constraint_id"),
             F.round(observed, 6).cast("string").alias("observed_value"),
             F.lit(float(threshold)).alias("threshold"),
-            ok.alias("passed"),
+            F.coalesce(ok, F.lit(False)).alias("passed"),
         )
 
     entries = []

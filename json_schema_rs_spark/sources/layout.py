@@ -59,10 +59,20 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     predicates.  Pure Column bit arithmetic (shifts/masks), no UDF.
 
     Columns must already be rank-ish ints (bucketized doubles, epoch
-    minutes, dictionary codes...); clamp is the caller's job."""
+    minutes, dictionary codes...); clamp is the caller's job.
+
+    ``len(cols) * bits`` must stay ≤ 63: bit 63 is the long's SIGN bit
+    (rows with it set would sort before everything) and Java shift
+    amounts wrap mod 64 (higher positions would silently collide with
+    low bits) — so over-wide configurations raise instead."""
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder_key interleaves 1-4 columns")
     k = len(cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"zorder_key: {k} cols × {bits} bits = {k * bits} interleaved bits "
+            f"exceeds the 63 usable bits of a signed long — use bits <= {63 // k}"
+        )
     out = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):

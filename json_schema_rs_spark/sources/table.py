@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 #: write modes accepted by write_table, per storage branch
 _PARQUET_MODES = {"append", "overwrite", "ignore", "error", "errorifexists"}
-_ICEBERG_MODES = {"append", "overwrite", "createOrReplace"}
+_ICEBERG_MODES = {"append", "overwrite", "overwritePartitions", "createOrReplace"}
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -76,6 +76,12 @@ def write_table(df: DataFrame, ref: str, mode: str = "append") -> None:
         if mode == "append":
             target.append()
         elif mode == "overwrite":
+            # FULL truncate-and-replace, matching the parquet branch — a
+            # dynamic partition overwrite here would silently retain stale
+            # partitions absent from df (e.g. a re-run with no violations
+            # for day X keeping day X's old rows)
+            target.overwrite(F.lit(True))
+        elif mode == "overwritePartitions":
             target.overwritePartitions()
         else:
             target.createOrReplace()

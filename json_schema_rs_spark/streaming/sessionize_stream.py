@@ -71,7 +71,7 @@ def _closed_row(user: int, sid: int, start: int, last: int, n: int) -> dict:
     }
 
 
-def _make_fn(gap_us: int, timeout_ms: int):
+def _make_fn(gap_us: int, timeout_ms: int, retention_ms: int):
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -79,9 +79,18 @@ def _make_fn(gap_us: int, timeout_ms: int):
     ) -> Iterator[pd.DataFrame]:
         user = int(key[0])
         if state.hasTimedOut:
-            # no events within the TTL: the open session is over — flush it
             sid, start, last, n = state.get
-            state.remove()
+            if start is None:
+                # counter tombstone expired with no new events — only now is
+                # the per-user state truly dropped
+                state.remove()
+                return
+            # no events within the TTL: the open session is over — flush it,
+            # but KEEP the session counter in a slim tombstone so a user who
+            # returns continues at sid+1 instead of restarting at 1 (batch
+            # parity: operators/temporal numbers sessions consecutively)
+            state.update((sid, None, None, 0))
+            state.setTimeoutDuration(retention_ms)
             yield pd.DataFrame([_closed_row(user, sid, start, last, n)])
             return
         ts = sorted(
@@ -116,19 +125,28 @@ def sessionize_stream(
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
     idle_timeout_minutes: float = 60.0,
+    counter_retention_hours: float = 24.0,
 ) -> DataFrame:
     """Streaming sessionization: emit one row per CLOSED session
     ``(user_id, session_id, start_us, end_us, n_events, duration_us)``.
     Session boundaries and durations match the batch
-    ``operators/temporal.session_stats`` for the same events."""
+    ``operators/temporal.session_stats`` for the same events.
+
+    After an idle-timeout flush the per-user session COUNTER survives in a
+    tombstone for ``counter_retention_hours`` (so a returning user's next
+    session is ``sid+1``, keeping (user, session_id) unique and
+    batch-consecutive); only after the retention window with no events is
+    the user's state dropped entirely — a user returning later than that
+    restarts at session 1, the unavoidable trade for bounded state."""
     gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
     timeout_ms = int(round(idle_timeout_minutes * 60.0 * 1000))
+    retention_ms = int(round(counter_retention_hours * 3600.0 * 1000))
     slim = stream_df.select(
         F.col(user_col).cast("long").alias("user_id"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
     )
     return slim.groupBy("user_id").applyInPandasWithState(
-        _make_fn(gap_us, timeout_ms),
+        _make_fn(gap_us, timeout_ms, retention_ms),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -89,3 +89,17 @@ def test_constraint_drift(spark):
     assert got[("id", "maximum")] == ("2", "3", "changed")
     # unchanged constraints are absent
     assert ("v", "minimum") not in got and ("s", "type") not in got
+
+
+def test_enum_suppressed_when_values_contain_delimiter(spark):
+    from json_schema_rs_spark.operators.infer import suggest_constraints, suggest_spec
+
+    df = spark.createDataFrame([("a,b",), ("c",)], "s string")
+    got = {(r.column, r.keyword): r.value for r in suggest_constraints(df, exact=True).collect()}
+    assert ("s", "enum") not in got          # would corrupt on split(',')
+    clean = spark.createDataFrame([("ab",), ("c",)], "s string")
+    got2 = {(r.column, r.keyword): r.value for r in suggest_constraints(clean, exact=True).collect()}
+    assert got2[("s", "enum")] == "ab,c"
+    # the suggested spec carries no corrupted enum for the comma column
+    spec = suggest_spec(df)
+    assert spec.fields["s"].enum is None

@@ -67,3 +67,10 @@ def test_zorder_key_locality(spark):
 def test_zorder_key_arity_guard():
     with pytest.raises(ValueError):
         zorder_key([])
+
+
+def test_zorder_key_width_guard():
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key([F.lit(1)] * 4, bits=16)   # 64 bits would hit the sign bit

@@ -65,3 +65,14 @@ def test_engine_integration_and_roundtrip(rows):
 def test_no_threshold_rejected():
     with pytest.raises(ValueError):
         QualitySpec("a")
+
+
+def test_null_metric_fails_not_vanishes(spark):
+    # all-NULL value column: avg() is NULL → the mean check must FAIL,
+    # not silently disappear from the violations feed
+    df = spark.createDataFrame([(1, None), (2, None)], "id int, v double")
+    specs = [QualitySpec("v", min_mean=1.0)]
+    rep = {r.constraint_id: r for r in quality_report(df, specs).collect()}
+    assert rep["quality:min_mean:v"].passed is False
+    v = quality_violations(df, specs).collect()
+    assert [r.constraint_id for r in v] == ["quality:min_mean:v"]

@@ -58,3 +58,11 @@ def test_lookahead_emits_invalid_regex_in_parity(spark):
         ("1", "invalid_regex:s", "a(?=b)"),
         ("2", "invalid_regex:s", "a(?=b)"),
     ]
+
+
+def test_translation_leaves_char_classes_alone():
+    # `[(?P<]+` is a CHARACTER CLASS containing ( ? P < — a blind string
+    # replace of "(?P<" would delete the literal 'P' from the class
+    assert compiled_pattern(r"[(?P<]+", parity=True) == r"[(?P<]+"
+    # real named group still translated when mixed with a class
+    assert compiled_pattern(r"[<P](?P<g>x)", parity=False) == r"[<P](?<g>x)"

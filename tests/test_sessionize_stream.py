@@ -96,3 +96,53 @@ def test_late_event_joins_open_session(spark, tmp_path):
     # the late 00:05 event joined the session but did not move its end back
     assert s["n_events"] == 2
     assert s["end_us"] - s["start_us"] == 0  # start stays 00:10 (state start)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _make_fn directly."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout = ms
+
+
+def test_timeout_keeps_session_counter():
+    import pandas as pd
+
+    from json_schema_rs_spark.streaming.sessionize_stream import _make_fn
+
+    fn = _make_fn(gap_us=1000, timeout_ms=60_000, retention_ms=3_600_000)
+
+    # open session 3 times out → flushed, counter tombstone kept
+    st = _FakeState((3, 100, 200, 2), timed_out=True)
+    out = list(fn((1,), iter([]), st))
+    assert out[0].iloc[0]["session_id"] == 3
+    assert st.get == (3, None, None, 0) and st.timeout == 3_600_000
+
+    # the user returns → next session continues at 4, not 1
+    st.hasTimedOut = False
+    list(fn((1,), iter([pd.DataFrame({"ts_us": [5000]})]), st))
+    assert st.get == (4, 5000, 5000, 1)
+
+    # a tombstone that times out again is dropped silently
+    st2 = _FakeState((7, None, None, 0), timed_out=True)
+    assert list(fn((1,), iter([]), st2)) == []
+    assert st2.get is None
