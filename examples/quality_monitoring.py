@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Continuous data-quality monitoring (runnable demo):
+
+    python examples/quality_monitoring.py [sf_dir]
+
+The "day 2" loop a validation engine lives in once the first backfill is
+green — every scheduled run answers four questions against the previous run:
+
+1. REGRESSIONS  — which violations are new, which got fixed?
+   (operators/reconcile.violation_diff: dual anti-join on the violation key)
+2. DRIFT        — did the data's shape move?  Constraint-level
+   (operators/infer.constraint_drift: suggestion diff between snapshots)
+   and distribution-level per segment (streaming/drift_stream.grouped_psi).
+3. CONSISTENCY  — do the fact and summary tables still agree?
+   (operators/reconcile.reconcile_aggregates + reconcile_summary)
+4. HYGIENE      — freshness vs a pinned as-of, robust outliers, Benford.
+
+Inputs are the driver-generated parquet tables (TESTDATA.md); the "previous
+run" is simulated by filtering to the first half of the table — on a real
+deployment both sides come from snapshots/checkpoints (plans/checkpoint.py
+records which buckets each run covered).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import TableSpec, ValidationEngine, get_spark
+from json_schema_rs_spark.operators.infer import constraint_drift
+from json_schema_rs_spark.operators.reconcile import (
+    freshness_check,
+    reconcile_aggregates,
+    reconcile_summary,
+    robust_outliers,
+    violation_diff,
+)
+from json_schema_rs_spark.spec import number_field, string_field
+from json_schema_rs_spark.streaming.drift_stream import grouped_psi
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="quality-monitoring", master="local[4]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    prev_docs = docs.filter(F.col("doc_id") <= half)
+
+    spec = (
+        TableSpec()
+        .add_field(string_field("text", required=True).with_length(1, 2000))
+        .add_field(string_field("lang").with_enum(["en", "de", "fr"]))
+        .add_field(number_field("n_chars").with_range(50.0, 500.0))
+    )
+    eng = ValidationEngine(spec, key_cols=["doc_id"], group_col="lang")
+
+    print("== 1. violation regressions vs previous run")
+    diff = violation_diff(eng.validate(prev_docs).violations,
+                          eng.validate(docs).violations)
+    diff.groupBy("change").count().show()
+
+    print("== 2a. constraint drift between snapshots")
+    constraint_drift(prev_docs, docs, exact=True).show(truncate=False)
+
+    print("== 2b. per-segment distribution drift (PSI vs uniform baseline)")
+    grouped_psi(docs, "n_chars", "lang",
+                edges=[150.0, 250.0, 350.0, 450.0], baseline=[0.2] * 5).show()
+
+    print("== 3. fact/summary reconciliation (lineitem vs orders)")
+    rec = reconcile_aggregates(lineitem, orders, "l_orderkey", "o_orderkey",
+                               F.col("l_extendedprice"), "o_totalprice",
+                               tolerance=0.5)
+    reconcile_summary(rec).show()
+
+    print("== 4a. freshness per event type (as-of pinned, replayable)")
+    freshness_check(events, "ts", "2024-02-01 00:00:00", 36.0,
+                    ["event_type"]).show()
+
+    print("== 4b. robust outliers in event values (median/MAD)")
+    out = robust_outliers(events.select("event_id", "event_type", "value"),
+                          "value", ["event_type"], k=3.5)
+    print(f"outliers flagged: {out.count()}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
