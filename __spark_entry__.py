@@ -1087,6 +1087,16 @@ def q_salted_join_events_segment(spark, sf_dir):
     )
 
 
+def q_dedup_spans(spark, sf_dir):
+    # Exact-substring span coverage (operators/dedup.py): position-aware
+    # duplicated-character stats, the cut-list signal behind Lee et al.-style
+    # substring dedup; crossdoc_ngram_share is the gram-share variant.
+    from json_schema_rs_spark.operators.dedup import duplicated_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, "doc_id", k=20)
+
+
 def q_drift_psi_by_lang(spark, sf_dir):
     # Per-segment drift: which lang's n_chars distribution departs from the
     # shared baseline (single grouped agg, bounded state per group).
@@ -1305,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_windows": q_drift_psi_windows,
         "constraint_drift_docs": q_constraint_drift_docs,
         "drift_psi_by_lang": q_drift_psi_by_lang,
+        "dedup_spans": q_dedup_spans,
     }
 
 
@@ -2426,6 +2437,25 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_returnflag) AS n_distinct_dependent
             FROM lineitem GROUP BY 1
             HAVING count(DISTINCT l_returnflag) > 1
+        """,
+        "dedup_spans": """
+            WITH pg AS (
+              SELECT doc_id, length(text) AS len, u.i AS pos,
+                     substring(text, u.i, 20) AS g
+              FROM documents,
+                   LATERAL unnest(range(1, greatest(length(text) - 19, 1) + 1)) AS u(i)
+              WHERE text IS NOT NULL),
+            nd AS (SELECT g FROM (
+                     SELECT g, count(DISTINCT doc_id) AS nd FROM pg GROUP BY 1)
+                   WHERE nd >= 2),
+            fl AS (SELECT pg.doc_id, pg.len, pg.pos FROM pg JOIN nd USING (g)),
+            cov AS (SELECT doc_id, len,
+                      least(20, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 20)) AS c
+                    FROM fl)
+            SELECT doc_id, count(*) AS n_dup_starts,
+                   CAST(sum(c) AS BIGINT) AS dup_chars,
+                   round(sum(c) / max(len), 6) AS dup_frac
+            FROM cov GROUP BY doc_id
         """,
         "drift_psi_by_lang": """
             WITH c AS (

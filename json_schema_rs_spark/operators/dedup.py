@@ -301,3 +301,68 @@ def simhash_candidates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# -- exact-substring spans -----------------------------------------------------
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Character-level duplicated-SPAN coverage: for each document, how many
+    of its characters sit inside a length-``k`` substring that also occurs
+    in at least one OTHER document — the position-aware signal behind
+    exact-substring dedup (Lee et al., ACL 2022: cut duplicated spans, keep
+    the rest), where ``crossdoc_ngram_share`` only scores gram overlap.
+
+    Output (docs with ≥1 duplicated span): ``id_col, n_dup_starts`` (flagged
+    k-gram start positions), ``dup_chars`` (size of the UNION of their
+    ``[i, i+k)`` intervals), ``dup_frac`` (of the doc's characters).
+
+    Plan: position-explode into (doc, pos, gram) — |corpus chars| rows, the
+    honest cost of exact-substring detection (a distributed stand-in for
+    the suffix array); two-phase distinct-doc count per gram (map-side
+    combine on (gram, doc)); join flagged grams back (build side is one row
+    per gram — boilerplate grams are hot, AQE skew-join splits the probe);
+    interval-union per doc as ONE window pass — consecutive flagged starts
+    overlap unless the gap exceeds ``k``, so the union length is
+    ``Σ min(k, next_start - start)``.  ``k`` ≥ 20 keeps coincidental
+    collisions negligible (matches the reference setting in the paper).
+    """
+    if k < 2:
+        raise ValueError("duplicated_span_stats: k must be ≥ 2")
+    text = F.col(text_col)
+    n_pos = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    grams = (
+        df.filter(text.isNotNull())
+        .select(
+            F.col(id_col),
+            F.length(text).alias("__len"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_pos),
+                    lambda i: F.struct(i.alias("pos"), F.substring(text, i, k).alias("g")),
+                )
+            ).alias("pg"),
+        )
+        .select(id_col, "__len", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+    per_doc_grams = grams.select("g", id_col).groupBy("g", id_col).agg(F.lit(1))
+    shared = (
+        per_doc_grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("g")
+    )
+    flagged = grams.join(shared, "g")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    contrib = F.least(F.lit(k), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k)))
+    return (
+        flagged.withColumn("__c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_starts"),
+            F.sum("__c").alias("dup_chars"),
+            F.round(F.sum("__c") / F.max("__len"), 6).alias("dup_frac"),
+        )
+    )

@@ -154,3 +154,43 @@ def test_simhash_portable_same_structure_as_default(spark):
         assert d[(1, 2)] == 0            # exact duplicate
         assert d[(1, 3)] <= 6            # near duplicate (one word differs)
         assert d[(1, 4)] > 10            # unrelated
+
+
+def test_duplicated_span_stats(spark):
+    from json_schema_rs_spark.operators.dedup import duplicated_span_stats
+
+    shared = "0123456789abcdefghij"          # 20 chars, shared prefix
+    rows = [
+        (1, shared + "-unique-suffix-x"),     # 36 chars, 20 duplicated
+        (2, shared + "!different-tail!"),     # 36 chars, 20 duplicated
+        (3, "no overlap here at all, completely distinct"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in duplicated_span_stats(df, "doc_id", k=20).collect()}
+    assert set(got) == {1, 2}                 # doc 3 emits nothing
+    assert got[1].n_dup_starts == 1 and got[1].dup_chars == 20
+    assert abs(got[1].dup_frac - 20 / 36) < 1e-5
+
+
+def test_duplicated_span_union_not_double_counted(spark):
+    from json_schema_rs_spark.operators.dedup import duplicated_span_stats
+
+    # two docs share a 25-char run → 6 flagged starts (k=20) whose intervals
+    # overlap; the union is 25 chars, not 6*20
+    run = "abcdefghijklmnopqrstuvwxy"
+    df = spark.createDataFrame(
+        [(1, run + "~one~"), (2, run + "=two=")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in duplicated_span_stats(df, "doc_id", k=20).collect()}
+    assert got[1].n_dup_starts == 6
+    assert got[1].dup_chars == 25
+
+
+def test_duplicated_span_k_guard(spark):
+    import pytest
+
+    from json_schema_rs_spark.operators.dedup import duplicated_span_stats
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        duplicated_span_stats(df, "doc_id", k=1)
