@@ -1087,6 +1087,35 @@ def q_salted_join_events_segment(spark, sf_dir):
     )
 
 
+def q_volume_anomalies_events(spark, sf_dir):
+    # Row-volume anomaly detection (operators/reconcile.py): hourly buckets
+    # whose event count deviates from the median by > 2.5 robust sigmas.
+    from json_schema_rs_spark.operators.reconcile import volume_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = volume_anomalies(ev, "ts", grain_seconds=3600, k=2.5)
+    return out.select(
+        "bucket_start_s",
+        "n",
+        F.round("group_median", 6).alias("group_median"),
+        F.round("group_mad", 6).alias("group_mad"),
+        "robust_z",
+    )
+
+
+def q_cast_safety_source(spark, sf_dir):
+    # Schema-migration readiness (operators/quality.py): the digits of
+    # documents.source cast to bigint cleanly; the raw column does not.
+    from json_schema_rs_spark.operators.quality import cast_safety
+
+    docs = _t(spark, sf_dir, "documents")
+    digits = cast_safety(
+        docs, F.regexp_replace("source", "^src", ""), "bigint", label="source_digits"
+    )
+    raw = cast_safety(docs, "source", "bigint")
+    return digits.unionByName(raw)
+
+
 def q_dedup_spans(spark, sf_dir):
     # Exact-substring span coverage (operators/dedup.py): position-aware
     # duplicated-character stats, the cut-list signal behind Lee et al.-style
@@ -1316,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_drift_docs": q_constraint_drift_docs,
         "drift_psi_by_lang": q_drift_psi_by_lang,
         "dedup_spans": q_dedup_spans,
+        "volume_anomalies_events": q_volume_anomalies_events,
+        "cast_safety_source": q_cast_safety_source,
     }
 
 
@@ -2437,6 +2468,44 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_returnflag) AS n_distinct_dependent
             FROM lineitem GROUP BY 1
             HAVING count(DISTINCT l_returnflag) > 1
+        """,
+        "volume_anomalies_events": """
+            WITH b AS (
+              SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_s,
+                     count(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            m AS (SELECT quantile_cont(n, 0.5) AS med FROM b),
+            d AS (SELECT quantile_cont(abs(n - m.med), 0.5) AS mad FROM b, m)
+            SELECT b.bucket_start_s, b.n,
+                   round(m.med, 6) AS group_median,
+                   round(d.mad, 6) AS group_mad,
+                   round(abs(b.n - m.med) / (d.mad * 1.4826), 4) AS robust_z
+            FROM b, m, d
+            WHERE d.mad > 0 AND abs(b.n - m.med) / (d.mad * 1.4826) > 2.5
+        """,
+        "cast_safety_source": """
+            SELECT 'source_digits' AS "column", 'bigint' AS target_type,
+                   count(regexp_replace(source, '^src', '')) AS n_values,
+                   CAST(coalesce(sum(CASE WHEN regexp_replace(source, '^src', '') IS NOT NULL
+                            AND TRY_CAST(regexp_replace(source, '^src', '') AS BIGINT) IS NULL
+                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_uncastable,
+                   coalesce(array_to_string(list_slice(list_sort(
+                     list(DISTINCT regexp_replace(source, '^src', ''))
+                       FILTER (regexp_replace(source, '^src', '') IS NOT NULL
+                               AND TRY_CAST(regexp_replace(source, '^src', '') AS BIGINT) IS NULL)
+                   ), 1, 5), ','), '') AS uncastable_examples
+            FROM documents
+            UNION ALL
+            SELECT 'source', 'bigint',
+                   count(source),
+                   CAST(coalesce(sum(CASE WHEN source IS NOT NULL
+                            AND TRY_CAST(source AS BIGINT) IS NULL
+                            THEN 1 ELSE 0 END), 0) AS BIGINT),
+                   coalesce(array_to_string(list_slice(list_sort(
+                     list(DISTINCT source)
+                       FILTER (source IS NOT NULL AND TRY_CAST(source AS BIGINT) IS NULL)
+                   ), 1, 5), ','), '')
+            FROM documents
         """,
         "dedup_spans": """
             WITH pg AS (

@@ -117,3 +117,27 @@ def quality_violations(df: DataFrame, specs: list[QualitySpec], exact: bool = Fa
         "constraint_id",
         "observed_value",
     )
+
+
+def cast_safety(df: DataFrame, col, target_type: str, label: str | None = None) -> DataFrame:
+    """Schema-migration readiness: can ``col`` (a name or a Column
+    expression) be cast to ``target_type`` losslessly-by-parse?
+
+    One aggregation → ONE output row: ``column, target_type, n_values``
+    (non-null inputs), ``n_uncastable`` (``try_cast`` returned NULL),
+    ``uncastable_examples`` (≤5 distinct offenders, sorted, comma-joined —
+    bounded driver-side payload at any scale).  ``try_cast`` keeps the check
+    executor-safe: a bad value yields NULL, never a task failure."""
+    c = F.col(col) if isinstance(col, str) else col
+    name = label or (col if isinstance(col, str) else "expr")
+    bad = c.isNotNull() & c.try_cast(target_type).isNull()
+    return df.agg(
+        F.lit(name).alias("column"),
+        F.lit(target_type).alias("target_type"),
+        F.count(c).alias("n_values"),
+        F.sum(bad.cast("long")).alias("n_uncastable"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set(F.when(bad, c.cast("string")))), 1, 5),
+            ",",
+        ).alias("uncastable_examples"),
+    )

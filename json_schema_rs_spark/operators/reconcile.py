@@ -138,6 +138,37 @@ def robust_outliers(
     )
 
 
+def volume_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    grain_seconds: int = 3600,
+    k: float = 3.5,
+    group_cols: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Row-VOLUME anomalies: time buckets whose row count deviates from the
+    (per-group) median by more than ``k`` robust sigmas — the "did ingestion
+    break / double-fire" check (Deequ's anomaly detection on dataset size,
+    here bucketed by event time so one run scans history uniformly).
+
+    Composition: bucket-count aggregation (reduce output = one row per
+    bucket) piped through :func:`robust_outliers` on the counts.  Output:
+    ``group_cols..., bucket_start_s, n`` + the outlier columns.  Counts are
+    per (group, bucket); the robust stats are per group, so a bursty group
+    doesn't mask a quiet one."""
+    group_cols = group_cols or []
+    grain = int(grain_seconds)
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / grain) * grain
+    ).cast("long")
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket_start_s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return robust_outliers(counts, "n", group_cols or None, k, approx)
+
+
 def freshness_check(
     df: DataFrame,
     ts_col: str,

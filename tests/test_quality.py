@@ -76,3 +76,17 @@ def test_null_metric_fails_not_vanishes(spark):
     assert rep["quality:min_mean:v"].passed is False
     v = quality_violations(df, specs).collect()
     assert [r.constraint_id for r in v] == ["quality:min_mean:v"]
+
+
+def test_cast_safety(spark):
+    from json_schema_rs_spark.operators.quality import cast_safety
+
+    df = spark.createDataFrame(
+        [("1",), ("x2",), ("3",), (None,), ("zz",)], "s string"
+    )
+    row = cast_safety(df, "s", "bigint").collect()[0]
+    assert (row.column, row.target_type) == ("s", "bigint")
+    assert row.n_values == 4 and row.n_uncastable == 2
+    assert row.uncastable_examples == "x2,zz"
+    clean = cast_safety(spark.createDataFrame([("7",)], "s string"), "s", "bigint").collect()[0]
+    assert clean.n_uncastable == 0 and clean.uncastable_examples == ""

@@ -150,3 +150,36 @@ def test_benford_excludes_infinities(spark):
     )
     rows = {r.digit: r.n for r in benford_digits(df, "v").collect()}
     assert rows == {4: 1}
+
+
+def test_volume_anomalies(spark):
+    import datetime as dt
+
+    from json_schema_rs_spark.operators.reconcile import volume_anomalies
+
+    rows = []
+    for h in range(10):
+        # hour 7 is a ~10x burst; baseline varies 4..6 so MAD > 0 (identical
+        # baseline counts give MAD 0, which deliberately flags nothing)
+        per = 50 if h == 7 else 4 + (h % 3)
+        rows += [(dt.datetime(2024, 1, 1, h, m % 60),) for m in range(per)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = volume_anomalies(df, "ts", grain_seconds=3600, k=3.0).collect()
+    assert [(r.bucket_start_s, r.n) for r in got] == [
+        (int(dt.datetime(2024, 1, 1, 7).replace(tzinfo=dt.timezone.utc).timestamp()), 50)
+    ]
+
+
+def test_volume_anomalies_grouped(spark):
+    import datetime as dt
+
+    from json_schema_rs_spark.operators.reconcile import volume_anomalies
+
+    rows = []
+    for h in range(8):                                                    # quiet: 1-2/hour
+        rows += [("a", dt.datetime(2024, 1, 1, h, m)) for m in range(1 + h % 2)]
+    rows += [("a", dt.datetime(2024, 1, 1, 3, 30 + m % 29)) for m in range(28)]  # burst hour 3
+    rows += [("b", dt.datetime(2024, 1, 1, h)) for h in range(8)]         # flat group
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = volume_anomalies(df, "ts", 3600, k=3.0, group_cols=["g"]).collect()
+    assert [(r.g, r.n) for r in got] == [("a", 30)]
