@@ -28,7 +28,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 #: queries where a nested-loop join of a BROADCAST side is the intended plan
 BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact",
-           "ann_topk", "ann_ivf"}
+           "ann_topk", "ann_ivf",
+           # ungrouped robust_outliers crossJoins the ONE-ROW global
+           # median/MAD frames with an explicit broadcast hint — a BNLJ of
+           # a single broadcast row, constant cost at any input size
+           "volume_anomalies_events"}
 #: queries whose joins are big-×-big on purpose (no broadcast expectation)
 SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
