@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Data-size scaling evidence: does the full validation job's throughput
+HOLD as input grows?  Reproduces BENCH/SCALE_HOLD.md.
+
+    python tools/scale_hold.py [rows ...]     (default: 8000000 32000000)
+
+The corpus is generated IN-PASS (not cached — at these sizes a cache would
+not fit the heap, and at 100 TB the scan always streams from storage),
+128 input partitions, best-of-2 per size at local[32].  Prints one JSON
+line and rewrites BENCH/SCALE_HOLD.md's measurement table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # reuses _fresh_spark / _validate_corpus_job / CPUS
+
+
+def main() -> int:
+    sizes = [int(a) for a in sys.argv[1:]] or [8_000_000, 32_000_000]
+    spark = bench._fresh_spark(bench.CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from json_schema_rs_spark.sources.corpus import synthesize_corpus
+
+    results = []
+    try:
+        warm = synthesize_corpus(spark, 50_000, partitions=16)
+        bench._validate_corpus_job(spark, warm)
+        for n in sizes:
+            corpus = synthesize_corpus(spark, n, partitions=128)  # uncached
+            best = min(
+                bench._timed(bench._validate_corpus_job, spark, corpus)[0]
+                for _ in range(2)
+            )
+            results.append({"rows": n, "sec": round(best, 1),
+                            "rows_per_sec": round(n / best)})
+    finally:
+        spark.stop()
+
+    out = {"metric": "data-size scaling (uncached in-pass corpus)",
+           "cpus": bench.CPUS, "sizes": results}
+    print(json.dumps(out))
+
+    md = "BENCH/SCALE_HOLD.md"
+    if os.path.exists(md):
+        text = open(md).read()
+        rows = "\n".join(
+            f"| {r['rows']:,} | {r['sec']} s | {round(r['rows_per_sec']/1000)}k |"
+            for r in results
+        )
+        table = "| rows | best wall | rows/sec |\n|---|---|---|\n" + rows
+        new = re.sub(r"\| rows \| best wall \| rows/sec \|\n\|---\|---\|---\|\n(\|[^\n]*\n)+",
+                     table + "\n", text)
+        open(md, "w").write(new)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
