@@ -1253,6 +1253,34 @@ def q_violation_diff_docs(spark, sf_dir):
     return violation_diff(prev, cur)
 
 
+def q_kmeans_step_embeddings(spark, sf_dir):
+    # One Lloyd iteration (operators/kmeans.py): shuffle-free literal-centroid
+    # assign + ONE hash agg (64 avgs, map-side combine ⇒ the shuffle moves
+    # ≤ k×partitions rows at any input size).  Long (cell, dim) output so the
+    # oracle hashes scalar cells, not array renderings.
+    from json_schema_rs_spark.operators.kmeans import init_centroids, kmeans_step
+
+    emb = _t(spark, sf_dir, "embeddings")
+    step = kmeans_step(emb, init_centroids(dim=64, k=8, seed=7))
+    return step.select("cell", "n_vecs", F.posexplode("centroid").alias("dim", "c"))
+
+
+def q_semantic_dedup_keep(spark, sf_dir):
+    # SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-LSH
+    # near-dup pairs (cos ≥ 0.3) → transitive clusters → keep the min-id
+    # representative per cluster.  Every stage is the scale path: banded LSH
+    # candidates (never all-pairs), min-label propagation, broadcast anti-join.
+    from json_schema_rs_spark.operators.clusters import canonical_keep, connected_components
+    from json_schema_rs_spark.operators.similarity import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(
+        emb, dim=64, n_planes=4, threshold=0.3, n_tables=8, seed=42
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return canonical_keep(emb, "vec_id", cc).select("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -1347,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "volume_anomalies_events": q_volume_anomalies_events,
         "cast_safety_source": q_cast_safety_source,
+        "kmeans_step_embeddings": q_kmeans_step_embeddings,
+        "semantic_dedup_keep": q_semantic_dedup_keep,
     }
 
 
@@ -1411,10 +1441,11 @@ _MINHASH_BANDS = """
 """
 
 
-def _lsh_near_dup_oracle(dim=64, n_planes=4, n_tables=8, seed=42, threshold=0.5) -> str:
-    """DuckDB mirror of embedding_near_dup: the hyperplanes are emitted as
-    exact ``repr`` literals (shortest round-trip decimal → identical doubles),
-    and bucket signs use round(dot, 6) on both sides."""
+def _lsh_pairs_cte(dim=64, n_planes=4, n_tables=8, seed=42, recursive=False) -> str:
+    """Shared CTE body mirroring embedding_near_dup's candidate+cosine stage:
+    the hyperplanes are emitted as exact ``repr`` literals (shortest
+    round-trip decimal → identical doubles), and bucket signs use
+    round(dot, 6) on both sides."""
     from json_schema_rs_spark.operators.similarity import _hyperplanes
 
     keys = []
@@ -1428,8 +1459,9 @@ def _lsh_near_dup_oracle(dim=64, n_planes=4, n_tables=8, seed=42, threshold=0.5)
             )
         keys.append(f"({t << n_planes} + " + " + ".join(terms) + ")")
     keys_sql = ",\n               ".join(keys)
+    kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
-        WITH keyed AS (
+        {kw} keyed AS (
           SELECT vec_id, embedding,
                  unnest([{keys_sql}]) AS bucket
           FROM embeddings),
@@ -1437,7 +1469,61 @@ def _lsh_near_dup_oracle(dim=64, n_planes=4, n_tables=8, seed=42, threshold=0.5)
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
           FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    """
+
+
+def _lsh_near_dup_oracle(dim=64, n_planes=4, n_tables=8, seed=42, threshold=0.5) -> str:
+    return _lsh_pairs_cte(dim, n_planes, n_tables, seed) + f"""
         SELECT id_a, id_b, cos FROM pairs WHERE cos >= {threshold}
+    """
+
+
+def _semantic_dedup_oracle(threshold=0.3) -> str:
+    """LSH pairs → recursive-CTE transitive closure → keep cluster minima
+    (mirrors connected_components + canonical_keep over embeddings)."""
+    return _lsh_pairs_cte(recursive=True) + f"""
+        , vp AS (SELECT id_a, id_b FROM pairs WHERE cos >= {threshold}),
+        nodes AS (SELECT id_a AS n FROM vp UNION SELECT id_b FROM vp),
+        edges AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+        reach(n, m) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n),
+        lbl AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT n FROM lbl WHERE n <> cluster_id)
+    """
+
+
+def _kmeans_cents_values(dim=64, k=8, seed=7) -> str:
+    """Initial centroids + precomputed ||c||²/2 as exact repr literals —
+    the same doubles the Spark plan compiles in (operators/kmeans.py)."""
+    from json_schema_rs_spark.operators.kmeans import init_centroids
+
+    rows = []
+    for cid, c in enumerate(init_centroids(dim, k, seed)):
+        half = repr(sum(float(v) * float(v) for v in c) / 2.0)
+        rows.append(f"({cid}, [{', '.join(repr(v) for v in c)}]::DOUBLE[], {half})")
+    return ", ".join(rows)
+
+
+def _kmeans_step_oracle(dim=64, k=8, seed=7) -> str:
+    """Replays kmeans_step: argmax of round(dot − ||c||²/2, 6) with ties to
+    the smallest cell id, then per-dimension means rounded to 6 decimals."""
+    return f"""
+        WITH cents(cid, c, halfsq) AS (VALUES {_kmeans_cents_values(dim, k, seed)}),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.c) - c.halfsq, 6) DESC,
+                            c.cid) AS rn
+          FROM embeddings e CROSS JOIN cents c),
+        cells AS (SELECT vec_id, embedding, cid AS cell FROM scored WHERE rn = 1),
+        dims AS (SELECT unnest(range({dim})) AS dim)
+        SELECT cells.cell, count(*) AS n_vecs, dims.dim,
+               round(avg(cells.embedding[dims.dim + 1]::DOUBLE), 6) AS c
+        FROM cells CROSS JOIN dims
+        GROUP BY cells.cell, dims.dim
     """
 
 
@@ -2526,6 +2612,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c) / max(len), 6) AS dup_frac
             FROM cov GROUP BY doc_id
         """,
+        "kmeans_step_embeddings": _kmeans_step_oracle(),
+        "semantic_dedup_keep": _semantic_dedup_oracle(),
         "drift_psi_by_lang": """
             WITH c AS (
               SELECT lang, count(*) AS n_rows,

@@ -1,0 +1,165 @@
+"""Distributed k-means (Lloyd iterations) over an embedding column.
+
+The reference has no iterative algorithms (it validates one document at a
+time, src/lib.rs); this is a north-star addition: the clustering stage of a
+training-data curation pipeline (topic balancing, SemDeDup-style semantic
+dedup, IVF centroid training for operators/similarity.py).
+
+Spark-first shape — the textbook one for k-means on a cluster:
+
+* **assign** is a shuffle-free projection: the k centroids are tiny and are
+  compiled into the plan as literals (same trick as IVF / LSH in
+  similarity.py), so every executor scores its rows map-side.  argmin of the
+  squared L2 distance == argmax of ``dot(x, c) - ||c||²/2`` — one
+  ``array_max`` over k (score, -cid) structs, no per-element subtraction.
+* **update** is ONE hash aggregation: ``groupBy(cell)`` with ``dim`` avg
+  columns.  Map-side partial aggregation reduces each partition to ≤k rows
+  before the shuffle, so the exchange moves k×partitions rows regardless of
+  input size — the same two-level pattern as operators/stats.py.
+* the driver collects exactly k centroid rows per iteration (the model
+  itself, a few KB) — never the data.
+
+Scores are rounded to 6 decimals before the argmax (and centroid means are
+rounded on output) so assignments are reproducible bit-for-bit by an
+external engine (the DuckDB oracle replays them from repr-literal
+centroids), immune to 1-ulp summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _hyperplanes, _lit_vec, dot
+
+
+def init_centroids(dim: int, k: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-vector initial centroids (the LCG from
+    similarity._hyperplanes, so the oracle can replay them as literals).
+    Production would k-means++ on a sample; deterministic init keeps every
+    iteration reproducible across engines."""
+    return _hyperplanes(dim, k, seed)
+
+
+def _cell_expr(emb: Column, centroids: list[list[float]], round_to: int = 6) -> Column:
+    """argmin-distance cell id: argmax of round(dot(x,c) - ||c||²/2, 6),
+    ties to the smallest cell id."""
+    scored = []
+    for cid, c in enumerate(centroids):
+        half_sq = sum(float(v) * float(v) for v in c) / 2.0
+        scored.append(
+            F.struct(
+                F.round(dot(emb, _lit_vec(c)) - F.lit(half_sq), round_to).alias("s"),
+                F.lit(-cid).alias("negcid"),
+            )
+        )
+    return -F.array_max(F.array(*scored)).getField("negcid")
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """``(id, embedding, cell)`` — nearest-centroid assignment as one
+    shuffle-free projection (centroids are plan literals)."""
+    e = F.col(emb_col).cast("array<double>")
+    return df.select(
+        F.col(id_col),
+        F.col(emb_col),
+        _cell_expr(e, centroids, round_to).alias("cell"),
+    )
+
+
+def kmeans_update(
+    assigned: DataFrame,
+    dim: int,
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """``(cell, n_vecs, centroid: array<double>)`` — per-dimension means in a
+    single hash aggregation (``dim`` avg columns; map-side combine makes the
+    shuffle k×partitions rows).  Means rounded for cross-engine stability."""
+    e = F.col(emb_col).cast("array<double>")
+    aggs = [F.count(F.lit(1)).alias("n_vecs")] + [
+        F.round(F.avg(e.getItem(i)), round_to).alias(f"__c{i}") for i in range(dim)
+    ]
+    wide = assigned.groupBy("cell").agg(*aggs)
+    return wide.select(
+        "cell",
+        "n_vecs",
+        F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("centroid"),
+    )
+
+
+def kmeans_step(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration: assign + recompute.  Returns
+    ``(cell, n_vecs, centroid)`` for every non-empty cell."""
+    dim = len(centroids[0])
+    return kmeans_update(
+        kmeans_assign(df, centroids, id_col, emb_col, round_to), dim, emb_col, round_to
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 7,
+    tol: float = 0.0,
+    round_to: int = 6,
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's algorithm to (near-)fixpoint.  Returns the final centroid
+    list (empty cells keep their previous centroid — the standard
+    keep-old-center policy, deterministic) and the per-iteration inertia
+    history (sum of squared distance to the assigned centroid).
+
+    Each iteration runs ONE Spark job (assign fused into the update agg) and
+    collects k rows.  Stops early when inertia improves by ≤ ``tol``.
+    Inertia is computed in the same aggregation via
+    ``sum(||x||² - 2·dot + ||c||²)`` — no second pass.
+    """
+    centroids = init_centroids(dim, k, seed)
+    history: list[float] = []
+    base = df.select(F.col(emb_col).cast("array<double>").alias("__e"))
+    ecol = F.col("__e")
+    for _ in range(n_iter):
+        with_cell = base.select(
+            "__e", _cell_expr(ecol, centroids, round_to).alias("cell")
+        )
+        # squared distance to the ASSIGNED centroid, as a literal lookup:
+        # element_at on a compiled array of per-cell (−2·dot + ||c||²) terms.
+        dist_terms = F.array(*[
+            dot(ecol, _lit_vec([-2.0 * float(v) for v in c]))
+            + F.lit(sum(float(v) * float(v) for v in c))
+            for c in centroids
+        ])
+        assigned = with_cell.select(
+            "cell",
+            "__e",
+            (dot(ecol, ecol) + F.element_at(dist_terms, F.col("cell") + 1)).alias("__d2"),
+        )
+        aggs = (
+            [F.count(F.lit(1)).alias("n"), F.sum("__d2").alias("inertia")]
+            + [F.avg(ecol.getItem(i)).alias(f"__c{i}") for i in range(dim)]
+        )
+        rows = assigned.groupBy("cell").agg(*aggs).collect()
+        history.append(float(sum(r["inertia"] for r in rows)))
+        new_centroids = list(centroids)
+        for r in rows:
+            new_centroids[r["cell"]] = [round(float(r[f"__c{i}"]), round_to) for i in range(dim)]
+        centroids = new_centroids
+        if len(history) >= 2 and history[-2] - history[-1] <= tol:
+            break
+    return centroids, history

@@ -1,0 +1,85 @@
+"""k-means tests (operators/kmeans.py): assignment determinism, one-step
+update math, and the iterative fit's monotone-inertia contract.
+
+The reference has no clustering (it is a per-document validator,
+src/lib.rs); this is a north-star curation operator, so the tests pin our
+own documented semantics instead of reference parity.
+"""
+
+import math
+
+from json_schema_rs_spark.operators.kmeans import (
+    init_centroids,
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_step,
+)
+
+
+def _two_blob_df(spark):
+    # two tight 3-d blobs around (1,0,0) and (0,0,1)
+    rows = []
+    for i in range(8):
+        eps = (i % 4) * 0.01
+        rows.append((i, [1.0 - eps, eps, 0.0]))
+        rows.append((100 + i, [0.0, eps, 1.0 - eps]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_assign_picks_nearest_and_breaks_ties_low(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5, 0.5])],
+        ["vec_id", "embedding"],
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, cents).collect()}
+    # (0.5, 0.5) is equidistant: ties go to the smaller cell id
+    assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_step_means_exact(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [10.0, 10.0])],
+        ["vec_id", "embedding"],
+    )
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    out = {r["cell"]: r for r in kmeans_step(df, cents).collect()}
+    assert out[0]["n_vecs"] == 2 and out[0]["centroid"] == [1.0, 0.0]
+    assert out[1]["n_vecs"] == 1 and out[1]["centroid"] == [10.0, 10.0]
+
+
+def test_fit_converges_to_blob_means(spark):
+    df = _two_blob_df(spark)
+    cents, hist = kmeans_fit(df, k=2, dim=3, n_iter=10, seed=7)
+    # inertia never increases (Lloyd's invariant)
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+    # one centroid lands near each blob mean
+    blob_a = [1.0 - 0.015, 0.015, 0.0]
+    blob_b = [0.0, 0.015, 1.0 - 0.015]
+
+    def d(u, v):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(u, v)))
+
+    assert min(d(c, blob_a) for c in cents) < 0.01
+    assert min(d(c, blob_b) for c in cents) < 0.01
+
+
+def test_fit_empty_cell_keeps_previous_centroid(spark):
+    # k=3 over data with two blobs: at least one cell ends empty and must
+    # keep its (deterministic) previous centroid instead of NaN-ing out
+    df = _two_blob_df(spark)
+    cents, _ = kmeans_fit(df, k=3, dim=3, n_iter=3, seed=7)
+    assert len(cents) == 3
+    assert all(all(not math.isnan(v) for v in c) for c in cents)
+
+
+def test_fit_early_stop(spark):
+    df = _two_blob_df(spark)
+    _, hist = kmeans_fit(df, k=2, dim=3, n_iter=50, seed=7, tol=0.0)
+    # separable blobs converge in far fewer than 50 iterations
+    assert len(hist) < 10
+
+
+def test_init_centroids_deterministic():
+    assert init_centroids(4, 2, seed=7) == init_centroids(4, 2, seed=7)
+    assert init_centroids(4, 2, seed=7) != init_centroids(4, 2, seed=8)
