@@ -725,6 +725,31 @@ def q_hash_split_docs(spark, sf_dir):
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_temperature_mix_docs(spark, sf_dir):
+    # α=0.5 temperature re-weighting (operators/sampling.py): post-mix lang
+    # distribution ∝ n^0.5 — the multilingual-mix rule.  Rates come from a
+    # tiny count agg (≤ langs rows) broadcast back; the keep decision is the
+    # deterministic md5 uniform, so the sample is partitioning-invariant.
+    from json_schema_rs_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(docs, "lang", "doc_id", alpha=0.5).select("doc_id", "lang")
+
+
+def q_token_budget_docs(spark, sf_dir):
+    # exact per-language char budget (operators/sampling.py): hash-priority
+    # prefix under a running-total cap, computed as a two-level distributed
+    # prefix sum (slice subtotals -> exclusive cumsum -> within-slice
+    # window) so no language ever serializes into one task.
+    from json_schema_rs_spark.operators.sampling import token_budget_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = token_budget_cap(
+        docs, "lang", "n_chars", "doc_id", budget=8000, n_slices=16
+    )
+    return capped.select("doc_id", "lang")
+
+
 def q_curate_pipeline(spark, sf_dir):
     """The full training-data curation pass as ONE composed plan — what a
     user of the reference would actually run end-to-end:
@@ -1377,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_safety_source": q_cast_safety_source,
         "kmeans_step_embeddings": q_kmeans_step_embeddings,
         "semantic_dedup_keep": q_semantic_dedup_keep,
+        "temperature_mix_docs": q_temperature_mix_docs,
+        "token_budget_docs": q_token_budget_docs,
     }
 
 
@@ -1646,6 +1673,39 @@ def _hash_split_oracle(weights=None, salt="split") -> str:
         f"SELECT doc_id, CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split "
         "FROM documents"
     )
+
+
+def _temperature_mix_oracle(alpha=0.5, salt="mix") -> str:
+    """Replays temperature_mix: per-lang keep rate round(n^(α−1) /
+    max(n^(α−1)), 6), decided by the portable md5 uniform.  Rounding to 6 dp
+    absorbs any last-ulp pow() divergence between engines."""
+    u = _PORTABLE_UNIFORM.format(salt=salt)
+    return f"""
+        WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        r AS (SELECT lang,
+                     round(pow(n, {alpha - 1.0!r}) / max(pow(n, {alpha - 1.0!r})) OVER (), 6) AS rate
+              FROM c)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN r ON d.lang = r.lang
+        WHERE {u} < r.rate
+    """
+
+
+def _token_budget_oracle(budget=8000, salt="budget") -> str:
+    """Replays token_budget_cap with the mathematically-equal single-window
+    form (the two-level prefix sum orders by slice=floor(u·S) then (u, id),
+    which is the global (u, id) order; unit-tested equivalent)."""
+    u = _PORTABLE_UNIFORM.format(salt=salt)
+    return f"""
+        WITH s AS (
+          SELECT doc_id, lang, n_chars, {u} AS uu FROM documents),
+        r AS (
+          SELECT doc_id, lang,
+                 sum(n_chars) OVER (PARTITION BY lang ORDER BY uu, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM s)
+        SELECT doc_id, lang FROM r WHERE run <= {budget}
+    """
 
 
 def _curate_pipeline_oracle() -> str:
@@ -2614,6 +2674,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_step_embeddings": _kmeans_step_oracle(),
         "semantic_dedup_keep": _semantic_dedup_oracle(),
+        "temperature_mix_docs": _temperature_mix_oracle(),
+        "token_budget_docs": _token_budget_oracle(),
         "drift_psi_by_lang": """
             WITH c AS (
               SELECT lang, count(*) AS n_rows,

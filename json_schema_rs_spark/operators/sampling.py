@@ -53,6 +53,103 @@ def stratified_sample(
     return df.filter(uniform_hash(F.col(id_col), salt) < rate)
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix",
+    rate_round: int = 6,
+) -> DataFrame:
+    """Temperature-based domain re-weighting: subsample so the surviving
+    group distribution is ∝ n_g^alpha (the multilingual-mix rule of
+    Lample & Conneau 2019 / mT5 — alpha<1 flattens domain skew).
+
+    Downsampling only (a filter cannot upsample): keep-rate
+    ``r_g = (n_g / n_max-rate-group)^(alpha-1)`` scaled so the group with
+    the HIGHEST rate (the smallest group when alpha<1) keeps everything.
+
+    Scale shape: one map-side-combined count agg (≤ groups rows), the rate
+    table normalized via a 1-row window over itself (tiny), broadcast back,
+    and the keep decision is the deterministic ``uniform_hash`` — no
+    full-data shuffle, identical sample at any parallelism.  Rates are
+    rounded (default 6 dp) so an external engine replays the exact doubles.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.pow(F.col("__n").cast("double"), F.lit(float(alpha) - 1.0))
+    norm = Window.partitionBy()  # single tiny frame: groups rows
+    rates = counts.select(
+        group_col,
+        F.round(w / F.max(w).over(norm), rate_round).alias("__rate"),
+    )
+    keep = uniform_hash(F.col(id_col), salt) < F.col("__rate")
+    return df.join(F.broadcast(rates), group_col).filter(keep).drop("__rate")
+
+
+def token_budget_cap(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    n_slices: int = 256,
+    salt: str = "budget",
+) -> DataFrame:
+    """Keep an EXACT per-group token budget: rows are ordered by their
+    deterministic uniform (stable priority — re-runs keep the same rows),
+    and a row survives iff the running token total up to and including it
+    is ≤ ``budget``.
+
+    A naive window ``sum() over (partition by group order by u)`` serializes
+    each group into ONE task — a single giant domain would bottleneck a
+    100 TB pass.  Instead this is the classic two-level distributed prefix
+    sum: hash rows into ``n_slices`` slices by their uniform, aggregate
+    per-(group, slice) token subtotals (tiny: groups×slices rows), take the
+    EXCLUSIVE cumulative sum over slices with one window on that tiny frame,
+    broadcast it back, and finish with a within-(group, slice) window —
+    parallelism is groups×slices, and every wide op moves either ≤
+    groups×slices rows or data already partitioned by (group, slice).
+
+    Token counts are integers, so the running sums are exact in any engine.
+    """
+    from pyspark.sql import Window
+
+    u = uniform_hash(F.col(id_col), salt).alias("__u")
+    sliced = df.select(
+        "*", u, F.floor(F.col("__u") * n_slices).cast("int").alias("__slice")
+    )
+    subtotal = sliced.groupBy(group_col, "__slice").agg(
+        F.sum(F.col(token_col).cast("long")).alias("__slice_tok")
+    )
+    over_slices = (
+        Window.partitionBy(group_col)
+        .orderBy("__slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = subtotal.select(
+        group_col,
+        "__slice",
+        F.coalesce(F.sum("__slice_tok").over(over_slices), F.lit(0)).alias("__prior"),
+    )
+    within = (
+        Window.partitionBy(group_col, "__slice")
+        .orderBy("__u", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = (
+        sliced.join(F.broadcast(prior), [group_col, "__slice"])
+        .withColumn(
+            "__run",
+            F.col("__prior") + F.sum(F.col(token_col).cast("long")).over(within),
+        )
+    )
+    return running.filter(F.col("__run") <= budget).drop(
+        "__u", "__slice", "__prior", "__run"
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 from json_schema_rs_spark.operators.sampling import (
     hash_split,
     stratified_sample,
+    temperature_mix,
+    token_budget_cap,
     uniform_hash,
 )
 
@@ -56,3 +58,83 @@ def test_hash_split_partitions_everything_once(spark):
     again = {r["id"]: r["split"] for r in hash_split(df, "id").collect()}
     first = {r["id"]: r["split"] for r in hash_split(df.repartition(9), "id").collect()}
     assert again == first
+
+
+def _mix_df(spark):
+    # skewed domains: 1000 en, 200 fr, 50 sw
+    rows = (
+        [(i, "en") for i in range(1000)]
+        + [(2000 + i, "fr") for i in range(200)]
+        + [(3000 + i, "sw") for i in range(50)]
+    )
+    return spark.createDataFrame(rows, ["id", "lang"])
+
+
+def test_temperature_mix_flattens_skew(spark):
+    df = _mix_df(spark)
+    out = temperature_mix(df, "lang", "id", alpha=0.5)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # smallest group keeps everything (its rate normalizes to 1.0)
+    assert counts["sw"] == 50
+    # expected keeps: en 1000*sqrt(50/1000)≈224, fr 200*sqrt(50/200)=100
+    assert 170 < counts["en"] < 280
+    assert 75 < counts["fr"] < 125
+    # post-mix ratios approach n^alpha proportions: en/sw ≈ sqrt(20) ≈ 4.5
+    assert 3.2 < counts["en"] / counts["sw"] < 5.8
+
+
+def test_temperature_mix_alpha_one_keeps_all(spark):
+    df = _mix_df(spark)
+    assert temperature_mix(df, "lang", "id", alpha=1.0).count() == df.count()
+
+
+def test_temperature_mix_partitioning_invariant(spark):
+    df = _mix_df(spark)
+    a = sorted(r["id"] for r in temperature_mix(df, "lang", "id").collect())
+    b = sorted(
+        r["id"] for r in temperature_mix(df.repartition(17), "lang", "id").collect()
+    )
+    assert a == b
+
+
+def test_token_budget_cap_exact_and_prefix_rule(spark):
+    df = spark.createDataFrame(
+        [(i, "en", 10) for i in range(100)] + [(500 + i, "fr", 7) for i in range(10)],
+        ["id", "lang", "n_tok"],
+    )
+    out = token_budget_cap(df, "lang", "n_tok", "id", budget=200)
+    got = out.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok")
+    ).collect()
+    by = {r["lang"]: r for r in got}
+    # en: exactly 20 rows of 10 tokens = 200; fr fits entirely (70 ≤ 200)
+    assert by["en"]["n"] == 20 and by["en"]["tok"] == 200
+    assert by["fr"]["n"] == 10 and by["fr"]["tok"] == 70
+    # survivors are the hash-priority prefix: same set at other parallelism
+    again = token_budget_cap(df.repartition(13), "lang", "n_tok", "id", budget=200)
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+
+
+def test_token_budget_cap_two_level_matches_single_window(spark):
+    # the distributed two-level prefix sum must equal the naive one-window
+    # cumulative sum (same order: u, then id)
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, "g", 1 + (i * 7) % 13) for i in range(300)], ["id", "g", "n_tok"]
+    )
+    fast = token_budget_cap(df, "g", "n_tok", "id", budget=350, n_slices=8)
+    u = uniform_hash(F.col("id"), "budget")
+    w = Window.partitionBy("g").orderBy(u, "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = (
+        df.withColumn("__run", F.sum("n_tok").over(w))
+        .filter(F.col("__run") <= 350)
+        .drop("__run")
+    )
+    assert sorted(r["id"] for r in fast.collect()) == sorted(
+        r["id"] for r in naive.collect()
+    )
