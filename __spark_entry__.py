@@ -1686,7 +1686,7 @@ def _temperature_mix_oracle(alpha=0.5, salt="mix") -> str:
                      round(pow(n, {alpha - 1.0!r}) / max(pow(n, {alpha - 1.0!r})) OVER (), 6) AS rate
               FROM c)
         SELECT d.doc_id, d.lang
-        FROM documents d JOIN r ON d.lang = r.lang
+        FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
         WHERE {u} < r.rate
     """
 
@@ -2616,10 +2616,16 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(DISTINCT l_returnflag) > 1
         """,
         "volume_anomalies_events": """
-            WITH b AS (
+            WITH c AS (
               SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_s,
                      count(*) AS n
               FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            b AS (
+              SELECT g.bucket_start_s, coalesce(c.n, 0) AS n
+              FROM (SELECT unnest(generate_series((SELECT min(bucket_start_s) FROM c),
+                                                  (SELECT max(bucket_start_s) FROM c),
+                                                  3600)) AS bucket_start_s) g
+              LEFT JOIN c USING (bucket_start_s)),
             m AS (SELECT quantile_cont(n, 0.5) AS med FROM b),
             d AS (SELECT quantile_cont(abs(n - m.med), 0.5) AS mad FROM b, m)
             SELECT b.bucket_start_s, b.n,
@@ -2658,8 +2664,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, length(text) AS len, u.i AS pos,
                      substring(text, u.i, 20) AS g
               FROM documents,
-                   LATERAL unnest(range(1, greatest(length(text) - 19, 1) + 1)) AS u(i)
-              WHERE text IS NOT NULL),
+                   LATERAL unnest(range(1, length(text) - 19 + 1)) AS u(i)
+              WHERE text IS NOT NULL AND length(text) >= 20),
             nd AS (SELECT g FROM (
                      SELECT g, count(DISTINCT doc_id) AS nd FROM pg GROUP BY 1)
                    WHERE nd >= 2),

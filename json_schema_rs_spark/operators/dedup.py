@@ -332,9 +332,13 @@ def duplicated_span_stats(
     if k < 2:
         raise ValueError("duplicated_span_stats: k must be ≥ 2")
     text = F.col(text_col)
-    n_pos = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    # a doc shorter than k has NO length-k substring: emitting a truncated
+    # gram would let two short identical docs report dup_chars > doc length
+    # (and an empty doc would divide by zero in dup_frac), so such docs are
+    # filtered out entirely — they can never carry a duplicated span.
+    n_pos = F.length(text) - F.lit(k - 1)
     grams = (
-        df.filter(text.isNotNull())
+        df.filter(text.isNotNull() & (F.length(text) >= k))
         .select(
             F.col(id_col),
             F.length(text).alias("__len"),

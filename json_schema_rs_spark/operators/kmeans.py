@@ -30,15 +30,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _hyperplanes, _lit_vec, dot
+from .similarity import _lit_vec, dot, ivf_centroids
 
 
 def init_centroids(dim: int, k: int, seed: int = 7) -> list[list[float]]:
-    """Deterministic unit-vector initial centroids (the LCG from
-    similarity._hyperplanes, so the oracle can replay them as literals).
+    """Deterministic unit-vector initial centroids — the SAME generator as
+    similarity.ivf_centroids (one definition: IVF training and k-means must
+    never silently diverge), so the oracle can replay them as literals.
     Production would k-means++ on a sample; deterministic init keeps every
     iteration reproducible across engines."""
-    return _hyperplanes(dim, k, seed)
+    return ivf_centroids(dim, k, seed)
 
 
 def _cell_expr(emb: Column, centroids: list[list[float]], round_to: int = 6) -> Column:
@@ -114,7 +115,6 @@ def kmeans_fit(
     k: int,
     dim: int,
     n_iter: int = 10,
-    id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 7,
     tol: float = 0.0,
@@ -128,27 +128,45 @@ def kmeans_fit(
     Each iteration runs ONE Spark job (assign fused into the update agg) and
     collects k rows.  Stops early when inertia improves by ≤ ``tol``.
     Inertia is computed in the same aggregation via
-    ``sum(||x||² - 2·dot + ||c||²)`` — no second pass.
+    ``sum(||x||² - 2·dot + ||c||²)`` — no second pass, and the k dot
+    products are computed ONCE per row (staged as an array column): both
+    the argmax cell and the assigned-cell distance read the same array,
+    halving the per-iteration multiply-add cost vs re-deriving them.
     """
     centroids = init_centroids(dim, k, seed)
     history: list[float] = []
     base = df.select(F.col(emb_col).cast("array<double>").alias("__e"))
     ecol = F.col("__e")
     for _ in range(n_iter):
-        with_cell = base.select(
-            "__e", _cell_expr(ecol, centroids, round_to).alias("cell")
+        half_arr = F.array(
+            *[F.lit(sum(float(v) * float(v) for v in c) / 2.0) for c in centroids]
         )
-        # squared distance to the ASSIGNED centroid, as a literal lookup:
-        # element_at on a compiled array of per-cell (−2·dot + ||c||²) terms.
-        dist_terms = F.array(*[
-            dot(ecol, _lit_vec([-2.0 * float(v) for v in c]))
-            + F.lit(sum(float(v) * float(v) for v in c))
-            for c in centroids
-        ])
+        dots = F.array(*[dot(ecol, _lit_vec(c)) for c in centroids])
+        staged = base.select("__e", dots.alias("__dots"))
+
+        # same (score, -cid) struct-max tie-break as _cell_expr, but over the
+        # staged dots array (two-arg lambda = (element, index) form)
+        def _score(d, i):
+            return F.struct(
+                F.round(d - F.element_at(half_arr, i + 1), round_to).alias("s"),
+                (-i).alias("negcid"),
+            )
+
+        with_cell = staged.select(
+            "__e",
+            "__dots",
+            (-F.array_max(F.transform(F.col("__dots"), _score)).getField("negcid")).alias(
+                "cell"
+            ),
+        )
         assigned = with_cell.select(
             "cell",
             "__e",
-            (dot(ecol, ecol) + F.element_at(dist_terms, F.col("cell") + 1)).alias("__d2"),
+            (
+                dot(ecol, ecol)
+                - 2.0 * F.element_at(F.col("__dots"), F.col("cell") + 1)
+                + 2.0 * F.element_at(half_arr, F.col("cell") + 1)
+            ).alias("__d2"),
         )
         aggs = (
             [F.count(F.lit(1)).alias("n"), F.sum("__d2").alias("inertia")]

@@ -135,7 +135,9 @@ def cast_safety(df: DataFrame, col, target_type: str, label: str | None = None) 
         F.lit(name).alias("column"),
         F.lit(target_type).alias("target_type"),
         F.count(c).alias("n_values"),
-        F.sum(bad.cast("long")).alias("n_uncastable"),
+        # coalesce: sum over zero rows is NULL, but "no rows" means 0
+        # uncastable (downstream == 0 checks must not go NULL)
+        F.coalesce(F.sum(bad.cast("long")), F.lit(0).cast("long")).alias("n_uncastable"),
         F.array_join(
             F.slice(F.array_sort(F.collect_set(F.when(bad, c.cast("string")))), 1, 5),
             ",",

@@ -155,7 +155,14 @@ def volume_anomalies(
     bucket) piped through :func:`robust_outliers` on the counts.  Output:
     ``group_cols..., bucket_start_s, n`` + the outlier columns.  Counts are
     per (group, bucket); the robust stats are per group, so a bursty group
-    doesn't mask a quiet one."""
+    doesn't mask a quiet one.
+
+    Buckets with NO rows are densified to ``n = 0`` over each group's
+    [min, max] bucket span — the "ingestion died completely" case emits no
+    aggregate row at all, and without the zero spine it could never be
+    flagged.  The densify works on post-reduction data only (≤ one row per
+    (group, bucket)): a min/max agg, a ``sequence`` explode, and a
+    tiny left join."""
     group_cols = group_cols or []
     grain = int(grain_seconds)
     bucket = (
@@ -166,7 +173,28 @@ def volume_anomalies(
         .groupBy(*group_cols, bucket.alias("bucket_start_s"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return robust_outliers(counts, "n", group_cols or None, k, approx)
+    span_g = counts.groupBy(*group_cols) if group_cols else counts.groupBy()
+    spans = span_g.agg(
+        F.min("bucket_start_s").alias("__lo"), F.max("bucket_start_s").alias("__hi")
+    )
+    dense = spans.select(
+        *group_cols,
+        F.explode(F.sequence("__lo", "__hi", F.lit(grain))).alias("bucket_start_s"),
+    )
+    cnt = counts.select(
+        *[F.col(g).alias(f"__c_{g}") for g in group_cols],
+        F.col("bucket_start_s").alias("__c_b"),
+        "n",
+    )
+    cond = F.col("bucket_start_s") == F.col("__c_b")
+    for g in group_cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__c_{g}"))  # NULL group kept
+    filled = dense.join(cnt, cond, "left").select(
+        *group_cols,
+        "bucket_start_s",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+    )
+    return robust_outliers(filled, "n", group_cols or None, k, approx)
 
 
 def freshness_check(

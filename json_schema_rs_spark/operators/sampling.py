@@ -81,11 +81,17 @@ def temperature_mix(
     w = F.pow(F.col("__n").cast("double"), F.lit(float(alpha) - 1.0))
     norm = Window.partitionBy()  # single tiny frame: groups rows
     rates = counts.select(
-        group_col,
+        F.col(group_col).alias("__g"),
         F.round(w / F.max(w).over(norm), rate_round).alias("__rate"),
     )
     keep = uniform_hash(F.col(id_col), salt) < F.col("__rate")
-    return df.join(F.broadcast(rates), group_col).filter(keep).drop("__rate")
+    # null-safe equality: a NULL group is a real group (it got a rate from
+    # the count agg) — a plain equi-join would silently drop its rows
+    return (
+        df.join(F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("__g")))
+        .filter(keep)
+        .drop("__g", "__rate")
+    )
 
 
 def token_budget_cap(
@@ -113,15 +119,19 @@ def token_budget_cap(
     groups×slices rows or data already partitioned by (group, slice).
 
     Token counts are integers, so the running sums are exact in any engine.
+    NULL token counts cost 0 (kept for free): window ``sum`` would yield
+    NULL for a slice whose leading rows are all NULL — dropping rows based
+    on where they hash — so the count is coalesced up front.
     """
     from pyspark.sql import Window
 
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     u = uniform_hash(F.col(id_col), salt).alias("__u")
     sliced = df.select(
         "*", u, F.floor(F.col("__u") * n_slices).cast("int").alias("__slice")
     )
     subtotal = sliced.groupBy(group_col, "__slice").agg(
-        F.sum(F.col(token_col).cast("long")).alias("__slice_tok")
+        F.sum(tok).alias("__slice_tok")
     )
     over_slices = (
         Window.partitionBy(group_col)
@@ -129,8 +139,8 @@ def token_budget_cap(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prior = subtotal.select(
-        group_col,
-        "__slice",
+        F.col(group_col).alias("__g"),
+        F.col("__slice").alias("__gs"),
         F.coalesce(F.sum("__slice_tok").over(over_slices), F.lit(0)).alias("__prior"),
     )
     within = (
@@ -139,11 +149,13 @@ def token_budget_cap(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     running = (
-        sliced.join(F.broadcast(prior), [group_col, "__slice"])
-        .withColumn(
-            "__run",
-            F.col("__prior") + F.sum(F.col(token_col).cast("long")).over(within),
+        sliced.join(
+            F.broadcast(prior),
+            F.col(group_col).eqNullSafe(F.col("__g"))  # NULL group is a group
+            & (F.col("__slice") == F.col("__gs")),
         )
+        .withColumn("__run", F.col("__prior") + F.sum(tok).over(within))
+        .drop("__g", "__gs")
     )
     return running.filter(F.col("__run") <= budget).drop(
         "__u", "__slice", "__prior", "__run"

@@ -194,3 +194,15 @@ def test_duplicated_span_k_guard(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     with pytest.raises(ValueError):
         duplicated_span_stats(df, "doc_id", k=1)
+
+
+def test_duplicated_span_short_and_empty_docs(spark):
+    # docs shorter than k have NO length-k substring: no truncated-gram
+    # overcount (dup_frac ≤ 1) and no divide-by-zero on empty text
+    from json_schema_rs_spark.operators.dedup import duplicated_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello"), (3, ""), (4, ""), (5, None)],
+        ["doc_id", "text"],
+    )
+    assert duplicated_span_stats(df, "doc_id", k=20).collect() == []

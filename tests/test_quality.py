@@ -90,3 +90,13 @@ def test_cast_safety(spark):
     assert row.uncastable_examples == "x2,zz"
     clean = cast_safety(spark.createDataFrame([("7",)], "s string"), "s", "bigint").collect()[0]
     assert clean.n_uncastable == 0 and clean.uncastable_examples == ""
+
+
+def test_cast_safety_empty_input_is_zero_not_null(spark):
+    from json_schema_rs_spark.operators.quality import cast_safety
+
+    empty = spark.createDataFrame([], "s string")
+    row = cast_safety(empty, "s", "bigint").collect()[0]
+    assert row["n_values"] == 0
+    assert row["n_uncastable"] == 0          # not NULL
+    assert row["uncastable_examples"] == ""

@@ -183,3 +183,26 @@ def test_volume_anomalies_grouped(spark):
     df = spark.createDataFrame(rows, "g string, ts timestamp")
     got = volume_anomalies(df, "ts", 3600, k=3.0, group_cols=["g"]).collect()
     assert [(r.g, r.n) for r in got] == [("a", 30)]
+
+
+def test_volume_anomalies_flags_silent_buckets(spark):
+    # ingestion dying completely must be detectable: empty hours are
+    # densified to n=0 before the robust-outlier pass
+    import datetime as dt
+
+    from json_schema_rs_spark.operators.reconcile import volume_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(24):
+        if h in (10, 11):          # two silent hours
+            continue
+        for i in range(50 + h % 7):     # vary counts so MAD > 0
+            rows.append((base + dt.timedelta(hours=h, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = volume_anomalies(df, "ts", grain_seconds=3600, k=3.0).collect()
+    flagged = {r["bucket_start_s"] for r in got}
+    h10 = int((base + dt.timedelta(hours=10)).timestamp())
+    h11 = int((base + dt.timedelta(hours=11)).timestamp())
+    assert {h10, h11} <= flagged
+    assert all(r["n"] == 0 for r in got)

@@ -138,3 +138,31 @@ def test_token_budget_cap_two_level_matches_single_window(spark):
     assert sorted(r["id"] for r in fast.collect()) == sorted(
         r["id"] for r in naive.collect()
     )
+
+
+def test_temperature_mix_null_group_is_a_group(spark):
+    rows = [(i, "en") for i in range(200)] + [(1000 + i, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = temperature_mix(df, "lang", "id", alpha=1.0)
+    # alpha=1 keeps everything — including every NULL-lang row
+    assert out.count() == 240
+    kept_null = temperature_mix(df, "lang", "id", alpha=0.5).filter(
+        F.col("lang").isNull()
+    )
+    # NULL group is the smallest → its rate normalizes to 1.0 → all kept
+    assert kept_null.count() == 40
+
+
+def test_token_budget_cap_null_tokens_cost_zero(spark):
+    # NULL token counts must be kept for free wherever they hash — the
+    # two-level sum must not drop a NULL row that leads its slice
+    rows = [(i, "g", 10 if i % 3 else None) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, g string, n_tok long")
+    out = token_budget_cap(df, "g", "n_tok", "id", budget=10**9, n_slices=8)
+    assert out.count() == 90                 # everything fits: nothing dropped
+    tight = token_budget_cap(df, "g", "n_tok", "id", budget=100, n_slices=8)
+    # 60 rows cost 10 each, 30 cost 0: survivors' real cost is exactly ≤ 100
+    cost = tight.agg(F.sum(F.coalesce("n_tok", F.lit(0)))).collect()[0][0]
+    assert cost <= 100
+    # and every NULL row whose uniform precedes the budget cutoff survives
+    assert tight.filter(F.col("n_tok").isNull()).count() >= 1
