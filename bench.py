@@ -458,6 +458,10 @@ def _scale_worker(conn, cpus: int, core_start: int, rows: int) -> None:
 
 
 def write_baseline_md(result: dict) -> None:
+    # guard: quick smoke configs (reduced pairs/reps or a smaller SF) must
+    # not clobber the recorded full-methodology baseline artifact
+    if os.environ.get("SPARK_GRAFT_WRITE_BASELINE", "1") == "0":
+        return
     os.makedirs("BENCH", exist_ok=True)
     sc = result.get("scaling") or {}
     lines = [
