@@ -2546,16 +2546,22 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1),
             mad AS (
               SELECT e.event_type,
-                     quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                     quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                     avg(abs(e.value - m.med)) AS mnad
               FROM events e JOIN med m USING (event_type) GROUP BY 1)
             SELECT e.event_id, e.event_type, e.value,
                    round(m.med, 6) AS group_median,
                    round(d.mad, 6) AS group_mad,
-                   round(abs(e.value - m.med) / (d.mad * 1.4826), 4) AS robust_z
+                   round(abs(e.value - m.med)
+                         / (CASE WHEN d.mad > 0 THEN d.mad * 1.4826
+                                 ELSE d.mnad * 1.2533 END), 4) AS robust_z
             FROM events e
             JOIN med m USING (event_type)
             JOIN mad d USING (event_type)
-            WHERE d.mad > 0 AND abs(e.value - m.med) / (d.mad * 1.4826) > 3.5
+            WHERE (CASE WHEN d.mad > 0 THEN d.mad * 1.4826 ELSE d.mnad * 1.2533 END) > 0
+              AND abs(e.value - m.med)
+                  / (CASE WHEN d.mad > 0 THEN d.mad * 1.4826
+                          ELSE d.mnad * 1.2533 END) > 3.5
         """,
         "freshness_events": """
             WITH g AS (
@@ -2627,13 +2633,20 @@ def oracle_sql() -> dict[str, str]:
                                                   3600)) AS bucket_start_s) g
               LEFT JOIN c USING (bucket_start_s)),
             m AS (SELECT quantile_cont(n, 0.5) AS med FROM b),
-            d AS (SELECT quantile_cont(abs(n - m.med), 0.5) AS mad FROM b, m)
+            d AS (SELECT quantile_cont(abs(n - m.med), 0.5) AS mad,
+                         avg(abs(n - m.med)) AS mnad
+                  FROM b, m)
             SELECT b.bucket_start_s, b.n,
                    round(m.med, 6) AS group_median,
                    round(d.mad, 6) AS group_mad,
-                   round(abs(b.n - m.med) / (d.mad * 1.4826), 4) AS robust_z
+                   round(abs(b.n - m.med)
+                         / (CASE WHEN d.mad > 0 THEN d.mad * 1.4826
+                                 ELSE d.mnad * 1.2533 END), 4) AS robust_z
             FROM b, m, d
-            WHERE d.mad > 0 AND abs(b.n - m.med) / (d.mad * 1.4826) > 2.5
+            WHERE (CASE WHEN d.mad > 0 THEN d.mad * 1.4826 ELSE d.mnad * 1.2533 END) > 0
+              AND abs(b.n - m.med)
+                  / (CASE WHEN d.mad > 0 THEN d.mad * 1.4826
+                          ELSE d.mnad * 1.2533 END) > 2.5
         """,
         "cast_safety_source": """
             SELECT 'source_digits' AS "column", 'bigint' AS target_type,

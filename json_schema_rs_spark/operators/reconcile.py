@@ -108,8 +108,12 @@ def robust_outliers(
 
     Two grouped aggregations (median, then MAD around it) joined back to the
     rows; all three joins share the group key, one shuffle partitioning.
-    Groups where MAD == 0 (>50% identical values) flag nothing rather than
-    everything.  ``approx=True`` swaps exact ``percentile`` for t-digest
+    Groups where MAD == 0 (>50% identical values — e.g. a steady hourly
+    count) fall back to sigma = 1.2533 × MEAN absolute deviation (the
+    normal-consistency constant for the mean deviation), computed in the
+    SAME aggregation, so a total outage in an otherwise-constant series is
+    still flagged; only a group whose every value equals the median flags
+    nothing.  ``approx=True`` swaps exact ``percentile`` for t-digest
     ``approx_percentile`` — required at scale, see module docstring.
 
     The median/MAD relations (one row per group) are joined back WITHOUT a
@@ -124,17 +128,22 @@ def robust_outliers(
     # ungrouped: the stats frame is literally ONE row — broadcast is always
     # safe there and keeps the crossJoin a broadcast NLJ, not a cartesian
     with_med = df.join(med, group_cols) if group_cols else df.crossJoin(F.broadcast(med))
+    dev = F.abs(F.col(value_col) - F.col("__med"))
     mad = g(with_med).agg(
-        pct(F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)).alias("__mad")
+        pct(dev, F.lit(0.5)).alias("__mad"),
+        F.avg(dev).alias("__mnad"),
     )
     full = with_med.join(mad, group_cols) if group_cols else with_med.crossJoin(F.broadcast(mad))
-    sigma = F.col("__mad") * F.lit(1.4826)
+    sigma = F.when(F.col("__mad") > 0, F.col("__mad") * F.lit(1.4826)).otherwise(
+        F.col("__mnad") * F.lit(1.2533)
+    )
     score = F.abs(F.col(value_col) - F.col("__med")) / sigma
     return (
-        full.filter((F.col("__mad") > 0) & (score > F.lit(k)))
+        full.filter((sigma > 0) & (score > F.lit(k)))
         .withColumn("robust_z", F.round(score, 4))
         .withColumnRenamed("__med", "group_median")
         .withColumnRenamed("__mad", "group_mad")
+        .drop("__mnad")
     )
 
 

@@ -69,9 +69,10 @@ def test_robust_outliers_grouped_and_zero_mad(spark):
     ]
     df = spark.createDataFrame(rows, "g string, v double")
     out = robust_outliers(df, "v", group_cols=["g"], k=3.5)
-    got = [(r.g, r.v) for r in out.collect()]
-    # group a has MAD 0 → flags nothing; group b flags only 50
-    assert got == [("b", 50.0)]
+    got = {(r.g, r.v) for r in out.collect()}
+    # group a has MAD 0 → mean-AD fallback still catches 99
+    # (sigma = 1.2533 · 94/5 = 23.56, z ≈ 3.99); group b flags only 50
+    assert got == {("a", 99.0), ("b", 50.0)}
 
 
 def test_robust_outliers_approx_mode_runs(spark):
@@ -159,8 +160,8 @@ def test_volume_anomalies(spark):
 
     rows = []
     for h in range(10):
-        # hour 7 is a ~10x burst; baseline varies 4..6 so MAD > 0 (identical
-        # baseline counts give MAD 0, which deliberately flags nothing)
+        # hour 7 is a ~10x burst; baseline varies 4..6 so MAD > 0 (an
+        # identical baseline would exercise the mean-AD fallback instead)
         per = 50 if h == 7 else 4 + (h % 3)
         rows += [(dt.datetime(2024, 1, 1, h, m % 60),) for m in range(per)]
     df = spark.createDataFrame(rows, "ts timestamp")
@@ -206,3 +207,33 @@ def test_volume_anomalies_flags_silent_buckets(spark):
     h11 = int((base + dt.timedelta(hours=11)).timestamp())
     assert {h10, h11} <= flagged
     assert all(r["n"] == 0 for r in got)
+
+
+def test_volume_anomalies_constant_series_outage(spark):
+    # a perfectly steady count has MAD == 0; the mean-absolute-deviation
+    # fallback must still flag the silent hours
+    import datetime as dt
+
+    from json_schema_rs_spark.operators.reconcile import volume_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(24):
+        if h in (10, 11):
+            continue
+        for i in range(50):
+            rows.append((base + dt.timedelta(hours=h, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = volume_anomalies(df, "ts", grain_seconds=3600, k=3.0).collect()
+    flagged = {r["bucket_start_s"] for r in got}
+    h10 = int((base + dt.timedelta(hours=10)).timestamp())
+    h11 = int((base + dt.timedelta(hours=11)).timestamp())
+    assert flagged == {h10, h11}
+    assert all(r["group_mad"] == 0.0 for r in got)
+
+
+def test_robust_outliers_all_identical_flags_nothing(spark):
+    from json_schema_rs_spark.operators.reconcile import robust_outliers
+
+    df = spark.createDataFrame([(i, 5.0) for i in range(20)], ["id", "v"])
+    assert robust_outliers(df, "v", k=1.0).collect() == []
