@@ -725,6 +725,31 @@ def q_hash_split_docs(spark, sf_dir):
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_volume_windows_events(spark, sf_dir):
+    # Streaming volume monitor's exact plan on the batch path (stream==batch
+    # parity pinned in tests/test_volume_stream.py): robust per-group
+    # baseline from history (medians/MAD with the mean-AD fallback, baked in
+    # as literals), then ONE windowed count + scoring projection.
+    from json_schema_rs_spark.streaming.volume_stream import (
+        volume_baseline,
+        windowed_volume,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    bl = volume_baseline(ev, "ts", 6 * 3600, group_col="event_type")
+    out = windowed_volume(
+        ev, "ts", bl, window="6 hours", group_col="event_type", k=2.5
+    )
+    return out.select(
+        F.unix_timestamp("win_start").alias("win_start_s"),
+        "event_type",
+        "n",
+        F.round("group_median", 6).alias("group_median"),
+        "robust_z",
+        "is_anomaly",
+    )
+
+
 def q_temperature_mix_docs(spark, sf_dir):
     # α=0.5 temperature re-weighting (operators/sampling.py): post-mix lang
     # distribution ∝ n^0.5 — the multilingual-mix rule.  Rates come from a
@@ -1404,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "temperature_mix_docs": q_temperature_mix_docs,
         "token_budget_docs": q_token_budget_docs,
+        "volume_windows_events": q_volume_windows_events,
     }
 
 
@@ -2695,6 +2721,37 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_keep": _semantic_dedup_oracle(),
         "temperature_mix_docs": _temperature_mix_oracle(),
         "token_budget_docs": _token_budget_oracle(),
+        "volume_windows_events": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS ws,
+                     count(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            spans AS (SELECT event_type, min(ws) AS lo, max(ws) AS hi
+                      FROM c GROUP BY 1),
+            dense AS (SELECT s.event_type, unnest(generate_series(s.lo, s.hi, 21600)) AS ws
+                      FROM spans s),
+            filled AS (SELECT d.event_type, d.ws, coalesce(c.n, 0) AS n
+                       FROM dense d LEFT JOIN c USING (event_type, ws)),
+            med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+                    FROM filled GROUP BY 1),
+            bl AS (SELECT f.event_type, any_value(m.med) AS med,
+                          quantile_cont(abs(f.n - m.med), 0.5) AS mad,
+                          avg(abs(f.n - m.med)) AS mnad
+                   FROM filled f JOIN med m USING (event_type) GROUP BY 1),
+            sig AS (SELECT event_type, med,
+                           CASE WHEN mad > 0 THEN mad * 1.4826
+                                ELSE mnad * 1.2533 END AS sigma
+                    FROM bl)
+            SELECT c.ws AS win_start_s, c.event_type, c.n,
+                   round(s.med, 6) AS group_median,
+                   CASE WHEN s.sigma > 0
+                        THEN round(abs(c.n - s.med) / s.sigma, 4) END AS robust_z,
+                   CASE WHEN s.sigma > 0
+                        THEN round(abs(c.n - s.med) / s.sigma, 4) > 2.5
+                        END AS is_anomaly
+            FROM c JOIN sig s USING (event_type)
+        """,
         "drift_psi_by_lang": """
             WITH c AS (
               SELECT lang, count(*) AS n_rows,

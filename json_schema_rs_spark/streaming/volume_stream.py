@@ -1,0 +1,147 @@
+"""Streaming row-volume monitor: per-window counts scored against a
+batch-computed robust baseline (median / MAD sigma with the mean-AD
+fallback — the same rule as ``operators/reconcile.robust_outliers``).
+
+No reference counterpart (the reference is strictly batch, SURVEY §2.9);
+this closes the streaming side of the volume-anomaly family the way
+``drift_stream`` closes drift: the batch pass owns the expensive robust
+statistics (medians need the whole history), the stream does ONE windowed
+count aggregation and a pure projection against literals.
+
+Design for unbounded input:
+
+* the baseline is a tiny ``{group: (median, sigma)}`` dict computed by
+  :func:`volume_baseline` on the historical table and baked into the plan
+  as a literal map — no join, no lookup state, same trick as
+  ``drift_stream``'s baseline proportions;
+* the stream side is a single watermarked window+group count — state per
+  (window, group) is one long, bounded regardless of row volume;
+* ``robust_z``/``is_anomaly`` are a projection over the aggregated row.
+
+Honest limitation (documented, not hidden): a stream that goes COMPLETELY
+silent emits no window row at all, so total silence cannot be flagged from
+inside the query — Structured Streaming only fires on data.  Silence
+detection belongs to the consumer (alert when an expected window is
+missing) or to the retrospective batch pass, where
+``operators/reconcile.volume_anomalies`` densifies empty buckets to n=0.
+Partial drops and bursts ARE flagged here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def volume_baseline(
+    df: DataFrame,
+    ts_col: str,
+    grain_seconds: int = 3600,
+    group_col: str | None = None,
+) -> dict:
+    """Robust per-group volume baseline from a HISTORICAL batch table:
+    ``{group_value: (median, sigma)}`` (key ``None`` when ungrouped) over
+    per-``grain_seconds``-bucket row counts, densified to n=0 like
+    ``volume_anomalies``; sigma follows the same MAD-then-mean-AD rule.
+
+    Driver-side result is ≤ |groups| tuples — the model, never the data.
+    """
+    grain = int(grain_seconds)
+    groups = [group_col] if group_col else []
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / grain) * grain
+    ).cast("long")
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*groups, bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span_g = counts.groupBy(*groups) if groups else counts.groupBy()
+    spans = span_g.agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    dense = spans.select(
+        *groups, F.explode(F.sequence("__lo", "__hi", F.lit(grain))).alias("__b")
+    )
+    cnt = counts.select(
+        *[F.col(g).alias(f"__c_{g}") for g in groups],
+        F.col("__b").alias("__cb"),
+        "n",
+    )
+    cond = F.col("__b") == F.col("__cb")
+    for g in groups:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__c_{g}"))
+    filled = dense.join(cnt, cond, "left").select(
+        *groups, F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n")
+    )
+    agg_g = filled.groupBy(*groups) if groups else filled.groupBy()
+    med = agg_g.agg(F.percentile(F.col("n"), F.lit(0.5)).alias("__med"))
+    if groups:
+        with_med = filled.join(med, groups)
+    else:
+        with_med = filled.crossJoin(F.broadcast(med))
+    dev = F.abs(F.col("n") - F.col("__med"))
+    g2 = with_med.groupBy(*groups) if groups else with_med.groupBy()
+    stats = g2.agg(
+        F.first("__med").alias("med"),
+        F.percentile(dev, F.lit(0.5)).alias("mad"),
+        F.avg(dev).alias("mnad"),
+    ).collect()
+    out = {}
+    for r in stats:
+        sigma = r["mad"] * 1.4826 if r["mad"] > 0 else r["mnad"] * 1.2533
+        key = r[group_col] if group_col else None
+        out[key] = (float(r["med"]), float(sigma))
+    return out
+
+
+def windowed_volume(
+    stream_df: DataFrame,
+    ts_col: str,
+    baseline: dict,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str | None = None,
+    k: float = 3.5,
+) -> DataFrame:
+    """Per-tumbling-window row counts scored against ``baseline`` (from
+    :func:`volume_baseline` at the SAME grain as ``window``).
+
+    Output per (window, group): ``win_start, win_end[, group], n,
+    group_median, robust_z, is_anomaly`` — every window is emitted (a
+    monitor wants the series), anomalies carry ``is_anomaly = true``.
+    Groups absent from the baseline score NULL z / NULL is_anomaly rather
+    than guessing.  The same function runs on a batch frame unchanged
+    (no watermark applied) — parity tests run both paths.
+    """
+    src = stream_df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "__ts", F.col(ts_col).cast("timestamp")
+    )
+    if stream_df.isStreaming:
+        src = src.withWatermark("__ts", watermark)
+
+    keys = [F.window(F.col("__ts"), window).alias("win")]
+    if group_col:
+        keys.append(F.col(group_col))
+    counts = src.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+    if group_col:
+        med_map = F.create_map(
+            *[x for g, (m, _s) in baseline.items() for x in (F.lit(g), F.lit(m))]
+        )
+        sig_map = F.create_map(
+            *[x for g, (_m, s) in baseline.items() for x in (F.lit(g), F.lit(s))]
+        )
+        med, sigma = med_map[F.col(group_col)], sig_map[F.col(group_col)]
+    else:
+        m, s = baseline[None]
+        med, sigma = F.lit(float(m)), F.lit(float(s))
+
+    z = F.when(sigma > 0, F.round(F.abs(F.col("n") - med) / sigma, 4))
+    return counts.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        *([group_col] if group_col else []),
+        "n",
+        med.alias("group_median"),
+        z.alias("robust_z"),
+        (z > F.lit(k)).alias("is_anomaly"),
+    )

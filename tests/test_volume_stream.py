@@ -1,0 +1,100 @@
+"""Streaming volume monitor — baseline math, batch exactness, stream==batch."""
+
+import datetime as dt
+import shutil
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.streaming.volume_stream import volume_baseline, windowed_volume
+
+SF = "/root/testdata/sf0.001"
+
+
+def _history(spark):
+    # 24 hourly buckets of 50±small, with two silent hours (densified to 0)
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for h in range(24):
+        if h in (10, 11):
+            continue
+        for i in range(50 + h % 3):
+            rows.append((base + dt.timedelta(hours=h, seconds=i),))
+    return spark.createDataFrame(rows, "ts timestamp")
+
+
+def test_volume_baseline_ungrouped(spark):
+    bl = volume_baseline(_history(spark), "ts", 3600)
+    med, sigma = bl[None]
+    # sorted counts: 0,0, 8×50, 7×51, 7×52 → positions 12/13 are both 51
+    assert med == 51.0
+    assert sigma > 0
+
+
+def test_volume_baseline_constant_series_uses_mean_ad(spark):
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(hours=h, seconds=i),)
+        for h in range(6)
+        for i in range(10)
+    ]
+    bl = volume_baseline(spark.createDataFrame(rows, "ts timestamp"), "ts", 3600)
+    med, sigma = bl[None]
+    # all buckets identical: MAD = 0 AND mean AD = 0 → sigma 0 (flags nothing)
+    assert (med, sigma) == (10.0, 0.0)
+
+
+def test_windowed_volume_batch_flags_partial_drop(spark):
+    hist = _history(spark)
+    bl = volume_baseline(hist, "ts", 3600)
+    # live window: one hour with only 3 rows (a ~94% partial drop)
+    live = spark.createDataFrame(
+        [(dt.datetime(2024, 2, 1, 5, 0, i),) for i in range(3)], "ts timestamp"
+    )
+    got = windowed_volume(live, "ts", bl, window="1 hour", k=3.0).collect()
+    assert len(got) == 1
+    assert got[0]["n"] == 3 and got[0]["is_anomaly"] is True
+
+
+def test_windowed_volume_grouped_missing_group_scores_null(spark):
+    hist = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1) + dt.timedelta(hours=h, seconds=i))
+            for h in range(8)
+            for i in range(10 + h % 2)
+        ],
+        "g string, ts timestamp",
+    )
+    bl = volume_baseline(hist, "ts", 3600, group_col="g")
+    live = spark.createDataFrame(
+        [("a", dt.datetime(2024, 2, 1, 0, 0, 0)), ("zz", dt.datetime(2024, 2, 1, 0, 0, 1))],
+        "g string, ts timestamp",
+    )
+    got = {r["g"]: r for r in windowed_volume(live, "ts", bl, "1 hour", group_col="g").collect()}
+    assert got["a"]["robust_z"] is not None
+    assert got["zz"]["robust_z"] is None and got["zz"]["is_anomaly"] is None
+
+
+def test_windowed_volume_stream_matches_batch(spark, tmp_path):
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    batch = spark.read.parquet(str(src_dir))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+
+    bl = volume_baseline(batch, "ts", 6 * 3600, group_col="event_type")
+    kwargs = dict(
+        ts_col="ts", baseline=bl, window="6 hours", watermark="12 hours",
+        group_col="event_type", k=2.5,
+    )
+    q = (
+        windowed_volume(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName("vol_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(spark.sql("SELECT * FROM vol_stream").collect())
+    want = sorted(windowed_volume(batch, **kwargs).collect())
+    assert len(got) == len(want) > 10
+    assert got == want
