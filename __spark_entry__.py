@@ -725,6 +725,86 @@ def q_hash_split_docs(spark, sf_dir):
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_q4_late_shipments(spark, sf_dir):
+    # TPC-H Q4 shape (no commit/receipt dates in this corpus → "shipped >30
+    # days after ordering"): priority counts of orders with ≥1 late line.
+    # Semi-join = the lineitem side never widens the output; equi key
+    # (orderkey) carries the shuffle, the date predicate is a post-filter.
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q_q13_custdist(spark, sf_dir):
+    # TPC-H Q13 shape: distribution of orders-per-customer (zero included
+    # via the left outer join).  Two aggs: per-customer count (shuffle on
+    # custkey), then the tiny histogram over counts.
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_q18_large_orders(spark, sf_dir):
+    # TPC-H Q18 shape: orders whose total quantity ≥ 250 (top ~1%), joined
+    # back to orders + broadcast customer.  The HAVING filter runs on the
+    # aggregated (tiny) side BEFORE the joins — never the raw lineitem.
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") >= 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def q_q22_idle_customers(spark, sf_dir):
+    # TPC-H Q22 shape (no phone country codes in this corpus → "high-value
+    # customers with no recent orders"): scalar-subquery average balance,
+    # anti-join against the recent-order key set, per-segment rollup.
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("__avg")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 def q_volume_windows_events(spark, sf_dir):
     # Streaming volume monitor's exact plan on the batch path (stream==batch
     # parity pinned in tests/test_volume_stream.py): robust per-group
@@ -1317,7 +1397,7 @@ def q_kmeans_step_embeddings(spark, sf_dir):
 
 def q_semantic_dedup_keep(spark, sf_dir):
     # SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-LSH
-    # near-dup pairs (cos ≥ 0.3) → transitive clusters → keep the min-id
+    # near-dup pairs (cos ≥ 0.4) → transitive clusters → keep the min-id
     # representative per cluster.  Every stage is the scale path: banded LSH
     # candidates (never all-pairs), min-label propagation, broadcast anti-join.
     from json_schema_rs_spark.operators.clusters import canonical_keep, connected_components
@@ -1325,7 +1405,7 @@ def q_semantic_dedup_keep(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup(
-        emb, dim=64, n_planes=4, threshold=0.3, n_tables=8, seed=42
+        emb, dim=64, n_planes=4, threshold=0.4, n_tables=8, seed=42
     ).select("id_a", "id_b")
     cc = connected_components(pairs, "id_a", "id_b")
     return canonical_keep(emb, "vec_id", cc).select("vec_id")
@@ -1430,6 +1510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_docs": q_temperature_mix_docs,
         "token_budget_docs": q_token_budget_docs,
         "volume_windows_events": q_volume_windows_events,
+        "q4_late_shipments": q_q4_late_shipments,
+        "q13_custdist": q_q13_custdist,
+        "q18_large_orders": q_q18_large_orders,
+        "q22_idle_customers": q_q22_idle_customers,
     }
 
 
@@ -1531,7 +1615,7 @@ def _lsh_near_dup_oracle(dim=64, n_planes=4, n_tables=8, seed=42, threshold=0.5)
     """
 
 
-def _semantic_dedup_oracle(threshold=0.3) -> str:
+def _semantic_dedup_oracle(threshold=0.4) -> str:
     """LSH pairs → recursive-CTE transitive closure → keep cluster minima
     (mirrors connected_components + canonical_keep over embeddings)."""
     return _lsh_pairs_cte(recursive=True) + f"""
@@ -2721,6 +2805,45 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_keep": _semantic_dedup_oracle(),
         "temperature_mix_docs": _temperature_mix_oracle(),
         "token_budget_docs": _token_budget_oracle(),
+        "q4_late_shipments": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY 1
+        """,
+        "q13_custdist": """
+            WITH pc AS (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY 1)
+            SELECT c_count, count(*) AS custdist FROM pc GROUP BY 1
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) >= 250)
+            SELECT c.c_name, o.o_orderkey,
+                   round(o.o_totalprice, 2) AS o_totalprice, b.total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q22_idle_customers": """
+            WITH a AS (SELECT round(avg(c_acctbal), 6) AS ab
+                       FROM customer WHERE c_acctbal > 0)
+            SELECT c.c_mktsegment, count(*) AS numcust,
+                   round(sum(c.c_acctbal), 2) AS totacctbal
+            FROM customer c, a
+            WHERE c.c_acctbal > a.ab
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+            GROUP BY 1
+        """,
         "volume_windows_events": """
             WITH c AS (
               SELECT event_type,

@@ -194,6 +194,12 @@ def bench_queries(spark) -> dict[str, float]:
         "outliers_events_value",
         "fd_lineitem_returnflag",
         "drift_psi_windows",
+        "kmeans_step_embeddings",
+        "semantic_dedup_keep",
+        "temperature_mix_docs",
+        "token_budget_docs",
+        "volume_windows_events",
+        "dedup_spans",
     ]
     qs = entrymod.queries()
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -131,6 +132,7 @@ def embedding_near_dup(
     round_to: int = 6,
     n_tables: int = 1,
     seed: int = 42,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) via LSH buckets +
     exact verify: ``(id_a, id_b, cos)``.  Precision is exact (cosine verify);
@@ -140,16 +142,91 @@ def embedding_near_dup(
 
     All tables are computed in ONE projection (array of ``(table<<planes)|
     bucket`` keys, exploded), so the candidate join is a single shuffle on the
-    composite key, not ``n_tables`` separate jobs."""
+    composite key, not ``n_tables`` separate jobs.
+
+    Per-pair work is ONE array aggregate (the dot product): each row's L2
+    norm is precomputed in the pre-join projection (|rows| norms instead of
+    2×|candidates| — higher-order array functions are interpreted, not
+    codegen'd, so per-pair aggregates dominate the stage), and the threshold
+    filter runs BEFORE the cross-table ``distinct`` so the dedup shuffle
+    carries only surviving pairs, not every bucket collision.  The cosine
+    doubles are bit-identical to the naive form (same dot, same norms, same
+    evaluation order) — oracle parity is unchanged."""
     keys = F.array(*[
         (F.lit(t << n_planes) + lsh_bucket(F.col(emb_col), dim, n_planes, seed + t))
         for t in range(n_tables)
     ])
+    e = F.col(emb_col).cast("array<double>")
     b = df.select(
         F.col(id_col).alias("doc"),
-        F.col(emb_col).alias("emb"),
+        (F.col(emb_col) if vectorized else e).alias("emb"),
+        l2_norm(e).alias("__nrm"),
         F.explode(keys).alias("bucket"),
     )
+
+    if vectorized:
+        # Block computation per bucket via applyInPandas: each bucket group
+        # crosses the Arrow boundary ONCE (O(rows), not O(candidate pairs) —
+        # a pair join would ship both 64-dim vectors per candidate), and the
+        # within-bucket cosine matrix is accumulated DIMENSION-SEQUENTIALLY
+        # so every double equals the JVM fold's (seeded +0.0,
+        # left-to-right) bit-for-bit — oracle parity by construction, not
+        # tolerance.  Kernel pre-filters with a one-ulp-of-rounding margin;
+        # the exact round(.,6) ≥ threshold filter stays JVM-side so rounding
+        # never depends on numpy.  Measured 25 s → ~4 s at sf0.1 vs the
+        # expression join (interpreted per-pair folds).
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+        margin = 10.0 ** (-round_to)
+        max_bucket = 8192  # n×n doubles = 0.5 GB at 8192 — a hot bucket must
+        # fail loudly (raise → re-shard with more planes), not OOM silently
+
+        def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            n = len(pdf)
+            if n > max_bucket:
+                raise ValueError(
+                    f"embedding_near_dup: bucket with {n} rows exceeds "
+                    f"max_bucket={max_bucket} — increase n_planes (finer "
+                    "buckets) or pre-shard hot buckets"
+                )
+            empty = pd.DataFrame(
+                {"id_a": pdf["doc"].iloc[:0], "id_b": pdf["doc"].iloc[:0],
+                 "cos": pd.Series([], dtype="float64")}
+            )
+            if n < 2:
+                return empty
+            order = np.argsort(pdf["doc"].to_numpy(), kind="stable")
+            ids = pdf["doc"].to_numpy()[order]
+            A = np.stack(pdf["emb"].to_numpy()[order]).astype(np.float64)
+            nrm = pdf["__nrm"].to_numpy()[order]
+            acc = np.zeros((n, n))
+            for i in range(A.shape[1]):
+                col = A[:, i]
+                acc += col[:, None] * col[None, :]
+            cos = acc / (nrm[:, None] * nrm[None, :])
+            iu, ju = np.triu_indices(n, k=1)
+            vals = cos[iu, ju]
+            keep = vals >= threshold - margin
+            if not keep.any():
+                return empty
+            return pd.DataFrame(
+                {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": vals[keep]}
+            )
+
+        cand = b.groupBy("bucket").applyInPandas(_bucket_pairs, out_schema)
+        return (
+            cand.select("id_a", "id_b", F.round("cos", round_to).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .distinct()
+        )
+
+    # expression path: one interpreted fold per candidate pair.  (An
+    # unrolled flat 64-term sum was measured 2.3× SLOWER — it overflows the
+    # codegen method budget and falls back to interpreted eval of 191 nodes
+    # per row.)  Row norms are precomputed in the projection; the threshold
+    # filter runs before the cross-table distinct.
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")))
@@ -157,12 +234,12 @@ def embedding_near_dup(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
             F.round(
-                cosine(F.col("a.emb").cast("array<double>"), F.col("b.emb").cast("array<double>")),
+                dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.__nrm") * F.col("b.__nrm")),
                 round_to,
             ).alias("cos"),
         )
-        .distinct()
         .filter(F.col("cos") >= threshold)
+        .distinct()
     )
 
 

@@ -32,7 +32,10 @@ BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact"
            # ungrouped robust_outliers crossJoins the ONE-ROW global
            # median/MAD frames with an explicit broadcast hint — a BNLJ of
            # a single broadcast row, constant cost at any input size
-           "volume_anomalies_events"}
+           "volume_anomalies_events",
+           # TPC-H Q22 shape: the scalar-subquery average balance is a
+           # ONE-ROW broadcast crossJoin (same constant-cost shape)
+           "q22_idle_customers"}
 #: queries whose joins are big-×-big on purpose (no broadcast expectation)
 SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
