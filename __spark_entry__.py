@@ -1053,6 +1053,305 @@ def q_q2_top_supplier_nation(spark, sf_dir):
     )
 
 
+def q_q7_nation_volume(spark, sf_dir):
+    # TPC-H Q7 shape: shipping volume between two nations by year, both
+    # directions.  nation/supplier/customer are broadcast dims; the one
+    # shuffle join is lineitem⋈orders on the orderkey.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_q8_market_share(spark, sf_dir):
+    # TPC-H Q8 shape: NATION_5 suppliers' share of ASIA-customer PROMO-part
+    # revenue per year.  All dims broadcast; ratio-of-conditional-sums stays
+    # inside one aggregate — no second pass over the joined relation.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_regionkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_regionkey") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_q9_product_profit(spark, sf_dir):
+    # TPC-H Q9 shape (no partsupp in this corpus → retailprice-based cost
+    # proxy): profit by supplier nation and year over STANDARD-type parts.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_q11_important_brands(spark, sf_dir):
+    # TPC-H Q11 shape (HAVING > scalar fraction of the grand total): brand
+    # inventory value vs 4% of total.  The total is a 1-row aggregate that
+    # Catalyst plans as a subquery broadcast — never a window over the detail.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    val = joined.groupBy("p_brand").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__value")
+    )
+    total = val.agg(F.sum("__value").alias("__total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("__value") > F.col("__total") * 0.04)
+        .select("p_brand", F.round(F.col("__value"), 2).alias("value"))
+        .orderBy(F.desc("value"), "p_brand")
+    )
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    # TPC-H Q15 shape: supplier(s) with the max quarterly revenue.  Revenue
+    # is rounded BEFORE the max/compare so Spark and the oracle agree on ties
+    # bit-for-bit; the 1-row max is broadcast back (no global window).
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q16_supplier_counts(spark, sf_dir):
+    # TPC-H Q16 shape: distinct suppliers per (brand, size) from observed
+    # lineitem pairs, excluding one brand/type and (NOT IN) suppliers with
+    # negative balances.  The distinct pair projection collapses lineitem
+    # before anything joins.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9") & (F.col("p_type") != "PROMO")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+def q_q17_small_qty_revenue(spark, sf_dir):
+    # TPC-H Q17 shape (correlated per-part average): revenue from Brand#3
+    # lineitems below 20% of their part's average quantity.  The per-part avg
+    # is an aggregate joined back — Catalyst broadcasts it (post-agg it is
+    # tiny); never a correlated re-scan per row.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_q = li.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avg_q), li.l_partkey == F.col("aq_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q_q20_promo_suppliers(spark, sf_dir):
+    # TPC-H Q20 shape (nested IN-subquery chain): suppliers who shipped >100
+    # units of PROMO parts in 1996.  part filters lineitem via broadcast,
+    # the per-supplier agg is the threshold set, supplier is SEMI-joined to
+    # it (never inflated).
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 450)
+    )
+    return (
+        supp.join(F.broadcast(shipped), supp.s_suppkey == shipped.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+def q_q21_waiting_suppliers(spark, sf_dir):
+    # TPC-H Q21 shape (EXISTS + NOT EXISTS): suppliers who were the ONLY
+    # late supplier on a multi-supplier finished order (late = shipped >90
+    # days after the order date).  Realized as one semi join (another
+    # supplier exists) plus one anti join (no OTHER late supplier) on the
+    # orderkey — the non-equi suppkey≠suppkey rides on the equi join.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).distinct()
+    late2 = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    cand = late.join(
+        others,
+        (late.l_orderkey == F.col("o2_orderkey")) & (late.l_suppkey != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        late2,
+        (late.l_orderkey == F.col("l3_orderkey")) & (late.l_suppkey != F.col("l3_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(supp), cand.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q_sketch_mincount_users(spark, sf_dir):
+    # portable MinCount sketch (operators/sketches.py): distinct-user
+    # estimate per event type from 16 independent hash minima — ONE agg,
+    # map-side combined, exact binary64 arithmetic (no rounding needed).
+    # The exact count rides alongside so the estimate is auditable.
+    from json_schema_rs_spark.operators.cardinality import distinct_exact
+    from json_schema_rs_spark.operators.sketches import mincount_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = mincount_distinct(ev, ["event_type"], "user_id", k=16)
+    exact = distinct_exact(ev, ["event_type"], "user_id").withColumnRenamed(
+        "n_distinct", "exact_distinct"
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "sum_min", "est_distinct", "exact_distinct"
+    )
+
+
+def q_sketch_hll_users(spark, sf_dir):
+    # portable HyperLogLog (p=8): two-level (group, bucket) register agg →
+    # harmonic estimate.  At n≈150 per group it exercises the linear-counting
+    # small-range branch (the ln is rounded to 6dp on both engines).
+    from json_schema_rs_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev, ["event_type"], "user_id", p=8)
+    return hll_estimate(regs, ["event_type"], p=8).orderBy("event_type")
+
+
+def q_sketch_bloom_prefilter(spark, sf_dir):
+    # Bloom-prefiltered probe: bitmap built from rich customers' keys (ONE
+    # tiny agg + ≤16-word collect), embedded as a literal into the orders
+    # scan — membership test is pure codegen, zero exchange on the big side.
+    # m=1024 bits over 153 keys gives a real false-positive rate so the
+    # false_pos column actually verifies the hash parity.
+    from json_schema_rs_spark.operators.sketches import (
+        bloom_build_bitmap,
+        bloom_might_contain,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    keys = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    bitmap = bloom_build_bitmap(keys, "c_custkey", m_bits=1024, j=5)
+    truth = keys.withColumn("__in", F.lit(1))
+    flagged = orders.join(
+        F.broadcast(truth), orders.o_custkey == truth.c_custkey, "left"
+    ).select(
+        bloom_might_contain(F.col("o_custkey"), bitmap, m_bits=1024, j=5).alias("__maybe"),
+        F.col("__in").isNotNull().alias("__actual"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("__maybe"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("__actual"), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("__maybe") & ~F.col("__actual"), 1).otherwise(0)).alias(
+            "n_false_pos"
+        ),
+    )
+
+
 def q_distinct_users_by_type(spark, sf_dir):
     # exact per-type distinct users via the two-phase aggregation
     # (operators/cardinality.py) — unique (type, user) pairs cross the wire,
@@ -1482,6 +1781,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q_q14_promo_revenue,
         "q19_disjunctive": q_q19_disjunctive,
         "q2_top_supplier_nation": q_q2_top_supplier_nation,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q8_market_share": q_q8_market_share,
+        "q9_product_profit": q_q9_product_profit,
+        "q11_important_brands": q_q11_important_brands,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_counts": q_q16_supplier_counts,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q20_promo_suppliers": q_q20_promo_suppliers,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "sketch_mincount_users": q_sketch_mincount_users,
+        "sketch_hll_users": q_sketch_hll_users,
+        "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
         "distinct_users_by_type": q_distinct_users_by_type,
         "multi_distinct_events": q_multi_distinct_events,
         "topk_tokens": q_topk_tokens,
@@ -2528,6 +2839,209 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier s
             WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
                                WHERE s2.s_nationkey = s.s_nationkey)
+        """,
+        "q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey
+            WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, year(l_shipdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_type = 'STANDARD'
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year DESC
+        """,
+        "q11_important_brands": """
+            WITH val AS (
+              SELECT p_brand, sum(l_extendedprice * l_quantity) AS value
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand)
+            SELECT p_brand, round(value, 2) AS value
+            FROM val
+            WHERE value > (SELECT sum(value) FROM val) * 0.04
+            ORDER BY round(value, 2) DESC, p_brand
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "q16_supplier_counts": """
+            WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM pairs JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+        """,
+        "q17_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3'
+              AND l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                                      WHERE l2.l_partkey = lineitem.l_partkey)
+        """,
+        "q20_promo_suppliers": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'PROMO'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_suppkey
+              HAVING sum(l_quantity) > 450)
+            ORDER BY s_name
+        """,
+        "q21_waiting_suppliers": """
+            WITH late AS (
+              SELECT DISTINCT l_orderkey, l_suppkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            SELECT s_name, count(*) AS numwait
+            FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "sketch_mincount_users": """
+            WITH mins AS (
+              SELECT event_type,
+                     min(('0x'||substr(md5('mc0:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m0,
+                     min(('0x'||substr(md5('mc1:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m1,
+                     min(('0x'||substr(md5('mc2:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m2,
+                     min(('0x'||substr(md5('mc3:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m3,
+                     min(('0x'||substr(md5('mc4:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m4,
+                     min(('0x'||substr(md5('mc5:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m5,
+                     min(('0x'||substr(md5('mc6:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m6,
+                     min(('0x'||substr(md5('mc7:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m7,
+                     min(('0x'||substr(md5('mc8:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m8,
+                     min(('0x'||substr(md5('mc9:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m9,
+                     min(('0x'||substr(md5('mc10:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m10,
+                     min(('0x'||substr(md5('mc11:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m11,
+                     min(('0x'||substr(md5('mc12:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m12,
+                     min(('0x'||substr(md5('mc13:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m13,
+                     min(('0x'||substr(md5('mc14:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m14,
+                     min(('0x'||substr(md5('mc15:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT) AS m15
+              FROM events GROUP BY event_type)
+            SELECT event_type,
+                   (((((((((((((((m0+m1)+m2)+m3)+m4)+m5)+m6)+m7)+m8)+m9)+m10)+m11)+m12)+m13)+m14)+m15) AS sum_min,
+                   16.0 / ((((((((((((((((m0+m1)+m2)+m3)+m4)+m5)+m6)+m7)+m8)+m9)+m10)+m11)+m12)+m13)+m14)+m15)
+                           / 281474976710656.0) - 1.0 AS est_distinct,
+                   (SELECT count(DISTINCT e2.user_id) FROM events e2
+                    WHERE e2.event_type = mins.event_type) AS exact_distinct
+            FROM mins
+        """,
+        "sketch_hll_users": """
+            WITH h AS (
+              SELECT event_type,
+                     ('0x'||substr(md5('hll:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT AS hv
+              FROM events WHERE user_id IS NOT NULL),
+            b AS (
+              SELECT event_type, hv // 1099511627776 AS bucket,
+                     hv % 1099511627776 AS w
+              FROM h),
+            regs AS (
+              SELECT event_type, bucket,
+                     max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS reg
+              FROM b GROUP BY event_type, bucket),
+            agg AS (
+              SELECT event_type, sum(power(2.0, -reg)) AS present_inv,
+                     count(*) AS n_present
+              FROM regs GROUP BY event_type)
+            SELECT event_type, (256 - n_present) AS zero_buckets,
+                   CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0)
+                             / (present_inv + (256 - n_present)) <= 640.0
+                          AND (256 - n_present) > 0
+                        THEN round(256.0 * ln(256.0 / (256 - n_present)), 6)
+                        ELSE round((0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0)
+                                   / (present_inv + (256 - n_present)), 6)
+                   END AS est_distinct
+            FROM agg ORDER BY event_type
+        """,
+        "sketch_bloom_prefilter": """
+            WITH keys AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+            kh AS (
+              SELECT ('0x'||substr(md5('bf:'||CAST(c_custkey AS VARCHAR)),1,12))::BIGINT AS h1,
+                     ('0x'||substr(md5('bf:'||CAST(c_custkey AS VARCHAR)),13,12))::BIGINT AS h2v,
+                     h2v + 1 - (h2v % 2) AS h2
+              FROM keys),
+            kp AS (
+              SELECT DISTINCT unnest([h1 % 1024, (h1 + h2) % 1024, (h1 + 2*h2) % 1024,
+                                      (h1 + 3*h2) % 1024, (h1 + 4*h2) % 1024]) AS pos
+              FROM kh),
+            probe AS (
+              SELECT o_custkey,
+                     ('0x'||substr(md5('bf:'||CAST(o_custkey AS VARCHAR)),1,12))::BIGINT AS h1,
+                     ('0x'||substr(md5('bf:'||CAST(o_custkey AS VARCHAR)),13,12))::BIGINT AS h2v,
+                     h2v + 1 - (h2v % 2) AS h2
+              FROM orders),
+            flags AS (
+              SELECT (h1 % 1024) IN (SELECT pos FROM kp)
+                 AND ((h1 + h2) % 1024) IN (SELECT pos FROM kp)
+                 AND ((h1 + 2*h2) % 1024) IN (SELECT pos FROM kp)
+                 AND ((h1 + 3*h2) % 1024) IN (SELECT pos FROM kp)
+                 AND ((h1 + 4*h2) % 1024) IN (SELECT pos FROM kp) AS maybe,
+                     o_custkey IN (SELECT c_custkey FROM keys) AS actual
+              FROM probe)
+            SELECT count(*) AS n_probed,
+                   sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS n_pass,
+                   sum(CASE WHEN actual THEN 1 ELSE 0 END) AS n_true,
+                   sum(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END) AS n_false_pos
+            FROM flags
         """,
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

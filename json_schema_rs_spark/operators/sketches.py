@@ -1,0 +1,248 @@
+"""Portable cardinality / membership sketches: MinCount, HLL, Bloom.
+
+The reference engine (GyrosOfWar/json-schema-rs) validates one document at a
+time and never needs dataset-level cardinality; a 100 TB validation pass does
+— "is this key column unique-ish", "how many distinct users per segment",
+"prefilter this join" are all sketch questions.  Three design rules here:
+
+1. **Agg-only hot paths.**  Every sketch below is a plain ``groupBy().agg()``
+   over per-row projections — map-side partial aggregation applies, so the
+   shuffle carries one partial sketch per (group, partition), never rows.
+   No ``distinct()``, no window over the raw relation, no collect of data.
+2. **Portable hashes.**  Like ``dedup.minhash_signature(portable=True)``,
+   every hash is a prefix of ``md5(salt || value)`` converted hex→bigint —
+   12 hex chars = 48 bits, exactly representable in BIGINT *and* DOUBLE in
+   both Spark (``conv(x,16,10)``) and DuckDB (``('0x'||x)::BIGINT``), so the
+   driver's DuckDB oracle replays the sketch bit-for-bit.  Production users
+   can swap ``xxhash64`` in via ``portable=False`` (JVM-side, ~4× faster).
+3. **Exact float paths.**  Estimator arithmetic is arranged so every
+   intermediate is exactly representable (sums of 48-bit integers, powers of
+   two): the estimates round-trip identically through both engines; only the
+   HLL low-range `ln` correction needs a defensive round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+H48 = float(2**48)  # hash space size; 48 bits keep bigint/double arithmetic exact
+
+
+def hash48(col: Column, salt: str = "", portable: bool = True) -> Column:
+    """Uniform 48-bit hash of ``col`` as BIGINT.
+
+    portable=True (default): ``conv(substr(md5(salt||v),1,12),16,10)`` —
+    reproducible in DuckDB as ``('0x'||substr(md5(salt||v),1,12))::BIGINT``.
+    portable=False: ``xxhash64`` folded into 48 bits (JVM-only, faster).
+    """
+    s = col.cast("string")
+    if portable:
+        return F.conv(F.substring(F.md5(F.concat(F.lit(salt), s)), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+    return F.pmod(F.xxhash64(F.lit(salt), s), F.lit(2**48)).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# MinCount: k independent minima → distinct-count estimate
+# ---------------------------------------------------------------------------
+
+
+def mincount_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 16,
+    salt: str = "mc",
+    portable: bool = True,
+) -> DataFrame:
+    """Distinct-count estimate from ``k`` independent hash minima.
+
+    For n distinct values, each 48-bit min m_i has E[m_i/2^48] ≈ 1/(n+1), so
+    ``k / Σ(m_i/2^48) - 1`` estimates n with relative error ~1/√k.  The whole
+    sketch is ONE aggregate of k ``min()`` columns — partial aggregation
+    merges per-partition minima, so the shuffle carries k bigints per group
+    per partition regardless of input size.  All arithmetic below is exact in
+    binary64 (minima < 2^48, their sum < k·2^48 < 2^53), so Spark and the
+    DuckDB oracle produce bit-identical estimates with no rounding tricks.
+
+    Returns one row per group: ``est_distinct`` (double) + the raw minima sum
+    ``sum_min`` (bigint) for auditability.
+    """
+    hashes = [hash48(F.col(value_col), f"{salt}{i}:", portable) for i in range(k)]
+    proj = df.select(*group_cols, *[hc.alias(f"__h{i}") for i, hc in enumerate(hashes)])
+    agged = proj.groupBy(*group_cols).agg(
+        *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(k)]
+    )
+    total = None
+    for i in range(k):
+        total = F.col(f"__m{i}") if total is None else total + F.col(f"__m{i}")
+    return agged.select(
+        *group_cols,
+        total.alias("sum_min"),
+        (F.lit(float(k)) / (total.cast("double") / F.lit(H48)) - F.lit(1.0)).alias(
+            "est_distinct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (portable): bucket registers → harmonic-mean estimate
+# ---------------------------------------------------------------------------
+
+#: bias-correction constant alpha_m for m = 256 registers (Flajolet et al. 2007)
+_ALPHA_256 = 0.7213 / (1.0 + 1.079 / 256.0)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+    salt: str = "hll",
+    portable: bool = True,
+) -> DataFrame:
+    """Per-(group, bucket) HLL registers: max leading-zero rank per bucket.
+
+    bucket = top ``p`` bits of the 48-bit hash; rho = 1 + leading zeros of
+    the remaining ``48-p`` bits (computed portably as ``w>0 → 49-p-length(
+    bin(w))``, ``w=0 → 49-p``, since both engines' ``bin()`` strips leading
+    zeros).  Two-level aggregate: (group, bucket) max — at most m=2^p rows
+    per group survive the shuffle.
+    """
+    m = 1 << p
+    wbits = 48 - p
+    h = hash48(F.col(value_col), f"{salt}:", portable)
+    proj = df.select(
+        *group_cols,
+        (h / F.lit(1 << wbits)).cast("bigint").alias("bucket"),
+        F.pmod(h, F.lit(1 << wbits)).alias("__w"),
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(F.col("__w")))
+    )
+    return (
+        proj.withColumn("__rho", rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rho").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
+    """Distinct-count estimate from ``hll_registers`` output.
+
+    ``sum_inv = Σ 2^-reg`` over all m buckets (absent buckets contribute 1.0)
+    is EXACT in binary64 — each term is a power of two ≥ 2^-41 and the sum is
+    a multiple of 2^-41 bounded by m, well inside the 53-bit mantissa — so
+    shuffle order cannot perturb it.  The raw estimate alpha·m²/sum_inv is
+    then a single correctly-rounded division.  Only the small-range
+    correction (linear counting, ``m·ln(m/zeros)``) involves a transcendental;
+    its result is rounded to 6 decimals to absorb any libm last-ulp skew
+    between the JVM and DuckDB.
+    """
+    m = 1 << p
+    agged = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("__present_inv"),
+        F.count(F.lit(1)).alias("__n_present"),
+    )
+    zeros = F.lit(m) - F.col("__n_present")
+    sum_inv = F.col("__present_inv") + zeros.cast("double")
+    raw = F.lit(_ALPHA_256 * m * m) / sum_inv
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")), 6),
+    ).otherwise(F.round(raw, 6))
+    return agged.select(
+        *group_cols,
+        zeros.alias("zero_buckets"),
+        est.alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: build a bitmap from a key set, prefilter a big relation
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(col: Column, m_bits: int = 4096, j: int = 5, salt: str = "bf") -> Column:
+    """Array of ``j`` bit positions via double hashing h1 + i·h2 (mod m).
+
+    h1/h2 are the two 48-bit halves of one md5; h2 is forced odd so the j
+    probes cycle the whole table.  48-bit operands keep h1 + i·h2 < 2^51 —
+    exact in bigint on both engines.
+    """
+    s = col.cast("string")
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), s))
+    h1 = F.conv(F.substring(digest, 1, 12), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(digest, 13, 12), 16, 10).cast("bigint")
+    h2 = h2 + F.lit(1) - F.pmod(h2, F.lit(2))  # force odd
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(j)])
+
+
+def bloom_build_bitmap(
+    keys: DataFrame, key_col: str, m_bits: int = 4096, j: int = 5, salt: str = "bf"
+) -> list[int]:
+    """Build the filter as ``m_bits/64`` longs (bit_or over position masks).
+
+    The aggregate output is at most m_bits/64 rows (64 for the default 4 KiB
+    filter) — collecting it is the same driver cost as broadcasting any
+    scalar, and the resulting literal array rides into the probe projection
+    with NO join and NO shuffle.  This is the 100 TB path: the filter build
+    reads the (small) key side once; the probe side is a pure scan+filter.
+    """
+    words = [0] * (m_bits // 64)
+    pos_df = (
+        keys.select(F.explode(bloom_positions(F.col(key_col), m_bits, j, salt)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    for row in pos_df.collect():
+        words[row["word"]] = row["bits"]
+    return words
+
+
+def bloom_might_contain(
+    col: Column, bitmap: list[int], m_bits: int = 4096, j: int = 5, salt: str = "bf"
+) -> Column:
+    """Boolean Column: all ``j`` positions of ``col`` set in the bitmap.
+
+    The bitmap is embedded as an array literal — whole-stage-codegen'd bit
+    tests, zero exchange.  False-positive rate ≈ (1-e^{-jn/m})^j.
+    """
+    lit_words = F.array(*[F.lit(w).cast("bigint") for w in bitmap])
+    pos = bloom_positions(col, m_bits, j, salt)
+    result = None
+    for i in range(j):
+        p = F.element_at(pos, i + 1)
+        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
+        # SQL shiftleft accepts a column shift amount; the pyspark wrapper
+        # F.shiftleft only takes a literal int, hence call_function
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), F.pmod(p, F.lit(64)).cast("int")
+        )
+        bit = word.bitwiseAND(mask) != 0
+        result = bit if result is None else (result & bit)
+    return result
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    keys: DataFrame,
+    big_key: str,
+    keys_key: str,
+    m_bits: int = 4096,
+    j: int = 5,
+    salt: str = "bf",
+) -> DataFrame:
+    """Filter ``big`` to rows whose key MIGHT be in ``keys`` (no false negatives).
+
+    Use before an expensive shuffle join when the build side is small but
+    too large / too hot to broadcast outright: the bloom bitmap (m_bits/8
+    bytes) prunes the probe side scan-side, shrinking the shuffle.
+    """
+    bitmap = bloom_build_bitmap(keys, keys_key, m_bits, j, salt)
+    return big.filter(bloom_might_contain(F.col(big_key), bitmap, m_bits, j, salt))

@@ -1,0 +1,96 @@
+"""Portable sketch tests (operators/sketches.py): MinCount, HLL, Bloom.
+
+The oracle gate (sketch_* queries) proves Spark/DuckDB hash parity; these
+tests pin the ESTIMATOR quality and the no-false-negative guarantees that the
+oracle's single dataset can't assert.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.sketches import (
+    bloom_build_bitmap,
+    bloom_might_contain,
+    bloom_prefilter,
+    hll_estimate,
+    hll_registers,
+    mincount_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def groups(spark):
+    # group gN has N*400 distinct users, each seen twice
+    rows = [(f"g{g}", u) for g in (1, 2) for u in range(g * 400) for _ in range(2)]
+    return spark.createDataFrame(rows, "grp string, user long")
+
+
+def _est(df):
+    return {r["grp"]: r["est_distinct"] for r in df.collect()}
+
+
+def test_mincount_within_error_bound(groups):
+    est = _est(mincount_distinct(groups, ["grp"], "user", k=16))
+    for grp, n in (("g1", 400), ("g2", 800)):
+        assert abs(est[grp] - n) / n < 0.5, (grp, est[grp])
+
+
+def test_mincount_portable_and_jvm_paths_agree_roughly(groups):
+    p = _est(mincount_distinct(groups, ["grp"], "user", k=16, portable=True))
+    j = _est(mincount_distinct(groups, ["grp"], "user", k=16, portable=False))
+    # different hash families: estimates differ but both live near the truth
+    for grp, n in (("g1", 400), ("g2", 800)):
+        assert abs(p[grp] - n) / n < 0.5
+        assert abs(j[grp] - n) / n < 0.5
+
+
+def test_mincount_exact_arithmetic_is_stable_under_partitioning(groups):
+    # binary64-exact estimator: identical result at different parallelism
+    a = _est(mincount_distinct(groups.repartition(1), ["grp"], "user", k=8))
+    b = _est(mincount_distinct(groups.repartition(7), ["grp"], "user", k=8))
+    assert a == b
+
+
+def test_hll_small_range_branch(groups):
+    regs = hll_registers(groups, ["grp"], "user", p=8)
+    out = {r["grp"]: r for r in hll_estimate(regs, ["grp"], p=8).collect()}
+    # n=400/800 with m=256: raw <= 640 for g1 → linear-counting branch
+    assert out["g1"]["zero_buckets"] > 0
+    for grp, n in (("g1", 400), ("g2", 800)):
+        assert abs(out[grp]["est_distinct"] - n) / n < 0.25, (grp, out[grp])
+
+
+def test_hll_registers_bounded_by_m(groups):
+    regs = hll_registers(groups, ["grp"], "user", p=8)
+    counts = {r["grp"]: r["n"] for r in regs.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(c <= 256 for c in counts.values())
+    assert regs.filter((F.col("reg") < 1) | (F.col("reg") > 41)).count() == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = spark.createDataFrame([(k,) for k in range(0, 500, 3)], "k long")
+    bitmap = bloom_build_bitmap(keys, "k", m_bits=2048, j=5)
+    probe = spark.createDataFrame([(k,) for k in range(500)], "k long")
+    flagged = probe.select("k", bloom_might_contain(F.col("k"), bitmap, 2048, 5).alias("maybe"))
+    missed = flagged.filter((F.col("k") % 3 == 0) & ~F.col("maybe")).count()
+    assert missed == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    keys = spark.createDataFrame([(k,) for k in range(100)], "k long")
+    bitmap = bloom_build_bitmap(keys, "k", m_bits=2048, j=5)
+    probe = spark.createDataFrame([(k,) for k in range(100, 5100)], "k long")
+    fp = probe.filter(bloom_might_contain(F.col("k"), bitmap, 2048, 5)).count()
+    # theoretical fpr ≈ (1 - e^(-500/2048))^5 ≈ 0.05% — allow 10× headroom
+    assert fp / 5000 < 0.005, fp
+
+
+def test_bloom_prefilter_superset_of_join(spark):
+    keys = spark.createDataFrame([(k,) for k in range(0, 1000, 17)], "k long")
+    big = spark.createDataFrame([(k, k * 2) for k in range(1000)], "k long, v long")
+    kept = bloom_prefilter(big, keys, "k", "k", m_bits=1024, j=5)
+    true_rows = big.join(keys, "k", "left_semi")
+    # every true match survives the prefilter
+    assert true_rows.join(kept, ["k", "v"], "left_anti").count() == 0
+    # and the prefilter actually prunes most non-matches
+    assert kept.count() < 1000
