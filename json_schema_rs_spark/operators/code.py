@@ -1,0 +1,190 @@
+"""Source-code curation operators: secret scanning, import extraction,
+code-quality metrics.
+
+The north-star input (BASELINE.json input_hint) is a table of source-code
+files ``(repo, path, commit, lang, content)``; these are the code-payload
+curation stages a training-data pipeline runs over it before any model sees
+a byte.  No reference counterpart — `/root/reference` validates document
+STRUCTURE (its closest surface is the `pattern` keyword, src/string.rs:97-104)
+and never looks at code semantics.
+
+Same execution discipline as operators/pii.py: everything is pure Column
+expressions (`regexp_count` / `regexp_extract_all` / split-and-aggregate),
+fusing into the surrounding validation projection — zero extra scans, zero
+shuffles on the per-row paths, zero Python.  All patterns use only the
+Java-regex ∩ RE2 shared dialect (no lookaround, no backreferences) so the
+DuckDB oracle executes the identical strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: secret detectors, ordered — redaction applies them in this order.
+#: Patterns are the high-signal shapes secret scanners (gitleaks/trufflehog
+#: classes) key on, restricted to the shared Java/RE2 dialect.
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    # (kind, pattern, replacement token)
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    ("bearer", r"\bBearer [A-Za-z0-9_=-]{20,}", "<BEARER>"),
+    ("password_assign", r"password\s*=\s*['\"][^'\"]{4,}['\"]", "<PASSWORD>"),
+    ("hex_token", r"\b[0-9a-f]{40}\b", "<HEX_TOKEN>"),
+]
+
+
+def secret_counts(col: Column) -> list[Column]:
+    """One ``n_<kind>`` match-count column per secret pattern."""
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in SECRET_PATTERNS
+    ]
+
+
+def redact_secrets(col: Column) -> Column:
+    """Content with every secret replaced by its token (sequential
+    ``regexp_replace``, pattern order = ``SECRET_PATTERNS`` order, so the
+    40-hex rule never re-matches inside an already-redacted AWS key)."""
+    out = col
+    for _, pat, token in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def secret_scan(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Per-file secret profile + redacted content:
+
+      (id_col, n_aws_key, n_private_key, n_bearer, n_password_assign,
+       n_hex_token, redacted)
+
+    One fused projection over the scan; no shuffle.
+    """
+    c = F.col(content_col)
+    return df.select(
+        F.col(id_col),
+        *secret_counts(c),
+        redact_secrets(c).alias("redacted"),
+    )
+
+
+#: per-language import statement extractors (capture group 1 = module).
+#: Line-anchored via (?m); module chars restricted to [A-Za-z0-9_.:] so the
+#: same pattern tokenizes identically on both engines.
+IMPORT_PATTERNS: dict[str, str] = {
+    "python": r"(?m)^\s*(?:import|from)\s+([A-Za-z0-9_.]+)",
+    "rust": r"(?m)^\s*use\s+([A-Za-z0-9_:]+)",
+    "go": r"(?m)^\s*import\s+\"([A-Za-z0-9_/.]+)\"",
+    "java": r"(?m)^\s*import\s+([A-Za-z0-9_.]+)\s*;",
+    "js": r"(?:import\s+[^\n]*\s+from\s+|require\()['\"]([A-Za-z0-9_@/.-]+)['\"]",
+}
+
+
+def extract_imports(
+    df: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exploded (keep_cols..., lang, module) dependency edges.
+
+    The per-language pattern is dispatched with a CASE over ``lang_col`` —
+    one ``regexp_extract_all`` per language, all in the same projection, so
+    the scan stays single-pass.  Unknown languages yield no edges.
+    Explode happens AFTER the extract: only the (small) module arrays widen
+    the relation, never the raw content.
+    """
+    c = F.col(content_col)
+    expr = None
+    for lang, pat in IMPORT_PATTERNS.items():
+        arr = F.regexp_extract_all(c, F.lit(pat), 1)
+        expr = F.when(F.col(lang_col) == lang, arr) if expr is None else expr.when(
+            F.col(lang_col) == lang, arr
+        )
+    expr = expr.otherwise(F.array().cast("array<string>"))
+    keep = keep_cols or []
+    return df.select(*keep, F.col(lang_col), expr.alias("__mods")).select(
+        *keep, F.col(lang_col), F.explode("__mods").alias("module")
+    )
+
+
+def top_imports(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    lang_col: str = "lang",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k imported modules per language: (lang, module, n_files, rank).
+
+    Counting is per-FILE (distinct within a file collapses before the group
+    agg — the shuffle carries unique (lang, module) pairs per partition).
+    ``id_col`` must be a real key column — a synthetic
+    monotonically_increasing_id would not survive retries/AQE deterministically.
+    """
+    from pyspark.sql import Window
+
+    edges = extract_imports(
+        df, content_col, lang_col, keep_cols=[id_col]
+    ).dropDuplicates([id_col, lang_col, "module"])
+    counts = edges.groupBy(lang_col, "module").agg(F.count(F.lit(1)).alias("n_files"))
+    w = Window.partitionBy(lang_col).orderBy(F.desc("n_files"), F.asc("module"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(lang_col, "rank")
+    )
+
+
+#: "do not edit" markers that flag generated files (The Stack-style filter)
+GENERATED_MARKER = r"(?i)(?:do not edit|auto-?generated|@generated)"
+
+
+def quality_metrics(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Per-file code-quality metrics (StarCoder/The-Stack-style filters):
+
+      n_bytes, n_lines, max_line_len, avg_line_len (2dp),
+      alpha_ratio (letters/bytes, 4dp), comment_lines (//, #, or -- prefixed),
+      is_generated (marker regex)
+
+    Pure projection; every metric derives from one split + one lower pass.
+    """
+    c = F.col(content_col)
+    lines = F.split(c, "\n", -1)
+    line_lens = F.transform(lines, lambda s: F.length(s))
+    n_bytes = F.octet_length(c)
+    n_lines = F.size(lines)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    comment = F.filter(
+        lines, lambda s: F.trim(s).rlike(r"^(//|#|--)")
+    )
+    return df.select(
+        F.col(id_col),
+        n_bytes.alias("n_bytes"),
+        n_lines.alias("n_lines"),
+        F.array_max(line_lens).alias("max_line_len"),
+        # floor(x·10^d + 0.5)/10^d instead of round(x, d): engines disagree on
+        # decimal ties (Spark HALF_UPs the shortest decimal repr, DuckDB
+        # rounds the binary value) — the floor form is the same IEEE op
+        # sequence on the same double everywhere, so results are bit-identical
+        (
+            F.floor(
+                F.aggregate(line_lens, F.lit(0).cast("bigint"), lambda a, x: a + x).cast(
+                    "double"
+                )
+                / n_lines
+                * 100.0
+                + 0.5
+            )
+            / 100.0
+        ).alias("avg_line_len"),
+        (F.floor(alpha.cast("double") / n_bytes * 10000.0 + 0.5) / 10000.0).alias(
+            "alpha_ratio"
+        ),
+        F.size(comment).alias("comment_lines"),
+        (F.regexp_count(c, F.lit(GENERATED_MARKER)) > 0).alias("is_generated"),
+    )
