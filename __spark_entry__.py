@@ -1576,7 +1576,8 @@ def q_range_join_ship_windows(spark, sf_dir):
         )
     )
     joined = range_join(li, win, "l_shipdate", "win_start", "win_end",
-                        grain_seconds=86400 * 30)
+                        grain_seconds=86400 * 30,
+                        points_parallelism=spark.sparkContext.defaultParallelism)
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_in_window"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),

@@ -200,6 +200,12 @@ def bench_queries(spark) -> dict[str, float]:
         "token_budget_docs",
         "volume_windows_events",
         "dedup_spans",
+        "q9_product_profit",
+        "q21_waiting_suppliers",
+        "sketch_mincount_users",
+        "sketch_hll_users",
+        "code_secret_scan",
+        "code_quality_docs",
     ]
     qs = entrymod.queries()
 

@@ -47,6 +47,7 @@ def range_join(
     grain_seconds: int = 86400 * 30,
     equi_keys: list[str] | None = None,
     how: str = "inner",
+    points_parallelism: int | None = None,
 ) -> DataFrame:
     """Join every point row to every interval row with
     ``start <= point < end`` (and equal ``equi_keys``, if given), as a
@@ -74,6 +75,16 @@ def range_join(
         return F.floor(F.unix_timestamp(F.col(col).cast("timestamp")) / grain)
 
     p = points.withColumn("__b", bucket_of(point_col))
+    # When the interval side is small enough that AQE turns this into a
+    # broadcast join, the join inherits the SCAN's task count (a few
+    # 128 MB splits) while doing points×intervals-per-bucket work — orders
+    # of magnitude more compute per input byte than a scan.  An explicit
+    # round-robin repartition of the narrow point projection is a cheap
+    # exchange that restores full-cluster parallelism for the pair loop.
+    # Leave unset when the interval side is big (shuffle join already
+    # repartitions).
+    if points_parallelism:
+        p = p.repartition(points_parallelism)
     # end is exclusive: an interval touching bucket boundary t_end exactly
     # still only needs buckets up to bucket(end - 1us), but sequence over
     # [bucket(start), bucket(end)] is correct and at most one bucket wider.
