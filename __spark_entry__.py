@@ -68,6 +68,38 @@ def q_doc_violations(spark, sf_dir):
     return _doc_engine().validate(docs).violations
 
 
+def q_lineage_manifest_docs(spark, sf_dir):
+    # per-partition lineage manifest — the north rule's checkpoint record
+    # (plans/checkpoint.py), expressed declaratively so the oracle can audit
+    # it: rows land in 16 stable logical buckets (portable 48-bit hash of the
+    # key, independent of physical partitioning), each bucket carries its
+    # validation metrics, an order-independent content fingerprint (sum of
+    # hashed sha256(text)), and the constraint-set hash that scopes resume.
+    from json_schema_rs_spark.operators.sketches import hash48
+    from json_schema_rs_spark.spec import spec_hash
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.pmod(hash48(F.col("doc_id"), "ln:"), F.lit(16)).cast("int")
+    )
+    eng = ValidationEngine(
+        _doc_spec(), key_cols=["doc_id"], group_col="bucket", sha_col="text"
+    )
+    summary = eng.validate(docs).summary.withColumnRenamed("group", "bucket")
+    fp = docs.groupBy("bucket").agg(
+        F.sum(
+            hash48(F.sha2(F.coalesce(F.col("text"), F.lit("")), 256), "fp:")
+        ).alias("content_fp")
+    )
+    return (
+        summary.join(fp, "bucket")
+        .select(
+            "bucket", "n_rows", "n_passed", "n_failed", "n_violations",
+            "content_fp", F.lit(spec_hash(_doc_spec())).alias("spec_hash"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_doc_sha256(spark, sf_dir):
     # per-row fidelity hash — the input_hint invariant (sha2(content,256))
     docs = _t(spark, sf_dir, "documents")
@@ -1800,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_validate_summary": q_doc_validate_summary,
         "doc_violations": q_doc_violations,
         "doc_sha256": q_doc_sha256,
+        "lineage_manifest_docs": q_lineage_manifest_docs,
         "unique_key_docs": q_unique_key_docs,
         "dedup_near_key": q_dedup_near_key,
         "dedup_exact": q_dedup_exact,
@@ -2184,6 +2217,37 @@ def _hash_split_oracle(weights=None, salt="split") -> str:
     )
 
 
+def _lineage_manifest_oracle() -> str:
+    # the constraint-set hash is computed from the same spec object the Spark
+    # query validates with, so both engines emit the identical literal
+    from json_schema_rs_spark.spec import spec_hash
+
+    sh = spec_hash(_doc_spec())
+    return f"""
+        WITH bucketed AS (
+          SELECT *, CAST(('0x'||substr(md5('ln:'||CAST(doc_id AS VARCHAR)),1,12))::BIGINT % 16 AS INT) AS bucket
+          FROM documents),
+        checked AS (
+          SELECT bucket, text,
+            (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN text IS NOT NULL AND strlen(text) < 1 THEN 1 ELSE 0 END)
+          + (CASE WHEN text IS NOT NULL AND strlen(text) > 2000 THEN 1 ELSE 0 END)
+          + (CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END)
+          + (CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)
+          + (CASE WHEN n_chars IS NOT NULL AND NOT (n_chars > 50) THEN 1 ELSE 0 END)
+          + (CASE WHEN n_chars IS NOT NULL AND NOT (n_chars < 500) THEN 1 ELSE 0 END) AS v
+          FROM bucketed)
+        SELECT bucket, count(*) AS n_rows,
+               CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+               CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+               CAST(sum(v) AS BIGINT) AS n_violations,
+               CAST(sum(('0x'||substr(md5('fp:'||sha256(coalesce(text,''))),1,12))::BIGINT) AS BIGINT) AS content_fp,
+               '{sh}' AS spec_hash
+        FROM checked GROUP BY bucket ORDER BY bucket
+    """
+
+
 def _temperature_mix_oracle(alpha=0.5, salt="mix") -> str:
     """Replays temperature_mix: per-lang keep rate round(n^(α−1) /
     max(n^(α−1)), 6), decided by the portable md5 uniform.  Rounding to 6 dp
@@ -2365,6 +2429,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_violations": _doc_violations_oracle("documents"),
         "doc_sha256": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "lineage_manifest_docs": _lineage_manifest_oracle(),
         "unique_key_docs": """
             SELECT CAST(doc_id AS VARCHAR) AS row_key, 'unique_key:doc_id' AS constraint_id,
                    CAST(count(*) AS VARCHAR) AS observed_value
