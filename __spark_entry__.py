@@ -1416,7 +1416,10 @@ def q_sketch_mincount_users(spark, sf_dir):
     from json_schema_rs_spark.operators.sketches import mincount_distinct
 
     ev = _t(spark, sf_dir, "events")
-    est = mincount_distinct(ev, ["event_type"], "user_id", k=16)
+    est = mincount_distinct(
+        ev, ["event_type"], "user_id", k=16,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
     exact = distinct_exact(ev, ["event_type"], "user_id").withColumnRenamed(
         "n_distinct", "exact_distinct"
     )
@@ -1669,7 +1672,9 @@ def q_dedup_spans(spark, sf_dir):
     from json_schema_rs_spark.operators.dedup import duplicated_span_stats
 
     docs = _t(spark, sf_dir, "documents")
-    return duplicated_span_stats(docs, "doc_id", k=20)
+    return duplicated_span_stats(
+        docs, "doc_id", k=20, parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 def q_drift_psi_by_lang(spark, sf_dir):

@@ -307,7 +307,11 @@ def simhash_candidates(
 
 
 def duplicated_span_stats(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 20
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 20,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Character-level duplicated-SPAN coverage: for each document, how many
     of its characters sit inside a length-``k`` substring that also occurs
@@ -337,8 +341,14 @@ def duplicated_span_stats(
     # (and an empty doc would divide by zero in dup_frac), so such docs are
     # filtered out entirely — they can never carry a duplicated span.
     n_pos = F.length(text) - F.lit(k - 1)
+    base = df.filter(text.isNotNull() & (F.length(text) >= k))
+    # the gram explode does |doc chars| work per input row — when the source
+    # is a few parquet splits, that stage would run nearly serial; a narrow
+    # round-robin repartition buys full-cluster parallelism for pennies
+    if parallelism:
+        base = base.repartition(parallelism)
     grams = (
-        df.filter(text.isNotNull() & (F.length(text) >= k))
+        base
         .select(
             F.col(id_col),
             F.length(text).alias("__len"),

@@ -55,6 +55,7 @@ def mincount_distinct(
     k: int = 16,
     salt: str = "mc",
     portable: bool = True,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Distinct-count estimate from ``k`` independent hash minima.
 
@@ -69,8 +70,14 @@ def mincount_distinct(
     Returns one row per group: ``est_distinct`` (double) + the raw minima sum
     ``sum_min`` (bigint) for auditability.
     """
+    narrow = df.select(*group_cols, value_col)
+    # k hashes per row is the expensive stage; when the source is a couple of
+    # parquet splits, repartition the narrow projection first so the hash
+    # work spreads over the cluster (agg still map-side combines after)
+    if parallelism:
+        narrow = narrow.repartition(parallelism)
     hashes = [hash48(F.col(value_col), f"{salt}{i}:", portable) for i in range(k)]
-    proj = df.select(*group_cols, *[hc.alias(f"__h{i}") for i, hc in enumerate(hashes)])
+    proj = narrow.select(*group_cols, *[hc.alias(f"__h{i}") for i, hc in enumerate(hashes)])
     agged = proj.groupBy(*group_cols).agg(
         *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(k)]
     )
