@@ -35,7 +35,10 @@ BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact"
            "volume_anomalies_events",
            # TPC-H Q22 shape: the scalar-subquery average balance is a
            # ONE-ROW broadcast crossJoin (same constant-cost shape)
-           "q22_idle_customers"}
+           "q22_idle_customers",
+           # TPC-H Q11 shape: the grand-total threshold is a ONE-ROW
+           # broadcast crossJoin against the per-brand aggregate
+           "q11_important_brands"}
 #: queries whose joins are big-×-big on purpose (no broadcast expectation)
 SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
@@ -48,6 +51,10 @@ SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           # intended plan for detail-vs-summary reconciliation and for the
           # suggestion diff (both sides are pre-collapsed aggregates)
           "reconcile_orders_lineitem", "constraint_drift_docs",
+          # TPC-H Q21 shape: the EXISTS semi and NOT-EXISTS anti joins pair
+          # two lineitem-derived relations — both fact-sized at scale, SMJ
+          # on the orderkey is the intended plan
+          "q21_waiting_suppliers",
           # the per-group median/MAD frames join back without a broadcast
           # HINT (forced broadcast would be unbounded at high group
           # cardinality); the initial plan is SMJ and AQE converts it to a
