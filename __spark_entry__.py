@@ -1763,6 +1763,27 @@ def q_benford_orders_totalprice(spark, sf_dir):
     return benford_digits(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+def q_distinct_windows_events(spark, sf_dir):
+    # Streaming distinct-user monitor's exact plan on the batch path
+    # (stream==batch parity pinned in tests/test_distinct_stream.py): one
+    # windowed agg of 64 conditional register maxes, HLL estimate as a
+    # projection.  Same portable hash as operators/sketches.py, so the
+    # DuckDB oracle replays registers AND estimate bit-for-bit.
+    from json_schema_rs_spark.streaming.distinct_stream import windowed_distinct
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    out = windowed_distinct(ev, "user_id", "ts", window="6 hours", p=6)
+    return out.select(
+        F.unix_timestamp("window_start").alias("win_start_s"),
+        F.unix_timestamp("window_end").alias("win_end_s"),
+        "n_rows",
+        "zero_buckets",
+        "est_distinct",
+    ).orderBy("win_start_s")
+
+
 def q_drift_psi_windows(spark, sf_dir):
     # Streaming drift monitor's exact plan on the batch path (stream==batch
     # parity is pinned in tests/test_drift_stream.py): one windowed agg with
@@ -1937,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_lineitem_returnflag": q_fd_lineitem_returnflag,
         "violation_diff_docs": q_violation_diff_docs,
         "drift_psi_windows": q_drift_psi_windows,
+        "distinct_windows_events": q_distinct_windows_events,
         "constraint_drift_docs": q_constraint_drift_docs,
         "drift_psi_by_lang": q_drift_psi_by_lang,
         "dedup_spans": q_dedup_spans,
@@ -3236,6 +3258,36 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT e2.user_id) FROM events e2
                     WHERE e2.event_type = mins.event_type) AS exact_distinct
             FROM mins
+        """,
+        "distinct_windows_events": """
+            WITH h AS (
+              SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS ws,
+                     ('0x'||substr(md5('hll:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT AS hv
+              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            b AS (
+              SELECT ws, hv // 4398046511104 AS bucket, hv % 4398046511104 AS w
+              FROM h),
+            regs AS (
+              SELECT ws, bucket,
+                     max(CASE WHEN w = 0 THEN 43 ELSE 43 - length(bin(w)) END) AS reg
+              FROM b GROUP BY ws, bucket),
+            nr AS (SELECT ws, count(*) AS n_rows FROM h GROUP BY ws),
+            agg AS (
+              SELECT ws, sum(power(2.0, -reg)) AS present_inv,
+                     count(*) AS n_present
+              FROM regs GROUP BY ws)
+            SELECT agg.ws AS win_start_s, agg.ws + 21600 AS win_end_s,
+                   nr.n_rows AS n_rows,
+                   (64 - n_present) AS zero_buckets,
+                   CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0)
+                             / (present_inv + (64 - n_present)) <= 160.0
+                          AND (64 - n_present) > 0
+                        THEN round(64.0 * ln(64.0 / (64 - n_present)), 6)
+                        ELSE round((0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0)
+                                   / (present_inv + (64 - n_present)), 6)
+                   END AS est_distinct
+            FROM agg JOIN nr ON agg.ws = nr.ws
+            ORDER BY win_start_s
         """,
         "sketch_hll_users": """
             WITH h AS (

@@ -56,6 +56,7 @@ def mincount_distinct(
     salt: str = "mc",
     portable: bool = True,
     parallelism: int | None = None,
+    finalize: bool = True,
 ) -> DataFrame:
     """Distinct-count estimate from ``k`` independent hash minima.
 
@@ -81,16 +82,11 @@ def mincount_distinct(
     agged = proj.groupBy(*group_cols).agg(
         *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(k)]
     )
-    total = None
-    for i in range(k):
-        total = F.col(f"__m{i}") if total is None else total + F.col(f"__m{i}")
-    return agged.select(
-        *group_cols,
-        total.alias("sum_min"),
-        (F.lit(float(k)) / (total.cast("double") / F.lit(H48)) - F.lit(1.0)).alias(
-            "est_distinct"
-        ),
-    )
+    if not finalize:
+        # partial sketch: (group_cols, __m0..__m<k-1>) — mergeable across
+        # partitions/snapshots via mincount_merge (min is a monoid)
+        return agged
+    return _mincount_finalize(agged, group_cols, k)
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +159,50 @@ def hll_estimate(registers: DataFrame, group_cols: list[str], p: int = 8) -> Dat
         *group_cols,
         zeros.alias("zero_buckets"),
         est.alias("est_distinct"),
+    )
+
+
+def hll_merge(*register_frames: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge HLL register sets (same p/salt) — union + per-bucket max.
+
+    Registers are a commutative monoid under max, so sketches built per
+    partition / per snapshot / per day combine without touching raw data:
+    ``hll_estimate(hll_merge(a, b, group_cols=g), g)`` equals the estimate
+    over the concatenated inputs exactly.
+    """
+    if not register_frames:
+        raise ValueError("hll_merge: need at least one register frame")
+    merged = register_frames[0]
+    for frame in register_frames[1:]:
+        merged = merged.unionByName(frame)
+    return merged.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def mincount_merge(*sketch_frames: DataFrame, group_cols: list[str], k: int = 16) -> DataFrame:
+    """Merge MinCount partial sketches (the ``__m<i>`` minima columns of
+    ``mincount_distinct(..., finalize=False)``) — union + per-column min,
+    then the same exact-arithmetic estimator."""
+    if not sketch_frames:
+        raise ValueError("mincount_merge: need at least one sketch frame")
+    merged = sketch_frames[0]
+    for frame in sketch_frames[1:]:
+        merged = merged.unionByName(frame)
+    agged = merged.groupBy(*group_cols).agg(
+        *[F.min(f"__m{i}").alias(f"__m{i}") for i in range(k)]
+    )
+    return _mincount_finalize(agged, group_cols, k)
+
+
+def _mincount_finalize(agged: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    total = None
+    for i in range(k):
+        total = F.col(f"__m{i}") if total is None else total + F.col(f"__m{i}")
+    return agged.select(
+        *group_cols,
+        total.alias("sum_min"),
+        (F.lit(float(k)) / (total.cast("double") / F.lit(H48)) - F.lit(1.0)).alias(
+            "est_distinct"
+        ),
     )
 
 

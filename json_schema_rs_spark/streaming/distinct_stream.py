@@ -1,0 +1,96 @@
+"""Streaming distinct-count monitor: per-window HyperLogLog estimate.
+
+No reference counterpart (the reference is strictly batch, SURVEY §2.9);
+this is the streaming face of ``operators/sketches.py`` — the same portable
+48-bit hash and register math, so a stream window and a batch slice of the
+same rows produce the identical estimate.
+
+Structured Streaming allows ONE aggregation per query, so the registers
+cannot be a (window, bucket) groupBy followed by a re-aggregate.  Instead
+the whole sketch is m CONDITIONAL MAX columns inside a single watermarked
+windowed aggregate (the drift_stream histogram trick):
+
+* state per window is one row of m smallints — bounded regardless of row
+  volume, late rows beyond the watermark are dropped;
+* the harmonic estimate is a pure projection over that row (absent buckets
+  coalesce to rank 0 → they contribute 2^0 = 1 to the inverse sum exactly
+  like batch ``hll_estimate``);
+* m defaults to 64 (p=6): wide enough for ~2% windows-scale monitoring,
+  narrow enough that the conditional-max projection stays codegen-friendly.
+
+The same function runs on a batch DataFrame unchanged — parity tests run
+both paths on identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.sketches import hash48
+
+
+def windowed_distinct(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    p: int = 6,
+    salt: str = "hll",
+    portable: bool = True,
+) -> DataFrame:
+    """Per-tumbling-window HLL distinct estimate of ``value_col``:
+
+      (window_start, window_end, n_rows, zero_buckets, est_distinct)
+
+    ``est_distinct`` reproduces batch ``hll_registers → hll_estimate`` for
+    the same rows bit-for-bit (same hash, same register ranks, same exact
+    power-of-two inverse sum; the linear-counting branch rounds its ln to
+    6dp on every engine).
+    """
+    m = 1 << p
+    wbits = 48 - p
+    h = hash48(F.col(value_col), f"{salt}:", portable)
+    bucket = (h / F.lit(1 << wbits)).cast("bigint")
+    w = F.pmod(h, F.lit(1 << wbits))
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+
+    # timestamp_ntz sources can't carry a watermark — normalize to timestamp
+    df = stream_df.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark("__ts", watermark)
+    agged = (
+        df.select(F.col("__ts"), bucket.alias("__bkt"), rho.alias("__rho"))
+        .groupBy(F.window(F.col("__ts"), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.max(F.when(F.col("__bkt") == b, F.col("__rho"))).alias(f"__r{b}")
+                for b in range(m)
+            ],
+        )
+    )
+    regs = [F.coalesce(F.col(f"__r{b}"), F.lit(0)) for b in range(m)]
+    sum_inv = None
+    zeros = None
+    for b in range(m):
+        term = F.pow(F.lit(2.0), -regs[b])
+        z = F.when(F.col(f"__r{b}").isNull(), 1).otherwise(0)
+        sum_inv = term if sum_inv is None else sum_inv + term
+        zeros = z if zeros is None else zeros + z
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    raw = F.lit(alpha_m2) / sum_inv
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")), 6),
+    ).otherwise(F.round(raw, 6))
+    return agged.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n_rows",
+        zeros.cast("bigint").alias("zero_buckets"),
+        est.alias("est_distinct"),
+    )

@@ -1,0 +1,53 @@
+"""Streaming windowed HLL distinct — stream == batch parity, and batch
+equals the operators/sketches.py register composition."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.sketches import hll_estimate, hll_registers
+from json_schema_rs_spark.streaming.distinct_stream import windowed_distinct
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_distinct_matches_batch_sketch(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, s % 60), v)
+        for s, v in enumerate([1, 2, 2, 3, 4, 4, 4, 5, 6, 7] * 5)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user long")
+    got = windowed_distinct(df, "user", "ts", window="1 hour", p=6).collect()
+    assert len(got) == 1
+    # same rows through the batch register path (constant group)
+    regs = hll_registers(df.withColumn("g", F.lit(1)), ["g"], "user", p=6)
+    want = hll_estimate(regs, ["g"], p=6).collect()[0]
+    assert got[0]["est_distinct"] == want["est_distinct"]
+    assert got[0]["zero_buckets"] == want["zero_buckets"]
+    assert got[0]["n_rows"] == 50
+
+
+def test_windowed_distinct_stream_matches_batch(spark, tmp_path):
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    batch = spark.read.parquet(str(src_dir))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+
+    kwargs = dict(value_col="user_id", ts_col="ts", window="6 hours",
+                  watermark="12 hours", p=6)
+    q = (
+        windowed_distinct(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName("distinct_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(spark.sql("SELECT * FROM distinct_stream").collect())
+    want = sorted(windowed_distinct(batch, **kwargs).collect())
+    assert len(got) == len(want) > 10
+    assert got == want

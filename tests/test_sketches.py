@@ -13,8 +13,10 @@ from json_schema_rs_spark.operators.sketches import (
     bloom_might_contain,
     bloom_prefilter,
     hll_estimate,
+    hll_merge,
     hll_registers,
     mincount_distinct,
+    mincount_merge,
 )
 
 
@@ -65,6 +67,35 @@ def test_hll_registers_bounded_by_m(groups):
     counts = {r["grp"]: r["n"] for r in regs.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert all(c <= 256 for c in counts.values())
     assert regs.filter((F.col("reg") < 1) | (F.col("reg") > 41)).count() == 0
+
+
+def test_hll_merge_equals_union(spark):
+    a = spark.createDataFrame([("g", u) for u in range(300)], "grp string, user long")
+    b = spark.createDataFrame([("g", u) for u in range(200, 500)], "grp string, user long")
+    merged = hll_merge(
+        hll_registers(a, ["grp"], "user", p=8),
+        hll_registers(b, ["grp"], "user", p=8),
+        group_cols=["grp"],
+    )
+    whole = hll_registers(a.unionByName(b), ["grp"], "user", p=8)
+    got = hll_estimate(merged, ["grp"], p=8).collect()[0]
+    want = hll_estimate(whole, ["grp"], p=8).collect()[0]
+    assert got["est_distinct"] == want["est_distinct"]
+    assert got["zero_buckets"] == want["zero_buckets"]
+
+
+def test_mincount_merge_equals_union(spark):
+    a = spark.createDataFrame([("g", u) for u in range(300)], "grp string, user long")
+    b = spark.createDataFrame([("g", u) for u in range(200, 500)], "grp string, user long")
+    merged = mincount_merge(
+        mincount_distinct(a, ["grp"], "user", k=8, finalize=False),
+        mincount_distinct(b, ["grp"], "user", k=8, finalize=False),
+        group_cols=["grp"],
+        k=8,
+    ).collect()[0]
+    whole = mincount_distinct(a.unionByName(b), ["grp"], "user", k=8).collect()[0]
+    assert merged["sum_min"] == whole["sum_min"]
+    assert merged["est_distinct"] == whole["est_distinct"]
 
 
 def test_bloom_no_false_negatives(spark):
