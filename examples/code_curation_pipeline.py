@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Code-corpus curation pipeline (runnable demo):
+
+    python examples/code_curation_pipeline.py [n_rows]
+
+The day-1 loop a training-data team runs over the north-star table
+``(repo, path, commit, lang, content)`` before any model sees a byte:
+
+1. synthesize the corpus with planted violations (sources/corpus.py)
+2. validate structure: constraint pass + violations (engine.py)
+3. scan + redact secrets (operators/code.py secret_scan)
+4. score quality: line stats / alpha ratio / generated markers
+   (operators/code.py quality_metrics) and filter the junk
+5. exact-dedup on content hash (operators/dedup.py)
+6. estimate per-language distinct-repo reach with a mergeable sketch
+   (operators/sketches.py) — the audit number a 100 TB run reports
+   without a distinct shuffle
+
+Everything stays one DataFrame program: the validate/scan/score columns
+fuse into the same projection pass; dedup is the single content-hash
+shuffle; the sketch is one map-side-combined aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import ValidationEngine, get_spark
+from json_schema_rs_spark.operators.code import quality_metrics, secret_scan
+from json_schema_rs_spark.operators.dedup import drop_exact_duplicates
+from json_schema_rs_spark.operators.sketches import mincount_distinct
+from json_schema_rs_spark.sources.corpus import (
+    corpus_table_spec,
+    repos_dimension,
+    synthesize_corpus,
+)
+
+
+def run(spark, n_rows: int = 100_000) -> dict:
+    corpus = synthesize_corpus(spark, n_rows).withColumn(
+        "file_id", F.concat_ws("@", "repo", "path", "commit")
+    )
+    # plant a leaked credential in ~0.1% of files (the synthesizer emits
+    # clean pseudo-code) so the scrub stage has real positives to find
+    corpus = corpus.withColumn(
+        "content",
+        F.when(
+            F.col("row_id") % 997 == 0,
+            F.concat(
+                F.col("content"),
+                F.lit('\nlet secret = "AKIA'),
+                F.upper(F.substring(F.md5(F.col("file_id")), 1, 16)),
+                F.lit('";\n'),
+            ),
+        ).otherwise(F.col("content")),
+    )
+
+    # 2. structural validation — per-row verdicts ride along as a column
+    eng = ValidationEngine(
+        corpus_table_spec(),
+        key_cols=["file_id"],
+        group_col="lang",
+        dims={"repos": repos_dimension(spark, 100)},
+    )
+    res = eng.validate(corpus)
+    n_violations = res.violations.count()
+
+    # 3-4. secret scrub + quality scoring in one pass over the clean rows
+    clean = corpus.filter(F.col("path").isNotNull() & F.col("content").isNotNull())
+    scrubbed = secret_scan(clean, "file_id", "content")
+    scored = quality_metrics(clean, "file_id", "content")
+    keep = (
+        clean.join(scored.select("file_id", "alpha_ratio", "is_generated"), "file_id")
+        .filter((F.col("alpha_ratio") > 0.05) & ~F.col("is_generated"))
+    )
+
+    # 5. exact dedup on the content hash (one shuffle, uniform key)
+    deduped = drop_exact_duplicates(keep, id_col="file_id", text_col="content")
+
+    # 6. audit sketch: distinct repos per language, no distinct shuffle
+    reach = mincount_distinct(deduped, ["lang"], "repo", k=16)
+
+    return {
+        "rows": n_rows,
+        "violations": n_violations,
+        "secrets_found": scrubbed.filter(
+            (F.col("n_aws_key") + F.col("n_private_key") + F.col("n_bearer")
+             + F.col("n_password_assign") + F.col("n_hex_token")) > 0
+        ).count(),
+        "kept_after_quality": keep.count(),
+        "kept_after_dedup": deduped.count(),
+        "repo_reach": {r["lang"]: round(r["est_distinct"], 1) for r in reach.collect()},
+    }
+
+
+def main() -> int:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    spark = get_spark(app_name="code-curation", master="local[*]")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        report = run(spark, n_rows)
+    finally:
+        spark.stop()
+    for k, v in report.items():
+        print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

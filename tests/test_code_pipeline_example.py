@@ -1,0 +1,27 @@
+"""Smoke test for examples/code_curation_pipeline.py — the composed
+validate → scrub → score → dedup → sketch loop stays runnable."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+
+from code_curation_pipeline import run  # noqa: E402
+
+from json_schema_rs_spark.sources.corpus import expected_counts  # noqa: E402
+
+
+def test_code_pipeline_report(spark):
+    report = run(spark, n_rows=5_000)
+    assert report["rows"] == 5_000
+    # planted credential every 997 rows → ceil(5000/997) = 6 hits, minus any
+    # landing on null-path/oversize rows that the quality gate drops first —
+    # the scan runs on pre-filtered rows so the count is exact:
+    assert report["secrets_found"] == len([i for i in range(5_000) if i % 997 == 0])
+    assert 0 < report["kept_after_dedup"] <= report["kept_after_quality"] <= 5_000
+    # every synthesized language shows up in the reach sketch
+    assert set(report["repo_reach"]) >= {"rust", "python", "java", "go", "js"}
+    # structural violations match the synthesizer's closed-form counts at least
+    # for the planted families that always violate
+    exp = expected_counts(5_000)
+    assert report["violations"] >= exp["null_path"] + exp["bad_lang"]
