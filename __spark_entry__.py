@@ -1784,6 +1784,27 @@ def q_distinct_windows_events(spark, sf_dir):
     ).orderBy("win_start_s")
 
 
+def q_quantile_sketch_events(spark, sf_dir):
+    # histogram-quantile sketch (operators/sketches.py): per-type medians and
+    # tails from ONE mergeable bucket-count agg, interpolation as projection
+    # — the 100 TB path where exact percentile's full sort/collect per group
+    # won't fly.  Exact quantile_cont rides alongside to audit the error.
+    from json_schema_rs_spark.operators.sketches import histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    sk = histogram_quantiles(
+        ev, ["event_type"], "value",
+        edges=[10.0, 20.0, 40.0, 80.0, 160.0],
+        quantiles=[0.5, 0.9, 0.99],
+    )
+    exact = ev.filter(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("exact_q50")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "n_rows", "q_50", "q_90", "q_99", "exact_q50"
+    ).orderBy("event_type")
+
+
 def q_drift_psi_windows(spark, sf_dir):
     # Streaming drift monitor's exact plan on the batch path (stream==batch
     # parity is pinned in tests/test_drift_stream.py): one windowed agg with
@@ -1959,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_diff_docs": q_violation_diff_docs,
         "drift_psi_windows": q_drift_psi_windows,
         "distinct_windows_events": q_distinct_windows_events,
+        "quantile_sketch_events": q_quantile_sketch_events,
         "constraint_drift_docs": q_constraint_drift_docs,
         "drift_psi_by_lang": q_drift_psi_by_lang,
         "dedup_spans": q_dedup_spans,
@@ -2272,6 +2294,52 @@ def _lineage_manifest_oracle() -> str:
                CAST(sum(('0x'||substr(md5('fp:'||sha256(coalesce(text,''))),1,12))::BIGINT) AS BIGINT) AS content_fp,
                '{sh}' AS spec_hash
         FROM checked GROUP BY bucket ORDER BY bucket
+    """
+
+
+def _quantile_sketch_oracle() -> str:
+    # mirrors operators/sketches.histogram_quantiles exactly: same bucket
+    # CASE, same first-crossing selection, same interpolation expression
+    # order (all +,-,*,/ on exact-integer-derived doubles → bit-identical)
+    edges = [10.0, 20.0, 40.0, 80.0, 160.0]
+    n_b = len(edges) + 1
+    los = [edges[0]] + edges[:-1] + [edges[-1]]
+    his = [edges[0]] + edges[1:] + [edges[-1]]
+
+    bucket_counts = []
+    for b in range(n_b):
+        if b == 0:
+            cond = f"value < {edges[0]}"
+        elif b == n_b - 1:
+            cond = f"value >= {edges[-1]}"
+        else:
+            cond = f"value >= {edges[b - 1]} AND value < {edges[b]}"
+        bucket_counts.append(f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS c{b}")
+
+    def q_case(q: float) -> str:
+        target = f"({q} * CAST(n_rows AS DOUBLE))"
+        arms = []
+        for b in range(n_b):
+            cum = " + ".join(f"c{i}" for i in range(b)) or "0"
+            cum_d = f"CAST({cum} AS DOUBLE)"
+            cnt_d = f"CAST(c{b} AS DOUBLE)"
+            interp = f"{los[b]} + (({target} - {cum_d}) / {cnt_d}) * {his[b] - los[b]}"
+            arms.append(
+                f"WHEN c{b} > 0 AND ({cum_d} + {cnt_d}) >= {target} THEN {interp}"
+            )
+        return "CASE " + " ".join(arms) + f" ELSE {edges[-1]} END"
+
+    return f"""
+        WITH c AS (
+          SELECT event_type, count(*) AS n_rows, {", ".join(bucket_counts)}
+          FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        SELECT event_type, n_rows,
+               {q_case(0.5)} AS q_50,
+               {q_case(0.9)} AS q_90,
+               {q_case(0.99)} AS q_99,
+               (SELECT round(quantile_cont(e2.value, 0.5), 4) FROM events e2
+                WHERE e2.event_type = c.event_type AND e2.value IS NOT NULL) AS exact_q50
+        FROM c ORDER BY event_type
     """
 
 
@@ -3259,6 +3327,7 @@ def oracle_sql() -> dict[str, str]:
                     WHERE e2.event_type = mins.event_type) AS exact_distinct
             FROM mins
         """,
+        "quantile_sketch_events": _quantile_sketch_oracle(),
         "distinct_windows_events": """
             WITH h AS (
               SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS ws,

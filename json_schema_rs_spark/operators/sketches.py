@@ -207,6 +207,80 @@ def _mincount_finalize(agged: DataFrame, group_cols: list[str], k: int) -> DataF
 
 
 # ---------------------------------------------------------------------------
+# Histogram quantiles: fixed-edge bins → interpolated quantile estimates
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    edges: list[float],
+    quantiles: list[float],
+) -> DataFrame:
+    """Approximate per-group quantiles from a fixed-edge histogram.
+
+    The sketch is a per-(group, bucket) count — ONE aggregate with map-side
+    combine, mergeable across partitions/snapshots by adding counts.  Each
+    requested quantile linearly interpolates inside the bucket where the
+    cumulative count crosses q·total (values below edges[0] clamp to
+    edges[0], above edges[-1] to edges[-1]); error is bounded by the bucket
+    width, chosen by the caller.  All arithmetic is +,-,*,/ on doubles
+    derived from exact integers in a fixed expression order, so Spark and
+    the DuckDB oracle agree bit-for-bit — no transcendental, no rounding
+    tricks needed.
+
+    Output: one row per group, columns ``n_rows`` and ``q_<quantile>``
+    (e.g. ``q_50`` for the median) as double.
+    """
+    from json_schema_rs_spark.operators.drift import bucket_expr
+
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("histogram_quantiles: edges must be strictly increasing")
+    if not all(0.0 < q < 1.0 for q in quantiles):
+        raise ValueError("histogram_quantiles: quantiles must be in (0, 1)")
+    n_b = len(edges) + 1
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket_expr(value_col, edges).alias("__bkt"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.when(F.col("__bkt") == b, 1).otherwise(0)).alias(f"__c{b}")
+                for b in range(n_b)
+            ],
+        )
+    )
+    # bucket b spans [lo_b, hi_b): below-range and above-range buckets clamp
+    los = [edges[0]] + edges[:-1] + [edges[-1]]
+    his = [edges[0]] + edges[1:] + [edges[-1]]
+
+    def q_col(q: float) -> Column:
+        target = F.lit(q) * F.col("n_rows").cast("double")
+        out = F.lit(float(edges[-1]))  # fell through every bucket: top clamp
+        for b in range(n_b - 1, -1, -1):
+            cum_b = None  # cumulative count strictly before bucket b
+            for i in range(b):
+                cum_b = F.col(f"__c{i}") if cum_b is None else cum_b + F.col(f"__c{i}")
+            cum_b = (cum_b if cum_b is not None else F.lit(0)).cast("double")
+            cnt = F.col(f"__c{b}").cast("double")
+            frac = (target - cum_b) / cnt
+            interp = F.lit(float(los[b])) + frac * F.lit(float(his[b] - los[b]))
+            out = F.when((F.col(f"__c{b}") > 0) & (cum_b + cnt >= target), interp).otherwise(out)
+        return out
+
+    def name(q: float) -> str:
+        return f"q_{int(round(q * 100))}"  # 0.5 → q_50, 0.95 → q_95
+
+    return counts.select(
+        *group_cols,
+        "n_rows",
+        *[q_col(q).alias(name(q)) for q in quantiles],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom filter: build a bitmap from a key set, prefilter a big relation
 # ---------------------------------------------------------------------------
 

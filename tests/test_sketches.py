@@ -12,6 +12,7 @@ from json_schema_rs_spark.operators.sketches import (
     bloom_build_bitmap,
     bloom_might_contain,
     bloom_prefilter,
+    histogram_quantiles,
     hll_estimate,
     hll_merge,
     hll_registers,
@@ -96,6 +97,34 @@ def test_mincount_merge_equals_union(spark):
     whole = mincount_distinct(a.unionByName(b), ["grp"], "user", k=8).collect()[0]
     assert merged["sum_min"] == whole["sum_min"]
     assert merged["est_distinct"] == whole["est_distinct"]
+
+
+def test_histogram_quantiles_uniform(spark):
+    # uniform 0..99, edges every 10: interpolated quantiles land within one
+    # bucket width of the exact values; median of uniform = exact
+    df = spark.createDataFrame([("g", float(v)) for v in range(100)], "grp string, v double")
+    edges = [float(e) for e in range(10, 100, 10)]
+    out = histogram_quantiles(df, ["grp"], "v", edges, [0.5, 0.9]).collect()[0]
+    assert out["n_rows"] == 100
+    assert abs(out["q_50"] - 50.0) <= 10.0
+    assert abs(out["q_90"] - 90.0) <= 10.0
+
+
+def test_histogram_quantiles_clamps(spark):
+    # everything below the first edge → low clamp; above the last → high
+    lo = spark.createDataFrame([("g", 1.0)] * 5, "grp string, v double")
+    hi = spark.createDataFrame([("g", 999.0)] * 5, "grp string, v double")
+    edges = [10.0, 20.0]
+    assert histogram_quantiles(lo, ["grp"], "v", edges, [0.5]).collect()[0]["q_50"] == 10.0
+    assert histogram_quantiles(hi, ["grp"], "v", edges, [0.5]).collect()[0]["q_50"] == 20.0
+
+
+def test_histogram_quantiles_validates_inputs(spark):
+    df = spark.createDataFrame([("g", 1.0)], "grp string, v double")
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, ["grp"], "v", [10.0, 5.0], [0.5])
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, ["grp"], "v", [10.0, 20.0], [1.5])
 
 
 def test_bloom_no_false_negatives(spark):
