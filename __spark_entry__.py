@@ -1619,6 +1619,34 @@ def q_range_join_ship_windows(spark, sf_dir):
     )
 
 
+def q_interval_join_orders(spark, sf_dir):
+    # Interval-OVERLAP join (operators/joins.py interval_join): same-customer
+    # urgent order windows that overlap in time, bucketed on a 30-day grain
+    # with the canonical-bucket trick (each pair emitted exactly once, no
+    # distinct pass).  The naive formulation is a non-equi self-join that
+    # Spark would plan as a nested loop.
+    from json_schema_rs_spark.operators.joins import interval_join
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+
+    def side(prefix):
+        return o.select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias(f"{prefix}key"),
+            F.col("o_orderdate").alias(f"{prefix}start"),
+            F.date_add("o_orderdate", 30).cast("timestamp").alias(f"{prefix}end"),
+        )
+
+    pairs = interval_join(
+        side("l_"), side("r_"),
+        "l_start", "l_end", "r_start", "r_end",
+        grain_seconds=86400 * 30, equi_keys=["cust"],
+    )
+    return pairs.filter(F.col("l_key") < F.col("r_key")).select(
+        "cust", "l_key", "r_key"
+    )
+
+
 def q_salted_join_events_segment(spark, sf_dir):
     # Skew-resistant equi-join (operators/joins.py): events salted into 8
     # deterministic sub-keys, the customer dim replicated per salt; result is
@@ -1972,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_constraints_docs": q_suggest_constraints_docs,
         "range_join_ship_windows": q_range_join_ship_windows,
         "salted_join_events_segment": q_salted_join_events_segment,
+        "interval_join_orders": q_interval_join_orders,
         "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
         "outliers_events_value": q_outliers_events_value,
         "freshness_events": q_freshness_events,
@@ -3328,6 +3357,16 @@ def oracle_sql() -> dict[str, str]:
             FROM mins
         """,
         "quantile_sketch_events": _quantile_sketch_oracle(),
+        "interval_join_orders": """
+            SELECT a.o_custkey AS cust, a.o_orderkey AS l_key, b.o_orderkey AS r_key
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey
+             AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+             AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+            WHERE a.o_orderpriority = '1-URGENT'
+              AND b.o_orderpriority = '1-URGENT'
+        """,
         "distinct_windows_events": """
             WITH h AS (
               SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS ws,

@@ -152,3 +152,55 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return b.join(s, keys + ["__salt"], how).drop("__salt")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    grain_seconds: int = 86400 * 30,
+    equi_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval-OVERLAP join: pair every left interval with every right
+    interval satisfying ``l.start < r.end AND r.start < l.end`` (half-open
+    overlap), plus equal ``equi_keys`` if given — as a bucketed equi-join,
+    never a nested loop.
+
+    Both sides explode over the grain buckets they cover, join on the
+    bucket, and apply the exact overlap predicate as a residual.  A pair
+    overlapping several buckets would match once per shared bucket; instead
+    of a distinct pass, the match is EMITTED ONLY in the canonical bucket
+    ``floor(max(l.start, r.start) / grain)`` — the first bucket where both
+    intervals are live — so each qualifying pair survives exactly once and
+    the plan stays a single shuffle + filter (no exchange for dedup).
+
+    Output: all left columns + all right columns (alias beforehand to avoid
+    collisions; ``equi_keys`` are kept from the left side only).
+    """
+    equi_keys = equi_keys or []
+    grain = F.lit(int(grain_seconds))
+
+    def sec(col):
+        return F.unix_timestamp(F.col(col).cast("timestamp"))
+
+    def buckets(start, end):
+        return F.explode(
+            F.sequence(F.floor(sec(start) / grain), F.floor(sec(end) / grain))
+        )
+
+    if "__b" in left.columns or "__b" in right.columns:
+        raise ValueError(
+            "interval_join: '__b' is reserved for the internal bucket column"
+        )
+    l = left.withColumn("__b", buckets(left_start, left_end))
+    r = right.withColumn("__b", buckets(right_start, right_end))
+    on = [l["__b"] == r["__b"]] + [l[k] == r[k] for k in equi_keys]
+    overlap = (l[left_start] < r[right_end]) & (r[right_start] < l[left_end])
+    canonical = l["__b"] == F.floor(
+        F.greatest(sec(left_start), sec(right_start)) / grain
+    )
+    out = l.join(r, on, "inner").filter(overlap & canonical)
+    return out.drop(l["__b"]).drop(r["__b"]).drop(*[r[k] for k in equi_keys])

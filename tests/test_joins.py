@@ -176,3 +176,34 @@ def test_salted_join_multi_key(spark):
     got = sorted(salted_join(big, small, ["a", "b"], n_salts=4).select("rid", "name").collect())
     want = sorted(big.join(small, ["a", "b"]).select("rid", "name").collect())
     assert got == want
+
+
+def test_interval_join_matches_naive(spark):
+    import datetime as dt
+
+    from json_schema_rs_spark.operators.joins import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    # spans from hours to 100 days — several cross many 30-day buckets, which
+    # exercises the canonical-bucket exactly-once emission
+    rows = [
+        (i, "k%d" % (i % 3), base + dt.timedelta(days=(i * 7) % 60),
+         base + dt.timedelta(days=(i * 7) % 60 + 1 + (i * 13) % 100))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, s timestamp, e timestamp")
+    l = df.select(F.col("k"), F.col("id").alias("l_id"),
+                  F.col("s").alias("l_s"), F.col("e").alias("l_e"))
+    r = df.select(F.col("k"), F.col("id").alias("r_id"),
+                  F.col("s").alias("r_s"), F.col("e").alias("r_e"))
+    got = interval_join(l, r, "l_s", "l_e", "r_s", "r_e",
+                        grain_seconds=86400 * 30, equi_keys=["k"])
+    got_pairs = sorted((x["l_id"], x["r_id"]) for x in got.collect())
+    want = sorted(
+        (a[0], b[0])
+        for a in rows for b in rows
+        if a[1] == b[1] and a[2] < b[3] and b[2] < a[3]
+    )
+    assert got_pairs == want
+    # exactly-once: no pair emitted twice even when spans share many buckets
+    assert len(got_pairs) == len(set(got_pairs))

@@ -102,9 +102,12 @@ def main() -> int:
         if flags:
             failures.append(name)
     lines += ["", f"Result: {'ALL OK' if not failures else 'FLAGGED: ' + ', '.join(failures)}"]
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/PLAN_AUDIT.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+    if not only:
+        # subset runs are for iteration — only a full sweep may replace the
+        # committed audit artifact (a partial file would read as shrunk coverage)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/PLAN_AUDIT.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
     spark.stop()
     print("ALL OK" if not failures else f"FLAGGED: {failures}")
     return 1 if failures else 0
