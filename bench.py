@@ -206,6 +206,10 @@ def bench_queries(spark) -> dict[str, float]:
         "sketch_hll_users",
         "code_secret_scan",
         "code_quality_docs",
+        "quantile_sketch_events",
+        "distinct_windows_events",
+        "interval_join_orders",
+        "lineage_manifest_docs",
     ]
     qs = entrymod.queries()
 
@@ -362,11 +366,15 @@ def bench_scaling() -> dict:
     import multiprocessing as mp
 
     lo, hi = SCALE_PAIR
-    # 5 pairs × 3 reps ≈ 8 min of samples: reps (per-leg min) do the heavy
-    # lifting against transient co-tenant stalls; 5 pairs suffice for a
-    # stable median.  Raise via env for a slower, higher-confidence run.
-    pairs_n = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "5"))
+    # 7 pairs × 3 reps ≈ 12 min of samples: reps (per-leg min) absorb
+    # transient one-leg stalls; PAIRS spread the measurement across wall
+    # clock so a multi-minute co-tenant load (which taxes the 4N leg's
+    # bandwidth harder and biases efficiency DOWN, never up) can't cover
+    # the whole run — the median then lands on clean pairs.  An inter-pair
+    # pause further decorrelates pairs from a single load window.
+    pairs_n = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "7"))
     reps_n = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    pause_s = float(os.environ.get("SPARK_GRAFT_SCALE_PAUSE", "20"))
     assert hi == 4 * lo, "scaling pair must be N and 4N"
     out: dict = {"job": "validate_corpus", "rows": SCALING_ROWS, "pair": [lo, hi]}
 
@@ -390,7 +398,9 @@ def bench_scaling() -> dict:
         confined = all(s == "ready" for s in statuses)
 
         pair_stats = []
-        for _ in range(pairs_n):
+        for pair_i in range(pairs_n):
+            if pair_i and pause_s:
+                time.sleep(pause_s)
             # per-leg best-of-`reps_n` INSIDE the pair, still strictly
             # alternating (lo,hi,lo,hi): a transient co-tenant stall hits one
             # sub-round's one leg, not both — the per-leg min drops it
