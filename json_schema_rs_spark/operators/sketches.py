@@ -93,8 +93,9 @@ def mincount_distinct(
 # HyperLogLog (portable): bucket registers → harmonic-mean estimate
 # ---------------------------------------------------------------------------
 
-#: bias-correction constant alpha_m for m = 256 registers (Flajolet et al. 2007)
-_ALPHA_256 = 0.7213 / (1.0 + 1.079 / 256.0)
+def _alpha(m: int) -> float:
+    """Bias-correction constant alpha_m (Flajolet et al. 2007, m ≥ 128)."""
+    return 0.7213 / (1.0 + 1.079 / m)
 
 
 def hll_registers(
@@ -150,7 +151,7 @@ def hll_estimate(registers: DataFrame, group_cols: list[str], p: int = 8) -> Dat
     )
     zeros = F.lit(m) - F.col("__n_present")
     sum_inv = F.col("__present_inv") + zeros.cast("double")
-    raw = F.lit(_ALPHA_256 * m * m) / sum_inv
+    raw = F.lit(_alpha(m) * m * m) / sum_inv
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")), 6),
