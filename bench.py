@@ -579,8 +579,35 @@ def write_baseline_md(result: dict) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+def _wait_quiet(max_wait: float = 180.0, thresh: float = 1.5) -> None:
+    """Hold the scaling measurement until the box's 1-min load settles.
+
+    The driver may invoke bench right after a test suite (or we may follow a
+    co-tenant burst); the scaling legs are the one part of the run where
+    ambient load directly corrupts the recorded number, so give the load
+    EMA up to ``max_wait`` seconds to decay before starting them."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        if os.getloadavg()[0] < thresh:
+            return
+        time.sleep(10)
+
+
 def main() -> None:
     total0 = time.perf_counter()
+
+    # Scaling legs FIRST, on a thermally/contention-neutral machine.
+    # Measured: the identical scaling block records 0.86-0.99 efficiency
+    # when run fresh but 0.66-0.77 immediately after ~35 min of sustained
+    # 32-core query benching (chip/hypervisor frequency + contention state
+    # the 4N leg pays for disproportionately).  A real N-vs-4N cluster
+    # comparison starts from idle machines, so cold-start ordering is the
+    # faithful proxy — and the queries below don't care about ordering.
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        _wait_quiet()
+        scaling = bench_scaling()
+
     spark = _fresh_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -596,10 +623,6 @@ def main() -> None:
     finally:
         spark.stop()
     times["validate_corpus"] = round(corpus_sec, 3)
-
-    scaling = None
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        scaling = bench_scaling()
 
     result = {
         "metric": "corpus validation rows/sec + per-query seconds at sf0.1",
