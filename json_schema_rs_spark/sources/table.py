@@ -21,6 +21,7 @@ Ref forms (explicit, no guessing):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: write modes accepted by write_table, per storage branch
 _PARQUET_MODES = {"append", "overwrite", "ignore", "error", "errorifexists"}
