@@ -1046,6 +1046,48 @@ def q_code_quality_docs(spark, sf_dir):
     return quality_metrics(code, "doc_id", "content")
 
 
+def q_code_license_scan(spark, sf_dir):
+    # license detection (operators/code.py): SPDX tag first, then ordered
+    # phrase heuristics, all restricted to the 4 KB file header — per-lang
+    # license mix with NULL kept as the explicit "unlicensed" bucket.
+    # Headers are planted deterministically by doc_id so every branch
+    # (SPDX-MIT, SPDX-Apache, Apache phrase, MIT phrase, GPL-3 phrase,
+    # unlicensed) has real positives the oracle reproduces.
+    from json_schema_rs_spark.operators.code import license_rollup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    hdr = (
+        F.when(d % 6 == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(d % 6 == 1, F.lit("# SPDX-License-Identifier: Apache-2.0\n"))
+        .when(d % 6 == 2, F.lit("/* Licensed under the Apache License, Version 2.0 */\n"))
+        .when(d % 6 == 3, F.lit("// Permission is hereby granted, free of charge\n"))
+        .when(d % 6 == 4, F.lit("// This program is free software: GNU General Public License, version 3\n"))
+        .otherwise(F.lit(""))
+    )
+    code = docs.select(
+        "lang", F.concat(hdr, F.coalesce(F.col("text"), F.lit(""))).alias("content")
+    )
+    return license_rollup(code, "lang")
+
+
+def q_repair_revalidate_docs(spark, sf_dir):
+    # repair-and-revalidate (operators/repair.py): coerce out-of-enum langs
+    # to 'en', clamp n_chars into the passing range, truncate overlong text,
+    # then re-run the SAME compiled constraint pass — per-constraint
+    # (before_n, after_n, fixed_n) delta proves what the repair plan fixed
+    # and that it created nothing new.
+    from json_schema_rs_spark.operators.repair import Repair, repair_report
+
+    docs = _t(spark, sf_dir, "documents")
+    repairs = [
+        Repair("lang", "enum_default", ("en", ("en", "de", "fr"))),
+        Repair("n_chars", "clamp", (51, 499)),
+        Repair("text", "truncate", (2000,)),
+    ]
+    return repair_report(_doc_engine(), docs, repairs)
+
+
 def _docs_with_tokens(spark, sf_dir):
     from json_schema_rs_spark.operators.text import token_count
 
@@ -1970,6 +2012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_secret_scan": q_code_secret_scan,
         "code_import_stats": q_code_import_stats,
         "code_quality_docs": q_code_quality_docs,
+        "code_license_scan": q_code_license_scan,
+        "repair_revalidate_docs": q_repair_revalidate_docs,
         "pack_chunks_docs": q_pack_chunks_docs,
         "pack_next_fit_bins": q_pack_next_fit_bins,
         "q10_returned_revenue": q_q10_returned_revenue,
@@ -3126,6 +3170,60 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '^(//|#|--)'))) AS INT) AS comment_lines,
               len(regexp_extract_all(c, '(?i)(?:do not edit|auto-?generated|@generated)')) > 0 AS is_generated
             FROM m
+        """,
+        # license detection: SPDX tag first, then ordered phrase heuristics,
+        # over the 4 KB header — the identical regex strings Spark runs
+        "code_license_scan": r"""
+            WITH c AS (
+              SELECT lang,
+                CASE doc_id % 6
+                  WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+                  WHEN 1 THEN '# SPDX-License-Identifier: Apache-2.0' || chr(10)
+                  WHEN 2 THEN '/* Licensed under the Apache License, Version 2.0 */' || chr(10)
+                  WHEN 3 THEN '// Permission is hereby granted, free of charge' || chr(10)
+                  WHEN 4 THEN '// This program is free software: GNU General Public License, version 3' || chr(10)
+                  ELSE '' END || coalesce(text, '') AS content
+              FROM documents),
+            h AS (SELECT lang, substr(content, 1, 4096) AS head FROM c),
+            lic AS (
+              SELECT lang,
+                CASE
+                  WHEN regexp_extract(head, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1) <> ''
+                    THEN regexp_extract(head, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1)
+                  WHEN regexp_matches(head, '(?i)Apache License,?\s+Version 2\.0') THEN 'Apache-2.0'
+                  WHEN regexp_matches(head, '(?i)GNU General Public License[^\n]*version 3') THEN 'GPL-3.0'
+                  WHEN regexp_matches(head, '(?i)GNU General Public License[^\n]*version 2') THEN 'GPL-2.0'
+                  WHEN regexp_matches(head, '(?i)Mozilla Public License,?\s+v(?:ersion)?\.?\s*2\.0') THEN 'MPL-2.0'
+                  WHEN regexp_matches(head, '(?i)Permission is hereby granted, free of charge') THEN 'MIT'
+                  WHEN regexp_matches(head, '(?i)Redistribution and use in source and binary forms') THEN 'BSD-3-Clause'
+                  ELSE NULL END AS license
+              FROM h)
+            SELECT lang, license, count(*) AS n_files
+            FROM lic GROUP BY lang, license
+        """,
+        # repair-and-revalidate: violation counts per constraint before and
+        # after the repair plan (enum coerce, range clamp, truncate)
+        "repair_revalidate_docs": f"""
+            WITH before_v AS ({_doc_violations_oracle("documents")}),
+            rep AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL THEN NULL ELSE substr(text, 1, 2000) END AS text,
+                     CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+                          THEN 'en' ELSE lang END AS lang,
+                     source,
+                     CASE WHEN n_chars IS NULL THEN NULL
+                          WHEN n_chars < 51 THEN 51
+                          WHEN n_chars > 499 THEN 499
+                          ELSE n_chars END AS n_chars
+              FROM documents),
+            after_v AS ({_doc_violations_oracle("rep")}),
+            b AS (SELECT constraint_id, count(*) AS n FROM before_v GROUP BY 1),
+            a AS (SELECT constraint_id, count(*) AS n FROM after_v GROUP BY 1)
+            SELECT coalesce(b.constraint_id, a.constraint_id) AS constraint_id,
+                   coalesce(b.n, 0) AS before_n,
+                   coalesce(a.n, 0) AS after_n,
+                   coalesce(b.n, 0) - coalesce(a.n, 0) AS fixed_n
+            FROM b FULL OUTER JOIN a ON b.constraint_id = a.constraint_id
         """,
         # concat-and-chunk packing: exact integer prefix sums per lang
         "pack_chunks_docs": r"""

@@ -1,0 +1,120 @@
+"""Repair-and-revalidate: declarative column repairs + violation delta.
+
+A validation engine that can only REJECT rows forces every fix into ad-hoc
+downstream jobs.  This operator closes the loop: apply a declarative repair
+plan (trim / truncate / default-fill / range-clamp / enum-coerce — all pure
+Column expressions), re-run the SAME compiled constraint pass, and report the
+per-constraint violation delta so the repair's effect is itself validated.
+
+No reference counterpart — `/root/reference` is detect-only (its validators
+return errors, never transformed values); this is the dataset-level remediation
+stage a 100 TB curation pipeline runs between "validate" and "publish".
+
+Plan shape: ``apply_repairs`` is a fused projection (zero shuffles, zero
+Python).  ``repair_report`` runs the before and after constraint passes as two
+scans, each reduced map-side to a per-constraint count (the shuffle carries
+at most |constraints| rows per partition), then joins the two tiny aggregates
+— broadcast-sized at any input scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: repair kinds -> arity of ``args`` (validated at construction)
+_KINDS = {
+    "trim": 0,        # strip surrounding whitespace
+    "truncate": 1,    # (max_chars,) keep the first N characters
+    "default": 1,     # (value,) fill NULL with a literal
+    "clamp": 2,       # (lo, hi) clamp numerics into [lo, hi], NULL preserved
+    "enum_default": 2,  # (default, allowed) coerce values outside ``allowed``
+}
+
+
+@dataclass(frozen=True)
+class Repair:
+    """One column repair.  ``kind`` ∈ trim | truncate | default | clamp |
+    enum_default; ``args`` per ``_KINDS``."""
+
+    column: str
+    kind: str
+    args: tuple = field(default_factory=tuple)
+
+    def __post_init__(self) -> None:
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown repair kind {self.kind!r}")
+        if len(self.args) != _KINDS[self.kind]:
+            raise ValueError(
+                f"repair {self.kind!r} takes {_KINDS[self.kind]} args, got {len(self.args)}"
+            )
+
+    def expr(self, col: Column) -> Column:
+        if self.kind == "trim":
+            return F.trim(col)
+        if self.kind == "truncate":
+            (n,) = self.args
+            return F.substring(col, 1, int(n))
+        if self.kind == "default":
+            (v,) = self.args
+            return F.coalesce(col, F.lit(v))
+        if self.kind == "clamp":
+            lo, hi = self.args
+            # explicit NULL branch: Spark's greatest/least SKIP nulls, which
+            # would resurrect a NULL as the clamp bound — not a repair
+            return F.when(col.isNull(), col).otherwise(
+                F.least(F.greatest(col, F.lit(lo)), F.lit(hi))
+            )
+        # enum_default: values outside the allowed set coerce; NULL stays
+        # NULL (enum constraints never fire on NULL, so there is nothing to
+        # repair and a default would mask a `required` signal)
+        default, allowed = self.args
+        return F.when(col.isNotNull() & ~col.isin(list(allowed)), F.lit(default)).otherwise(col)
+
+
+def apply_repairs(df: DataFrame, repairs: list[Repair]) -> DataFrame:
+    """The repaired relation: same schema, repaired columns replaced in
+    place.  Multiple repairs on one column compose in list order.  One fused
+    projection — Catalyst collapses the chained ``withColumn``s."""
+    exprs = {c: F.col(c) for c in df.columns}
+    for r in repairs:
+        if r.column not in exprs:
+            raise ValueError(f"repair targets unknown column {r.column!r}")
+        exprs[r.column] = r.expr(exprs[r.column]).alias(r.column)
+    return df.select(*[exprs[c].alias(c) for c in df.columns])
+
+
+def _constraint_counts(engine, df: DataFrame) -> DataFrame:
+    v = engine.validate(df).violations
+    return v.groupBy("constraint_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def repair_report(engine, df: DataFrame, repairs: list[Repair]) -> DataFrame:
+    """Per-constraint violation delta of a repair plan:
+
+      (constraint_id, before_n, after_n, fixed_n)
+
+    Constraints fully repaired appear with ``after_n = 0``; constraints the
+    plan does not touch appear with ``fixed_n = 0`` — an unexpectedly
+    NEGATIVE ``fixed_n`` means the repair CREATED violations (e.g. a default
+    value outside an enum), which is exactly the regression this report
+    exists to catch before the repaired data ships.
+    """
+    # union-tag + re-aggregate instead of a full-outer join: FULL OUTER can't
+    # broadcast, so Spark would sort-merge two already-tiny aggregates; the
+    # union'd second hash-agg shuffles at most 2·|constraints| pre-reduced
+    # rows and keeps the plan join-free
+    before = _constraint_counts(engine, df).select(
+        "constraint_id", F.col("n").alias("before_n"), F.lit(0).cast("long").alias("after_n")
+    )
+    after = _constraint_counts(engine, apply_repairs(df, repairs)).select(
+        "constraint_id", F.lit(0).cast("long").alias("before_n"), F.col("n").alias("after_n")
+    )
+    return (
+        before.unionByName(after)
+        .groupBy("constraint_id")
+        .agg(F.sum("before_n").alias("before_n"), F.sum("after_n").alias("after_n"))
+        .withColumn("fixed_n", F.col("before_n") - F.col("after_n"))
+    )

@@ -88,3 +88,50 @@ def test_quality_metrics_not_generated(spark):
     r = quality_metrics(df, "id", "content").collect()[0]
     assert r["is_generated"] is False
     assert r["comment_lines"] == 0
+
+
+# -- license detection -------------------------------------------------------
+
+LICENSED = [
+    (1, "js", "// SPDX-License-Identifier: MIT\nconsole.log(1)\n"),
+    (2, "py", "# Licensed under the Apache License, Version 2.0\nx = 1\n"),
+    (3, "py", "# GNU General Public License, version 3\nx = 2\n"),
+    (4, "rs", "// Permission is hereby granted, free of charge\nfn f() {}\n"),
+    (5, "c", "/* Redistribution and use in source and binary forms */\nint x;\n"),
+    (6, "go", "package main\n"),  # unlicensed
+    # SPDX beats phrases: both present, tag wins
+    (7, "py", "# SPDX-License-Identifier: BSD-2-Clause\n# Apache License, Version 2.0\n"),
+]
+
+
+def test_license_scan_per_file(spark):
+    from json_schema_rs_spark.operators.code import license_scan
+
+    df = spark.createDataFrame(LICENSED, "doc_id long, lang string, content string")
+    out = {r["doc_id"]: r for r in license_scan(df).collect()}
+    assert out[1]["license"] == "MIT" and out[1]["has_spdx"]
+    assert out[2]["license"] == "Apache-2.0" and not out[2]["has_spdx"]
+    assert out[3]["license"] == "GPL-3.0"
+    assert out[4]["license"] == "MIT"
+    assert out[5]["license"] == "BSD-3-Clause"
+    assert out[6]["license"] is None
+    assert out[7]["license"] == "BSD-2-Clause"  # SPDX tag wins over phrase
+
+
+def test_license_scan_header_restricted(spark):
+    # a license phrase QUOTED beyond the header window must not count
+    from json_schema_rs_spark.operators.code import license_scan
+
+    deep = "x" * 5000 + "\nPermission is hereby granted, free of charge\n"
+    df = spark.createDataFrame([(1, deep)], "doc_id long, content string")
+    assert license_scan(df).collect()[0]["license"] is None
+
+
+def test_license_rollup_counts(spark):
+    from json_schema_rs_spark.operators.code import license_rollup
+
+    df = spark.createDataFrame(LICENSED, "doc_id long, lang string, content string")
+    rows = {(r["lang"], r["license"]): r["n_files"] for r in license_rollup(df, "lang").collect()}
+    assert rows[("py", "Apache-2.0")] == 1
+    assert rows[("go", None)] == 1
+    assert sum(rows.values()) == len(LICENSED)

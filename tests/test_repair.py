@@ -1,0 +1,99 @@
+"""Repair-and-revalidate tests (operators/repair.py)."""
+
+import pytest
+
+from json_schema_rs_spark.operators.repair import Repair, apply_repairs, repair_report
+from json_schema_rs_spark.spec import TableSpec, number_field, string_field
+
+
+def _spec() -> TableSpec:
+    spec = TableSpec()
+    spec.add_field(string_field("name", required=True).with_length(1, 5))
+    spec.add_field(string_field("lang").with_enum(["en", "de"]))
+    spec.add_field(number_field("score").with_range(0.0, 10.0))
+    return spec
+
+
+def _engine():
+    from json_schema_rs_spark.engine import ValidationEngine
+
+    return ValidationEngine(_spec(), key_cols=["id"])
+
+
+ROWS = [
+    # (id, name, lang, score): reference-parity range fails iff v <= 0 or v >= 10
+    (1, "ok", "en", 5.0),          # clean
+    (2, "toolongname", "en", 5.0),  # max_length
+    (3, "  pad  ", "xx", 5.0),      # max_length (7 chars) + enum
+    (4, None, "de", 15.0),          # required + number_range
+    (5, "ok", None, None),          # clean (NULL lang/score don't fire)
+]
+SCHEMA = "id long, name string, lang string, score double"
+
+
+def test_repair_kinds_compose(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    fixed = apply_repairs(
+        df,
+        [
+            Repair("name", "trim"),
+            Repair("name", "truncate", (5,)),
+            Repair("name", "default", ("anon",)),
+            Repair("lang", "enum_default", ("en", ("en", "de"))),
+            Repair("score", "clamp", (0.5, 9.5)),
+        ],
+    )
+    got = {r["id"]: r for r in fixed.collect()}
+    assert got[2]["name"] == "toolo"          # trim no-op, then truncate
+    assert got[3]["name"] == "pad" and got[3]["lang"] == "en"
+    assert got[4]["name"] == "anon" and got[4]["score"] == 9.5
+    assert got[5]["lang"] is None and got[5]["score"] is None  # NULLs preserved
+    assert fixed.columns == df.columns        # schema unchanged
+
+
+def test_repair_validation():
+    with pytest.raises(ValueError):
+        Repair("x", "shorten")
+    with pytest.raises(ValueError):
+        Repair("x", "clamp", (1,))
+
+
+def test_apply_repairs_unknown_column(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        apply_repairs(df, [Repair("nope", "trim")])
+
+
+def test_repair_report_delta(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    rep = repair_report(
+        _engine(),
+        df,
+        [
+            Repair("name", "trim"),
+            Repair("name", "truncate", (5,)),
+            Repair("lang", "enum_default", ("en", ("en", "de"))),
+            Repair("score", "clamp", (0.5, 9.5)),
+        ],
+    )
+    got = {r["constraint_id"]: r for r in rep.collect()}
+    # max_length:name had 2 (rows 2, 3); trim+truncate fixes both
+    assert got["max_length:name"]["before_n"] == 2
+    assert got["max_length:name"]["after_n"] == 0
+    assert got["max_length:name"]["fixed_n"] == 2
+    assert got["enum:lang"]["fixed_n"] == 1
+    assert got["number_range:score"]["fixed_n"] == 1
+    # required:name is untouched by the plan (no default repair here)
+    assert got["required:name"]["before_n"] == 1
+    assert got["required:name"]["after_n"] == 1
+    assert got["required:name"]["fixed_n"] == 0
+
+
+def test_repair_report_flags_created_violations(spark):
+    # a default OUTSIDE the enum must surface as negative fixed_n, not hide
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    rep = repair_report(_engine(), df, [Repair("lang", "enum_default", ("zz", ("en", "de")))])
+    got = {r["constraint_id"]: r for r in rep.collect()}
+    assert got["enum:lang"]["before_n"] == 1
+    assert got["enum:lang"]["after_n"] == 1   # xx -> zz: still invalid
+    assert got["enum:lang"]["fixed_n"] == 0
