@@ -89,6 +89,25 @@ def main() -> int:
     out = robust_outliers(events.select("event_id", "event_type", "value"),
                           "value", ["event_type"], k=3.5)
     print(f"outliers flagged: {out.count()}")
+
+    print("== 5. remediation: repair plan + its validated delta")
+    from json_schema_rs_spark.operators.repair import Repair, repair_report
+
+    plan = [Repair("lang", "enum_default", ("en", ("en", "de", "fr"))),
+            Repair("n_chars", "clamp", (51, 499))]
+    repair_report(eng, docs, plan).orderBy("constraint_id").show(truncate=False)
+
+    print("== 6. spec-evolution gate: can the next spec roll out without replay?")
+    from json_schema_rs_spark.evolution import compatibility, must_revalidate
+
+    next_spec = (
+        TableSpec()
+        .add_field(string_field("text", required=True).with_length(1, 5000))
+        .add_field(string_field("lang").with_enum(["en", "de", "fr", "es"]))
+        .add_field(number_field("n_chars").with_range(50.0, 500.0))
+    )
+    print(f"verdict: {compatibility(spec, next_spec)} "
+          f"(must_revalidate={must_revalidate(spec, next_spec)})")
     spark.stop()
     return 0
 

@@ -28,6 +28,7 @@ from json_schema_rs_spark.spec import (
     spec_hash,
 )
 from json_schema_rs_spark.engine import ValidationEngine, ValidationResult
+from json_schema_rs_spark.evolution import compatibility, must_revalidate, spec_changes
 from json_schema_rs_spark.session import get_spark
 
 __all__ = [
@@ -40,6 +41,9 @@ __all__ = [
     "spec_hash",
     "ValidationEngine",
     "ValidationResult",
+    "compatibility",
+    "must_revalidate",
+    "spec_changes",
     "get_spark",
 ]
 

@@ -1,0 +1,215 @@
+"""Schema-evolution compatibility: diff two TableSpecs, classify each change.
+
+When a constraint spec evolves between pipeline runs, the operational question
+is "can data validated under the OLD spec still pass the NEW one?" — i.e. can
+the new spec roll out without re-validating (or quarantining) history.  This
+module answers it structurally, without touching data: every difference
+between two specs is classified as
+
+  * ``compatible`` — the new spec accepts a superset of what the old one
+    accepted (bound loosened, enum widened, field made optional, constraint
+    dropped).  Rollout is safe; checkpointed partitions stay valid.
+  * ``narrowing``  — the new spec accepts a strict subset (bound tightened,
+    enum shrunk, field made required, new unique key).  Previously-valid rows
+    MAY now fail; affected partitions must re-validate.
+  * ``breaking``   — the change is not order-comparable (type changed,
+    pattern changed, format changed).  Treat as a new constraint set: full
+    re-validation.
+
+``constraint-set hash`` lineage (plans/checkpoint.py, spec_hash) detects THAT
+a spec changed; this module tells the resume planner WHAT the change costs —
+``narrowing``/``breaking`` invalidates checkpoint entries, ``compatible``
+does not.  No reference counterpart: `/root/reference` parses one schema per
+run (src/schema.rs) and has no notion of spec versions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from json_schema_rs_spark.spec import FieldSpec, TableSpec
+
+COMPATIBLE = "compatible"
+NARROWING = "narrowing"
+BREAKING = "breaking"
+
+_SEVERITY_ORDER = {COMPATIBLE: 0, NARROWING: 1, BREAKING: 2}
+
+
+@dataclass(frozen=True)
+class SpecChange:
+    column: str          # "" for table-level (unique key / referential / check)
+    keyword: str         # which constraint changed
+    severity: str        # compatible | narrowing | breaking
+    detail: str          # old -> new, human-readable
+
+
+def _bound_change(column: str, keyword: str, old, new, *, loosens_when_higher: bool) -> SpecChange | None:
+    """Classify a numeric bound edit.  ``loosens_when_higher`` is True for
+    upper bounds (max_length, maximum, max_items): raising them accepts more."""
+    if old == new:
+        return None
+    detail = f"{old} -> {new}"
+    if old is None:  # bound introduced: always narrows
+        return SpecChange(column, keyword, NARROWING, detail)
+    if new is None:  # bound dropped: always loosens
+        return SpecChange(column, keyword, COMPATIBLE, detail)
+    loosened = (new > old) if loosens_when_higher else (new < old)
+    return SpecChange(column, keyword, COMPATIBLE if loosened else NARROWING, detail)
+
+
+def _field_changes(name: str, old: FieldSpec, new: FieldSpec) -> list[SpecChange]:
+    out: list[SpecChange] = []
+    if old.type != new.type:
+        # None == Empty schema (accepts anything): adding a type narrows,
+        # dropping it loosens, switching types is incomparable
+        if old.type is None:
+            out.append(SpecChange(name, "type", NARROWING, f"any -> {new.type}"))
+        elif new.type is None:
+            out.append(SpecChange(name, "type", COMPATIBLE, f"{old.type} -> any"))
+        else:
+            out.append(SpecChange(name, "type", BREAKING, f"{old.type} -> {new.type}"))
+    if old.required != new.required:
+        sev = NARROWING if new.required else COMPATIBLE
+        out.append(SpecChange(name, "required", sev, f"{old.required} -> {new.required}"))
+
+    for kw, hi in (("min_length", False), ("max_length", True),
+                   ("min_items", False), ("max_items", True),
+                   ("min_properties", False), ("max_properties", True)):
+        ch = _bound_change(name, kw, getattr(old, kw), getattr(new, kw), loosens_when_higher=hi)
+        if ch:
+            out.append(ch)
+
+    # numeric range: exclusivity flips change the accepted set's BOUNDARY
+    # only, but under reference-parity inversion (number.rs:42-62) the safe
+    # classification is still narrowing-vs-compatible by set inclusion:
+    # exclusive_minimum=True accepts MORE (v == bound passes, see compile.py)
+    for kw, excl_kw, hi in (("minimum", "exclusive_minimum", False),
+                            ("maximum", "exclusive_maximum", True)):
+        ch = _bound_change(name, kw, getattr(old, kw), getattr(new, kw), loosens_when_higher=hi)
+        if ch:
+            out.append(ch)
+        if getattr(old, excl_kw) != getattr(new, excl_kw) and getattr(new, kw) is not None:
+            sev = COMPATIBLE if getattr(new, excl_kw) else NARROWING
+            out.append(SpecChange(name, excl_kw,
+                                  sev, f"{getattr(old, excl_kw)} -> {getattr(new, excl_kw)}"))
+
+    if (old.enum or None) != (new.enum or None):
+        if old.enum is None:
+            out.append(SpecChange(name, "enum", NARROWING, f"none -> {new.enum}"))
+        elif new.enum is None:
+            out.append(SpecChange(name, "enum", COMPATIBLE, f"{old.enum} -> none"))
+        else:
+            o, n = set(old.enum), set(new.enum)
+            if o <= n:
+                out.append(SpecChange(name, "enum", COMPATIBLE, f"widened by {sorted(n - o)}"))
+            elif n <= o:
+                out.append(SpecChange(name, "enum", NARROWING, f"removed {sorted(o - n)}"))
+            else:
+                out.append(SpecChange(name, "enum", BREAKING, f"{sorted(o)} -> {sorted(n)}"))
+
+    for kw in ("pattern", "format"):
+        if getattr(old, kw) != getattr(new, kw):
+            if getattr(old, kw) is None:
+                out.append(SpecChange(name, kw, NARROWING, f"none -> {getattr(new, kw)}"))
+            elif getattr(new, kw) is None:
+                out.append(SpecChange(name, kw, COMPATIBLE, f"{getattr(old, kw)} -> none"))
+            else:  # regex/format languages are not order-comparable
+                out.append(SpecChange(name, kw, BREAKING,
+                                      f"{getattr(old, kw)} -> {getattr(new, kw)}"))
+
+    if old.unique_items != new.unique_items:
+        sev = NARROWING if new.unique_items else COMPATIBLE
+        out.append(SpecChange(name, "unique_items", sev, f"{old.unique_items} -> {new.unique_items}"))
+
+    # nested object/array schemas: recurse; positional tuples compare pairwise
+    for sub_kw in ("items",):
+        o_sub, n_sub = getattr(old, sub_kw), getattr(new, sub_kw)
+        if (o_sub is None) != (n_sub is None):
+            sev = NARROWING if n_sub is not None else COMPATIBLE
+            out.append(SpecChange(name, sub_kw, sev, "items schema " +
+                                  ("added" if n_sub is not None else "removed")))
+        elif o_sub is not None and n_sub is not None:
+            out.extend(_field_changes(f"{name}.items", o_sub, n_sub))
+    # additionalProperties, under the reference's as-implemented quirk
+    # (object.rs:47-53): extras are NEVER rejected; the flag's only effect is
+    # that declared properties become required when it is False.  So
+    # False -> True LOOSENS (declared props stop being implicitly required)
+    # and True -> False NARROWS.
+    if old.additional_properties != new.additional_properties:
+        sev = COMPATIBLE if new.additional_properties else NARROWING
+        out.append(SpecChange(name, "additional_properties", sev,
+                              f"{old.additional_properties} -> {new.additional_properties}"))
+    o_props = old.properties or {}
+    n_props = new.properties or {}
+    for k in sorted(set(o_props) | set(n_props)):
+        p = f"{name}.{k}"
+        if k not in o_props:
+            # same quirk: with additional_properties=False a newly-declared
+            # property is implicitly required, so the addition narrows
+            sev = NARROWING if (n_props[k].required or not new.additional_properties) else COMPATIBLE
+            out.append(SpecChange(p, "property", sev, "added"))
+        elif k not in n_props:
+            out.append(SpecChange(p, "property", COMPATIBLE, "removed"))
+        else:
+            out.extend(_field_changes(p, o_props[k], n_props[k]))
+    return out
+
+
+def spec_changes(old: TableSpec, new: TableSpec) -> list[SpecChange]:
+    """All classified differences, stable order (column, keyword)."""
+    out: list[SpecChange] = []
+    for k in sorted(set(old.fields) | set(new.fields)):
+        if k not in old.fields:
+            sev = NARROWING if new.fields[k].required else COMPATIBLE
+            out.append(SpecChange(k, "field", sev, "added"))
+        elif k not in new.fields:
+            out.append(SpecChange(k, "field", COMPATIBLE, "removed"))
+        else:
+            out.extend(_field_changes(k, old.fields[k], new.fields[k]))
+
+    def _keyset(specs, keyfn):
+        return {keyfn(s) for s in specs}
+
+    o_uk = _keyset(old.unique_keys, lambda u: tuple(u.columns))
+    n_uk = _keyset(new.unique_keys, lambda u: tuple(u.columns))
+    for uk in sorted(n_uk - o_uk):
+        out.append(SpecChange("", "unique_key", NARROWING, f"added {list(uk)}"))
+    for uk in sorted(o_uk - n_uk):
+        out.append(SpecChange("", "unique_key", COMPATIBLE, f"removed {list(uk)}"))
+
+    o_ri = _keyset(old.referential, lambda r: (r.column, r.dim_table, r.dim_column))
+    n_ri = _keyset(new.referential, lambda r: (r.column, r.dim_table, r.dim_column))
+    for ri in sorted(n_ri - o_ri):
+        out.append(SpecChange(ri[0], "referential", NARROWING, f"added -> {ri[1]}.{ri[2]}"))
+    for ri in sorted(o_ri - n_ri):
+        out.append(SpecChange(ri[0], "referential", COMPATIBLE, f"removed -> {ri[1]}.{ri[2]}"))
+
+    o_ck = {c.id: c for c in old.checks}
+    n_ck = {c.id: c for c in new.checks}
+    for cid in sorted(set(n_ck) - set(o_ck)):
+        out.append(SpecChange("", "check", NARROWING, f"added {cid}"))
+    for cid in sorted(set(o_ck) - set(n_ck)):
+        out.append(SpecChange("", "check", COMPATIBLE, f"removed {cid}"))
+    for cid in sorted(set(o_ck) & set(n_ck)):
+        if (o_ck[cid].expr, o_ck[cid].where) != (n_ck[cid].expr, n_ck[cid].where):
+            out.append(SpecChange("", "check", BREAKING, f"{cid} expression changed"))
+
+    out.sort(key=lambda c: (c.column, c.keyword, c.detail))
+    return out
+
+
+def compatibility(old: TableSpec, new: TableSpec) -> str:
+    """Overall verdict: the worst severity across all changes (``compatible``
+    when the specs are constraint-identical)."""
+    changes = spec_changes(old, new)
+    if not changes:
+        return COMPATIBLE
+    return max(changes, key=lambda c: _SEVERITY_ORDER[c.severity]).severity
+
+
+def must_revalidate(old: TableSpec, new: TableSpec) -> bool:
+    """True when checkpointed partitions validated under ``old`` cannot be
+    trusted under ``new`` — the resume planner's gate for reusing lineage
+    entries whose constraint-set hash differs."""
+    return compatibility(old, new) != COMPATIBLE

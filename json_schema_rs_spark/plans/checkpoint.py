@@ -60,12 +60,45 @@ class CheckpointManager:
     def completed_buckets(self, spec_hash: str) -> set[int]:
         rows = (
             self._lineage()
-            .filter((F.col("spec_hash") == spec_hash) & (F.col("status") == "completed"))
+            .filter(
+                (F.col("spec_hash") == spec_hash)
+                & (F.col("status").isin("completed", "inherited"))
+            )
             .select("bucket")
             .distinct()
             .collect()
         )
         return {r["bucket"] for r in rows}
+
+    def adopt_compatible(self, old_spec, new_spec) -> int:
+        """Spec-evolution resume gate (evolution.py): when ``new_spec`` only
+        LOOSENS ``old_spec`` (every classified change is ``compatible``, i.e.
+        the new accepted set is a superset), rows validated under the old
+        spec are still valid — so the old hash's completed buckets are
+        adopted under the new hash as ``status='inherited'`` lineage rows
+        and ``run_resumable`` skips them.  Narrowing or breaking changes
+        adopt nothing: those buckets must genuinely re-validate.
+
+        Returns the number of buckets inherited.  Inherited rows carry zero
+        metrics — the measured numbers stay on the original completed rows
+        (auditable by old spec hash); the inherited row only records the
+        skip decision.
+        """
+        from json_schema_rs_spark.evolution import must_revalidate
+
+        if must_revalidate(old_spec, new_spec):
+            return 0
+        old_sh, new_sh = _spec_hash(old_spec), _spec_hash(new_spec)
+        if old_sh == new_sh:
+            return 0
+        adopt = sorted(self.completed_buckets(old_sh) - self.completed_buckets(new_sh))
+        if not adopt:
+            return 0
+        now = time.time()
+        self._record(
+            [(f"adopt-{old_sh[:8]}", b, new_sh, "inherited", 0, 0, 0, now) for b in adopt]
+        )
+        return len(adopt)
 
     def _record(self, rows: list[tuple]) -> None:
         self.spark.createDataFrame(rows, _LINEAGE_SCHEMA).coalesce(1).write.mode(

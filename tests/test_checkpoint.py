@@ -71,3 +71,41 @@ def test_lineage_metrics_sum_to_totals(spark, tmp_path, engine):
     tot = lineage.agg(F.sum("n_rows"), F.sum("n_violations")).collect()[0]
     assert tot[0] == 3000 == rep.n_rows
     assert tot[1] == rep.n_violations
+
+
+def test_adopt_compatible_inherits_buckets(spark, tmp_path, engine):
+    # a loosening spec rollout adopts the old hash's completed buckets
+    import copy
+
+    df = synthesize_corpus(spark, 2000)
+    path = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(spark, path, n_buckets=8)
+    mgr.run_resumable(df, engine, partition_col="repo", chunk_buckets=8)
+
+    wider = copy.deepcopy(engine.spec)
+    wider.fields["lang"].enum = ["rust", "python", "java", "go", "js", "c"]
+    eng2 = ValidationEngine(wider, key_cols=["repo", "path", "commit"], group_col="repo")
+    assert spec_hash(wider) != spec_hash(engine.spec)
+
+    assert mgr.adopt_compatible(engine.spec, wider) == 8
+    rep = mgr.run_resumable(df, eng2, partition_col="repo", chunk_buckets=8)
+    assert rep.buckets_skipped == 8 and rep.buckets_validated == 0
+    # idempotent: nothing left to adopt
+    assert mgr.adopt_compatible(engine.spec, wider) == 0
+
+
+def test_adopt_refuses_narrowing(spark, tmp_path, engine):
+    import copy
+
+    df = synthesize_corpus(spark, 1000)
+    path = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(spark, path, n_buckets=4)
+    mgr.run_resumable(df, engine, partition_col="repo", chunk_buckets=4)
+
+    narrower = copy.deepcopy(engine.spec)
+    narrower.fields["lang"].enum = ["rust", "python"]
+    eng2 = ValidationEngine(narrower, key_cols=["repo", "path", "commit"], group_col="repo")
+
+    assert mgr.adopt_compatible(engine.spec, narrower) == 0
+    rep = mgr.run_resumable(df, eng2, partition_col="repo", chunk_buckets=4)
+    assert rep.buckets_validated == 4  # full replay under the tighter spec

@@ -1,0 +1,139 @@
+"""Schema-evolution compatibility tests (evolution.py) — pure driver-side."""
+
+from json_schema_rs_spark.evolution import (
+    BREAKING,
+    COMPATIBLE,
+    NARROWING,
+    compatibility,
+    must_revalidate,
+    spec_changes,
+)
+from json_schema_rs_spark.spec import (
+    TableSpec,
+    number_field,
+    string_field,
+)
+
+
+def _base() -> TableSpec:
+    spec = TableSpec()
+    spec.add_field(string_field("text", required=True).with_length(1, 2000))
+    spec.add_field(string_field("lang").with_enum(["en", "de", "fr"]))
+    spec.add_field(number_field("n_chars").with_range(50.0, 500.0))
+    spec.add_unique_key("doc_id")
+    return spec
+
+
+def test_identical_specs_are_compatible():
+    assert spec_changes(_base(), _base()) == []
+    assert compatibility(_base(), _base()) == COMPATIBLE
+    assert not must_revalidate(_base(), _base())
+
+
+def test_loosening_changes_are_compatible():
+    new = _base()
+    new.fields["text"].max_length = 5000          # raised upper bound
+    new.fields["lang"].enum = ["en", "de", "fr", "es"]  # widened enum
+    new.fields["n_chars"].minimum = None          # dropped bound
+    changes = spec_changes(_base(), new)
+    assert changes and all(c.severity == COMPATIBLE for c in changes)
+    assert not must_revalidate(_base(), new)
+
+
+def test_tightening_changes_narrow():
+    new = _base()
+    new.fields["text"].max_length = 100
+    new.fields["lang"].enum = ["en"]
+    new.fields["lang"].required = True
+    changes = {(c.column, c.keyword): c for c in spec_changes(_base(), new)}
+    assert changes[("text", "max_length")].severity == NARROWING
+    assert changes[("lang", "enum")].severity == NARROWING
+    assert changes[("lang", "required")].severity == NARROWING
+    assert compatibility(_base(), new) == NARROWING
+    assert must_revalidate(_base(), new)
+
+
+def test_type_and_pattern_changes_break():
+    new = _base()
+    new.fields["n_chars"].type = "string"
+    new.fields["n_chars"].minimum = None
+    new.fields["n_chars"].maximum = None
+    new.fields["lang"].pattern = "^[a-z]{2}$"
+    changes = {(c.column, c.keyword): c for c in spec_changes(_base(), new)}
+    assert changes[("n_chars", "type")].severity == BREAKING
+    assert changes[("lang", "pattern")].severity == NARROWING  # none -> pattern
+    assert compatibility(_base(), new) == BREAKING
+
+
+def test_field_add_remove():
+    new = _base()
+    new.add_field(string_field("source", required=True))
+    changes = {(c.column, c.keyword): c for c in spec_changes(_base(), new)}
+    assert changes[("source", "field")].severity == NARROWING  # required addition
+
+    optional = _base()
+    optional.add_field(string_field("source"))
+    changes = {(c.column, c.keyword): c for c in spec_changes(_base(), optional)}
+    assert changes[("source", "field")].severity == COMPATIBLE
+
+    removed = TableSpec()
+    removed.add_field(string_field("text", required=True).with_length(1, 2000))
+    removed.add_field(string_field("lang").with_enum(["en", "de", "fr"]))
+    removed.add_unique_key("doc_id")
+    changes = {(c.column, c.keyword): c for c in spec_changes(_base(), removed)}
+    assert changes[("n_chars", "field")].severity == COMPATIBLE
+
+
+def test_table_level_constraints():
+    new = _base()
+    new.add_unique_key("doc_id", "lang")
+    new.add_check("positive", "n_chars > 0")
+    changes = [(c.keyword, c.severity) for c in spec_changes(_base(), new)]
+    assert ("unique_key", NARROWING) in changes
+    assert ("check", NARROWING) in changes
+
+    dropped = TableSpec()
+    for f in _base().fields.values():
+        dropped.add_field(f)
+    # no unique key at all: relaxation
+    changes = {c.keyword: c for c in spec_changes(_base(), dropped)}
+    assert changes["unique_key"].severity == COMPATIBLE
+
+
+def test_exclusivity_flip_classification():
+    # reference-parity inversion (number.rs:42-62): exclusive_minimum=True
+    # ACCEPTS the boundary value, so flipping it on loosens
+    new = _base()
+    new.fields["n_chars"].exclusive_minimum = True
+    changes = {(c.column, c.keyword): c for c in spec_changes(_base(), new)}
+    assert changes[("n_chars", "exclusive_minimum")].severity == COMPATIBLE
+
+    back = _base()
+    ex = _base()
+    ex.fields["n_chars"].exclusive_minimum = True
+    changes = {(c.column, c.keyword): c for c in spec_changes(ex, back)}
+    assert changes[("n_chars", "exclusive_minimum")].severity == NARROWING
+
+
+def test_nested_object_properties():
+    from json_schema_rs_spark.spec import FieldSpec
+
+    old = TableSpec()
+    old.add_field(FieldSpec(name="addr", type="object", properties={"city": FieldSpec(name="city", type="string")}))
+    new = TableSpec()
+    new.add_field(FieldSpec(name="addr", type="object",
+                            properties={"city": FieldSpec(name="city", type="string", min_length=2),
+                                        "zip": FieldSpec(name="zip", type="string")}))
+    changes = {(c.column, c.keyword): c for c in spec_changes(old, new)}
+    assert changes[("addr.city", "min_length")].severity == NARROWING
+    # additional_properties defaults False: under the parity quirk a newly
+    # declared property is implicitly required -> the addition narrows
+    assert changes[("addr.zip", "property")].severity == NARROWING
+
+    relaxed = TableSpec()
+    relaxed.add_field(FieldSpec(name="addr", type="object", additional_properties=True,
+                                properties={"city": FieldSpec(name="city", type="string"),
+                                            "zip": FieldSpec(name="zip", type="string")}))
+    changes = {(c.column, c.keyword): c for c in spec_changes(old, relaxed)}
+    assert changes[("addr", "additional_properties")].severity == COMPATIBLE
+    assert changes[("addr.zip", "property")].severity == COMPATIBLE
