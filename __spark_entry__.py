@@ -68,6 +68,21 @@ def q_doc_violations(spark, sf_dir):
     return _doc_engine().validate(docs).violations
 
 
+def q_doc_violations_strict(spark, sf_dir):
+    # the engine's SPEC-CORRECT mode (reference_parity=False): standard
+    # JSON-Schema exclusivity (boundary values PASS non-exclusive bounds,
+    # unlike the reference's inverted semantics, number.rs:42-62) and
+    # multipleOf actually enforced (the reference parses-but-ignores it,
+    # number.rs:19).  Same corpus, same spec shape — the violation set
+    # differs from doc_violations exactly where the two semantics diverge.
+    spec = _doc_spec()
+    spec.reference_parity = False
+    spec.fields["n_chars"].multiple_of = 7.0
+    eng = ValidationEngine(spec, key_cols=["doc_id"], group_col="lang")
+    docs = _t(spark, sf_dir, "documents")
+    return eng.validate(docs).violations
+
+
 def q_lineage_manifest_docs(spark, sf_dir):
     # per-partition lineage manifest — the north rule's checkpoint record
     # (plans/checkpoint.py), expressed declaratively so the oracle can audit
@@ -1948,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
         "doc_violations": q_doc_violations,
+        "doc_violations_strict": q_doc_violations_strict,
         "doc_sha256": q_doc_sha256,
         "lineage_manifest_docs": q_lineage_manifest_docs,
         "unique_key_docs": q_unique_key_docs,
@@ -2596,6 +2612,40 @@ def oracle_sql() -> dict[str, str]:
             FROM checked GROUP BY lang
         """,
         "doc_violations": _doc_violations_oracle("documents"),
+        # spec-correct mode: standard exclusivity (boundary passes) and
+        # multipleOf enforced with the same 1e-9 epsilon the engine uses
+        "doc_violations_strict": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_key, 'required:text' AS constraint_id,
+                   'text' AS observed_value FROM documents WHERE text IS NULL
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'min_length:text', CAST(strlen(text) AS VARCHAR)
+              FROM documents WHERE text IS NOT NULL AND strlen(text) < 1
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'max_length:text', CAST(strlen(text) AS VARCHAR)
+              FROM documents WHERE text IS NOT NULL AND strlen(text) > 2000
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'enum:lang', lang
+              FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'required:source', 'source'
+              FROM documents WHERE source IS NULL
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'pattern:source', source
+              FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'number_range:n_chars', CAST(n_chars::DOUBLE AS VARCHAR)
+              FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars >= 50)
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'number_range:n_chars', CAST(n_chars::DOUBLE AS VARCHAR)
+              FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars <= 500)
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'multiple_of:n_chars', CAST(n_chars::DOUBLE AS VARCHAR)
+              FROM documents WHERE n_chars IS NOT NULL
+               AND NOT (abs(n_chars / 7.0 - round(n_chars / 7.0)) < 0.000000001)
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'unique_key:doc_id', CAST(count(*) AS VARCHAR)
+              FROM documents GROUP BY doc_id HAVING count(*) > 1
+        """,
         "doc_sha256": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "lineage_manifest_docs": _lineage_manifest_oracle(),
         "unique_key_docs": """

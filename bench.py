@@ -206,6 +206,8 @@ def bench_queries(spark) -> dict[str, float]:
         "sketch_hll_users",
         "code_secret_scan",
         "code_quality_docs",
+        "code_license_scan",
+        "repair_revalidate_docs",
         "quantile_sketch_events",
         "distinct_windows_events",
         "interval_join_orders",
