@@ -195,6 +195,47 @@ def spec_changes(old: TableSpec, new: TableSpec) -> list[SpecChange]:
         if (o_ck[cid].expr, o_ck[cid].where) != (n_ck[cid].expr, n_ck[cid].where):
             out.append(SpecChange("", "check", BREAKING, f"{cid} expression changed"))
 
+    # dataset-level quality thresholds: per (column) spec, each bound is
+    # order-comparable (tightened -> narrowing, loosened/dropped ->
+    # compatible), exactly like field bounds
+    o_q = {q.column: q for q in old.quality}
+    n_q = {q.column: q for q in new.quality}
+    _q_bounds = (("min_completeness", False), ("min_distinct_ratio", False),
+                 ("max_distinct_ratio", True), ("min_mean", False), ("max_mean", True))
+    for col in sorted(set(o_q) | set(n_q)):
+        if col not in o_q:
+            has_any = any(getattr(n_q[col], kw) is not None for kw, _ in _q_bounds)
+            if has_any:
+                out.append(SpecChange(col, "quality", NARROWING, "added"))
+        elif col not in n_q:
+            out.append(SpecChange(col, "quality", COMPATIBLE, "removed"))
+        else:
+            for kw, hi in _q_bounds:
+                ch = _bound_change(col, f"quality.{kw}", getattr(o_q[col], kw),
+                                   getattr(n_q[col], kw), loosens_when_higher=hi)
+                if ch:
+                    out.append(ch)
+
+    # drift checks: the frozen baseline/edges define the constraint — any
+    # change to them is a different test (breaking); threshold moves are
+    # order-comparable (higher threshold accepts more drift -> compatible)
+    o_d = {d.column: d for d in old.drift}
+    n_d = {d.column: d for d in new.drift}
+    for col in sorted(set(o_d) | set(n_d)):
+        if col not in o_d:
+            out.append(SpecChange(col, "drift", NARROWING, "added"))
+        elif col not in n_d:
+            out.append(SpecChange(col, "drift", COMPATIBLE, "removed"))
+        else:
+            od, nd = o_d[col], n_d[col]
+            if (od.bucket_edges, od.baseline) != (nd.bucket_edges, nd.baseline):
+                out.append(SpecChange(col, "drift", BREAKING, "baseline/edges changed"))
+            for kw in ("psi_threshold", "ks_threshold"):
+                if getattr(od, kw) != getattr(nd, kw):
+                    sev = COMPATIBLE if getattr(nd, kw) > getattr(od, kw) else NARROWING
+                    out.append(SpecChange(col, f"drift.{kw}", sev,
+                                          f"{getattr(od, kw)} -> {getattr(nd, kw)}"))
+
     out.sort(key=lambda c: (c.column, c.keyword, c.detail))
     return out
 

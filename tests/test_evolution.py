@@ -137,3 +137,51 @@ def test_nested_object_properties():
     changes = {(c.column, c.keyword): c for c in spec_changes(old, relaxed)}
     assert changes[("addr", "additional_properties")].severity == COMPATIBLE
     assert changes[("addr.zip", "property")].severity == COMPATIBLE
+
+
+def test_quality_threshold_changes():
+    from json_schema_rs_spark.spec import QualitySpec
+
+    old = _base()
+    old.quality.append(QualitySpec(column="text", min_completeness=0.9))
+    tightened = _base()
+    tightened.quality.append(QualitySpec(column="text", min_completeness=0.99))
+    changes = {(c.column, c.keyword): c for c in spec_changes(old, tightened)}
+    assert changes[("text", "quality.min_completeness")].severity == NARROWING
+
+    loosened = _base()
+    loosened.quality.append(QualitySpec(column="text", min_completeness=0.5))
+    changes = {(c.column, c.keyword): c for c in spec_changes(old, loosened)}
+    assert changes[("text", "quality.min_completeness")].severity == COMPATIBLE
+
+    added = _base()
+    added.quality.append(QualitySpec(column="text", min_completeness=0.9))
+    added.quality.append(QualitySpec(column="lang", min_distinct_ratio=0.001))
+    changes = {(c.column, c.keyword): c for c in spec_changes(old, added)}
+    assert changes[("lang", "quality")].severity == NARROWING
+
+    dropped = _base()
+    changes = {(c.column, c.keyword): c for c in spec_changes(old, dropped)}
+    assert changes[("text", "quality")].severity == COMPATIBLE
+
+
+def test_drift_spec_changes():
+    from json_schema_rs_spark.spec import DriftSpec
+
+    old = _base()
+    old.drift.append(DriftSpec(column="n_chars", bucket_edges=[100.0, 300.0],
+                               baseline=[0.3, 0.4, 0.3], psi_threshold=0.2))
+    rebased = _base()
+    rebased.drift.append(DriftSpec(column="n_chars", bucket_edges=[100.0, 400.0],
+                                   baseline=[0.3, 0.4, 0.3], psi_threshold=0.2))
+    changes = {(c.column, c.keyword): c for c in spec_changes(old, rebased)}
+    assert changes[("n_chars", "drift")].severity == BREAKING
+
+    relaxed = _base()
+    relaxed.drift.append(DriftSpec(column="n_chars", bucket_edges=[100.0, 300.0],
+                                   baseline=[0.3, 0.4, 0.3], psi_threshold=0.5))
+    changes = {(c.column, c.keyword): c for c in spec_changes(old, relaxed)}
+    assert changes[("n_chars", "drift.psi_threshold")].severity == COMPATIBLE
+
+    added = spec_changes(_base(), old)
+    assert any(c.keyword == "drift" and c.severity == NARROWING for c in added)
