@@ -15,6 +15,8 @@ The day-1 loop a training-data team runs over the north-star table
 6. estimate per-language distinct-repo reach with a mergeable sketch
    (operators/sketches.py) — the audit number a 100 TB run reports
    without a distinct shuffle
+7. license mix over the survivors (operators/code.py license_rollup) —
+   the provenance audit compliance asks for before training
 
 Everything stays one DataFrame program: the validate/scan/score columns
 fuse into the same projection pass; dedup is the single content-hash
@@ -85,6 +87,21 @@ def run(spark, n_rows: int = 100_000) -> dict:
     # 6. audit sketch: distinct repos per language, no distinct shuffle
     reach = mincount_distinct(deduped, ["lang"], "repo", k=16)
 
+    # 7. license mix over the surviving files (operators/code.py): the
+    # synthesizer emits unlicensed pseudo-code, so plant SPDX tags on a
+    # third of files to give the scan both buckets; fused projection + one
+    # (lang, license) agg
+    from json_schema_rs_spark.operators.code import license_rollup
+
+    licensed = deduped.withColumn(
+        "content",
+        F.when(
+            F.col("row_id") % 3 == 0,
+            F.concat(F.lit("// SPDX-License-Identifier: MIT\n"), F.col("content")),
+        ).otherwise(F.col("content")),
+    )
+    lic = license_rollup(licensed, "lang")
+
     return {
         "rows": n_rows,
         "violations": n_violations,
@@ -95,6 +112,9 @@ def run(spark, n_rows: int = 100_000) -> dict:
         "kept_after_quality": keep.count(),
         "kept_after_dedup": deduped.count(),
         "repo_reach": {r["lang"]: round(r["est_distinct"], 1) for r in reach.collect()},
+        "license_mix": {
+            (r["lang"], r["license"] or "unlicensed"): r["n_files"] for r in lic.collect()
+        },
     }
 
 

@@ -25,3 +25,15 @@ def test_code_pipeline_report(spark):
     # for the planted families that always violate
     exp = expected_counts(5_000)
     assert report["violations"] >= exp["null_path"] + exp["bad_lang"]
+
+
+def test_code_pipeline_license_mix(spark):
+    report = run(spark, n_rows=3_000)
+    mix = report["license_mix"]
+    langs = {lang for lang, _ in mix}
+    assert langs >= {"rust", "python"}
+    # both buckets present: planted MIT tags and untagged files
+    assert any(lic == "MIT" for _, lic in mix)
+    assert any(lic == "unlicensed" for _, lic in mix)
+    # the mix partitions the surviving files exactly
+    assert sum(mix.values()) == report["kept_after_dedup"]
