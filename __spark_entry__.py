@@ -1959,6 +1959,45 @@ def q_semantic_dedup_keep(spark, sf_dir):
     return canonical_keep(emb, "vec_id", cc).select("vec_id")
 
 
+def _snapshot_pair(spark, sf_dir):
+    """Deterministic old/new snapshot pair for the delta operators
+    (operators/delta.py): old drops ``doc_id % 10 == 9`` (→ those are
+    'added' in new) and amends ``doc_id % 7 == 0`` texts (→ 'changed');
+    new drops ``doc_id % 10 == 8`` (→ 'deleted').  Everything else is
+    'unchanged' — all four statuses are exercised."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 9).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" amended"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 8)
+    return old, new
+
+
+def q_snapshot_diff_docs(spark, sf_dir):
+    # Snapshot diff by content fingerprint (operators/delta.py): one
+    # full-outer join of two (key, sha256) projections — content never
+    # shuffles.  NULL texts hash to a sentinel, so NULL-in-both is
+    # 'unchanged', not a spurious 'changed'.
+    from json_schema_rs_spark.operators.delta import snapshot_diff
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return snapshot_diff(old, new, ["doc_id"], content_col="text")
+
+
+def q_delta_validate_docs(spark, sf_dir):
+    # Incremental validation: LEFT ANTI on (key, fingerprint) keeps only
+    # added/changed rows of the new snapshot, then the standard engine pass
+    # runs over that delta — at 10^12 files this is the difference between
+    # re-validating a day's churn and re-validating the corpus.
+    from json_schema_rs_spark.operators.delta import validate_delta
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return validate_delta(_doc_engine(), old, new, content_col="text").violations
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2067,6 +2106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders_totalprice": q_benford_orders_totalprice,
         "fd_lineitem_returnflag": q_fd_lineitem_returnflag,
         "violation_diff_docs": q_violation_diff_docs,
+        "snapshot_diff_docs": q_snapshot_diff_docs,
+        "delta_validate_docs": q_delta_validate_docs,
         "drift_psi_windows": q_drift_psi_windows,
         "distinct_windows_events": q_distinct_windows_events,
         "quantile_sketch_events": q_quantile_sketch_events,
@@ -2549,6 +2590,16 @@ def _doc_violations_oracle(table: str) -> str:
             SELECT CAST(doc_id AS VARCHAR), 'unique_key:doc_id', CAST(count(*) AS VARCHAR)
               FROM {table} GROUP BY doc_id HAVING count(*) > 1
     """
+
+
+#: old-snapshot (doc_id, content fingerprint) projection shared by the two
+#: delta oracles — mirrors _snapshot_pair's old side + delta.py's
+#: content_fingerprint (sha256 with the '__null__' sentinel).
+_OLD_SNAPSHOT_FP_SQL = """SELECT doc_id,
+                   coalesce(sha256(CASE WHEN doc_id % 7 = 0
+                                        THEN text || ' amended' ELSE text END),
+                            '__null__') AS fp
+             FROM documents WHERE doc_id % 10 != 9"""
 
 
 def _suggest_constraints_oracle(table: str) -> str:
@@ -3995,4 +4046,27 @@ def oracle_sql() -> dict[str, str]:
                               WHERE c.row_key = p.row_key
                                 AND c.constraint_id = p.constraint_id)
         """,
+        # -- snapshot-delta operators (operators/delta.py): the old snapshot
+        # drops doc_id%10==9 and amends doc_id%7==0 texts; the new snapshot
+        # drops doc_id%10==8 (see _snapshot_pair).  sha256 ≡ F.sha2(col, 256)
+        # (same parity the doc_sha256 query pins); NULL text → '__null__'
+        # sentinel on both engines.
+        "snapshot_diff_docs": f"""
+            WITH o AS ({_OLD_SNAPSHOT_FP_SQL}),
+                 n AS (SELECT doc_id, coalesce(sha256(text), '__null__') AS fp
+                       FROM documents WHERE doc_id % 10 != 8)
+            SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'deleted'
+                        WHEN o.fp = n.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        "delta_validate_docs": _doc_violations_oracle(
+            f"""(SELECT n.* FROM (SELECT * FROM documents WHERE doc_id % 10 != 8) n
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM ({_OLD_SNAPSHOT_FP_SQL}) o
+                   WHERE o.doc_id = n.doc_id
+                     AND o.fp = coalesce(sha256(n.text), '__null__')))"""
+        ),
     }

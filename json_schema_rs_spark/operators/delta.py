@@ -1,0 +1,141 @@
+"""Snapshot-delta validation: diff two corpus snapshots and validate only
+what changed.
+
+No reference counterpart (the reference re-validates every file it is given
+on every run, cli/src/main.rs:49-64).  At 10^12 files a daily snapshot turns
+over a tiny fraction of rows, so full re-validation wastes ~all the work;
+this module gives validation the same incremental shape the checkpoint
+lineage (plans/checkpoint.py) gives restartability:
+
+  * ``snapshot_diff``   — per-key status (added / deleted / changed /
+    unchanged) between two snapshots, decided by the SAME sha2-256 content
+    fingerprint the engine records per row (engine.py ``content_sha256``,
+    the north-rule fidelity invariant), so "changed" is exactly "would fail
+    the fidelity check".
+  * ``delta_rows``      — the rows of the new snapshot needing validation
+    (added or changed): a LEFT ANTI join of the new snapshot against the old
+    snapshot's (key, fingerprint) projection.
+  * ``validate_delta``  — run a :class:`ValidationEngine` over just those
+    rows.  Compose with ``CheckpointManager.adopt_compatible`` when the spec
+    also evolved between snapshots.
+
+Scale notes: both diff sides are projected to (keys, 32-byte hex digest)
+BEFORE any join, so the shuffles move keys + fingerprints, never content.
+``snapshot_diff`` is one full-outer join (one Exchange per side on the key);
+``delta_rows`` shuffles the new snapshot once on (keys, fingerprint) — the
+minimum information needed to decide membership.  When snapshots share a
+bucketed/partitioned layout on the key (layout.py), both joins co-locate
+and the Exchanges disappear; otherwise a Bloom prefilter built from the old
+side's fingerprints (operators/sketches.py ``bloom_*``) cheaply rejects the
+unchanged majority before the anti-join.
+
+Keys are assumed unique per snapshot — the corpus invariant the
+``unique_key`` dataset constraint (operators/uniqueness.py) enforces.
+
+NULL content hashes to a sentinel (not SQL NULL) so a row whose content is
+NULL in both snapshots counts as ``unchanged`` rather than NULL-propagating
+into a spurious ``changed`` (and so the anti-join's equality never has a
+NULL key, which would silently re-validate every NULL-content row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: fingerprint for absent content — any constant no real sha2 hex collides
+#: with (wrong length) works; it only needs to equal itself across engines.
+NULL_FP = "__null__"
+
+
+def content_fingerprint(content_col: str) -> Column:
+    """sha2-256 hex of ``content_col`` (the engine's ``content_sha256``
+    expression, engine.py:84), with NULL content mapped to :data:`NULL_FP`."""
+    return F.coalesce(F.sha2(F.col(content_col), 256), F.lit(NULL_FP))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-key change status between two snapshots.
+
+    Returns one row per key present in EITHER snapshot:
+    ``(*key_cols, status)`` with status ∈ ``added`` (key only in ``new``),
+    ``deleted`` (only in ``old``), ``changed`` (both, different content
+    fingerprint), ``unchanged`` (both, same fingerprint).  Key columns are
+    taken from whichever side has the row (coalesced), so ``deleted`` rows
+    keep their key values.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
+        content_fingerprint(content_col).alias("__fp_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in key_cols],
+        content_fingerprint(content_col).alias("__fp_new"),
+    )
+    cond = [o[f"__ko_{k}"] == n[f"__kn_{k}"] for k in key_cols]
+    j = o.join(n, cond, "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("deleted"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *[F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k) for k in key_cols],
+        status.alias("status"),
+    )
+
+
+def diff_stats(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+) -> DataFrame:
+    """``(status, n_keys)`` rollup of :func:`snapshot_diff` — the number the
+    resume planner actually reads (how much work is the delta?)."""
+    return (
+        snapshot_diff(old, new, key_cols, content_col)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+def delta_rows(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+) -> DataFrame:
+    """Rows of ``new`` that are added-or-changed vs ``old`` — exactly the
+    rows a revalidation must touch.  LEFT ANTI join on (keys, fingerprint):
+    an unchanged row matches the old projection and drops out; a changed row
+    misses on the fingerprint; an added row misses on the key."""
+    o = old.select(
+        *key_cols, content_fingerprint(content_col).alias("__fp")
+    )
+    n = new.withColumn("__fp", content_fingerprint(content_col))
+    return n.join(o, [*key_cols, "__fp"], "left_anti").drop("__fp")
+
+
+def validate_delta(
+    engine,
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | None = None,
+    content_col: str = "content",
+):
+    """Validate only the added/changed rows of ``new``.  Returns the
+    engine's :class:`ValidationResult` over the delta — unchanged rows keep
+    their previously recorded verdicts (checkpoint lineage / prior results),
+    which is sound because a row's verdict is a pure function of its content
+    (same fingerprint ⇒ same verdict for the same spec hash; if the SPEC
+    changed too, gate with ``CheckpointManager.adopt_compatible`` /
+    ``evolution.must_revalidate`` first)."""
+    keys = key_cols or engine.key_cols
+    return engine.validate(delta_rows(old, new, keys, content_col))

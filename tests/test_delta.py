@@ -1,0 +1,92 @@
+"""Snapshot-delta validation (operators/delta.py): diff two snapshots by
+content fingerprint, validate only added/changed rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import ValidationEngine, spec_from_json
+from json_schema_rs_spark.operators.delta import (
+    delta_rows,
+    diff_stats,
+    snapshot_diff,
+    validate_delta,
+)
+
+SCHEMA = "repo string, path string, content string"
+
+
+@pytest.fixture(scope="module")
+def old(spark):
+    rows = [
+        ("r1", "a.py", "print(1)"),      # unchanged
+        ("r1", "b.py", "print(2)"),      # changed in new
+        ("r1", "c.py", "print(3)"),      # deleted in new
+        ("r2", "n.py", None),            # NULL in both → unchanged
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def new(spark):
+    rows = [
+        ("r1", "a.py", "print(1)"),      # unchanged
+        ("r1", "b.py", "print(2) # v2"), # changed
+        ("r1", "d.py", ""),              # added (empty content is real content)
+        ("r2", "n.py", None),            # NULL in both → unchanged
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _status_map(df):
+    return {(r["repo"], r["path"]): r["status"] for r in df.collect()}
+
+
+def test_snapshot_diff_all_statuses(old, new):
+    got = _status_map(snapshot_diff(old, new, ["repo", "path"]))
+    assert got == {
+        ("r1", "a.py"): "unchanged",
+        ("r1", "b.py"): "changed",
+        ("r1", "c.py"): "deleted",
+        ("r1", "d.py"): "added",
+        ("r2", "n.py"): "unchanged",   # NULL content hashes to the sentinel
+    }
+
+
+def test_diff_stats(old, new):
+    got = {r["status"]: r["n_keys"] for r in diff_stats(old, new, ["repo", "path"]).collect()}
+    assert got == {"unchanged": 2, "changed": 1, "deleted": 1, "added": 1}
+
+
+def test_delta_rows_exactly_added_and_changed(old, new):
+    got = {(r["repo"], r["path"]) for r in delta_rows(old, new, ["repo", "path"]).collect()}
+    assert got == {("r1", "b.py"), ("r1", "d.py")}
+    # original new-side columns survive (the anti-join's helper column drops)
+    assert delta_rows(old, new, ["repo", "path"]).columns == new.columns
+
+
+def test_delta_rows_null_content_not_revalidated(old, new):
+    # the sentinel keeps NULL-in-both rows OUT of the delta; a plain NULL
+    # fingerprint would fail the anti-join's equality and re-validate them
+    paths = {r["path"] for r in delta_rows(old, new, ["repo", "path"]).collect()}
+    assert "n.py" not in paths
+
+
+def test_validate_delta_matches_direct_validate(old, new):
+    spec = spec_from_json(
+        '{"fields": {"content": {"type": "string", "required": true, "minLength": 1}}}'
+    )
+    eng = ValidationEngine(spec, key_cols=["repo", "path"])
+    res = validate_delta(eng, old, new, key_cols=["repo", "path"])
+    # delta = b.py (valid) + d.py (empty string → min_length violation)
+    assert res.summary.agg(F.sum("n_rows")).first()[0] == 2
+    viol = res.violations.collect()
+    assert len(viol) == 1 and viol[0]["constraint_id"] == "min_length:content"
+
+
+def test_snapshot_diff_deleted_keeps_key_values(old, new):
+    deleted = (
+        snapshot_diff(old, new, ["repo", "path"])
+        .filter(F.col("status") == "deleted")
+        .collect()
+    )
+    assert [(r["repo"], r["path"]) for r in deleted] == [("r1", "c.py")]
