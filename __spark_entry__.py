@@ -1998,6 +1998,18 @@ def q_delta_validate_docs(spark, sf_dir):
     return validate_delta(_doc_engine(), old, new, content_col="text").violations
 
 
+def q_bucket_delta_docs(spark, sf_dir):
+    # Level-1 screen of the two-level delta (operators/delta.py
+    # bucket_delta_rows): each snapshot reduces to ≤ 16 (bucket, n_rows,
+    # xor-of-row-hashes) rows — at 10^12 files this is what decides how much
+    # of the corpus the row-level anti-join must touch.  Portable md5-based
+    # hashes so the oracle replays the exact screening arithmetic.
+    from json_schema_rs_spark.operators.delta import changed_buckets
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return changed_buckets(old, new, ["doc_id"], content_col="text", n_buckets=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2108,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_diff_docs": q_violation_diff_docs,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "delta_validate_docs": q_delta_validate_docs,
+        "bucket_delta_docs": q_bucket_delta_docs,
         "drift_psi_windows": q_drift_psi_windows,
         "distinct_windows_events": q_distinct_windows_events,
         "quantile_sketch_events": q_quantile_sketch_events,
@@ -4061,6 +4074,28 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.fp = n.fp THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        "bucket_delta_docs": f"""
+            WITH o AS (SELECT doc_id,
+                              CASE WHEN doc_id % 7 = 0 THEN text || ' amended' ELSE text END AS text
+                       FROM documents WHERE doc_id % 10 != 9),
+                 n AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 8),
+                 ofp AS (SELECT CAST(('0x'||substr(md5('bdb:'||CAST(doc_id AS VARCHAR)),1,12))::BIGINT % 16 AS INT) AS bucket,
+                                count(*) AS nr,
+                                bit_xor(('0x'||substr(md5('bd:'||CAST(doc_id AS VARCHAR)||'|'||coalesce(sha256(text),'__null__')),1,12))::BIGINT) AS fp
+                         FROM o GROUP BY 1),
+                 nfp AS (SELECT CAST(('0x'||substr(md5('bdb:'||CAST(doc_id AS VARCHAR)),1,12))::BIGINT % 16 AS INT) AS bucket,
+                                count(*) AS nr,
+                                bit_xor(('0x'||substr(md5('bd:'||CAST(doc_id AS VARCHAR)||'|'||coalesce(sha256(text),'__null__')),1,12))::BIGINT) AS fp
+                         FROM n GROUP BY 1)
+            SELECT coalesce(nfp.bucket, ofp.bucket) AS bucket,
+                   CASE WHEN ofp.fp IS NULL THEN 'added'
+                        WHEN nfp.fp IS NULL THEN 'deleted'
+                        WHEN ofp.fp = nfp.fp AND ofp.nr = nfp.nr THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM ofp FULL OUTER JOIN nfp ON ofp.bucket = nfp.bucket
+            WHERE NOT (ofp.fp IS NOT NULL AND nfp.fp IS NOT NULL
+                       AND ofp.fp = nfp.fp AND ofp.nr = nfp.nr)
         """,
         "delta_validate_docs": _doc_violations_oracle(
             f"""(SELECT n.* FROM (SELECT * FROM documents WHERE doc_id % 10 != 8) n

@@ -123,6 +123,126 @@ def delta_rows(
     return n.join(o, [*key_cols, "__fp"], "left_anti").drop("__fp")
 
 
+def bucket_fingerprints(
+    df: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+    n_buckets: int = 64,
+    salt: str = "bd",
+    portable: bool = True,
+) -> DataFrame:
+    """Per-bucket aggregate fingerprint of a snapshot:
+    ``(bucket, n_rows, bucket_fp)``.
+
+    Rows map to ``n_buckets`` stable logical buckets by a hash of the key —
+    the same bucket model as the checkpoint lineage (plans/checkpoint.py),
+    independent of physical partitioning.  ``bucket_fp`` is the bit_xor of a
+    48-bit hash of (key, content fingerprint): order-independent, overflow-
+    free at any row count, and sensitive to any added / removed / changed
+    row (keys are unique per snapshot — the ``unique_key`` invariant — so
+    the xor-cancels-duplicates failure mode cannot occur).  ``portable=True``
+    uses the md5-derived :func:`~json_schema_rs_spark.operators.sketches.hash48`
+    (DuckDB-reproducible); ``portable=False`` swaps in xxhash64 (JVM, faster).
+
+    One map-side-combined aggregate → at most ``n_buckets`` rows leave the
+    executors, whatever the snapshot size.
+    """
+    from json_schema_rs_spark.operators.sketches import hash48
+
+    key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key_cols])
+    row_fp = hash48(
+        F.concat(key_str, F.lit("|"), content_fingerprint(content_col)),
+        salt + ":", portable=portable,
+    )
+    bucket = F.pmod(hash48(key_str, salt + "b:", portable=portable), F.lit(n_buckets))
+    return (
+        df.select(bucket.cast("int").alias("bucket"), row_fp.alias("__rfp"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(__rfp)").alias("bucket_fp"),
+        )
+    )
+
+
+def changed_buckets(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+    n_buckets: int = 64,
+    salt: str = "bd",
+    portable: bool = True,
+) -> DataFrame:
+    """Buckets whose aggregate fingerprint differs between the snapshots —
+    ``(bucket, status)`` with status ∈ ``changed`` (both sides, different
+    fp or row count), ``added`` / ``deleted`` (bucket present on one side
+    only; with uniform hashing that means the other snapshot is missing
+    EVERY key of the bucket — tiny snapshots or empty corpora)."""
+    o = bucket_fingerprints(old, key_cols, content_col, n_buckets, salt, portable)
+    n = bucket_fingerprints(new, key_cols, content_col, n_buckets, salt, portable)
+    on = o.select(
+        F.col("bucket"), F.col("n_rows").alias("__no"), F.col("bucket_fp").alias("__fo")
+    ).join(
+        n.select(
+            F.col("bucket"), F.col("n_rows").alias("__nn"), F.col("bucket_fp").alias("__fn")
+        ),
+        "bucket",
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("__fo").isNull(), F.lit("added"))
+        .when(F.col("__fn").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("__fo") == F.col("__fn")) & (F.col("__no") == F.col("__nn")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return on.select("bucket", status.alias("status")).filter(
+        F.col("status") != "unchanged"
+    )
+
+
+def bucket_delta_rows(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+    n_buckets: int = 64,
+    salt: str = "bd",
+    portable: bool = True,
+) -> DataFrame:
+    """Two-level delta — the 10^12-file scale path for :func:`delta_rows`.
+
+    Level 1 screens BUCKETS: both snapshots reduce to ≤ ``n_buckets``
+    aggregate-fingerprint rows (one narrow agg each, nothing else moves);
+    buckets with equal fingerprints are dropped wholesale.  Level 2 runs the
+    exact (key, fingerprint) anti-join only INSIDE the changed buckets, so
+    when a day's churn touches k of 2^14 buckets the anti-join shuffles
+    ~k/2^14 of the corpus instead of all of it — and the bucket predicate
+    is a literal IN list that prunes at the scan when the snapshots are
+    stored bucketed on the same key (layout.py).
+
+    Same result set as :func:`delta_rows` up to the screening hash: a
+    changed bucket whose xor-of-48-bit-hashes collides with its old value
+    would be skipped (probability ≈ 2^-48 per changed bucket, the rsync
+    trade).  The changed-bucket list is collected to the driver — bounded
+    by ``n_buckets``, the same driver cost the checkpoint planner pays.
+    """
+    from json_schema_rs_spark.operators.sketches import hash48
+
+    ch = changed_buckets(old, new, key_cols, content_col, n_buckets, salt, portable)
+    buckets = sorted(r["bucket"] for r in ch.collect())
+    if not buckets:
+        return new.limit(0)
+    key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key_cols])
+    in_changed = F.pmod(hash48(key_str, salt + "b:", portable=portable), F.lit(n_buckets)).cast(
+        "int"
+    ).isin(buckets)
+    return delta_rows(old.filter(in_changed), new.filter(in_changed), key_cols, content_col)
+
+
 def validate_delta(
     engine,
     old: DataFrame,

@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from json_schema_rs_spark import ValidationEngine, spec_from_json
 from json_schema_rs_spark.operators.delta import (
+    bucket_delta_rows,
+    changed_buckets,
     delta_rows,
     diff_stats,
     snapshot_diff,
@@ -81,6 +83,35 @@ def test_validate_delta_matches_direct_validate(old, new):
     assert res.summary.agg(F.sum("n_rows")).first()[0] == 2
     viol = res.violations.collect()
     assert len(viol) == 1 and viol[0]["constraint_id"] == "min_length:content"
+
+
+def test_bucket_delta_matches_row_delta(old, new):
+    # the two-level screen must reproduce the exact row-level delta
+    # (screening only ever drops buckets that are bit-identical)
+    for n_buckets in (1, 4, 64):
+        got = {
+            (r["repo"], r["path"])
+            for r in bucket_delta_rows(old, new, ["repo", "path"], n_buckets=n_buckets).collect()
+        }
+        assert got == {("r1", "b.py"), ("r1", "d.py")}, n_buckets
+
+
+def test_changed_buckets_empty_when_identical(old):
+    assert changed_buckets(old, old, ["repo", "path"]).count() == 0
+    empty = bucket_delta_rows(old, old, ["repo", "path"])
+    assert empty.count() == 0 and empty.columns == old.columns
+
+
+def test_changed_buckets_nonportable_hash_same_screen(old, new):
+    # xxhash64 screen (portable=False) must flag a superset-equal set of
+    # changed rows: the final row set is identical, only the hash differs
+    got = {
+        (r["repo"], r["path"])
+        for r in bucket_delta_rows(
+            old, new, ["repo", "path"], n_buckets=8, portable=False
+        ).collect()
+    }
+    assert got == {("r1", "b.py"), ("r1", "d.py")}
 
 
 def test_snapshot_diff_deleted_keeps_key_values(old, new):

@@ -1,0 +1,38 @@
+"""Smoke test for examples/incremental_pipeline.py — the day-2 incremental
+loop (bucket screen → delta re-validate → evolution gate) stays runnable and
+matches the churn's closed form."""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+)
+
+from incremental_pipeline import ADD_N, run  # noqa: E402
+
+
+def test_incremental_report(spark):
+    n = 4_000
+    report = run(spark, n_rows=n, n_buckets=32)
+    assert report["rows_day0"] == n
+
+    # closed-form churn (same arithmetic the snapshot synthesizer plants)
+    deleted = [i for i in range(n) if i % 1009 == 5]
+    added = [i for i in range(n, n + ADD_N) if i % 1009 != 5]
+    changed = [i for i in range(n) if i % 271 == 3 and i % 1009 != 5]
+    assert report["diff"]["deleted"] == len(deleted)
+    assert report["diff"]["added"] == len(added)
+    assert report["diff"]["changed"] == len(changed)
+    assert report["diff"]["unchanged"] == n - len(deleted) - len(changed)
+
+    # the delta is exactly added + changed — that's the whole point
+    assert report["delta_validated_rows"] == len(added) + len(changed)
+    assert 0 < report["changed_buckets"] <= report["n_buckets"]
+
+    # delta verdicts must agree row-for-row with a full re-validation
+    assert report["delta_agrees_with_full"] is True
+
+    # day 0 validated every bucket; the loosened spec inherits all of them
+    assert report["day0_buckets_validated"] == report["n_buckets"]
+    assert report["inherited_buckets_after_loosening"] == report["n_buckets"]
