@@ -130,19 +130,31 @@ def bucket_fingerprints(
     n_buckets: int = 64,
     salt: str = "bd",
     portable: bool = True,
+    bucket_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-bucket aggregate fingerprint of a snapshot:
     ``(bucket, n_rows, bucket_fp)``.
 
-    Rows map to ``n_buckets`` stable logical buckets by a hash of the key —
-    the same bucket model as the checkpoint lineage (plans/checkpoint.py),
-    independent of physical partitioning.  ``bucket_fp`` is the bit_xor of a
-    48-bit hash of (key, content fingerprint): order-independent, overflow-
-    free at any row count, and sensitive to any added / removed / changed
-    row (keys are unique per snapshot — the ``unique_key`` invariant — so
-    the xor-cancels-duplicates failure mode cannot occur).  ``portable=True``
+    Rows map to ``n_buckets`` stable logical buckets by a hash of
+    ``bucket_cols`` (default: the full key) — the same bucket model as the
+    checkpoint lineage (plans/checkpoint.py), independent of physical
+    partitioning.  ``bucket_fp`` is the bit_xor of a 48-bit hash of
+    (key, content fingerprint): order-independent, overflow-free at any row
+    count, and sensitive to any added / removed / changed row (keys are
+    unique per snapshot — the ``unique_key`` invariant — so the
+    xor-cancels-duplicates failure mode cannot occur).  ``portable=True``
     uses the md5-derived :func:`~json_schema_rs_spark.operators.sketches.hash48`
     (DuckDB-reproducible); ``portable=False`` swaps in xxhash64 (JVM, faster).
+
+    **Choose bucket_cols for churn LOCALITY, not uniformity.**  Hashing the
+    full unique key spreads any churn uniformly: k changed rows flag
+    ~min(k, n_buckets) buckets, so the screen stops pruning once churn
+    exceeds the bucket count.  Real snapshot churn is local — a repository
+    updates and its files change together — so bucketing on the
+    locality-bearing key prefix (``bucket_cols=["repo"]``) confines a
+    churned repo to one bucket and the screen prunes everything else.
+    Align it with the table's physical partitioning and the level-2 filter
+    prunes at the scan.
 
     One map-side-combined aggregate → at most ``n_buckets`` rows leave the
     executors, whatever the snapshot size.
@@ -150,11 +162,14 @@ def bucket_fingerprints(
     from json_schema_rs_spark.operators.sketches import hash48
 
     key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key_cols])
+    bkt_str = F.concat_ws(
+        "\x1f", *[F.col(k).cast("string") for k in (bucket_cols or key_cols)]
+    )
     row_fp = hash48(
         F.concat(key_str, F.lit("|"), content_fingerprint(content_col)),
         salt + ":", portable=portable,
     )
-    bucket = F.pmod(hash48(key_str, salt + "b:", portable=portable), F.lit(n_buckets))
+    bucket = F.pmod(hash48(bkt_str, salt + "b:", portable=portable), F.lit(n_buckets))
     return (
         df.select(bucket.cast("int").alias("bucket"), row_fp.alias("__rfp"))
         .groupBy("bucket")
@@ -173,14 +188,14 @@ def changed_buckets(
     n_buckets: int = 64,
     salt: str = "bd",
     portable: bool = True,
+    bucket_cols: list[str] | None = None,
 ) -> DataFrame:
     """Buckets whose aggregate fingerprint differs between the snapshots —
     ``(bucket, status)`` with status ∈ ``changed`` (both sides, different
     fp or row count), ``added`` / ``deleted`` (bucket present on one side
-    only; with uniform hashing that means the other snapshot is missing
-    EVERY key of the bucket — tiny snapshots or empty corpora)."""
-    o = bucket_fingerprints(old, key_cols, content_col, n_buckets, salt, portable)
-    n = bucket_fingerprints(new, key_cols, content_col, n_buckets, salt, portable)
+    only — e.g. a brand-new repo's bucket under locality bucketing)."""
+    o = bucket_fingerprints(old, key_cols, content_col, n_buckets, salt, portable, bucket_cols)
+    n = bucket_fingerprints(new, key_cols, content_col, n_buckets, salt, portable, bucket_cols)
     on = o.select(
         F.col("bucket"), F.col("n_rows").alias("__no"), F.col("bucket_fp").alias("__fo")
     ).join(
@@ -212,6 +227,7 @@ def bucket_delta_rows(
     n_buckets: int = 64,
     salt: str = "bd",
     portable: bool = True,
+    bucket_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-level delta — the 10^12-file scale path for :func:`delta_rows`.
 
@@ -222,7 +238,9 @@ def bucket_delta_rows(
     when a day's churn touches k of 2^14 buckets the anti-join shuffles
     ~k/2^14 of the corpus instead of all of it — and the bucket predicate
     is a literal IN list that prunes at the scan when the snapshots are
-    stored bucketed on the same key (layout.py).
+    stored bucketed on the same columns (layout.py).  Pass
+    ``bucket_cols=["repo"]``-style locality columns so correlated churn
+    stays confined to few buckets (see :func:`bucket_fingerprints`).
 
     Same result set as :func:`delta_rows` up to the screening hash: a
     changed bucket whose xor-of-48-bit-hashes collides with its old value
@@ -232,12 +250,16 @@ def bucket_delta_rows(
     """
     from json_schema_rs_spark.operators.sketches import hash48
 
-    ch = changed_buckets(old, new, key_cols, content_col, n_buckets, salt, portable)
+    ch = changed_buckets(
+        old, new, key_cols, content_col, n_buckets, salt, portable, bucket_cols
+    )
     buckets = sorted(r["bucket"] for r in ch.collect())
     if not buckets:
         return new.limit(0)
-    key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key_cols])
-    in_changed = F.pmod(hash48(key_str, salt + "b:", portable=portable), F.lit(n_buckets)).cast(
+    bkt_str = F.concat_ws(
+        "\x1f", *[F.col(k).cast("string") for k in (bucket_cols or key_cols)]
+    )
+    in_changed = F.pmod(hash48(bkt_str, salt + "b:", portable=portable), F.lit(n_buckets)).cast(
         "int"
     ).isin(buckets)
     return delta_rows(old.filter(in_changed), new.filter(in_changed), key_cols, content_col)

@@ -114,6 +114,34 @@ def test_changed_buckets_nonportable_hash_same_screen(old, new):
     assert got == {("r1", "b.py"), ("r1", "d.py")}
 
 
+def test_bucket_cols_locality_confines_churn(spark):
+    # churn confined to one repo must flag exactly ONE bucket when the
+    # screen buckets on the locality-bearing prefix (repo), regardless of
+    # how many files changed — the full-key hash would spread the same
+    # churn across ~one bucket per changed row
+    base = spark.range(0, 1000).select(
+        F.concat(F.lit("repo_"), (F.col("id") % 200).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("content"),
+    )
+    churned = base.withColumn(
+        "content",
+        F.when(F.col("repo") == "repo_7", F.concat(F.col("content"), F.lit(" v2"))).otherwise(
+            F.col("content")
+        ),
+    )
+    by_repo = changed_buckets(
+        base, churned, ["repo", "path"], n_buckets=64, bucket_cols=["repo"]
+    )
+    assert by_repo.count() == 1
+    # level-2 result is unchanged by the bucketing choice: exactly repo_7's files
+    rows = bucket_delta_rows(
+        base, churned, ["repo", "path"], n_buckets=64, bucket_cols=["repo"]
+    )
+    got = {(r["repo"], r["path"]) for r in rows.collect()}
+    assert got == {("repo_7", f"f{i}.py") for i in range(7, 1000, 200)}
+
+
 def test_snapshot_diff_deleted_keeps_key_values(old, new):
     deleted = (
         snapshot_diff(old, new, ["repo", "path"])
