@@ -212,6 +212,8 @@ def bench_queries(spark) -> dict[str, float]:
         "distinct_windows_events",
         "interval_join_orders",
         "lineage_manifest_docs",
+        "bucket_delta_docs",
+        "delta_validate_docs",
     ]
     qs = entrymod.queries()
 

@@ -59,7 +59,13 @@ SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           # HINT (forced broadcast would be unbounded at high group
           # cardinality); the initial plan is SMJ and AQE converts it to a
           # broadcast join at runtime when the stats frame is small
-          "outliers_events_value"}
+          "outliers_events_value",
+          # snapshot-delta family: the diff is a FULL OUTER join of two
+          # (key, sha256) projections (no broadcast form exists) and the
+          # delta anti-join pairs two corpus-sized relations on
+          # (key, fingerprint) — SMJ on the key is the intended plan; the
+          # bucket screen's full outer joins two ≤ n_buckets aggregates
+          "snapshot_diff_docs", "delta_validate_docs", "bucket_delta_docs"}
 
 
 def main() -> int:
