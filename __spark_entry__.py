@@ -2010,6 +2010,51 @@ def q_bucket_delta_docs(spark, sf_dir):
     return changed_buckets(old, new, ["doc_id"], content_col="text", n_buckets=16)
 
 
+def q_fk_discovery(spark, sf_dir):
+    # Inclusion-dependency discovery (operators/integrity.py
+    # inclusion_profile): which column pairs are real foreign keys?  Each
+    # pair distinct-reduces both sides BEFORE the (broadcast) join, so the
+    # cost is key cardinality, not fact-table rows.  Includes one
+    # deliberately weak pair (l_suppkey -> n_nationkey) so all verdict
+    # branches are exercised.
+    from json_schema_rs_spark.operators.integrity import inclusion_profile
+
+    return inclusion_profile(
+        [
+            ("orders.o_custkey->customer.c_custkey",
+             _t(spark, sf_dir, "orders"), "o_custkey",
+             _t(spark, sf_dir, "customer"), "c_custkey"),
+            ("lineitem.l_orderkey->orders.o_orderkey",
+             _t(spark, sf_dir, "lineitem"), "l_orderkey",
+             _t(spark, sf_dir, "orders"), "o_orderkey"),
+            ("events.user_id->customer.c_custkey",
+             _t(spark, sf_dir, "events"), "user_id",
+             _t(spark, sf_dir, "customer"), "c_custkey"),
+            ("lineitem.l_suppkey->nation.n_nationkey",
+             _t(spark, sf_dir, "lineitem"), "l_suppkey",
+             _t(spark, sf_dir, "nation"), "n_nationkey"),
+        ]
+    )
+
+
+def q_skew_profile_events(spark, sf_dir):
+    # Shuffle-key skew measurement (operators/stats.py key_skew_profile):
+    # one groupBy(key) + scalar agg -> a single diagnostic row.  The
+    # decision input for salted_join / AQE skew handling at 100 TB.
+    from json_schema_rs_spark.operators.stats import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "events"), "user_id")
+
+
+def q_partition_load_events(spark, sf_dir):
+    # Simulated Exchange balance at parallelism 32 (operators/stats.py
+    # partition_load_profile) — portable md5 bucket hash, so DuckDB replays
+    # the exact assignment that produces max/avg straggler ratio.
+    from json_schema_rs_spark.operators.stats import partition_load_profile
+
+    return partition_load_profile(_t(spark, sf_dir, "events"), "user_id", 32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2138,6 +2183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_custdist": q_q13_custdist,
         "q18_large_orders": q_q18_large_orders,
         "q22_idle_customers": q_q22_idle_customers,
+        "fk_discovery": q_fk_discovery,
+        "skew_profile_events": q_skew_profile_events,
+        "partition_load_events": q_partition_load_events,
     }
 
 
@@ -2660,6 +2708,39 @@ def _suggest_constraints_oracle(table: str) -> str:
               UNION ALL SELECT 'n_chars', 'maximum', CAST(max_c AS VARCHAR) FROM m)
             SELECT col AS "column", keyword, value FROM sugg WHERE value IS NOT NULL
         """
+
+
+def _fk_pair_sql(label: str, child_t: str, child_c: str, parent_t: str, parent_c: str) -> str:
+    # Mirrors operators/integrity.inclusion_profile VERBATIM: distinct-reduce
+    # both sides, left join, one agg; same double division + round(6) and the
+    # same verdict thresholds so all columns hash-match bit-for-bit.
+    return f"""
+        SELECT '{label}' AS relation,
+               CAST(count(*) AS BIGINT) AS n_child_distinct,
+               CAST(coalesce(sum(CASE WHEN p.hit IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matched,
+               CAST(count(*) - coalesce(sum(CASE WHEN p.hit IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphan,
+               round(100.0 * coalesce(sum(CASE WHEN p.hit IS NOT NULL THEN 1 ELSE 0 END), 0) / count(*), 6)
+                 AS containment_pct,
+               CASE
+                 WHEN coalesce(sum(CASE WHEN p.hit IS NOT NULL THEN 1 ELSE 0 END), 0) = count(*) THEN 'fk'
+                 WHEN 100.0 * coalesce(sum(CASE WHEN p.hit IS NOT NULL THEN 1 ELSE 0 END), 0) / count(*) >= 99.0
+                   THEN 'near_fk'
+                 ELSE 'weak'
+               END AS verdict
+        FROM (SELECT DISTINCT {child_c} AS v FROM {child_t} WHERE {child_c} IS NOT NULL) c
+        LEFT JOIN (SELECT DISTINCT {parent_c} AS v, 1 AS hit FROM {parent_t}
+                   WHERE {parent_c} IS NOT NULL) p USING (v)
+    """
+
+
+_FK_DISCOVERY_ORACLE = "\nUNION ALL\n".join(
+    [
+        _fk_pair_sql("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        _fk_pair_sql("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        _fk_pair_sql("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+        _fk_pair_sql("lineitem.l_suppkey->nation.n_nationkey", "lineitem", "l_suppkey", "nation", "n_nationkey"),
+    ]
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4104,4 +4185,30 @@ def oracle_sql() -> dict[str, str]:
                    WHERE o.doc_id = n.doc_id
                      AND o.fp = coalesce(sha256(n.text), '__null__')))"""
         ),
+        "fk_discovery": _FK_DISCOVERY_ORACLE,
+        "skew_profile_events": """
+            WITH counts AS (
+              SELECT user_id, count(*) AS n FROM events
+              WHERE user_id IS NOT NULL GROUP BY user_id)
+            SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(n) AS BIGINT) AS max_key_rows,
+                   round(100.0 * max(n) / sum(n), 6) AS top1_share_pct,
+                   round(max(n) / (CAST(sum(n) AS double) / count(*)), 6) AS skew_ratio
+            FROM counts
+        """,
+        "partition_load_events": """
+            WITH loads AS (
+              SELECT CAST(('0x' || substr(md5('p:' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) % 32
+                       AS bucket,
+                     count(*) AS load
+              FROM events WHERE user_id IS NOT NULL GROUP BY bucket)
+            SELECT 32 AS parallelism,
+                   CAST(count(*) AS BIGINT) AS buckets_used,
+                   CAST(max(load) AS BIGINT) AS max_load,
+                   CAST(min(load) AS BIGINT) AS min_load,
+                   round(CAST(sum(load) AS double) / count(*), 6) AS avg_load,
+                   round(max(load) / (CAST(sum(load) AS double) / count(*)), 6) AS balance_ratio
+            FROM loads
+        """,
     }

@@ -24,6 +24,71 @@ def orphan_rows(fact: DataFrame, fact_col: str, dim: DataFrame, dim_col: str) ->
     )
 
 
+def inclusion_profile(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+    broadcast_parent: bool = True,
+    near_fk_pct: float = 99.0,
+) -> DataFrame:
+    """Inclusion-dependency (foreign-key) DISCOVERY — profile how completely
+    each child column's value set is contained in a parent column, the
+    inverse problem of :func:`orphan_rows` (which *enforces* a declared
+    reference; this *finds* references worth declaring).
+
+    ``pairs`` is ``[(label, child_df, child_col, parent_df, parent_col)]``.
+    Returns one row per pair:
+    ``(relation, n_child_distinct, n_matched, n_orphan, containment_pct,
+    verdict)`` with verdict ``fk`` (100% contained), ``near_fk``
+    (>= ``near_fk_pct``), else ``weak``.
+
+    Scale shape, per pair: both sides are DISTINCT-reduced first (map-side
+    combine, so the join sees key cardinality not row count), the parent key
+    set is broadcast when ``broadcast_parent`` (dimension-sized parents; pass
+    False for a shuffled key-key join on large parents), and the presence
+    flag collapses in ONE aggregation to a single row.  The union of
+    per-pair rows is driver-cheap (len(pairs) rows).  No full-table shuffle
+    ever touches the child fact table.
+    """
+    out: DataFrame | None = None
+    for label, child, child_col, parent, parent_col in pairs:
+        child_keys = (
+            child.filter(F.col(child_col).isNotNull())
+            .select(F.col(child_col).alias("__v"))
+            .distinct()
+        )
+        parent_keys = (
+            parent.filter(F.col(parent_col).isNotNull())
+            .select(F.col(parent_col).alias("__v"), F.lit(1).alias("__hit"))
+            .distinct()
+        )
+        if broadcast_parent:
+            parent_keys = F.broadcast(parent_keys)
+        flagged = child_keys.join(parent_keys, on="__v", how="left")
+        row = flagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_matched"),
+        ).select(
+            F.lit(label).alias("relation"),
+            "n_child_distinct",
+            "n_matched",
+            (F.col("n_child_distinct") - F.col("n_matched")).alias("n_orphan"),
+            F.round(
+                F.lit(100.0) * F.col("n_matched") / F.col("n_child_distinct"), 6
+            ).alias("containment_pct"),
+            F.when(F.col("n_matched") == F.col("n_child_distinct"), F.lit("fk"))
+            .when(
+                F.lit(100.0) * F.col("n_matched") / F.col("n_child_distinct")
+                >= F.lit(float(near_fk_pct)),
+                F.lit("near_fk"),
+            )
+            .otherwise(F.lit("weak"))
+            .alias("verdict"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("inclusion_profile: pairs must be non-empty")
+    return out
+
+
 def referential_violations(
     fact: DataFrame,
     spec: ReferentialIntegritySpec,

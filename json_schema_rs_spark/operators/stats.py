@@ -141,3 +141,91 @@ SELECT '{c}' AS col_name,
               / CAST(count({c}) AS double)))), 6) END AS stddev
 FROM {table}""")
     return "\nUNION ALL\n".join(branches)
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle/join key: total
+    rows, distinct keys, the heaviest key's row count and share, and the
+    max/mean ratio (1.0 = perfectly uniform).  This is the *measurement*
+    side of the engine's skew story (the enforcement side is
+    operators/joins.salted_join and AQE skew-join) — run it BEFORE picking a
+    partitioning key at 100 TB.
+
+    Scale shape: one map-side-combined ``groupBy(key).count()`` (the only
+    shuffle, on the key itself) followed by a scalar aggregation — the
+    driver sees one row.  Shares and ratios are plain double divisions of
+    exact longs (identical in any engine); only the final derived values are
+    rounded (6 dp).
+    """
+    counts = df.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return counts.agg(
+        F.sum("__n").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("__n").cast("long").alias("max_key_rows"),
+    ).select(
+        "total_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(
+            F.lit(100.0) * F.col("max_key_rows") / F.col("total_rows"), 6
+        ).alias("top1_share_pct"),
+        F.round(
+            F.col("max_key_rows")
+            / (F.col("total_rows").cast("double") / F.col("n_keys")),
+            6,
+        ).alias("skew_ratio"),
+    )
+
+
+def partition_load_profile(df: DataFrame, key_col: str, parallelism: int) -> DataFrame:
+    """Simulate the shuffle-partition load a key column would produce at a
+    given parallelism: bucket every row by a PORTABLE 52-bit md5 hash of the
+    key mod ``parallelism`` (not Spark's murmur3, so the oracle replays the
+    exact assignment), then report bucket-balance statistics in one row:
+    ``(parallelism, buckets_used, max_load, min_load, avg_load,
+    balance_ratio)``.  ``balance_ratio`` = max/avg — the straggler factor a
+    real Exchange on this key would suffer (AQE can split oversized
+    partitions, but only after materializing them; knowing the ratio ahead
+    of time is what decides salting).
+
+    Scale: one groupBy on the bucket id (bounded at ``parallelism`` groups,
+    map-side combined) + a scalar agg.
+    """
+    if parallelism <= 0:
+        raise ValueError("partition_load_profile: parallelism must be positive")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("p:"), F.col(key_col).cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(parallelism)
+    )
+    loads = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(bucket.alias("__bucket"))
+        .agg(F.count(F.lit(1)).alias("__load"))
+    )
+    return loads.agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_used"),
+        F.max("__load").cast("long").alias("max_load"),
+        F.min("__load").cast("long").alias("min_load"),
+        F.sum("__load").cast("long").alias("total_rows"),
+    ).select(
+        F.lit(int(parallelism)).alias("parallelism"),
+        "buckets_used",
+        "max_load",
+        "min_load",
+        F.round(F.col("total_rows").cast("double") / F.col("buckets_used"), 6).alias(
+            "avg_load"
+        ),
+        F.round(
+            F.col("max_load")
+            / (F.col("total_rows").cast("double") / F.col("buckets_used")),
+            6,
+        ).alias("balance_ratio"),
+    )

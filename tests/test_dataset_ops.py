@@ -123,3 +123,56 @@ def test_duplicate_keys_hash_and_direct_agree(spark):
         for r in duplicate_keys(df, ["repo", "path"], via_hash=False).collect()
     }
     assert via_hash == direct == {("r1", "a"): 3}
+
+
+# ---------------------------------------------------------------------------
+# inclusion_profile (FK discovery)
+# ---------------------------------------------------------------------------
+
+
+def test_inclusion_profile_verdicts(spark):
+    from json_schema_rs_spark.operators.integrity import inclusion_profile
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)] + [(i,) for i in range(4, 104)], "v long"
+    )
+    parent_full = spark.createDataFrame([(i,) for i in range(0, 200)], "p long")
+    parent_missing_one = spark.createDataFrame(
+        [(i,) for i in range(1, 104) if i != 50], "p long"
+    )
+    parent_weak = spark.createDataFrame([(1,), (2,)], "p long")
+    rows = {
+        r["relation"]: r.asDict()
+        for r in inclusion_profile(
+            [
+                ("full", child, "v", parent_full, "p"),
+                ("near", child, "v", parent_missing_one, "p"),
+                ("weak", child, "v", parent_weak, "p"),
+            ]
+        ).collect()
+    }
+    assert rows["full"]["verdict"] == "fk"
+    assert rows["full"]["n_child_distinct"] == 103  # NULL excluded
+    assert rows["full"]["n_orphan"] == 0
+    assert rows["full"]["containment_pct"] == 100.0
+    assert rows["near"]["verdict"] == "near_fk" and rows["near"]["n_orphan"] == 1
+    assert rows["weak"]["verdict"] == "weak" and rows["weak"]["n_matched"] == 2
+
+
+def test_inclusion_profile_duplicate_child_values_count_once(spark):
+    from json_schema_rs_spark.operators.integrity import inclusion_profile
+
+    child = spark.createDataFrame([(1,), (1,), (1,), (2,)], "v long")
+    parent = spark.createDataFrame([(1,)], "p long")
+    r = inclusion_profile([("x", child, "v", parent, "p")]).collect()[0]
+    assert r["n_child_distinct"] == 2 and r["n_matched"] == 1
+    assert r["containment_pct"] == 50.0
+
+
+def test_inclusion_profile_rejects_empty_pairs():
+    import pytest as _pytest
+
+    from json_schema_rs_spark.operators.integrity import inclusion_profile
+
+    with _pytest.raises(ValueError):
+        inclusion_profile([])

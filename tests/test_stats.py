@@ -77,3 +77,65 @@ def test_profile_oracle_matches_duckdb(spark, tmp_path):
         # one engine-divergent op); mirror that here
         assert round(g["mean"], 6) == o[6]
         assert round(g["stddev"], 6) == o[7]
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile / partition_load_profile
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_profile_uniform_vs_skewed(spark):
+    from json_schema_rs_spark.operators.stats import key_skew_profile
+
+    uniform = spark.createDataFrame([(i % 4,) for i in range(40)], "k long")
+    r = key_skew_profile(uniform, "k").collect()[0]
+    assert r["total_rows"] == 40 and r["n_keys"] == 4
+    assert r["max_key_rows"] == 10 and r["skew_ratio"] == 1.0
+
+    skewed = spark.createDataFrame([(0,)] * 37 + [(1,), (2,), (3,)], "k long")
+    s = key_skew_profile(skewed, "k").collect()[0]
+    assert s["max_key_rows"] == 37
+    assert s["top1_share_pct"] == 92.5
+    assert s["skew_ratio"] == 3.7
+
+
+def test_key_skew_profile_ignores_nulls(spark):
+    from json_schema_rs_spark.operators.stats import key_skew_profile
+
+    df = spark.createDataFrame([(1,), (1,), (None,)], "k long")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r["total_rows"] == 2 and r["n_keys"] == 1
+
+
+def test_partition_load_profile_conservation_and_bounds(spark):
+    from json_schema_rs_spark.operators.stats import partition_load_profile
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    r = partition_load_profile(df, "k", 8).collect()[0]
+    assert r["parallelism"] == 8
+    assert 1 <= r["buckets_used"] <= 8
+    assert r["max_load"] >= r["min_load"] >= 1
+    # loads sum back to the row count: avg * buckets == 200
+    assert abs(r["avg_load"] * r["buckets_used"] - 200) < 1e-6
+    assert r["balance_ratio"] >= 1.0
+
+
+def test_partition_load_profile_rejects_bad_parallelism(spark):
+    import pytest as _pytest
+
+    from json_schema_rs_spark.operators.stats import partition_load_profile
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        partition_load_profile(df, "k", 0)
+
+
+def test_partition_load_profile_partitioning_invariant(spark):
+    from json_schema_rs_spark.operators.stats import partition_load_profile
+
+    rows = [(i % 13,) for i in range(100)]
+    a = spark.createDataFrame(rows, "k long").repartition(1)
+    b = spark.createDataFrame(rows, "k long").repartition(7)
+    ra = partition_load_profile(a, "k", 4).collect()[0]
+    rb = partition_load_profile(b, "k", 4).collect()[0]
+    assert ra.asDict() == rb.asDict()
