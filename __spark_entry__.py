@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from json_schema_rs_spark import TableSpec, ValidationEngine
 from json_schema_rs_spark.operators.integrity import orphan_rows
+from json_schema_rs_spark.operators.sampling import weighted_sample_oracle_sql
+from json_schema_rs_spark.operators.search import bm25_oracle_sql
 from json_schema_rs_spark.operators.stats import profile_oracle_sql
 from json_schema_rs_spark.operators.uniqueness import duplicate_keys, unique_key_violations
 from json_schema_rs_spark.spec import UniqueKeySpec, number_field, string_field
@@ -2010,6 +2012,31 @@ def q_bucket_delta_docs(spark, sf_dir):
     return changed_buckets(old, new, ["doc_id"], content_col="text", n_buckets=16)
 
 
+def q_bm25_docs(spark, sf_dir):
+    # Lexical retrieval (operators/search.py bm25_topk): term filter BEFORE
+    # the tf shuffle, one-row corpus stats + per-term idf broadcast, decimal
+    # score sum (partitioning-invariant), TakeOrdered top-k.  The keyword
+    # half of retrieval; ANN (ann_topk) is the embedding half.
+    from json_schema_rs_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=15
+    )
+
+
+def q_weighted_sample_docs(spark, sf_dir):
+    # Weighted sampling WITHOUT replacement (operators/sampling.py
+    # weighted_sample_topk): A-Res selection keys as max-of-w md5 uniforms
+    # (exact rationals, no pow/ln), TakeOrdered top-k.  Quality-weighted
+    # corpus subsetting that replays bit-identically on any engine.
+    from json_schema_rs_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_topk(
+        docs, F.floor(F.col("n_chars") / 40), "doc_id", k=25
+    )
+
+
 def q_fk_discovery(spark, sf_dir):
     # Inclusion-dependency discovery (operators/integrity.py
     # inclusion_profile): which column pairs are real foreign keys?  Each
@@ -2184,6 +2211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q22_idle_customers": q_q22_idle_customers,
         "fk_discovery": q_fk_discovery,
+        "bm25_docs": q_bm25_docs,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "skew_profile_events": q_skew_profile_events,
         "partition_load_events": q_partition_load_events,
     }
@@ -4186,6 +4215,10 @@ def oracle_sql() -> dict[str, str]:
                      AND o.fp = coalesce(sha256(n.text), '__null__')))"""
         ),
         "fk_discovery": _FK_DISCOVERY_ORACLE,
+        "bm25_docs": bm25_oracle_sql("documents", ["hash", "join", "vector"], k=15),
+        "weighted_sample_docs": weighted_sample_oracle_sql(
+            "documents", "floor(n_chars / 40)", "doc_id", k=25
+        ),
         "skew_profile_events": """
             WITH counts AS (
               SELECT user_id, count(*) AS n FROM events

@@ -185,3 +185,88 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column,
+    id_col: str,
+    k: int,
+    salt: str = "wrs",
+    weight_cap: int = 64,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    every row draws a selection key distributed as ``u^(1/w)`` and the k
+    largest keys win — inclusion probability proportional to weight, no
+    replacement, single pass.
+
+    Portability over transcendentals: instead of ``pow(u, 1/w)`` (whose
+    last-ulp behavior differs between libm implementations, which could flip
+    the selection boundary under a bit-exact oracle), the key is computed as
+    the MAX of ``w`` independent md5-uniforms — the exact same distribution
+    (max of w uniforms ~ u^(1/w)) using only 52-bit-exact rationals, so any
+    engine that can md5 reproduces the sample bit-for-bit.  Weights are
+    integers clamped to ``[1, weight_cap]``; rows with NULL weight are
+    excluded.  At real scale swap in the one-hash ``pow`` form (same
+    distribution, no oracle constraint) — the cap bounds per-row hash work
+    here at ``weight_cap`` md5 calls.
+
+    Scale shape: the key is a pure projection (fuses into the scan); the
+    global top-k is an ordered LIMIT → TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a full sort.  Returns
+    ``(id_col, weight, sel_key)`` ordered by (sel_key desc, id asc).
+    """
+    if k <= 0:
+        raise ValueError("weighted_sample_topk: k must be positive")
+    if weight_cap <= 0:
+        raise ValueError("weighted_sample_topk: weight_cap must be positive")
+    w_eff = F.least(F.greatest(weight.cast("long"), F.lit(1)), F.lit(int(weight_cap)))
+    ids = F.col(id_col).cast("string")
+    key = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), w_eff),
+            lambda j: F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + ":"), ids, F.lit(":"), j.cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(_DENOM),
+        )
+    )
+    return (
+        df.filter(weight.isNotNull())
+        .select(F.col(id_col), w_eff.alias("weight"), key.alias("sel_key"))
+        .orderBy(F.col("sel_key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str,
+    weight_sql: str,
+    id_col: str,
+    k: int,
+    salt: str = "wrs",
+    weight_cap: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`weighted_sample_topk`: same clamped weight,
+    same per-draw md5 uniforms, same max, same tie-break."""
+    return f"""
+        WITH weighted AS (
+          SELECT {id_col} AS id,
+                 least(greatest(CAST({weight_sql} AS BIGINT), 1), {int(weight_cap)}) AS w
+          FROM {table} WHERE ({weight_sql}) IS NOT NULL),
+        keyed AS (
+          SELECT id, w,
+                 list_max(list_transform(range(1, CAST(w AS INTEGER) + 1), j ->
+                   CAST(('0x' || substr(md5('{salt}:' || CAST(id AS VARCHAR) || ':'
+                        || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT) / {_DENOM!r}
+                 )) AS sel_key
+          FROM weighted)
+        SELECT id AS {id_col}, w AS weight, sel_key
+        FROM keyed ORDER BY sel_key DESC, id ASC LIMIT {int(k)}
+    """

@@ -1,0 +1,163 @@
+"""Keyword relevance scoring (BM25) over the document corpus.
+
+No reference counterpart (the reference validates structure, never ranks);
+this is the lexical-retrieval half of a training-data curation stack — the
+ANN operators (operators/similarity.py) cover the embedding half, BM25 covers
+the keyword half (e.g. "pull every document mentioning these APIs" before a
+decontamination or targeted-eval sweep).
+
+Spark-first shape, end to end:
+
+  * ONE tokenization projection feeds both aggregations (document length and
+    per-term frequency); the term filter (``isin`` on a literal list) is
+    applied BEFORE the tf shuffle, so the heavy groupBy only sees rows for
+    query terms — at 100 TB the tf shuffle is proportional to query-term
+    occurrences, not corpus size.
+  * Corpus stats (N, avg doclen) reduce to ONE row and ride a broadcast
+    cross join; per-term document frequencies reduce to ≤ |terms| rows and
+    broadcast into the scoring join.  Nothing driver-side, no collect.
+  * Per-(doc, term) contributions are pure double arithmetic (deterministic
+    IEEE ops), the per-document sum is an exact DECIMAL(38,12) accumulation
+    (floating addition is order-dependent; decimal makes the score identical
+    at any partitioning), and the final top-k is an ordered LIMIT — Spark
+    plans TakeOrderedAndProject (per-partition heaps), never a global sort.
+  * The only transcendental, ``ln`` in the idf, is rounded to 9 dp so an
+    external engine (the DuckDB oracle) reproduces the exact doubles.
+
+BM25 parameters follow Robertson/Sparck-Jones defaults (k1=1.2, b=0.75) with
+the Lucene-style non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: exact-sum accumulator for score addition (same rationale as
+#: operators/stats.py: decimal sums are order-independent).
+_SCORE_SUM_TYPE = "decimal(38,12)"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    idf_round: int = 9,
+    score_round: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 relevance to ``query_terms`` (whitespace
+    tokenization, lowercased).  Returns ``(id_col, n_terms_hit, score)``
+    ordered by (score desc, id asc); ties at the boundary are broken by the
+    document id so the selection is total-ordered and reproducible.
+
+    A document with none of the terms never appears (score would be 0).
+    ``N`` / ``avgdl`` are computed over documents with at least one token.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+
+    doclen = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("__n_docs"),
+        F.sum("__dl").cast("long").alias("__sum_dl"),
+    )
+
+    tf = (
+        toks.filter(F.col("__tok").isin(terms))
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+
+    # idf per term: ≤ |terms| rows; the one-row stats frame rides along.
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "__tok",
+        "__n_docs",
+        "__sum_dl",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ),
+            idf_round,
+        ).alias("__idf"),
+    )
+
+    avgdl = F.col("__sum_dl").cast("double") / F.col("__n_docs")
+    contrib = F.col("__idf") * (
+        (F.col("__tf") * F.lit(k1 + 1.0))
+        / (F.col("__tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl))
+    )
+    scored = (
+        tf.join(doclen, "__id")
+        .join(F.broadcast(idf), "__tok")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.round(
+                F.sum(contrib.cast(_SCORE_SUM_TYPE)).cast("double"), score_round
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.select(F.col("__id").alias(id_col), "n_terms_hit", "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    table: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    idf_round: int = 9,
+    score_round: int = 6,
+) -> str:
+    """DuckDB oracle mirroring :func:`bm25_topk` VERBATIM — same tokenizer,
+    same rounded idf, same decimal score accumulation, same tie-break."""
+    terms = sorted({t.lower() for t in query_terms})
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS id,
+                 unnest(string_split_regex(lower({text_col}), '\\s+')) AS tok
+          FROM {table} WHERE {text_col} IS NOT NULL),
+        toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+        doclen AS (SELECT id, count(*) AS dl FROM toks2 GROUP BY id),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS sum_dl FROM doclen),
+        tf AS (SELECT id, tok, count(*) AS tf FROM toks2
+               WHERE tok IN ({term_list}) GROUP BY id, tok),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        idf AS (SELECT tok, n_docs, sum_dl,
+                       round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), {idf_round}) AS idf
+                FROM dfreq CROSS JOIN stats),
+        scored AS (
+          SELECT tf.id,
+                 CAST(count(*) AS BIGINT) AS n_terms_hit,
+                 round(CAST(sum(CAST(
+                   idf.idf * ((tf.tf * {k1 + 1.0!r}) /
+                     (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * doclen.dl
+                        / (CAST(idf.sum_dl AS double) / idf.n_docs))))
+                   AS DECIMAL(38,12))) AS double), {score_round}) AS score
+          FROM tf JOIN doclen ON tf.id = doclen.id
+                  JOIN idf ON tf.tok = idf.tok
+          GROUP BY tf.id)
+        SELECT id AS {id_col}, n_terms_hit, score
+        FROM scored ORDER BY score DESC, id ASC LIMIT {k}
+    """

@@ -166,3 +166,76 @@ def test_token_budget_cap_null_tokens_cost_zero(spark):
     assert cost <= 100
     # and every NULL row whose uniform precedes the budget cutoff survives
     assert tight.filter(F.col("n_tok").isNull()).count() >= 1
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_topk (A-Res without replacement, portable keys)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_returns_all_when_k_large(spark):
+    from pyspark.sql import functions as F
+
+    from json_schema_rs_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame([(i, 5) for i in range(10)], "id long, w long")
+    out = weighted_sample_topk(df, F.col("w"), "id", k=100).collect()
+    assert len(out) == 10
+    keys = [r["sel_key"] for r in out]
+    assert keys == sorted(keys, reverse=True)
+    assert all(0.0 <= x < 1.0 for x in keys)
+
+
+def test_weighted_sample_clamps_and_drops_null_weights(spark):
+    from pyspark.sql import functions as F
+
+    from json_schema_rs_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, -5), (2, 0), (3, None), (4, 1000)], "id long, w long"
+    )
+    rows = {r["id"]: r for r in weighted_sample_topk(df, F.col("w"), "id", k=10).collect()}
+    assert 3 not in rows                       # NULL weight excluded
+    assert rows[1]["weight"] == 1 and rows[2]["weight"] == 1   # clamped up
+    assert rows[4]["weight"] == 64             # clamped to the cap
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from json_schema_rs_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, (i % 9) + 1) for i in range(300)]
+    a = spark.createDataFrame(rows, "id long, w long").repartition(1)
+    b = spark.createDataFrame(rows, "id long, w long").repartition(17)
+    ra = [(r["id"], r["sel_key"]) for r in weighted_sample_topk(a, F.col("w"), "id", 20).collect()]
+    rb = [(r["id"], r["sel_key"]) for r in weighted_sample_topk(b, F.col("w"), "id", 20).collect()]
+    assert ra == rb
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from json_schema_rs_spark.operators.sampling import weighted_sample_topk
+
+    # ids 0..499: even ids weight 16, odd ids weight 1 -> top-100 should be
+    # dominated by the heavy half (expected heavy share ~16/17)
+    df = spark.createDataFrame(
+        [(i, 16 if i % 2 == 0 else 1) for i in range(500)], "id long, w long"
+    )
+    out = weighted_sample_topk(df, F.col("w"), "id", k=100).collect()
+    heavy = sum(1 for r in out if r["id"] % 2 == 0)
+    assert heavy >= 75
+
+
+def test_weighted_sample_rejects_bad_args(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from json_schema_rs_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame([(1, 1)], "id long, w long")
+    with _pytest.raises(ValueError):
+        weighted_sample_topk(df, F.col("w"), "id", k=0)
+    with _pytest.raises(ValueError):
+        weighted_sample_topk(df, F.col("w"), "id", k=5, weight_cap=0)
