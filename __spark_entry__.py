@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from json_schema_rs_spark import TableSpec, ValidationEngine
 from json_schema_rs_spark.operators.integrity import orphan_rows
+from json_schema_rs_spark.operators.graph import pagerank_oracle_sql
 from json_schema_rs_spark.operators.sampling import weighted_sample_oracle_sql
 from json_schema_rs_spark.operators.search import bm25_oracle_sql
 from json_schema_rs_spark.operators.stats import profile_oracle_sql
@@ -2037,6 +2038,78 @@ def q_weighted_sample_docs(spark, sf_dir):
     )
 
 
+_PAGERANK_EDGES_SQL = """
+    SELECT cn.n_name AS src, sn.n_name AS dst
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+"""
+
+
+def q_pagerank_nations(spark, sf_dir):
+    # Distributed PageRank (operators/graph.py) over the cross-nation trade
+    # graph: one edge per lineitem whose customer and supplier nations
+    # differ (parallel edges = trade volume).  3 fixed iterations, decimal
+    # contribution sums (partitioning-invariant), dangling mass broadcast.
+    # Edges are cached — each iteration re-reads them, exactly how a real
+    # run would materialize the edge list once.
+    from json_schema_rs_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.withColumnRenamed("n_name", "src")),
+              c.c_nationkey == F.col("n_nationkey"))
+        .drop("n_nationkey")
+        .join(F.broadcast(n.withColumnRenamed("n_name", "dst")
+                          .withColumnRenamed("n_nationkey", "n_nationkey2")),
+              s.s_nationkey == F.col("n_nationkey2"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .cache()
+    )
+    return pagerank(edges, iterations=3)
+
+
+def q_edit_distance_parts(spark, sf_dir):
+    # Levenshtein similarity join (operators/fuzzy.py edit_distance_pairs):
+    # distinct-value domain + lossless PassJoin segment blocking + exact
+    # verify.  The oracle is the brute-force O(n^2) join — a hash match
+    # PROVES no true pair escaped the blocking.
+    from json_schema_rs_spark.operators.fuzzy import edit_distance_pairs
+
+    return edit_distance_pairs(_t(spark, sf_dir, "part"), "p_name", k=2)
+
+
+_FUZZY_PROBES = [
+    (1, "smal ring"),
+    (2, "red widgit"),
+    (3, "blu bolt"),
+    (4, "zzzz qqqq"),
+]
+
+
+def q_fuzzy_lookup_parts(spark, sf_dir):
+    # Broadcast fuzzy dictionary probe (operators/fuzzy.py fuzzy_lookup):
+    # misspelled names vs the distinct part-name vocabulary; length pruning
+    # before any distance, best match per probe, no-match rows keep NULLs.
+    from json_schema_rs_spark.operators.fuzzy import fuzzy_lookup
+
+    probes = spark.createDataFrame(_FUZZY_PROBES, "probe_id long, name string")
+    parts = _t(spark, sf_dir, "part").select("p_name")
+    return fuzzy_lookup(probes, "name", parts, "p_name", id_col="probe_id", max_dist=2)
+
+
 def q_fk_discovery(spark, sf_dir):
     # Inclusion-dependency discovery (operators/integrity.py
     # inclusion_profile): which column pairs are real foreign keys?  Each
@@ -2213,6 +2286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_discovery": q_fk_discovery,
         "bm25_docs": q_bm25_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "edit_distance_parts": q_edit_distance_parts,
+        "fuzzy_lookup_parts": q_fuzzy_lookup_parts,
+        "pagerank_nations": q_pagerank_nations,
         "skew_profile_events": q_skew_profile_events,
         "partition_load_events": q_partition_load_events,
     }
@@ -4219,6 +4295,36 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": weighted_sample_oracle_sql(
             "documents", "floor(n_chars / 40)", "doc_id", k=25
         ),
+        # brute-force ground truth: every pair within the length window,
+        # exact levenshtein — proves edit_distance_pairs' blocking lossless
+        "edit_distance_parts": """
+            WITH d AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+            SELECT a.s AS val_a, b.s AS val_b,
+                   CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+            FROM d a JOIN d b ON a.s < b.s
+            WHERE abs(strlen(a.s) - strlen(b.s)) <= 2
+              AND levenshtein(a.s, b.s) <= 2
+        """,
+        "pagerank_nations": pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iterations=3),
+        "fuzzy_lookup_parts": f"""
+            WITH probes(probe_id, name) AS (VALUES {", ".join(
+                f"({pid}, '{nm}')" for pid, nm in _FUZZY_PROBES)}),
+            cand AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+            j AS (
+              SELECT p.probe_id, p.name, c.p_name AS cand,
+                     levenshtein(p.name, c.p_name) AS d
+              FROM probes p LEFT JOIN cand c
+                ON abs(strlen(p.name) - strlen(c.p_name)) <= 2),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY probe_id
+                ORDER BY d ASC NULLS LAST, cand ASC NULLS LAST) AS rn
+              FROM j)
+            SELECT CAST(probe_id AS BIGINT) AS probe_id, name,
+                   CASE WHEN d <= 2 THEN cand END AS match,
+                   CASE WHEN d <= 2 THEN CAST(d AS INTEGER) END AS dist
+            FROM r WHERE rn = 1
+        """,
         "skew_profile_events": """
             WITH counts AS (
               SELECT user_id, count(*) AS n FROM events

@@ -214,6 +214,11 @@ def bench_queries(spark) -> dict[str, float]:
         "lineage_manifest_docs",
         "bucket_delta_docs",
         "delta_validate_docs",
+        "fk_discovery",
+        "bm25_docs",
+        "weighted_sample_docs",
+        "edit_distance_parts",
+        "pagerank_nations",
     ]
     qs = entrymod.queries()
 

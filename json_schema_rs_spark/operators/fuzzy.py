@@ -1,0 +1,209 @@
+"""Edit-distance (Levenshtein) similarity join — fuzzy string matching
+without the all-pairs explosion.
+
+No reference counterpart (the reference's only string machinery is exact
+regex/length checks, src/string.rs); this is the approximate-matching member
+of the dedup family (operators/dedup.py covers token-set similarity; this
+covers CHARACTER-level similarity: typo'd identifiers, near-identical paths,
+OCR noise).
+
+Algorithm — PassJoin-style segment blocking (Li, Deng, Feng: PASS-JOIN,
+VLDB'12; public algorithm, re-derived here for DataFrame semantics):
+
+  * Work on the DISTINCT VALUE domain, not rows: dedupe first (one shuffle on
+    the value), join values, and the result is pairs of *values* — at 100 TB
+    the value domain is usually orders of magnitude smaller than the corpus,
+    and mapping value-pairs back to row-pairs is an ordinary equi-join.
+  * Pigeonhole blocking: split each string (as the SHORTER side of a
+    candidate pair) into ``k+1`` contiguous segments.  If ``ed(s, t) <= k``,
+    at least one segment of ``s`` survives unedited and appears EXACTLY in
+    ``t``, start-shifted by at most ``k``.  So: emit every segment of every
+    value (seg side), emit every substring of every value that could BE such
+    a segment (sub side: for each candidate shorter-length ``m`` in
+    ``[n-k, n]``, the segment layout of ``m``, positions within ±k of the
+    segment's home position), and equi-join on
+    ``(substring text, m, segment index)``.  Candidate pairs are then
+    verified with one exact ``levenshtein`` call.  The blocking is LOSSLESS:
+    every true pair is a candidate (the oracle for this operator is a brute
+    force O(n²) join, which *proves* losslessness on real data).
+  * Per-value fan-out is bounded: ``k+1`` seg rows and at most
+    ``(k+1)·(k+1)·(2k+1)`` sub rows (k=2 → 45), independent of corpus size —
+    the candidate join is an equi-join on selective keys, never a cartesian.
+  * Strings shorter than ``k+1`` have degenerate (empty) segments; they can
+    only pair with strings of length ≤ 2k, so that tiny pool is handled by a
+    broadcast pool join (bounded by construction, documented below).
+
+Scale notes: one shuffle for the value dedup, one for the candidate
+equi-join, one for the candidate distinct; a hot substring shared by many
+values makes a hot join key — the value-domain reduction already removes the
+frequency dimension, and ``k`` controls the fan-out.  All segment/substring
+generation is JVM-side (sequence/transform/substring Column expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _layout(m: Column, i: Column, k: int) -> tuple[Column, Column]:
+    """(start, length) of segment ``i`` (0-based) in the canonical even
+    partition of a length-``m`` string into ``k+1`` segments: the first
+    ``k+1-r`` segments have length ``q``, the last ``r`` have ``q+1``
+    (q = m div (k+1), r = m mod (k+1))."""
+    n1 = F.lit(k + 1)
+    q = F.floor(m / n1).cast("int")
+    r = (m % n1).cast("int")
+    length = q + F.when(i >= (n1 - r), F.lit(1)).otherwise(F.lit(0))
+    start = i * q + F.greatest(F.lit(0), i - (n1 - r))
+    return start, length
+
+
+def edit_distance_pairs(df: DataFrame, col: str, k: int = 2) -> DataFrame:
+    """All DISTINCT VALUE pairs of ``df[col]`` within Levenshtein distance
+    ``k``.  Returns ``(val_a, val_b, dist)`` with ``val_a`` < ``val_b``
+    (lexicographic), one row per unordered pair, exact distances.
+    """
+    if k <= 0:
+        raise ValueError("edit_distance_pairs: k must be positive")
+    vals = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("s"))
+        .distinct()
+        .withColumn("n", F.length("s"))
+    )
+    n1 = k + 1
+    i_col = F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i")
+
+    # SEG side: strings long enough for non-empty segments, as the candidate
+    # SHORTER side of a pair.
+    seg_base = vals.filter(F.col("n") >= n1).select("s", F.col("n").alias("m"), i_col)
+    sp, sl = _layout(F.col("m"), F.col("i"), k)
+    seg = seg_base.select(
+        F.col("s").alias("s_short"),
+        "m",
+        "i",
+        F.substring(F.col("s"), (sp + 1).cast("int"), sl.cast("int")).alias("piece"),
+    )
+
+    # SUB side: for every value t (as the candidate LONGER side), every
+    # substring that could be segment i of a shorter partner of length m.
+    sub_m = vals.filter(F.col("n") >= n1).select(
+        "s",
+        "n",
+        F.explode(
+            F.sequence(F.greatest(F.lit(n1), F.col("n") - F.lit(k)), F.col("n"))
+        ).alias("m"),
+    )
+    sub_mi = sub_m.select("s", "n", "m", i_col)
+    p2, l2 = _layout(F.col("m"), F.col("i"), k)
+    wlo = F.greatest(F.lit(0), p2 - F.lit(k))
+    whi = F.least(F.col("n") - l2, p2 + F.lit(k))
+    sub = (
+        sub_mi.filter(whi >= wlo)
+        .select(
+            F.col("s").alias("s_long"),
+            "n",
+            "m",
+            "i",
+            F.explode(F.sequence(wlo, whi)).alias("w"),
+            l2.alias("l2"),
+        )
+        .select(
+            "s_long",
+            "n",
+            "m",
+            "i",
+            F.substring(F.col("s_long"), (F.col("w") + 1).cast("int"), F.col("l2").cast("int")).alias("piece"),
+        )
+    )
+
+    cands = (
+        seg.join(sub, on=["piece", "m", "i"])
+        .filter(
+            (F.col("m") < F.col("n"))
+            | ((F.col("m") == F.col("n")) & (F.col("s_short") < F.col("s_long")))
+        )
+        .select(
+            F.least("s_short", "s_long").alias("val_a"),
+            F.greatest("s_short", "s_long").alias("val_b"),
+        )
+        .distinct()
+    )
+
+    # Short-string pool: values with length <= k can only pair with values of
+    # length <= 2k — a bounded pool, joined via broadcast (the pool is tiny
+    # by construction: strings this short have at most |alphabet|^(2k) forms).
+    shorts = vals.filter(F.col("n") < n1).select(
+        F.col("s").alias("s_short"), F.col("n").alias("m")
+    )
+    pool = vals.filter(F.col("n") <= 2 * k).select(
+        F.col("s").alias("s_long"), F.col("n").alias("n")
+    )
+    short_cands = (
+        pool.join(
+            F.broadcast(shorts),
+            (F.abs(F.col("n") - F.col("m")) <= k) & (F.col("s_short") != F.col("s_long")),
+        )
+        .select(
+            F.least("s_short", "s_long").alias("val_a"),
+            F.greatest("s_short", "s_long").alias("val_b"),
+        )
+        .distinct()
+    )
+
+    verified = (
+        cands.unionByName(short_cands)
+        .distinct()
+        .withColumn("dist", F.levenshtein("val_a", "val_b"))
+        .filter(F.col("dist") <= k)
+    )
+    return verified.select("val_a", "val_b", F.col("dist").cast("int").alias("dist"))
+
+
+def fuzzy_lookup(
+    df: DataFrame,
+    col: str,
+    lookup: DataFrame,
+    lookup_col: str,
+    id_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Best fuzzy match of every ``df`` row's ``col`` against a SMALL lookup
+    list (canonical vocabularies, allowlists): broadcast the lookup, prune by
+    the |length difference| <= max_dist necessary condition BEFORE computing
+    any distance, keep the closest match (ties broken lexicographically).
+    ``id_col`` must uniquely identify rows (it anchors the best-match
+    window).
+
+    Returns the input columns plus ``(match, dist)``; rows with no match
+    within ``max_dist`` keep NULLs.  The fact side never shuffles for the
+    probe itself (map-side broadcast, the fuzzy analogue of
+    operators/integrity.orphan_rows); the best-of-candidates window
+    shuffles once on ``id_col``.
+    """
+    if max_dist < 0:
+        raise ValueError("fuzzy_lookup: max_dist must be non-negative")
+    cand = lookup.filter(F.col(lookup_col).isNotNull()).select(
+        F.col(lookup_col).alias("__cand")
+    ).distinct()
+    joined = df.join(
+        F.broadcast(cand),
+        F.abs(F.length(F.col(col)) - F.length(F.col("__cand"))) <= max_dist,
+        "left",
+    ).withColumn("__d", F.levenshtein(F.col(col), F.col("__cand")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__d").asc_nulls_last(), F.col("__cand").asc_nulls_last()
+    )
+    best = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *df.columns,
+            F.when(F.col("__d") <= max_dist, F.col("__cand")).alias("match"),
+            F.when(F.col("__d") <= max_dist, F.col("__d").cast("int")).alias("dist"),
+        )
+    )
+    return best

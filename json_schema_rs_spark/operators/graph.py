@@ -1,0 +1,178 @@
+"""Graph centrality over corpus-derived edge lists: distributed PageRank.
+
+No reference counterpart (the reference is a per-document validator); this
+complements connected components (operators/clusters.py) with the other
+graph primitive a corpus pipeline needs — *importance*: rank modules in an
+import graph, repos in a dependency graph, documents in a citation/link
+graph, to weight or prioritize curation.
+
+Spark-first shape (the classic two-relation formulation, no GraphX/RDDs):
+
+  * edges ``(src, dst)`` and ranks ``(node, rank)`` are plain DataFrames;
+  * one iteration = ranks ⋈ out-degrees (per-src contribution projection)
+    ⋈ edges (shuffle on src) → groupBy(dst) sum (shuffle on dst) →
+    ``r' = (1-d)/N + d·(Σ contrib + dangling/N)``;
+  * dangling mass (nodes with no out-edges) reduces to ONE row and rides a
+    broadcast cross join — rank never leaks, Σ rank stays 1;
+  * rank sums accumulate in DECIMAL(38,18) so an iteration is
+    partitioning-invariant and replayable bit-for-bit by the SQL oracle
+    (floating addition is order-dependent; decimal is exact).  Derived
+    doubles are rounded only on output.
+
+At 100 TB scale each iteration is two key shuffles (src, dst) — the same
+shape GraphX/Pregel lowers to; co-partitioning edges by src across
+iterations (bucketed write) removes the first shuffle.  Convergence
+iterations run driver-side over DataFrames (like operators/kmeans.py —
+the driver sees only loop control, never data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: exact accumulator for rank mass — 18 fractional digits keeps 1/N exact
+#: far beyond any realistic node count while summing without order effects.
+_RANK_SUM_TYPE = "decimal(38,18)"
+
+
+def _nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def pagerank_step(
+    edges: DataFrame,
+    ranks: DataFrame,
+    damping: float = 0.85,
+    rank_round: int = 9,
+) -> DataFrame:
+    """One PageRank iteration.  ``edges``: (src, dst) — parallel edges count
+    as repeated links; ``ranks``: (node, rank) covering every node.  Returns
+    the new ``(node, rank)`` with rank rounded to ``rank_round`` (the
+    rounding is part of the iteration's contract so any engine replays the
+    exact fixed point trajectory).
+    """
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = _nodes(edges)
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+
+    # per-edge contribution: rank(src)/outdeg(src), exact decimal
+    contribs = (
+        edges.join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(
+            "dst",
+            (F.col("rank") / F.col("__deg")).cast(_RANK_SUM_TYPE).alias("__c"),
+        )
+        .groupBy("dst")
+        .agg(F.sum("__c").alias("__in"))
+    )
+
+    # dangling mass: rank held by nodes with no out-edges, redistributed
+    # uniformly — ONE row, broadcast
+    dangling = (
+        ranks.join(outdeg.select(F.col("src").alias("node")), "node", "left_anti")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast(_RANK_SUM_TYPE)),
+                F.lit(0).cast(_RANK_SUM_TYPE),
+            ).alias("__dm")
+        )
+    )
+
+    return (
+        nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+        .crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            F.round(
+                (F.lit(1.0) - F.lit(damping)) / F.col("__n")
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("__in"), F.lit(0).cast(_RANK_SUM_TYPE)).cast("double")
+                    + F.col("__dm").cast("double") / F.col("__n")
+                ),
+                rank_round,
+            ).alias("rank"),
+        )
+    )
+
+
+def initial_ranks(edges: DataFrame, rank_round: int = 9) -> DataFrame:
+    """Uniform 1/N starting ranks over every node in the edge list (rounded
+    like every iteration's output, so the trajectory is engine-portable)."""
+    nodes = _nodes(edges)
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.round(F.lit(1.0) / F.col("__n"), rank_round).alias("rank")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    rank_round: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank: ``iterations`` × :func:`pagerank_step` from
+    uniform ranks.  Driver-side loop over DataFrames (lazy plan growth is
+    linear in iterations; checkpoint/localCheckpoint between iterations at
+    real scale to cut lineage)."""
+    if iterations < 1:
+        raise ValueError("pagerank: iterations must be >= 1")
+    ranks = initial_ranks(edges, rank_round)
+    for _ in range(iterations):
+        ranks = pagerank_step(edges, ranks, damping, rank_round)
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    rank_round: int = 9,
+) -> str:
+    """DuckDB oracle replaying :func:`pagerank` VERBATIM: same uniform
+    start, same decimal contribution sums, same per-iteration rounding —
+    ``edges_sql`` must select columns (src, dst)."""
+    if iterations < 1:
+        raise ValueError("pagerank_oracle_sql: iterations must be >= 1")
+    d = repr(float(damping))
+    parts = [
+        f"WITH edges AS ({edges_sql}),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),",
+        f"r0 AS (SELECT node, round(1.0 / nn.n, {rank_round}) AS rank"
+        "       FROM nodes CROSS JOIN nn),",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"r{k - 1}"
+        parts.append(f"""
+c{k} AS (
+  SELECT e.dst AS node,
+         sum(CAST(r.rank / od.deg AS DECIMAL(38,18))) AS inr
+  FROM edges e JOIN {prev} r ON e.src = r.node
+               JOIN outdeg od ON e.src = od.src
+  GROUP BY e.dst),
+d{k} AS (
+  SELECT coalesce(sum(CAST(rank AS DECIMAL(38,18))),
+                  CAST(0 AS DECIMAL(38,18))) AS dm
+  FROM {prev} WHERE node NOT IN (SELECT src FROM outdeg)),
+r{k} AS (
+  SELECT n.node,
+         round((1.0 - {d}) / nn.n
+               + {d} * (CAST(coalesce(c{k}.inr, CAST(0 AS DECIMAL(38,18))) AS double)
+                        + CAST(d{k}.dm AS double) / nn.n), {rank_round}) AS rank
+  FROM nodes n
+  LEFT JOIN c{k} ON n.node = c{k}.node
+  CROSS JOIN nn CROSS JOIN d{k}),""")
+    body = "\n".join(parts).rstrip(",") + ","
+    # strip the trailing comma of the last CTE properly
+    body = body.rstrip(",")
+    return f"{body}\nSELECT node, rank FROM r{iterations}"

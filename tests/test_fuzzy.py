@@ -1,0 +1,101 @@
+"""Unit tests for the Levenshtein similarity join (operators/fuzzy.py).
+
+The key property is LOSSLESSNESS of the segment blocking: every value pair
+within distance k must be found.  Verified against a pure-Python DP
+brute force over adversarial vocabularies (short strings, duplicates,
+repetitive alphabets)."""
+
+import itertools
+import random
+
+import pytest
+
+from json_schema_rs_spark.operators.fuzzy import edit_distance_pairs, fuzzy_lookup
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(vocab: list[str], k: int) -> set[tuple[str, str, int]]:
+    out = set()
+    for a, b in itertools.combinations(sorted(set(vocab)), 2):
+        d = _lev(a, b)
+        if d <= k:
+            out.add((a, b, d))
+    return out
+
+
+def _spark_pairs(spark, vocab: list[str], k: int) -> set[tuple[str, str, int]]:
+    df = spark.createDataFrame([(v,) for v in vocab], "s string")
+    return {
+        (r["val_a"], r["val_b"], r["dist"])
+        for r in edit_distance_pairs(df, "s", k=k).collect()
+    }
+
+
+def test_pairs_match_bruteforce_random_vocab(spark):
+    rng = random.Random(42)
+    vocab = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 12)))
+        for _ in range(120)
+    ]
+    for k in (1, 2):
+        assert _spark_pairs(spark, vocab, k) == _brute(vocab, k)
+
+
+def test_pairs_short_strings_and_duplicates(spark):
+    # lengths straddling the k+1 segment threshold, with duplicates
+    vocab = ["a", "b", "ab", "ab", "ba", "abc", "abcd", "", "x"]
+    vocab = [v for v in vocab if v]  # empty string: length 0 keeps NULL-free
+    for k in (1, 2):
+        assert _spark_pairs(spark, vocab, k) == _brute(vocab, k)
+
+
+def test_pairs_k3_wider_threshold(spark):
+    rng = random.Random(7)
+    vocab = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(2, 9))) for _ in range(60)
+    ]
+    assert _spark_pairs(spark, vocab, 3) == _brute(vocab, 3)
+
+
+def test_pairs_null_and_k_validation(spark):
+    df = spark.createDataFrame([("abc",), (None,), ("abd",)], "s string")
+    got = {(r["val_a"], r["val_b"], r["dist"]) for r in edit_distance_pairs(df, "s", 1).collect()}
+    assert got == {("abc", "abd", 1)}
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "s", 0)
+
+
+def test_fuzzy_lookup_best_match_and_nulls(spark):
+    probes = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "zzzzzz"), (4, None)],
+        "probe_id long, name string",
+    )
+    lookup = spark.createDataFrame(
+        [("mitten",), ("sittin",), ("bitten",), (None,)], "word string"
+    )
+    rows = {
+        r["probe_id"]: r
+        for r in fuzzy_lookup(probes, "name", lookup, "word", "probe_id", 2).collect()
+    }
+    # kitten: mitten d1 / bitten d1 -> lexicographic tie-break picks bitten
+    assert rows[1]["match"] == "bitten" and rows[1]["dist"] == 1
+    assert rows[2]["match"] == "sittin" and rows[2]["dist"] == 1
+    assert rows[3]["match"] is None and rows[3]["dist"] is None
+    assert rows[4]["match"] is None
+    assert len(rows) == 4  # every probe row survives exactly once
+
+
+def test_fuzzy_lookup_validation(spark):
+    probes = spark.createDataFrame([(1, "a")], "probe_id long, name string")
+    lookup = spark.createDataFrame([("a",)], "word string")
+    with pytest.raises(ValueError):
+        fuzzy_lookup(probes, "name", lookup, "word", "probe_id", -1)

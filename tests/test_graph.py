@@ -1,0 +1,80 @@
+"""Unit tests for distributed PageRank (operators/graph.py)."""
+
+import pytest
+
+from json_schema_rs_spark.operators.graph import initial_ranks, pagerank, pagerank_step
+
+
+def _py_pagerank(edges, iterations, damping=0.85, rnd=9):
+    """Pure-Python replica with the same rounding contract."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {v: round(1.0 / n, rnd) for v in nodes}
+    for _ in range(iterations):
+        contrib = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0.0) + ranks[s] / outdeg[s]
+        dangling = sum(r for v, r in ranks.items() if v not in outdeg)
+        ranks = {
+            v: round(
+                (1.0 - damping) / n
+                + damping * (contrib.get(v, 0.0) + dangling / n),
+                rnd,
+            )
+            for v in nodes
+        }
+    return ranks
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def test_pagerank_matches_python_replica(spark):
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"),
+        ("d", "a"),  # d has in-degree 0
+        ("c", "e"),  # e is dangling (no out-edges)
+    ]
+    got = {r["node"]: r["rank"] for r in pagerank(_edges_df(spark, edges), 4).collect()}
+    want = _py_pagerank(edges, 4)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_pagerank_mass_conserved(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    ranks = pagerank(_edges_df(spark, edges), 5).collect()
+    assert sum(r["rank"] for r in ranks) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_parallel_edges_weight_contribution(spark):
+    # a links twice to b, once to c: b should receive 2/3 of a's mass
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")]
+    r1 = {
+        r["node"]: r["rank"]
+        for r in pagerank_step(
+            _edges_df(spark, edges), initial_ranks(_edges_df(spark, edges))
+        ).collect()
+    }
+    assert r1["b"] > r1["c"]
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = [(f"n{i % 11}", f"n{(i * 7 + 3) % 11}") for i in range(200)]
+    edges = [(s, d) for s, d in edges if s != d]
+    a = _edges_df(spark, edges).repartition(1)
+    b = _edges_df(spark, edges).repartition(9)
+    ra = sorted((r["node"], r["rank"]) for r in pagerank(a, 3).collect())
+    rb = sorted((r["node"], r["rank"]) for r in pagerank(b, 3).collect())
+    assert ra == rb
+
+
+def test_pagerank_rejects_bad_iterations(spark):
+    df = _edges_df(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        pagerank(df, 0)

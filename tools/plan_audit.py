@@ -38,7 +38,21 @@ BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact"
            "q22_idle_customers",
            # TPC-H Q11 shape: the grand-total threshold is a ONE-ROW
            # broadcast crossJoin against the per-brand aggregate
-           "q11_important_brands"}
+           "q11_important_brands",
+           # BM25's corpus stats (N, avg doclen) are a ONE-ROW broadcast
+           # crossJoin onto the per-term idf frame (constant cost)
+           "bm25_docs",
+           # PageRank: the node count and dangling-mass frames are ONE-ROW
+           # broadcast crossJoins per iteration (constant cost)
+           "pagerank_nations",
+           # fuzzy_lookup probes a SMALL broadcast dictionary with a
+           # non-equi length filter — a BNLJ of a bounded broadcast side is
+           # the intended dictionary-probe plan
+           "fuzzy_lookup_parts",
+           # edit_distance_pairs' short-string pool (len <= 2k values) is
+           # broadcast by construction; its non-equi length filter plans as
+           # a BNLJ of that bounded pool
+           "edit_distance_parts"}
 #: queries whose joins are big-×-big on purpose (no broadcast expectation)
 SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
@@ -65,7 +79,18 @@ SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           # delta anti-join pairs two corpus-sized relations on
           # (key, fingerprint) — SMJ on the key is the intended plan; the
           # bucket screen's full outer joins two ≤ n_buckets aggregates
-          "snapshot_diff_docs", "delta_validate_docs", "bucket_delta_docs"}
+          "snapshot_diff_docs", "delta_validate_docs", "bucket_delta_docs",
+          # BM25: tf ⋈ doclen pairs two corpus-keyed aggregates (both
+          # fact-sized at scale) — SMJ on the doc id is the intended plan;
+          # idf/stats sides ARE broadcast
+          "bm25_docs",
+          # the PassJoin candidate equi-join pairs two segment/substring
+          # relations derived from the same value domain — big-big on
+          # purpose, SMJ on (piece, m, i)
+          "edit_distance_parts",
+          # PageRank: edges ⋈ ranks and edges ⋈ outdeg are graph-sized on
+          # both sides at scale — SMJ on the src key is the intended plan
+          "pagerank_nations"}
 
 
 def main() -> int:
