@@ -2038,6 +2038,36 @@ def q_weighted_sample_docs(spark, sf_dir):
     )
 
 
+def q_winsorize_events(spark, sf_dir):
+    # Percentile winsorization (operators/repair.py winsorize): ONE exact-
+    # percentile agg row broadcast onto a pure clip projection.  The
+    # distribution-aware member of the repair family.
+    from json_schema_rs_spark.operators.repair import winsorize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    return winsorize(ev, "value", 0.01, 0.99)
+
+
+def q_assoc_docs(spark, sf_dir):
+    # Categorical association (operators/stats.py categorical_association):
+    # one contingency agg + tiny marginal joins -> one diagnostic row
+    # (chi2 / Cramér's V / mutual information), decimal cell sums.
+    from json_schema_rs_spark.operators.stats import categorical_association
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket")
+    )
+    return categorical_association(docs, "lang", "len_bucket")
+
+
+def q_surprisal_docs(spark, sf_dir):
+    # Corpus-LM quality score (operators/text.py unigram_surprisal):
+    # vocabulary agg + per-occurrence scoring join + per-doc decimal mean.
+    from json_schema_rs_spark.operators.text import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 _PAGERANK_EDGES_SQL = """
     SELECT cn.n_name AS src, sn.n_name AS dst
     FROM lineitem l
@@ -2289,6 +2319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_parts": q_edit_distance_parts,
         "fuzzy_lookup_parts": q_fuzzy_lookup_parts,
         "pagerank_nations": q_pagerank_nations,
+        "winsorize_events": q_winsorize_events,
+        "assoc_docs": q_assoc_docs,
+        "surprisal_docs": q_surprisal_docs,
         "skew_profile_events": q_skew_profile_events,
         "partition_load_events": q_partition_load_events,
     }
@@ -4306,6 +4339,67 @@ def oracle_sql() -> dict[str, str]:
               AND levenshtein(a.s, b.s) <= 2
         """,
         "pagerank_nations": pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iterations=3),
+        "winsorize_events": """
+            WITH b AS (SELECT quantile_cont(value, 0.01) AS lo,
+                              quantile_cont(value, 0.99) AS hi FROM events)
+            SELECT event_id, value,
+                   CASE WHEN value IS NULL THEN value
+                        WHEN value < lo THEN lo
+                        WHEN value > hi THEN hi
+                        ELSE value END AS value_winsorized,
+                   (value IS NOT NULL AND (value < lo OR value > hi)) AS value_clipped
+            FROM events CROSS JOIN b
+        """,
+        "assoc_docs": """
+            WITH base AS (
+              SELECT lang AS a, CAST(floor(n_chars / 100) AS BIGINT) AS b
+              FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+            rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+            ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                           CAST(count(DISTINCT a) AS BIGINT) AS card_a,
+                           CAST(count(DISTINCT b) AS BIGINT) AS card_b FROM cells),
+            j AS (SELECT coalesce(cells.o, 0) AS o, rt.ra, ct.cb,
+                         tot.n, tot.card_a, tot.card_b
+                  FROM rt CROSS JOIN ct
+                  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+                  CROSS JOIN tot)
+            SELECT n, card_a, card_b,
+              round(CAST(sum(CAST(
+                (o - (CAST(ra AS double) * cb) / n)
+                * (o - (CAST(ra AS double) * cb) / n)
+                / ((CAST(ra AS double) * cb) / n) AS DECIMAL(38,12))) AS double), 6)
+                AS chi2,
+              CASE WHEN least(card_a, card_b) > 1 THEN
+                round(sqrt(CAST(sum(CAST(
+                  (o - (CAST(ra AS double) * cb) / n)
+                  * (o - (CAST(ra AS double) * cb) / n)
+                  / ((CAST(ra AS double) * cb) / n) AS DECIMAL(38,12))) AS double)
+                  / (n * (least(card_a, card_b) - 1))), 6) END AS cramers_v,
+              round(CAST(sum(CAST(
+                CASE WHEN o > 0 THEN
+                  (CAST(o AS double) / n)
+                  * round(ln((CAST(o AS double) * n) / (CAST(ra AS double) * cb)), 9)
+                ELSE 0.0 END
+                AS DECIMAL(38,12))) AS double), 6) AS mutual_info
+            FROM j GROUP BY n, card_a, card_b
+        """,
+        "surprisal_docs": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents WHERE text IS NOT NULL),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            vocab AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+            sv AS (SELECT tok, round(-ln(CAST(cnt AS double) / t), 9) AS s
+                   FROM vocab CROSS JOIN tot)
+            SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(CAST(s AS DECIMAL(38,12))) AS double) / count(*), 6)
+                     AS avg_surprisal
+            FROM t2 JOIN sv USING (tok) GROUP BY id
+        """,
         "fuzzy_lookup_parts": f"""
             WITH probes(probe_id, name) AS (VALUES {", ".join(
                 f"({pid}, '{nm}')" for pid, nm in _FUZZY_PROBES)}),

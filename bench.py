@@ -219,6 +219,8 @@ def bench_queries(spark) -> dict[str, float]:
         "weighted_sample_docs",
         "edit_distance_parts",
         "pagerank_nations",
+        "surprisal_docs",
+        "winsorize_events",
     ]
     qs = entrymod.queries()
 

@@ -118,3 +118,51 @@ def repair_report(engine, df: DataFrame, repairs: list[Repair]) -> DataFrame:
         .agg(F.sum("before_n").alias("before_n"), F.sum("after_n").alias("after_n"))
         .withColumn("fixed_n", F.col("before_n") - F.col("after_n"))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower_pct: float = 0.01,
+    upper_pct: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Percentile winsorization — the distribution-aware member of the
+    repair family (``clamp`` above uses FIXED bounds; this derives them from
+    the data): clip ``col`` to its [lower_pct, upper_pct] percentile range,
+    the standard tail-taming repair before training-statistics or
+    mean-based quality thresholds.
+
+    Adds ``{col}_winsorized`` and a ``{col}_clipped`` flag; NULLs pass
+    through unclipped (a repair never invents values).
+
+    Scale shape: the two bounds reduce to ONE row (exact ``percentile`` at
+    test scale for oracle comparability; ``approx=True`` switches to
+    t-digest ``approx_percentile`` — bounded state, mergeable, required at
+    100 TB, same trade documented in operators/reconcile.robust_outliers)
+    and ride a broadcast cross join; the clip itself is a pure projection
+    that fuses into the scan.
+    """
+    if not (0.0 <= lower_pct < upper_pct <= 1.0):
+        raise ValueError("winsorize: need 0 <= lower_pct < upper_pct <= 1")
+    pfn = F.approx_percentile if approx else F.percentile
+    bounds = df.agg(
+        pfn(F.col(col), F.lit(float(lower_pct))).alias("__lo"),
+        pfn(F.col(col), F.lit(float(upper_pct))).alias("__hi"),
+    )
+    c = F.col(col)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            f"{col}_winsorized",
+            F.when(c.isNull(), c)
+            .when(c < F.col("__lo"), F.col("__lo"))
+            .when(c > F.col("__hi"), F.col("__hi"))
+            .otherwise(c),
+        )
+        .withColumn(
+            f"{col}_clipped",
+            c.isNotNull() & ((c < F.col("__lo")) | (c > F.col("__hi"))),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -229,3 +229,87 @@ def partition_load_profile(df: DataFrame, key_col: str, parallelism: int) -> Dat
             6,
         ).alias("balance_ratio"),
     )
+
+
+def categorical_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    ln_round: int = 9,
+    out_round: int = 6,
+) -> DataFrame:
+    """Association strength between two categorical columns in one row:
+    ``(n, card_a, card_b, chi2, cramers_v, mutual_info)`` — the feature-
+    relationship profiler (is ``lang`` informative about quality bucket?
+    does ``source`` determine ``lang``?), complementing the exact
+    functional-dependency check (operators/reconcile.fd_violations) with a
+    graded measure.
+
+    Scale shape: ONE groupBy(a, b) contingency aggregation (map-side
+    combined; output is cell cardinality, not row count); marginals derive
+    from the cell frame via two tiny re-aggregations joined back on the
+    category keys, and the scalar reduction emits one row.  Cell terms sum
+    in DECIMAL (order-independent); the per-cell ``ln`` (the only
+    transcendental) is rounded to ``ln_round`` so any engine replays it.
+    Rows with NULL in either column are excluded (standard contingency
+    convention).
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    row_t = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_t = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = cells.agg(
+        F.sum("__o").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__cells"),
+        F.countDistinct("__a").cast("long").alias("card_a"),
+        F.countDistinct("__b").cast("long").alias("card_b"),
+    )
+    # the FULL r x c grid (cross join of the tiny marginal frames): zero
+    # cells still contribute (0-e)^2/e to chi2 — summing only observed
+    # cells understates dependence (V of a perfect map would read < 1)
+    j = (
+        row_t.crossJoin(col_t)
+        .join(cells, ["__a", "__b"], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("__ra").cast("double") * F.col("__cb")) / F.col("__n")
+    chi_term = (F.col("__o") - e) * (F.col("__o") - e) / e
+    ln_arg = (F.col("__o").cast("double") * F.col("__n")) / (
+        F.col("__ra").cast("double") * F.col("__cb")
+    )
+    # 0 * ln(0) := 0 (the usual entropy convention)
+    mi_term = F.when(
+        F.col("__o") > 0,
+        (F.col("__o").cast("double") / F.col("__n")) * F.round(F.log(ln_arg), ln_round),
+    ).otherwise(F.lit(0.0))
+    return (
+        j.groupBy("__n", "card_a", "card_b")
+        .agg(
+            F.sum(chi_term.cast("decimal(38,12)")).alias("__chi2"),
+            F.sum(mi_term.cast("decimal(38,12)")).alias("__mi"),
+        )
+        .select(
+            F.col("__n").alias("n"),
+            "card_a",
+            "card_b",
+            F.round(F.col("__chi2").cast("double"), out_round).alias("chi2"),
+            F.when(
+                F.least(F.col("card_a"), F.col("card_b")) > 1,
+                F.round(
+                    F.sqrt(
+                        F.col("__chi2").cast("double")
+                        / (
+                            F.col("__n")
+                            * (F.least(F.col("card_a"), F.col("card_b")) - F.lit(1))
+                        )
+                    ),
+                    out_round,
+                ),
+            ).alias("cramers_v"),
+            F.round(F.col("__mi").cast("double"), out_round).alias("mutual_info"),
+        )
+    )

@@ -259,3 +259,59 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_guess",
         "fingerprint",
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ln_round: int = 9,
+    out_round: int = 6,
+) -> DataFrame:
+    """Per-document average unigram surprisal ``mean(-ln p(token))`` under
+    the corpus's OWN token distribution — the simplest language-model
+    quality score: templated/repetitive documents (tokens the corpus has
+    seen constantly) score LOW, documents of rare tokens score HIGH; both
+    tails are curation targets.  Complements the intra-document
+    ``repetition_profile`` with a cross-document signal.
+
+    Returns ``(id_col, n_tokens, avg_surprisal)``.  Documents with no
+    tokens are absent (no distribution to score against).
+
+    Scale shape: one tokenization projection feeds (a) the vocabulary
+    aggregation (groupBy token — map-side combined, output is vocab-sized)
+    and (b) the per-occurrence scoring join on the token (the one
+    corpus-sized shuffle; broadcast the vocab instead when it fits), then a
+    per-document aggregation.  Total-token count is ONE broadcast row.
+    Per-token ``-ln p`` is rounded to ``ln_round`` (engine-portable, same
+    contract as BM25's idf) and document sums accumulate in DECIMAL.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+    )
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").cast("long").alias("__t"))
+    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "__tok",
+        F.round(-F.log(F.col("__cnt").cast("double") / F.col("__t")), ln_round).alias(
+            "__s"
+        ),
+    )
+    return (
+        toks.join(scored_vocab, "__tok")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__s").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                out_round,
+            ).alias("avg_surprisal"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "avg_surprisal")
+    )

@@ -97,3 +97,44 @@ def test_repair_report_flags_created_violations(spark):
     assert got["enum:lang"]["before_n"] == 1
     assert got["enum:lang"]["after_n"] == 1   # xx -> zz: still invalid
     assert got["enum:lang"]["fixed_n"] == 0
+
+
+# ---------------------------------------------------------------------------
+# winsorize
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_clips_tails_and_keeps_nulls(spark):
+    from json_schema_rs_spark.operators.repair import winsorize
+
+    vals = [float(i) for i in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "value double")
+    out = {r["value"]: r for r in winsorize(df, "value", 0.05, 0.95).collect()}
+    # exact percentile (linear interpolation): p5 of 1..100 = 5.95, p95 = 95.05
+    assert out[1.0]["value_winsorized"] == 5.95
+    assert out[100.0]["value_winsorized"] == 95.05
+    assert out[1.0]["value_clipped"] is True
+    assert out[50.0]["value_winsorized"] == 50.0
+    assert out[50.0]["value_clipped"] is False
+    assert out[None]["value_winsorized"] is None
+    assert out[None]["value_clipped"] is False
+
+
+def test_winsorize_validates_percentiles(spark):
+    import pytest as _pytest
+
+    from json_schema_rs_spark.operators.repair import winsorize
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    with _pytest.raises(ValueError):
+        winsorize(df, "value", 0.9, 0.1)
+
+
+def test_winsorize_approx_path_smoke(spark):
+    from json_schema_rs_spark.operators.repair import winsorize
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "value double")
+    out = winsorize(df, "value", 0.01, 0.99, approx=True)
+    rows = out.collect()
+    assert len(rows) == 1000
+    assert all(r["value_winsorized"] is not None for r in rows)

@@ -139,3 +139,54 @@ def test_partition_load_profile_partitioning_invariant(spark):
     ra = partition_load_profile(a, "k", 4).collect()[0]
     rb = partition_load_profile(b, "k", 4).collect()[0]
     assert ra.asDict() == rb.asDict()
+
+
+# ---------------------------------------------------------------------------
+# categorical_association
+# ---------------------------------------------------------------------------
+
+
+def test_association_independent_columns(spark):
+    from json_schema_rs_spark.operators.stats import categorical_association
+
+    # perfectly independent 2x2: every combination equally frequent
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = categorical_association(df, "a", "b").collect()[0]
+    assert r["n"] == 100 and r["card_a"] == 2 and r["card_b"] == 2
+    assert r["chi2"] == 0.0
+    assert r["cramers_v"] == 0.0
+    assert abs(r["mutual_info"]) < 1e-6
+
+
+def test_association_perfect_dependence(spark):
+    import math
+
+    from json_schema_rs_spark.operators.stats import categorical_association
+
+    rows = [("x", "u")] * 30 + [("y", "v")] * 30 + [("z", "w")] * 40
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = categorical_association(df, "a", "b").collect()[0]
+    assert r["cramers_v"] == 1.0
+    # MI of a deterministic map = entropy of the marginal
+    h = -(0.3 * math.log(0.3) + 0.3 * math.log(0.3) + 0.4 * math.log(0.4))
+    assert r["mutual_info"] == pytest.approx(h, abs=1e-6)
+
+
+def test_association_single_category_guard(spark):
+    from json_schema_rs_spark.operators.stats import categorical_association
+
+    df = spark.createDataFrame([("x", "u"), ("x", "v")], "a string, b string")
+    r = categorical_association(df, "a", "b").collect()[0]
+    assert r["card_a"] == 1
+    assert r["cramers_v"] is None  # undefined, not inf
+
+
+def test_association_nulls_excluded(spark):
+    from json_schema_rs_spark.operators.stats import categorical_association
+
+    df = spark.createDataFrame(
+        [("x", "u"), (None, "u"), ("x", None), ("y", "v")], "a string, b string"
+    )
+    r = categorical_association(df, "a", "b").collect()[0]
+    assert r["n"] == 2

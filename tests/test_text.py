@@ -106,3 +106,41 @@ def test_crossdoc_ngram_share_hand_computed(spark):
     assert out[0]["n_ngrams"] == 2 and out[0]["n_shared"] == 1 and out[0]["shared_frac"] == 0.5
     assert out[1]["n_shared"] == 1
     assert out[2]["n_shared"] == 0 and out[2]["shared_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# unigram_surprisal
+# ---------------------------------------------------------------------------
+
+
+def test_surprisal_uniform_vocab(spark):
+    import math
+
+    from json_schema_rs_spark.operators.text import unigram_surprisal
+
+    # 4 tokens, each appearing once: every token has p=1/4, surprisal ln(4)
+    df = spark.createDataFrame([(1, "a b"), (2, "c d")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    assert rows[1]["n_tokens"] == 2
+    assert rows[1]["avg_surprisal"] == pytest.approx(math.log(4), abs=1e-6)
+    assert rows[1]["avg_surprisal"] == rows[2]["avg_surprisal"]
+
+
+def test_surprisal_rare_token_scores_higher(spark):
+    from json_schema_rs_spark.operators.text import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the zyx")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["avg_surprisal"] for r in unigram_surprisal(df).collect()}
+    assert rows[2] > rows[1]
+
+
+def test_surprisal_empty_and_null_docs_absent(spark):
+    from json_schema_rs_spark.operators.text import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    ids = {r["doc_id"] for r in unigram_surprisal(df).collect()}
+    assert ids == {1}

@@ -45,6 +45,13 @@ BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact"
            # PageRank: the node count and dangling-mass frames are ONE-ROW
            # broadcast crossJoins per iteration (constant cost)
            "pagerank_nations",
+           # winsorize: the two percentile bounds are ONE broadcast row
+           "winsorize_events",
+           # association: the totals frame is ONE broadcast row; the
+           # marginal-grid cross join pairs two ≤|categories| frames
+           "assoc_docs",
+           # surprisal: the total-token count is ONE broadcast row
+           "surprisal_docs",
            # fuzzy_lookup probes a SMALL broadcast dictionary with a
            # non-equi length filter — a BNLJ of a bounded broadcast side is
            # the intended dictionary-probe plan
