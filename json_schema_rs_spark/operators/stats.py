@@ -46,6 +46,7 @@ def column_profile(
     df: DataFrame,
     columns: list[str],
     tree_width: int = 32,
+    include_sumsq: bool = False,
 ) -> DataFrame:
     """One row per profiled numeric column:
 
@@ -56,6 +57,13 @@ def column_profile(
     from exact decimal Σx and Σx²; NULL when the column has no non-null
     values.  ``tree_width`` is the level-1 reducer count — size it ≈ √(map
     tasks) at scale (32 covers ~1k tasks; 10^6 tasks want ~1k).
+
+    ``include_sumsq=True`` adds the exact ``sumsq_dec`` accumulator to the
+    output, making the profile MERGEABLE: every column is then either
+    merge-associative raw state (counts, min/max, decimal sums) or derivable
+    from it, so :func:`merge_profiles` can combine per-snapshot/per-partition
+    profiles into the exact whole-corpus profile without rescanning — the
+    incremental-maintenance path for 10^12-file snapshots.
     """
     if not columns:
         raise ValueError("column_profile: need at least one column")
@@ -98,16 +106,18 @@ def column_profile(
         s2 = F.col(f"{c}__s2").cast("double")
         mean = F.when(nn > 0, s / nn)
         var = F.when(nn > 0, F.greatest(F.lit(0.0), s2 / nn - (s / nn) * (s / nn)))
-        return F.struct(
+        fields = [
             F.lit(c).alias("col_name"),
             n.alias("n_rows"),
             nulls.alias("n_nulls"),
             F.col(f"{c}__min").alias("min_val"),
             F.col(f"{c}__max").alias("max_val"),
             F.col(f"{c}__s").alias("sum_dec"),
-            mean.alias("mean"),
-            F.sqrt(var).alias("stddev"),
-        )
+        ]
+        if include_sumsq:
+            fields.append(F.col(f"{c}__s2").alias("sumsq_dec"))
+        fields += [mean.alias("mean"), F.sqrt(var).alias("stddev")]
+        return F.struct(*fields)
 
     exploded = merged.select(
         F.explode(F.array(*[row_struct(c) for c in columns])).alias("p")
@@ -115,10 +125,65 @@ def column_profile(
     return exploded.select("p.*")
 
 
-def profile_oracle_sql(table: str, columns: list[str]) -> str:
+def merge_profiles(profiles: list[DataFrame]) -> DataFrame:
+    """Merge MERGEABLE column profiles (``column_profile(...,
+    include_sumsq=True)`` outputs) into the exact profile of the combined
+    data — no rescan: every accumulator is merge-associative (counts sum,
+    min/max fold, decimal sums add exactly) and mean/stddev re-derive from
+    the merged decimals with the same expressions, so
+
+        merge_profiles([profile(A), profile(B)]) == profile(A ∪ B)
+
+    holds BIT-FOR-BIT at any split (pinned by test_stats).  This is the
+    incremental-maintenance path: keep one profile row-set per snapshot /
+    partition / day, merge on demand.
+    """
+    if not profiles:
+        raise ValueError("merge_profiles: need at least one profile")
+    u = profiles[0]
+    for p in profiles[1:]:
+        u = u.unionByName(p)
+    if "sumsq_dec" not in u.columns:
+        raise ValueError(
+            "merge_profiles: profiles must be built with include_sumsq=True"
+        )
+    merged = u.groupBy("col_name").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_nulls").cast("long").alias("n_nulls"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+        F.sum("sum_dec").cast(_SUM_TYPE).alias("sum_dec"),
+        F.sum("sumsq_dec").cast(_SUMSQ_TYPE).alias("sumsq_dec"),
+    )
+    nn = (F.col("n_rows") - F.col("n_nulls")).cast("double")
+    s = F.col("sum_dec").cast("double")
+    s2 = F.col("sumsq_dec").cast("double")
+    mean = F.when(nn > 0, s / nn)
+    var = F.when(nn > 0, F.greatest(F.lit(0.0), s2 / nn - (s / nn) * (s / nn)))
+    return merged.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "min_val",
+        "max_val",
+        "sum_dec",
+        "sumsq_dec",
+        mean.alias("mean"),
+        F.sqrt(var).alias("stddev"),
+    )
+
+
+def profile_oracle_sql(table: str, columns: list[str], include_sumsq: bool = False) -> str:
     """The DuckDB oracle for :func:`column_profile` — one UNION ALL branch per
     column, every derived expression mirrored VERBATIM (same casts, same
     operation order) so doubles match bit-for-bit."""
+    sumsq_line = (
+        f"""
+       CAST(sum(CAST(CAST({{c}} AS double) * CAST({{c}} AS double)
+            AS {_SUMSQ_TYPE})) AS {_SUMSQ_TYPE}) AS sumsq_dec,"""
+        if include_sumsq
+        else ""
+    )
     branches = []
     for c in columns:
         branches.append(f"""
@@ -127,7 +192,7 @@ SELECT '{c}' AS col_name,
        coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS n_nulls,
        min(CAST({c} AS double)) AS min_val,
        max(CAST({c} AS double)) AS max_val,
-       CAST(sum(CAST(CAST({c} AS double) AS {_SUM_TYPE})) AS {_SUM_TYPE}) AS sum_dec,
+       CAST(sum(CAST(CAST({c} AS double) AS {_SUM_TYPE})) AS {_SUM_TYPE}) AS sum_dec,{sumsq_line.format(c=c)}
        CASE WHEN count({c}) > 0 THEN round(
          CAST(sum(CAST(CAST({c} AS double) AS {_SUM_TYPE})) AS double)
            / CAST(count({c}) AS double), 6) END AS mean,

@@ -79,3 +79,45 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
             bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
             out = out.bitwiseOR(F.shiftleft(bit, b * k + i))
     return out
+
+
+def range_boundaries(
+    df: "DataFrame",
+    col: str,
+    n_partitions: int,
+    approx: bool = False,
+    bound_round: int = 6,
+) -> "DataFrame":
+    """Suggest ``n_partitions - 1`` range-partition split points for a sort
+    key: the i/n equi-depth percentiles — what Spark's RangePartitioner
+    estimates by sampling, computed here exactly (or via t-digest with
+    ``approx=True`` at corpus scale) so a range-clustered write
+    (:func:`write_range_clustered`) gets equal-sized files instead of
+    sample-skewed ones.
+
+    Returns ``(boundary_idx, fraction, bound)`` — ``bound`` rounded to
+    ``bound_round`` (cross-engine double contract).  One aggregation, one
+    output row per boundary; the percentile list is computed in a SINGLE
+    agg call (one pass over the data, not n-1 passes).
+    """
+    from pyspark.sql import functions as F
+
+    if n_partitions < 2:
+        raise ValueError("range_boundaries: n_partitions must be >= 2")
+    fracs = [i / n_partitions for i in range(1, n_partitions)]
+    pfn = F.approx_percentile if approx else F.percentile
+    agg = df.agg(
+        pfn(F.col(col), F.array(*[F.lit(f) for f in fracs])).alias("__bs")
+    )
+    return (
+        agg.select(
+            F.posexplode(F.col("__bs")).alias("__i", "__b"),
+        )
+        .select(
+            (F.col("__i") + 1).cast("int").alias("boundary_idx"),
+            F.round((F.col("__i") + 1).cast("double") / n_partitions, 9).alias(
+                "fraction"
+            ),
+            F.round(F.col("__b"), bound_round).alias("bound"),
+        )
+    )

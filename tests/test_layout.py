@@ -74,3 +74,45 @@ def test_zorder_key_width_guard():
 
     with pytest.raises(ValueError, match="63"):
         zorder_key([F.lit(1)] * 4, bits=16)   # 64 bits would hit the sign bit
+
+
+# ---------------------------------------------------------------------------
+# range_boundaries (equi-depth split points)
+# ---------------------------------------------------------------------------
+
+
+def test_range_boundaries_equi_depth(spark):
+    from json_schema_rs_spark.sources.layout import range_boundaries
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    bs = range_boundaries(df, "v", 4).collect()
+    assert [r["boundary_idx"] for r in bs] == [1, 2, 3]
+    assert [r["fraction"] for r in bs] == [0.25, 0.5, 0.75]
+    bounds = [r["bound"] for r in bs]
+    assert bounds == sorted(bounds)
+    # splitting at the bounds yields 4 near-equal buckets
+    counts = []
+    edges = [float("-inf")] + bounds + [float("inf")]
+    vals = [float(i) for i in range(100)]
+    for lo, hi in zip(edges, edges[1:]):
+        counts.append(sum(1 for v in vals if lo < v <= hi))
+    assert max(counts) - min(counts) <= 1
+
+
+def test_range_boundaries_guard(spark):
+    from json_schema_rs_spark.sources.layout import range_boundaries
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        range_boundaries(df, "v", 1)
+
+
+def test_range_boundaries_approx_mode(spark):
+    from json_schema_rs_spark.sources.layout import range_boundaries
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    bs = range_boundaries(df, "v", 4, approx=True).collect()
+    assert len(bs) == 3
+    # approx percentile still lands near the exact equi-depth points
+    for r, expect in zip(bs, (249.75, 499.5, 749.25)):
+        assert abs(r["bound"] - expect) < 25

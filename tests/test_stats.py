@@ -190,3 +190,73 @@ def test_association_nulls_excluded(spark):
     )
     r = categorical_association(df, "a", "b").collect()[0]
     assert r["n"] == 2
+
+
+# ---------------------------------------------------------------------------
+# merge_profiles (incremental maintenance law)
+# ---------------------------------------------------------------------------
+
+
+def _rows_by_col(df):
+    return {r["col_name"]: tuple(r) for r in df.collect()}
+
+
+def test_merge_profiles_law_bit_exact(spark):
+    import random
+
+    from json_schema_rs_spark.operators.stats import column_profile, merge_profiles
+
+    rng = random.Random(11)
+    rows = [
+        (
+            round(rng.uniform(-100, 100), 2),
+            float(rng.randint(0, 50)) if rng.random() > 0.2 else None,
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    whole = column_profile(df, ["x", "y"], tree_width=4, include_sumsq=True)
+
+    from pyspark.sql import functions as F
+
+    parts = [
+        column_profile(
+            df.filter(F.abs(F.hash("x", "y")) % 3 == i),
+            ["x", "y"],
+            tree_width=4,
+            include_sumsq=True,
+        )
+        for i in range(3)
+    ]
+    merged = merge_profiles(parts)
+    # NOTE: F.hash-based split is only a partition of rows if hash is
+    # deterministic per row — it is; rows with identical (x, y) go to the
+    # same side, which is fine for a partition-into-thirds.
+    assert _rows_by_col(merged) == _rows_by_col(whole)
+
+
+def test_merge_profiles_all_null_side(spark):
+    from json_schema_rs_spark.operators.stats import column_profile, merge_profiles
+
+    a = spark.createDataFrame([(1.0,), (3.0,)], "x double")
+    b = spark.createDataFrame([(None,), (None,)], "x double")
+    u = spark.createDataFrame([(1.0,), (3.0,), (None,), (None,)], "x double")
+    merged = merge_profiles(
+        [
+            column_profile(a, ["x"], tree_width=2, include_sumsq=True),
+            column_profile(b, ["x"], tree_width=2, include_sumsq=True),
+        ]
+    )
+    whole = column_profile(u, ["x"], tree_width=2, include_sumsq=True)
+    assert _rows_by_col(merged) == _rows_by_col(whole)
+
+
+def test_merge_profiles_requires_sumsq(spark):
+    from json_schema_rs_spark.operators.stats import column_profile, merge_profiles
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    p = column_profile(df, ["x"], tree_width=2)  # not mergeable
+    with pytest.raises(ValueError):
+        merge_profiles([p])
+    with pytest.raises(ValueError):
+        merge_profiles([])
