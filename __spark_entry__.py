@@ -2038,6 +2038,33 @@ def q_weighted_sample_docs(spark, sf_dir):
     )
 
 
+def q_profile_merge_lineitem(spark, sf_dir):
+    # Mergeable-profile law (operators/stats.py merge_profiles): profile two
+    # disjoint halves separately, merge WITHOUT rescanning, and the oracle
+    # computes the whole-table profile directly — bit-equality proves the
+    # incremental-maintenance path (per-snapshot profiles folded on demand).
+    from json_schema_rs_spark.operators.stats import column_profile, merge_profiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    even = li.filter(F.col("l_orderkey") % 2 == 0)
+    odd = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = merge_profiles(
+        [
+            column_profile(even, _PROFILE_COLS, tree_width=8, include_sumsq=True),
+            column_profile(odd, _PROFILE_COLS, tree_width=8, include_sumsq=True),
+        ]
+    )
+    # sumsq_dec is dropped from the COMPARE (not the merge): the per-row
+    # double->decimal(38,12) cast rounds differently in Java BigDecimal vs
+    # DuckDB (same soft spot the module docstring documents for the reverse
+    # cast), so the raw accumulator is engine-local; everything derived from
+    # it (stddev) matches after the standard 6-dp round, and the merge law
+    # itself is pinned bit-for-bit Spark-side in test_stats.
+    return merged.drop("sumsq_dec").withColumn("mean", F.round("mean", 6)).withColumn(
+        "stddev", F.round("stddev", 6)
+    )
+
+
 def q_winsorize_events(spark, sf_dir):
     # Percentile winsorization (operators/repair.py winsorize): ONE exact-
     # percentile agg row broadcast onto a pure clip projection.  The
@@ -2185,6 +2212,47 @@ def q_partition_load_events(spark, sf_dir):
     return partition_load_profile(_t(spark, sf_dir, "events"), "user_id", 32)
 
 
+def q_range_boundaries_orders(spark, sf_dir):
+    # Equi-depth range-partition split points (sources/layout.py
+    # range_boundaries): the exact i/n percentiles Spark's RangePartitioner
+    # only estimates by sampling — ONE single-pass percentile agg, n-1
+    # output rows.  Feeds write_range_clustered so a sort-key layout gets
+    # equal-sized files at corpus scale.
+    from json_schema_rs_spark.sources.layout import range_boundaries
+
+    return range_boundaries(_t(spark, sf_dir, "orders"), "o_totalprice", 8)
+
+
+def q_composition_validate(spark, sf_dir):
+    # Composition keywords (compile._composition_keywords): anyOf / oneOf /
+    # not / if-then-else / const compiled into the SAME single fused row
+    # projection as every other constraint — pure extensions (the
+    # reference's serde rejects these keywords at parse time).  Strict mode
+    # for standard bound semantics inside the numeric branches.
+    from json_schema_rs_spark.spec import FieldSpec, TableSpec, number_field, string_field
+
+    spec = TableSpec(reference_parity=False)
+    spec.add_field(
+        FieldSpec(name="lang").with_any_of(
+            FieldSpec(const="en"), string_field(pattern="^(de|fr)$")
+        )
+    )
+    spec.add_field(
+        number_field("n_chars").with_one_of(
+            number_field(maximum=150), number_field(minimum=400)
+        )
+    )
+    spec.add_field(
+        FieldSpec(name="text").with_condition(
+            string_field(pattern="^key"), then_spec=string_field(min_length=200)
+        )
+    )
+    spec.add_field(FieldSpec(name="source").with_not(FieldSpec(const="src3")))
+    spec.add_dependent_required("text", "lang")
+    eng = ValidationEngine(spec, key_cols=["doc_id"])
+    return eng.validate(_t(spark, sf_dir, "documents")).violations
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2322,8 +2390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_events": q_winsorize_events,
         "assoc_docs": q_assoc_docs,
         "surprisal_docs": q_surprisal_docs,
+        "profile_merge_lineitem": q_profile_merge_lineitem,
         "skew_profile_events": q_skew_profile_events,
         "partition_load_events": q_partition_load_events,
+        "range_boundaries_orders": q_range_boundaries_orders,
+        "composition_validate": q_composition_validate,
     }
 
 
@@ -4339,6 +4410,7 @@ def oracle_sql() -> dict[str, str]:
               AND levenshtein(a.s, b.s) <= 2
         """,
         "pagerank_nations": pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iterations=3),
+        "profile_merge_lineitem": profile_oracle_sql("lineitem", _PROFILE_COLS),
         "winsorize_events": """
             WITH b AS (SELECT quantile_cont(value, 0.01) AS lo,
                               quantile_cont(value, 0.99) AS hi FROM events)
@@ -4444,4 +4516,38 @@ def oracle_sql() -> dict[str, str]:
                    round(max(load) / (CAST(sum(load) AS double) / count(*)), 6) AS balance_ratio
             FROM loads
         """,
+        "composition_validate": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_key, 'any_of:lang' AS constraint_id,
+                   lang AS observed_value
+              FROM documents
+             WHERE lang IS NOT NULL
+               AND NOT (lang = 'en' OR regexp_matches(lang, '^(de|fr)$'))
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'one_of:n_chars',
+                   CAST((CASE WHEN n_chars::DOUBLE <= 150 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n_chars::DOUBLE >= 400 THEN 1 ELSE 0 END) AS VARCHAR)
+              FROM documents
+             WHERE n_chars IS NOT NULL
+               AND (CASE WHEN n_chars::DOUBLE <= 150 THEN 1 ELSE 0 END)
+                 + (CASE WHEN n_chars::DOUBLE >= 400 THEN 1 ELSE 0 END) <> 1
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'min_length:text', CAST(strlen(text) AS VARCHAR)
+              FROM documents
+             WHERE text IS NOT NULL AND regexp_matches(text, '^key') AND strlen(text) < 200
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'not:source', source
+              FROM documents
+             WHERE source IS NOT NULL AND source = 'src3'
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'dependent_required:text->lang', 'lang'
+              FROM documents WHERE text IS NOT NULL AND lang IS NULL
+        """,
+        "range_boundaries_orders": "\nUNION ALL\n".join(
+            f"""
+            SELECT CAST({i} AS INT) AS boundary_idx,
+                   round(CAST({i} AS double) / 8, 9) AS fraction,
+                   round(quantile_cont(o_totalprice, CAST({i} AS double) / 8), 6) AS bound
+            FROM orders"""
+            for i in range(1, 8)
+        ),
     }

@@ -52,6 +52,13 @@ REFERENCE_ERRORKIND = {
     "unique_key": None,
     "referential_integrity": None,
     "drift": None,
+    # composition extensions (the reference's serde rejects these keywords
+    # at parse time — no ErrorKind counterpart exists)
+    "const": None,
+    "any_of": None,
+    "one_of": None,
+    "not": None,
+    "dependent_required": None,
 }
 
 def _empty():
@@ -275,6 +282,81 @@ def _object_keywords(spec: FieldSpec, x: Column, dtype: T.DataType, path: str, p
     return out
 
 
+def _const_pred(x: Column, dtype: T.DataType, value) -> Column:
+    """Type-aware equality for the ``const`` keyword.  The compare follows
+    the CONST's JSON type (bool / number / string), coercing the column the
+    same way the type checks do — so ``const: 5`` matches a string column's
+    ``"5"`` via the numeric cast (lexical JSON equality over a stringly
+    column), while ``const: "5"`` requires the exact string."""
+    if isinstance(value, bool):
+        if isinstance(dtype, T.BooleanType):
+            return x == F.lit(value)
+        if isinstance(dtype, T.StringType):
+            return x == F.lit("true" if value else "false")
+        return F.lit(False)
+    if isinstance(value, (int, float)):
+        if isinstance(dtype, _INTEGRAL + _FLOATING):
+            return x.cast("double") == F.lit(float(value))
+        if isinstance(dtype, T.StringType):
+            return x.try_cast(T.DoubleType()) == F.lit(float(value))
+        return F.lit(False)
+    if isinstance(value, str):
+        if isinstance(dtype, T.StringType):
+            return x == F.lit(value)
+        return x.cast("string") == F.lit(value)
+    raise ValueError(f"const only supports scalar values, got {type(value).__name__}")
+
+
+def _composition_keywords(
+    spec: FieldSpec, x: Column, dtype: T.DataType, path: str, parity: bool
+) -> list[Column]:
+    """Composition keywords — PURE EXTENSIONS (the reference's serde rejects
+    them at parse time, string.rs:42 etc.; realized here like ``enum``).
+
+    Branch pass/fail is decided by the branch's own violations array being
+    empty, so every keyword the compiler supports (type checks, patterns,
+    bounds, nested objects/arrays, further composition) works inside a
+    branch.  Everything stays ONE Column expression tree — no extra scan,
+    no shuffle; Catalyst fuses all branches into the same codegen'd
+    projection as the rest of the row pass."""
+    out: list[Column] = []
+    if spec.const is not None:
+        out.append(_fail(_const_pred(x, dtype, spec.const), f"const:{path}", x))
+    if spec.all_of:
+        # allOf = plain conjunction: every branch's violations surface as-is
+        for sub in spec.all_of:
+            out.append(_value_violations(sub, x, dtype, path, parity))
+    if spec.any_of:
+        ok = F.lit(False)
+        for sub in spec.any_of:
+            ok = ok | (F.size(_value_violations(sub, x, dtype, path, parity)) == 0)
+        out.append(_fail(ok, f"any_of:{path}", x))
+    if spec.one_of:
+        cnt = F.lit(0)
+        for sub in spec.one_of:
+            cnt = cnt + (
+                F.size(_value_violations(sub, x, dtype, path, parity)) == 0
+            ).cast("int")
+        out.append(_fail(cnt == 1, f"one_of:{path}", cnt))
+    if spec.not_spec is not None:
+        sub_v = _value_violations(spec.not_spec, x, dtype, path, parity)
+        out.append(_fail(F.size(sub_v) > 0, f"not:{path}", x))
+    if spec.if_spec is not None:
+        cond = F.size(_value_violations(spec.if_spec, x, dtype, path, parity)) == 0
+        then_v = (
+            _value_violations(spec.then_spec, x, dtype, path, parity)
+            if spec.then_spec is not None
+            else _empty()
+        )
+        else_v = (
+            _value_violations(spec.else_spec, x, dtype, path, parity)
+            if spec.else_spec is not None
+            else _empty()
+        )
+        out.append(F.when(cond, then_v).otherwise(else_v))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Type checks — SURVEY §2.3 (T1-T7).  Returns (pred-or-None, value-for-keywords)
 # ---------------------------------------------------------------------------
@@ -342,6 +424,7 @@ def _value_violations(spec: FieldSpec, x: Column, dtype: T.DataType, path: str, 
         parts += _object_keywords(spec, x, dtype, path, parity)
     if spec.enum is not None:
         parts.append(_fail(x.isin(*spec.enum), f"enum:{path}", x))
+    parts += _composition_keywords(spec, x, dtype, path, parity)
     body = _concat(parts)
 
     if type_pred is not None:
@@ -384,6 +467,23 @@ def compile_table(spec: TableSpec, schema: T.StructType) -> list[CompiledField]:
             else:
                 v = _empty()
         out.append(CompiledField(name=name, violations=v))
+    return out
+
+
+def compile_dependent_required(spec: TableSpec) -> list[Column]:
+    """Table-scope ``dependentRequired``: when the key column is non-null,
+    every listed column must be non-null.  One violation per missing
+    dependent per row, id ``dependent_required:<key>-><dep>``; same
+    shuffle-free projection as the field constraints."""
+    out: list[Column] = []
+    for col, deps in spec.dependent_required.items():
+        for dep in deps:
+            out.append(
+                F.when(
+                    F.col(col).isNotNull() & F.col(dep).isNull(),
+                    F.array(_v(f"dependent_required:{col}->{dep}", F.lit(dep))),
+                ).otherwise(_empty())
+            )
     return out
 
 

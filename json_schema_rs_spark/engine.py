@@ -29,7 +29,13 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from json_schema_rs_spark.compile import compile_checks, compile_table, _concat, VIOLATION_SCHEMA
+from json_schema_rs_spark.compile import (
+    VIOLATION_SCHEMA,
+    _concat,
+    compile_checks,
+    compile_dependent_required,
+    compile_table,
+)
 from json_schema_rs_spark.operators.drift import drift_stats, drift_violations
 from json_schema_rs_spark.operators.integrity import referential_violations
 from json_schema_rs_spark.operators.uniqueness import unique_key_violations
@@ -74,7 +80,11 @@ class ValidationEngine:
 
     def annotate(self, df: DataFrame) -> DataFrame:
         compiled = compile_table(self.spec, df.schema)
-        parts = [c.violations for c in compiled] + compile_checks(self.spec)
+        parts = (
+            [c.violations for c in compiled]
+            + compile_checks(self.spec)
+            + compile_dependent_required(self.spec)
+        )
         all_violations = _concat(parts).cast(VIOLATION_SCHEMA)
         cols = [
             F.concat_ws("|", *[F.col(c).cast("string") for c in self.key_cols]).alias("row_key"),

@@ -77,6 +77,20 @@ class FieldSpec:
     tuple_items: Optional[list["FieldSpec"]] = None  # tuple mode: positional schemas (array.rs:27-30)
     additional_items: bool = False      # parsed default false (array.rs:33-35); `!=` check so too FEW items also errors (array.rs:81-89)
 
+    # composition keywords — PURE EXTENSIONS: the reference has NO
+    # composition surface at all (its serde derives use deny_unknown_fields,
+    # string.rs:42 / array.rs:10 / number.rs:13, so `allOf` etc. fail to
+    # PARSE there).  Realized here like `enum` (a reference TODO, lib.rs:5):
+    # first-class keywords compiled into the same single-projection row pass.
+    const: Optional[Any] = None          # exact-value match (type-aware compare)
+    all_of: Optional[list["FieldSpec"]] = None   # every branch's violations emitted
+    any_of: Optional[list["FieldSpec"]] = None   # ≥1 branch must fully pass
+    one_of: Optional[list["FieldSpec"]] = None   # EXACTLY 1 branch must pass
+    not_spec: Optional["FieldSpec"] = None       # subschema must NOT pass
+    if_spec: Optional["FieldSpec"] = None        # condition: branch selector
+    then_spec: Optional["FieldSpec"] = None      # applied when if_spec passes
+    else_spec: Optional["FieldSpec"] = None      # applied when if_spec fails
+
     # object keywords
     properties: Optional[dict[str, "FieldSpec"]] = None  # object.rs:34-56
     required_props: Optional[list[str]] = None           # object.rs:58-74
@@ -94,6 +108,14 @@ class FieldSpec:
             raise ValueError(f"unknown format {self.format!r}; expected one of {sorted(VALID_FORMATS)}")
         if self.items is not None and self.tuple_items is not None:
             raise ValueError("items and tuple_items are mutually exclusive (list vs tuple mode)")
+        for kw in ("all_of", "any_of", "one_of"):
+            branches = getattr(self, kw)
+            if branches is not None and len(branches) == 0:
+                raise ValueError(f"{kw} needs at least one branch schema")
+        if (self.then_spec is not None or self.else_spec is not None) and self.if_spec is None:
+            # JSON-Schema 2020-12 §10.2.2: then/else without if are IGNORED —
+            # silently inert keywords hide spec bugs, so reject instead
+            raise ValueError("then/else require an if schema")
 
     # -- fluent builder API (mirrors the reference builders, S5 in SURVEY §2.1)
     def with_required(self, required: bool = True) -> "FieldSpec":
@@ -150,6 +172,37 @@ class FieldSpec:
 
     def with_unique_items(self, unique: bool = True) -> "FieldSpec":
         self.unique_items = unique
+        return self
+
+    def with_const(self, value: Any) -> "FieldSpec":
+        self.const = value
+        return self
+
+    def with_all_of(self, *branches: "FieldSpec") -> "FieldSpec":
+        self.all_of = list(branches)
+        return self
+
+    def with_any_of(self, *branches: "FieldSpec") -> "FieldSpec":
+        self.any_of = list(branches)
+        return self
+
+    def with_one_of(self, *branches: "FieldSpec") -> "FieldSpec":
+        self.one_of = list(branches)
+        return self
+
+    def with_not(self, branch: "FieldSpec") -> "FieldSpec":
+        self.not_spec = branch
+        return self
+
+    def with_condition(
+        self,
+        if_spec: "FieldSpec",
+        then_spec: Optional["FieldSpec"] = None,
+        else_spec: Optional["FieldSpec"] = None,
+    ) -> "FieldSpec":
+        self.if_spec = if_spec
+        self.then_spec = then_spec
+        self.else_spec = else_spec
         return self
 
 
@@ -312,6 +365,11 @@ class TableSpec:
     drift: list[DriftSpec] = field(default_factory=list)
     checks: list[CheckSpec] = field(default_factory=list)
     quality: list[QualitySpec] = field(default_factory=list)
+    #: JSON-Schema `dependentRequired` lifted to table scope: when the key
+    #: column is non-null, every listed column must be non-null too.  A pure
+    #: extension (the reference has no cross-field surface); compiled into
+    #: the same shuffle-free row pass (compile.compile_dependent_required).
+    dependent_required: dict[str, list[str]] = field(default_factory=dict)
     #: preserve the reference's as-implemented quirks (SURVEY §7 "hard parts")
     reference_parity: bool = True
 
@@ -334,6 +392,12 @@ class TableSpec:
     def add_check(self, id: str, expr: str, where: str | None = None,
                   observed: str | None = None) -> "TableSpec":
         self.checks.append(CheckSpec(id=id, expr=expr, where=where, observed=observed))
+        return self
+
+    def add_dependent_required(self, column: str, *requires: str) -> "TableSpec":
+        if not requires:
+            raise ValueError("dependent_required needs at least one required column")
+        self.dependent_required[column] = list(requires)
         return self
 
     def add_quality(self, column: str, **thresholds) -> "TableSpec":
@@ -389,6 +453,20 @@ def _field_to_dict(fs: FieldSpec) -> dict[str, Any]:
         out["patternProperties"] = {
             rex: _field_to_dict(c) for rex, c in fs.pattern_properties.items()
         }
+    if fs.const is not None:
+        out["const"] = fs.const
+    for kw, camel in (("all_of", "allOf"), ("any_of", "anyOf"), ("one_of", "oneOf")):
+        branches = getattr(fs, kw)
+        if branches:
+            out[camel] = [_field_to_dict(b) for b in branches]
+    if fs.not_spec is not None:
+        out["not"] = _field_to_dict(fs.not_spec)
+    if fs.if_spec is not None:
+        out["if"] = _field_to_dict(fs.if_spec)
+        if fs.then_spec is not None:
+            out["then"] = _field_to_dict(fs.then_spec)
+        if fs.else_spec is not None:
+            out["else"] = _field_to_dict(fs.else_spec)
     # "required" carries the object-level list (JSON-Schema draft-4 style);
     # the draft-3-style bool (this column itself is required) shares the key
     # when no list is present, else moves to "selfRequired"
@@ -449,6 +527,10 @@ def _table_to_dict(ts: TableSpec) -> dict[str, Any]:
             }
             for ck in ts.checks
         ]
+    if ts.dependent_required:
+        out["dependentRequired"] = {
+            col: list(reqs) for col, reqs in ts.dependent_required.items()
+        }
     if not ts.reference_parity:
         out["referenceParity"] = False
     return out
@@ -510,7 +592,8 @@ def _field_from_dict(
     kw: dict[str, Any] = {"name": name}
     for k, v in d.items():
         if k in ("items", "properties", "required", "patternProperties",
-                 "description", "title", "definitions", "selfRequired"):
+                 "description", "title", "definitions", "selfRequired",
+                 "const", "allOf", "anyOf", "oneOf", "not", "if", "then", "else"):
             continue
         if k in _FIELD_KEYS:
             kw[_FIELD_KEYS[k]] = v
@@ -546,6 +629,21 @@ def _field_from_dict(
             rex: _field_from_dict(f"{name}{{{rex}}}", s, defs, resolve_refs)
             for rex, s in pprops.items()
         }
+    if "const" in d:
+        kw["const"] = d["const"]
+    for camel, snake in (("allOf", "all_of"), ("anyOf", "any_of"), ("oneOf", "one_of")):
+        if camel in d:
+            kw[snake] = [
+                _field_from_dict(name, s, defs, resolve_refs) for s in d[camel]
+            ]
+    if "not" in d:
+        kw["not_spec"] = _field_from_dict(name, d["not"], defs, resolve_refs)
+    if "if" in d:
+        kw["if_spec"] = _field_from_dict(name, d["if"], defs, resolve_refs)
+        if "then" in d:
+            kw["then_spec"] = _field_from_dict(name, d["then"], defs, resolve_refs)
+        if "else" in d:
+            kw["else_spec"] = _field_from_dict(name, d["else"], defs, resolve_refs)
     spec = FieldSpec(**kw)
     return spec
 
@@ -573,6 +671,8 @@ def spec_from_json(text: str | dict, resolve_refs: bool = False) -> TableSpec:
                      dr.get("psiThreshold", 0.2), dr.get("ksThreshold", 0.1))
     for ck in d.get("checks", []):
         ts.add_check(ck["id"], ck["expr"], ck.get("where"), ck.get("observed"))
+    for col, reqs in d.get("dependentRequired", {}).items():
+        ts.add_dependent_required(col, *reqs)
     for q in d.get("quality", []):
         ts.add_quality(
             q["column"],

@@ -1,0 +1,227 @@
+"""Composition keywords (const / allOf / anyOf / oneOf / not / if-then-else /
+dependentRequired) — pure extensions: the reference's serde derives use
+deny_unknown_fields (string.rs:42, array.rs:10, number.rs:13) so these
+keywords fail to PARSE there; we realize them like `enum` (lib.rs:5 TODO)."""
+
+import pytest
+
+from json_schema_rs_spark import ValidationEngine, spec_from_json
+from json_schema_rs_spark.spec import (
+    FieldSpec,
+    TableSpec,
+    integer_field,
+    number_field,
+    string_field,
+)
+
+
+def _ids(spark, spec: TableSpec, rows, schema: str) -> dict:
+    """{row_key: sorted constraint ids}"""
+    df = spark.createDataFrame(rows, schema)
+    eng = ValidationEngine(spec, key_cols=[df.columns[0]])
+    out = {}
+    for r in eng.validate(df).violations.collect():
+        out.setdefault(r["row_key"], []).append(r["constraint_id"])
+    return {k: sorted(v) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# const
+# ---------------------------------------------------------------------------
+
+
+def test_const_string(spark):
+    spec = TableSpec().add_field(string_field("v").with_const("ok"))
+    got = _ids(spark, spec, [("a", "ok"), ("b", "nope"), ("c", None)], "k string, v string")
+    assert got == {"b": ["const:v"]}          # null skips, like enum
+
+
+def test_const_number_matches_lexical_string(spark):
+    # const follows the CONST's JSON type: numeric 5 matches the string "5"
+    spec = TableSpec().add_field(FieldSpec(name="v", const=5))
+    got = _ids(spark, spec, [("a", "5"), ("b", "5.0"), ("c", "six")], "k string, v string")
+    assert got == {"c": ["const:v"]}          # "5.0" casts to 5.0 == 5
+
+
+def test_const_bool(spark):
+    spec = TableSpec().add_field(FieldSpec(name="v", const=True))
+    got = _ids(spark, spec, [("a", True), ("b", False)], "k string, v boolean")
+    assert got == {"b": ["const:v"]}
+
+
+def test_const_rejects_non_scalar():
+    spec = TableSpec().add_field(FieldSpec(name="v", const=[1, 2]))
+    import pyspark.sql.types as T
+
+    from json_schema_rs_spark.compile import compile_table
+
+    with pytest.raises(ValueError, match="scalar"):
+        compile_table(spec, T.StructType([T.StructField("v", T.StringType())]))
+
+
+# ---------------------------------------------------------------------------
+# allOf / anyOf / oneOf / not
+# ---------------------------------------------------------------------------
+
+
+def test_all_of_emits_every_branch(spark):
+    spec = TableSpec(reference_parity=False).add_field(
+        number_field("v").with_all_of(
+            number_field(minimum=10), number_field(maximum=20)
+        )
+    )
+    got = _ids(spark, spec, [("a", 15.0), ("b", 5.0), ("c", 25.0)], "k string, v double")
+    assert got == {"b": ["number_range:v"], "c": ["number_range:v"]}
+
+
+def test_any_of_passes_when_one_branch_passes(spark):
+    # v must be < 10 OR > 100 (strict-mode bounds)
+    spec = TableSpec(reference_parity=False).add_field(
+        number_field("v").with_any_of(
+            number_field(maximum=10), number_field(minimum=100)
+        )
+    )
+    got = _ids(spark, spec, [("a", 5.0), ("b", 150.0), ("c", 50.0)], "k string, v double")
+    assert got == {"c": ["any_of:v"]}
+
+
+def test_any_of_cross_type_branches(spark):
+    # string column: lexical integer OR pattern — the integer branch uses
+    # the type checker's lexical rule, proving full-compiler branches
+    spec = TableSpec().add_field(
+        FieldSpec(name="v").with_any_of(
+            integer_field(), string_field(pattern="^[a-z]+$")
+        )
+    )
+    got = _ids(
+        spark, spec, [("a", "42"), ("b", "abc"), ("c", "A1!")], "k string, v string"
+    )
+    assert got == {"c": ["any_of:v"]}
+
+
+def test_one_of_requires_exactly_one(spark):
+    # branches overlap on [40, 60]: 0 passing fails, 2 passing fails too
+    spec = TableSpec(reference_parity=False).add_field(
+        number_field("v").with_one_of(
+            number_field(maximum=60), number_field(minimum=40)
+        )
+    )
+    got = _ids(
+        spark, spec,
+        [("lo", 10.0), ("mid", 50.0), ("hi", 90.0), ("out", None)],
+        "k string, v double",
+    )
+    assert got == {"mid": ["one_of:v"]}       # both branches pass → violation
+
+
+def test_not(spark):
+    spec = TableSpec().add_field(
+        string_field("v").with_not(string_field(pattern="^tmp_"))
+    )
+    got = _ids(spark, spec, [("a", "tmp_x"), ("b", "real")], "k string, v string")
+    assert got == {"a": ["not:v"]}
+
+
+# ---------------------------------------------------------------------------
+# if / then / else
+# ---------------------------------------------------------------------------
+
+
+def test_if_then_else(spark):
+    # if v starts with "en:" then length >= 10 else length >= 3
+    spec = TableSpec().add_field(
+        string_field("v").with_condition(
+            string_field(pattern="^en:"),
+            then_spec=string_field(min_length=10),
+            else_spec=string_field(min_length=3),
+        )
+    )
+    got = _ids(
+        spark, spec,
+        [("a", "en:long enough"), ("b", "en:xx"), ("c", "ok!"), ("d", "x")],
+        "k string, v string",
+    )
+    assert got == {"b": ["min_length:v"], "d": ["min_length:v"]}
+
+
+def test_then_without_if_rejected():
+    with pytest.raises(ValueError, match="then/else"):
+        FieldSpec(name="v", then_spec=string_field())
+
+
+def test_empty_branch_list_rejected():
+    with pytest.raises(ValueError, match="at least one branch"):
+        FieldSpec(name="v", any_of=[])
+
+
+# ---------------------------------------------------------------------------
+# dependentRequired (table scope)
+# ---------------------------------------------------------------------------
+
+
+def test_dependent_required(spark):
+    spec = TableSpec().add_dependent_required("a", "b", "c")
+    got = _ids(
+        spark, spec,
+        [("r1", "x", "y", "z"), ("r2", "x", None, "z"),
+         ("r3", "x", None, None), ("r4", None, None, None)],
+        "k string, a string, b string, c string",
+    )
+    assert got == {
+        "r2": ["dependent_required:a->b"],
+        "r3": ["dependent_required:a->b", "dependent_required:a->c"],
+    }                                          # r4: key null → no requirement
+
+
+def test_dependent_required_needs_columns():
+    with pytest.raises(ValueError):
+        TableSpec().add_dependent_required("a")
+
+
+# ---------------------------------------------------------------------------
+# JSON round trip
+# ---------------------------------------------------------------------------
+
+
+def test_composition_json_roundtrip():
+    doc = {
+        "fields": {
+            "v": {
+                "anyOf": [{"type": "integer"}, {"pattern": "^[a-z]+$"}],
+                "not": {"const": "forbidden"},
+                "if": {"pattern": "^en:"},
+                "then": {"minLength": 10},
+                "else": {"minLength": 3},
+            },
+            "w": {"oneOf": [{"maximum": 60}, {"minimum": 40}], "const": 5},
+        },
+        "dependentRequired": {"a": ["b", "c"]},
+    }
+    spec = spec_from_json(doc)
+    assert [b.type for b in spec.fields["v"].any_of] == ["integer", None]
+    assert spec.fields["v"].not_spec.const == "forbidden"
+    assert spec.fields["v"].then_spec.min_length == 10
+    assert spec.fields["w"].const == 5
+    assert spec.dependent_required == {"a": ["b", "c"]}
+    again = spec_from_json(spec.to_json())
+    assert again.to_json() == spec.to_json()   # fixed point
+
+
+def test_nested_composition_inside_items(spark):
+    # array whose every element is int-like or lowercase — composition
+    # recursing through the array keyword path
+    spec = TableSpec().add_field(
+        FieldSpec(
+            name="v",
+            type="array",
+            items=FieldSpec().with_any_of(
+                integer_field(), string_field(pattern="^[a-z]+$")
+            ),
+        )
+    )
+    got = _ids(
+        spark, spec,
+        [("a", ["1", "ok"]), ("b", ["1", "NO!"])],
+        "k string, v array<string>",
+    )
+    assert got == {"b": ["any_of:v[]"]}
