@@ -2253,6 +2253,75 @@ def q_composition_validate(spark, sf_dir):
     return eng.validate(_t(spark, sf_dir, "documents")).violations
 
 
+def q_chunk_docs(spark, sf_dir):
+    # Sliding-window chunking (operators/packing.py chunk_text): pure
+    # projection + posexplode, shuffle-free; all-integer window arithmetic
+    # so chunk boundaries are engine-exact.  Chunk text is compared by md5
+    # (full-text compare would dominate the gate's hash for no extra signal).
+    from json_schema_rs_spark.operators.packing import chunk_text
+
+    ch = chunk_text(_t(spark, sf_dir, "documents"), "text", size=500, overlap=100)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        "n_chunks",
+        F.length("chunk_text").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def q_embedding_compress(spark, sf_dir):
+    # Embedding compression (operators/similarity.py): symmetric int8
+    # quantization (portable half-away rounding via floor/ceil — engines
+    # disagree on round()'s half rule) + Matryoshka truncate-renorm retained
+    # norm.  One shuffle-free projection; integer code stats are exact.
+    from json_schema_rs_spark.operators.similarity import l2_norm, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale, codes = quantize_int8(F.col("embedding"))
+    full = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    pre8 = F.slice(full, 1, 8)
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("quant_scale"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias("code_sum"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + F.abs(c)).alias(
+            "code_l1"
+        ),
+        F.round(l2_norm(full), 6).alias("norm_full"),
+        F.round(l2_norm(pre8) / l2_norm(full), 6).alias("retained8"),
+    )
+
+
+def q_sample_per_lang_docs(spark, sf_dir):
+    # Deterministic per-group reservoir (operators/sampling.py
+    # sample_per_group): exactly min(k, group size) rows per language,
+    # selected by the portable md5 uniform — reproducible on any engine.
+    from json_schema_rs_spark.operators.sampling import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_per_group(docs, ["lang"], 5, "doc_id").select("lang", "doc_id")
+
+
+def q_text_normalize_docs(spark, sf_dir):
+    # Canonical text cleanup (operators/repair.py normalize_text): one fused
+    # regexp_replace chain, shuffle-free, RE2-portable patterns replayed
+    # verbatim by the oracle.  Output is the normalized md5 + deltas.
+    from json_schema_rs_spark.operators.repair import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        (F.length("text") - F.length(norm)).alias("chars_removed"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2395,6 +2464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_load_events": q_partition_load_events,
         "range_boundaries_orders": q_range_boundaries_orders,
         "composition_validate": q_composition_validate,
+        "chunk_docs": q_chunk_docs,
+        "embedding_compress": q_embedding_compress,
+        "sample_per_lang_docs": q_sample_per_lang_docs,
+        "text_normalize_docs": q_text_normalize_docs,
     }
 
 
@@ -4541,6 +4614,76 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(doc_id AS VARCHAR), 'dependent_required:text->lang', 'lang'
               FROM documents WHERE text IS NOT NULL AND lang IS NULL
+        """,
+        "chunk_docs": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(text) <= 500 THEN 1
+                          ELSE 1 + (length(text) - 500 + 399) // 400 END AS n_chunks
+              FROM documents WHERE text IS NOT NULL)
+            , e AS (
+              SELECT doc_id, text, n_chunks,
+                     unnest(generate_series(0, n_chunks - 1)) AS k
+              FROM d)
+            SELECT doc_id,
+                   k AS chunk_idx,
+                   k * 400 AS chunk_start,
+                   n_chunks,
+                   length(substr(text, CAST(k * 400 + 1 AS INT), 500)) AS chunk_len,
+                   md5(substr(text, CAST(k * 400 + 1 AS INT), 500)) AS chunk_md5
+            FROM e
+        """,
+        "embedding_compress": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings),
+            c AS (
+              SELECT vec_id, v, scale,
+                     list_transform(v, x -> CAST(
+                       CASE WHEN scale > 0 THEN
+                         CASE WHEN x / scale >= 0 THEN floor(x / scale + 0.5)
+                              ELSE ceil(x / scale - 0.5) END
+                       ELSE 0 END AS INT)) AS codes
+              FROM q)
+            SELECT vec_id,
+                   round(scale, 6) AS quant_scale,
+                   CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                   list_min(codes) AS code_min,
+                   list_max(codes) AS code_max,
+                   CAST(list_sum(list_transform(codes, c2 -> abs(c2))) AS BIGINT) AS code_l1,
+                   round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS norm_full,
+                   round(sqrt(list_sum(list_transform(v[1:8], x -> x * x)))
+                         / sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS retained8
+            FROM c
+        """,
+        "sample_per_lang_docs": """
+            SELECT lang, doc_id
+            FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang
+              ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id) <= 5
+        """,
+        "text_normalize_docs": r"""
+            WITH n AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(text,
+                               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                             '\r\n?', e'\n', 'g'),
+                           '[ \t]+', ' ', 'g'),
+                         ' ?\n ?', e'\n', 'g'),
+                       '\n{3,}', e'\n\n', 'g'), ' ') AS norm
+              FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id, md5(norm) AS norm_md5,
+                   length(text) - length(norm) AS chars_removed,
+                   norm <> text AS changed
+            FROM n
         """,
         "range_boundaries_orders": "\nUNION ALL\n".join(
             f"""

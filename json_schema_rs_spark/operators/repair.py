@@ -166,3 +166,26 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text cleanup for LLM corpora, as ONE fused chain of
+    regexp_replace (shuffle-free, same RE2-compatible patterns run on any
+    engine):
+
+      1. strip C0/C1 control characters except tab and newline;
+      2. CRLF / CR → LF;
+      3. tabs and runs of spaces → one space;
+      4. spaces around newlines removed;
+      5. 3+ consecutive newlines → exactly 2 (paragraph break);
+      6. trim leading/trailing whitespace.
+
+    Deterministic and idempotent: normalize(normalize(x)) == normalize(x)
+    (pinned in tests).  NULL passes through.
+    """
+    x = F.regexp_replace(col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    x = F.regexp_replace(x, r"\r\n?", "\n")
+    x = F.regexp_replace(x, r"[ \t]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n{3,}", "\n\n")
+    return F.trim(x)

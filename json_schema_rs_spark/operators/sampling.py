@@ -18,7 +18,7 @@ sample is filter-pushdown-friendly, and nothing shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: 16^13 — the uniform's denominator.  13 hex digits = 52 bits, which a
@@ -270,3 +270,35 @@ def weighted_sample_oracle_sql(
         SELECT id AS {id_col}, w AS weight, sel_key
         FROM keyed ORDER BY sel_key DESC, id ASC LIMIT {int(k)}
     """
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str,
+    salt: str = "rsv",
+) -> DataFrame:
+    """Deterministic per-group reservoir: keep exactly ``min(k, |group|)``
+    uniformly-chosen rows per group — the grouped complement of
+    ``stratified_sample`` (which keeps a *fraction*; this keeps a *count*,
+    e.g. "5 eval docs per language" or "k probe rows per partition").
+
+    Selection key is the portable md5 uniform over ``id_col`` (ties broken
+    by the id itself), so the sample is reproducible on any engine and
+    independent of partitioning/order.  One shuffle on the group key; the
+    rank window scans each group once.  For k ≪ group size at corpus scale,
+    pre-filtering by a generous rate (``uniform < c*k/n``) before the window
+    turns the sort into a near-no-op — left to the caller, needs group
+    counts.
+    """
+    if k < 1:
+        raise ValueError("sample_per_group: k must be >= 1")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), id_col
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

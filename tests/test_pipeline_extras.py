@@ -1,0 +1,168 @@
+"""chunk_text / quantize_int8 / truncate_renorm / sample_per_group /
+normalize_text — round-2 LLM-pipeline additions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# chunk_text
+# ---------------------------------------------------------------------------
+
+
+def _chunks(spark, text, size, overlap):
+    from json_schema_rs_spark.operators.packing import chunk_text
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return sorted(
+        (r["chunk_idx"], r["chunk_start"], r["chunk_text"], r["n_chunks"])
+        for r in chunk_text(df, "text", size, overlap).collect()
+    )
+
+
+def test_chunk_text_covers_everything(spark):
+    text = "abcdefghij"  # len 10, size 4, overlap 1 → stride 3
+    got = _chunks(spark, text, 4, 1)
+    assert got == [
+        (0, 0, "abcd", 3),
+        (1, 3, "defg", 3),
+        (2, 6, "ghij", 3),
+    ]
+    # consecutive chunks share exactly `overlap` chars; union covers the text
+    assert got[0][2][-1:] == got[1][2][:1]
+
+
+def test_chunk_text_short_doc_single_chunk(spark):
+    assert _chunks(spark, "ab", 10, 3) == [(0, 0, "ab", 1)]
+    assert _chunks(spark, "", 10, 3) == [(0, 0, "", 1)]
+
+
+def test_chunk_text_exact_multiple_no_empty_tail(spark):
+    # len == size → 1 chunk; len == size+1 → 2nd chunk holds the overlap+1
+    assert len(_chunks(spark, "a" * 8, 8, 2)) == 1
+    got = _chunks(spark, "a" * 9, 8, 2)
+    assert len(got) == 2 and got[1][1] == 6 and got[1][2] == "aaa"
+
+
+def test_chunk_text_null_rows_skipped(spark):
+    from json_schema_rs_spark.operators.packing import chunk_text
+
+    df = spark.createDataFrame([(1, None), (2, "xyz")], "doc_id long, text string")
+    assert chunk_text(df, "text", 10, 0).count() == 1
+
+
+def test_chunk_text_guards(spark):
+    from json_schema_rs_spark.operators.packing import chunk_text
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_text(df, "text", 5, 5)
+    with pytest.raises(ValueError):
+        chunk_text(df, "text", 5, -1)
+
+
+# ---------------------------------------------------------------------------
+# quantize_int8 / dequantize / truncate_renorm
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    import random
+
+    from json_schema_rs_spark.operators.similarity import (
+        dequantize,
+        l2_norm,
+        quantize_int8,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    scale, codes = quantize_int8(F.col("emb"))
+    rec = dequantize(scale, codes)
+    err = df.select(
+        F.array_max(F.zip_with("emb", rec, lambda a, b: F.abs(a - b))).alias("e"),
+        (F.array_max(F.transform(codes, F.abs)) <= 127).alias("in_range"),
+        (scale * 127.0 / l2_norm(F.col("emb"))).alias("_"),
+        scale.alias("s"),
+    ).collect()
+    for r in err:
+        assert r["in_range"]
+        assert r["e"] <= r["s"] / 2 + 1e-12  # max error is half a step
+
+
+def test_quantize_int8_zero_vector(spark):
+    from json_schema_rs_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "id long, emb array<double>")
+    scale, codes = quantize_int8(F.col("emb"))
+    r = df.select(scale.alias("s"), codes.alias("c")).collect()[0]
+    assert r["s"] == 0.0 and r["c"] == [0, 0]
+
+
+def test_truncate_renorm_unit_norm(spark):
+    from json_schema_rs_spark.operators.similarity import l2_norm, truncate_renorm
+
+    df = spark.createDataFrame([(1, [3.0, 4.0, 100.0])], "id long, emb array<double>")
+    out = df.select(
+        truncate_renorm(F.col("emb"), 2).alias("t")
+    ).select(F.col("t"), l2_norm(F.col("t")).alias("n")).collect()[0]
+    assert out["t"] == pytest.approx([0.6, 0.8])
+    assert out["n"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# sample_per_group
+# ---------------------------------------------------------------------------
+
+
+def test_sample_per_group_exact_k_and_deterministic(spark):
+    from json_schema_rs_spark.operators.sampling import sample_per_group
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    a = sample_per_group(df, ["g"], 4, "id")
+    counts = {r["g"]: r["n"] for r in a.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 4, "g1": 4, "g2": 4}
+    # deterministic: same ids on re-run and under different partitioning
+    ids1 = sorted(r["id"] for r in a.collect())
+    ids2 = sorted(
+        r["id"] for r in sample_per_group(df.repartition(7), ["g"], 4, "id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_sample_per_group_small_group_keeps_all(spark):
+    from json_schema_rs_spark.operators.sampling import sample_per_group
+
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, g string")
+    assert sample_per_group(df, ["g"], 10, "id").count() == 3
+    with pytest.raises(ValueError):
+        sample_per_group(df, ["g"], 0, "id")
+
+
+# ---------------------------------------------------------------------------
+# normalize_text
+# ---------------------------------------------------------------------------
+
+
+def _norm(spark, s):
+    from json_schema_rs_spark.operators.repair import normalize_text
+
+    df = spark.createDataFrame([(s,)], "t string")
+    return df.select(normalize_text(F.col("t")).alias("n")).collect()[0]["n"]
+
+
+def test_normalize_text_rules(spark):
+    assert _norm(spark, "a\tb   c") == "a b c"            # tabs+runs → one space
+    assert _norm(spark, "a\r\nb\rc") == "a\nb\nc"          # CRLF/CR → LF
+    assert _norm(spark, "a \n b") == "a\nb"                # spaces around newline
+    assert _norm(spark, "a\n\n\n\nb") == "a\n\nb"          # 3+ newlines → 2
+    assert _norm(spark, "  x  ") == "x"                    # trim
+    assert _norm(spark, "a\x00b\x07c") == "abc"            # control chars stripped
+    assert _norm(spark, None) is None
+
+
+def test_normalize_text_idempotent(spark):
+    dirty = "  a\t\tb \r\n\r\n\r\n c\x1f  "
+    once = _norm(spark, dirty)
+    assert _norm(spark, once) == once
