@@ -2322,6 +2322,71 @@ def q_text_normalize_docs(spark, sf_dir):
     )
 
 
+def q_asof_forward_events(spark, sf_dir):
+    # forward as-of (operators/temporal.py direction="forward"): every click
+    # gets the user's NEXT purchase — same one-Exchange union-window shape
+    # as backward, scanned descending.
+    from json_schema_rs_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        clicks, purchases, on="user_id", value_cols=["value"], direction="forward"
+    )
+    return joined.select(
+        "event_id", "user_id", F.round("value_r", 2).alias("purchase_value")
+    )
+
+
+def q_asof_nearest_events(spark, sf_dir):
+    # nearest as-of with tolerance (direction="nearest", tolerance=3600 s):
+    # closer of prev/next purchase, ties backward, beyond an hour → NULL.
+    # One shuffle, two window sorts over the same partitions.
+    from json_schema_rs_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        clicks, purchases, on="user_id", value_cols=["value"],
+        direction="nearest", tolerance=3600.0,
+    )
+    return joined.select(
+        "event_id", "user_id", F.round("value_r", 2).alias("purchase_value")
+    )
+
+
+def q_impute_events_value(spark, sf_dir):
+    # Grouped mean imputation (operators/repair.py impute): NULLs injected
+    # by the portable md5 uniform (the raw table has none), filled with the
+    # per-event-type DECIMAL-exact mean, touched rows flagged.  Fill frame
+    # is groups-sized and broadcast — no fact-table shuffle.
+    from json_schema_rs_spark.operators.repair import impute
+    from json_schema_rs_spark.operators.sampling import uniform_hash
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(uniform_hash(F.col("event_id"), "imp") < 0.1, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = impute(ev, "value", strategy="mean", group_cols=["event_type"])
+    return out.select(
+        "event_id", F.round("value", 6).alias("value"), "value_imputed"
+    )
+
+
+def q_bigram_surprisal_docs(spark, sf_dir):
+    # Add-α bigram LM surprisal (operators/text.py bigram_surprisal):
+    # context-aware quality score — verbatim-repeated token sequences score
+    # low even when their tokens are common.  Decimal document sums +
+    # rounded ln, same portability contract as unigram/BM25.
+    from json_schema_rs_spark.operators.text import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2468,6 +2533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_compress": q_embedding_compress,
         "sample_per_lang_docs": q_sample_per_lang_docs,
         "text_normalize_docs": q_text_normalize_docs,
+        "asof_forward_events": q_asof_forward_events,
+        "asof_nearest_events": q_asof_nearest_events,
+        "impute_events_value": q_impute_events_value,
+        "bigram_surprisal_docs": q_bigram_surprisal_docs,
     }
 
 
@@ -4614,6 +4683,66 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(doc_id AS VARCHAR), 'dependent_required:text->lang', 'lang'
               FROM documents WHERE text IS NOT NULL AND lang IS NULL
+        """,
+        "asof_forward_events": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+                 p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+            SELECT c.event_id, c.user_id,
+                   round((SELECT p.value FROM p
+                          WHERE p.user_id = c.user_id AND p.ts >= c.ts
+                          ORDER BY p.ts ASC, p.value DESC LIMIT 1), 2) AS purchase_value
+            FROM c
+        """,
+        "asof_nearest_events": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+                 p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+            SELECT c.event_id, c.user_id,
+                   round((SELECT p.value FROM p
+                          WHERE p.user_id = c.user_id
+                            AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 3600000000
+                          ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+                                   CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END ASC,
+                                   p.value DESC
+                          LIMIT 1), 2) AS purchase_value
+            FROM c
+        """,
+        "impute_events_value": """
+            WITH w AS (
+              SELECT event_id, event_type,
+                     CASE WHEN (('0x' || substr(md5('imp:' || CAST(event_id AS VARCHAR)), 1, 13))::BIGINT)::DOUBLE
+                            / 4503599627370496.0 < 0.1
+                          THEN NULL ELSE value END AS v
+              FROM events),
+            m AS (
+              SELECT event_type,
+                     CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(v) AS fill
+              FROM w GROUP BY event_type)
+            SELECT event_id, round(coalesce(v, fill), 6) AS value,
+                   (v IS NULL AND fill IS NOT NULL) AS value_imputed
+            FROM w LEFT JOIN m USING (event_type)
+        """,
+        "bigram_surprisal_docs": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents WHERE text IS NOT NULL),
+            v AS (SELECT count(DISTINCT t) AS vs
+                  FROM (SELECT unnest(ts) AS t FROM d)),
+            i AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS k
+                  FROM d WHERE len(ts) >= 2),
+            bg AS (SELECT doc_id, ts[k] AS w1, ts[k + 1] AS w2 FROM i),
+            ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+            bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+            sc AS (SELECT w1, w2,
+                          round(-ln((c2::DOUBLE + 0.5) / (c1::DOUBLE + 0.5 * vs::DOUBLE)), 9) AS s
+                   FROM bc JOIN ctx USING (w1) CROSS JOIN v)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+                     AS avg_surprisal
+            FROM bg JOIN sc USING (w1, w2)
+            GROUP BY doc_id
         """,
         "chunk_docs": """
             WITH d AS (

@@ -189,3 +189,79 @@ def normalize_text(col: Column) -> Column:
     x = F.regexp_replace(x, r" ?\n ?", "\n")
     x = F.regexp_replace(x, r"\n{3,}", "\n\n")
     return F.trim(x)
+
+
+def impute(
+    df: DataFrame,
+    col: str,
+    strategy: str = "mean",
+    group_cols: list[str] | None = None,
+    fill_value=None,
+) -> DataFrame:
+    """Fill NULLs in ``col`` with a per-group statistic (or a constant) and
+    flag the touched rows in ``{col}_imputed``:
+
+      * ``mean``   — DECIMAL-sum / count (partitioning-invariant, exact on
+                     any engine — never a float left-fold)
+      * ``median`` — exact interpolated percentile 0.5
+      * ``mode``   — most frequent value; ties break to the SMALLEST value
+                     (min over (−count, value) structs), never hash order
+      * ``const``  — ``fill_value`` as given
+
+    Groups with no non-null values keep their NULLs (flag stays false).
+    ``mean``/``median`` widen integer columns to double (the statistic is
+    fractional); ``mode``/``const`` preserve the column type.
+
+    Scale shape: one map-side-combined aggregation to a groups-sized frame,
+    broadcast back onto a pure projection — no row-level shuffle of the fact
+    table, same pattern as winsorize.  ``mode`` adds one (group, value)
+    aggregation, bounded by the distinct-value count.
+    """
+    c = F.col(col)
+    was_null = c.isNull()
+    flag = f"{col}_imputed"
+    if strategy == "const":
+        if fill_value is None:
+            raise ValueError("impute(strategy='const') needs fill_value")
+        # flag BEFORE replacing: column refs resolve by name, so a flag
+        # added after the withColumn(col, ...) would read the filled column
+        return df.withColumn(flag, was_null).withColumn(
+            col, F.coalesce(c, F.lit(fill_value))
+        )
+    groups = list(group_cols or [])
+    if strategy == "mean":
+        stat = (F.sum(c.cast("decimal(38,12)")).cast("double") / F.count(c)).alias(
+            "__fill"
+        )
+        best = df.groupBy(*groups).agg(stat)
+    elif strategy == "median":
+        best = df.groupBy(*groups).agg(F.percentile(c, F.lit(0.5)).alias("__fill"))
+    elif strategy == "mode":
+        counts = (
+            df.filter(c.isNotNull())
+            .groupBy(*groups, c.alias("__val"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        best = (
+            counts.groupBy(*groups)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__cnt")).alias("__nc"), F.col("__val").alias("__v")
+                    )
+                ).alias("__b")
+            )
+            .select(*groups, F.col("__b.__v").alias("__fill"))
+        )
+    else:
+        raise ValueError(f"unknown impute strategy {strategy!r}")
+    joined = (
+        df.join(F.broadcast(best), groups, "left")
+        if groups
+        else df.crossJoin(F.broadcast(best))
+    )
+    return (
+        joined.withColumn(flag, was_null & F.col("__fill").isNotNull())
+        .withColumn(col, F.coalesce(c, F.col("__fill")))
+        .drop("__fill")
+    )

@@ -26,8 +26,11 @@ sessions per user per day by adding a coarse date bucket to the partition key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+_TsType = (TimestampType, TimestampNTZType)
 
 
 def asof_join(
@@ -38,19 +41,34 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the right row with the
-    LARGEST ``right_ts`` ≤ ``left_ts`` for the same ``on`` key (NULLs when no
-    prior right row exists) — DuckDB ``ASOF JOIN`` semantics.
+    """As-of join: for every left row, attach one right row of the same
+    ``on`` key chosen by ``direction`` (NULLs when none qualifies):
 
-    Right-side duplicate timestamps per key are deduplicated deterministically
-    (the lexicographically-largest value tuple wins), so results are
-    reproducible regardless of input order.
+      * ``backward`` — LARGEST ``right_ts`` ≤ ``left_ts`` (DuckDB
+        ``ASOF JOIN`` semantics; the default)
+      * ``forward``  — SMALLEST ``right_ts`` ≥ ``left_ts``
+      * ``nearest``  — whichever of the two is closer; exact ties take the
+        backward match (pandas ``merge_asof`` tie rule)
 
-    Plan shape: ONE Exchange on the join key (the union'd window partition).
-    The left payload is carried through the union as a struct column, so no
+    ``tolerance`` drops matches farther than this from ``left_ts`` —
+    interpreted in SECONDS for timestamp columns, in the column's own units
+    for numerics.
+
+    Right-side duplicate timestamps per key are deduplicated
+    deterministically (the lexicographically-largest value tuple wins), so
+    results are reproducible regardless of input order.
+
+    Plan shape: ONE Exchange on the join key (the union'd window partition);
+    ``backward``/``forward`` sort once, ``nearest`` sorts the same
+    partitions twice (both scan directions) — still a single shuffle.  The
+    left payload is carried through the union as a struct column, so no
     second shuffle and no synthetic row id is needed.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
     if not value_cols:
         raise ValueError(
@@ -59,11 +77,18 @@ def asof_join(
         )
 
     left_cols = left.columns
+    # carry the right TIMESTAMP with the payload so nearest/tolerance can
+    # measure distance after the scan (struct sort order (__rts, payload)
+    # keeps the largest-tuple dedup contract: __rts is constant within a
+    # (key, ts) tie group)
     tagged_r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),  # right sorts BEFORE left at equal ts → ties join
-        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            F.struct(*[F.col(c) for c in value_cols]).alias("__p"),
+        ).alias("__rv"),
         F.lit(None).cast(
             "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in left_cols) + ">"
         ).alias("__lv"),
@@ -76,21 +101,55 @@ def asof_join(
         F.struct(*[F.col(c) for c in left_cols]).alias("__lv"),
     )
     unioned = tagged_r.unionByName(tagged_l)
+
     # Ordering right rows at equal (key, ts) by ascending value tuple means
     # ``last(ignorenulls)`` carries the LARGEST tuple — the per-(key, ts)
     # dedup falls out of the sort instead of needing its own window (and its
     # own (key, ts) Exchange).  __rv is null on left rows, which sort among
     # themselves arbitrarily (irrelevant: each left row reads only the
     # carried value, never a neighbor's).
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts"), F.col("__tag"), F.col("__rv").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn("__last_rv", F.last("__rv", ignorenulls=True).over(w))
+    def _carry(descending: bool) -> Column:
+        ts_ord = F.col("__ts").desc() if descending else F.col("__ts").asc()
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(ts_ord, F.col("__tag"), F.col("__rv").asc_nulls_last())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__rv", ignorenulls=True).over(w)
+
+    carried = unioned
+    if direction in ("backward", "nearest"):
+        carried = carried.withColumn("__bwd", _carry(descending=False))
+    if direction in ("forward", "nearest"):
+        carried = carried.withColumn("__fwd", _carry(descending=True))
+
+    # numeric distance basis: microseconds for timestamps, raw value else
+    is_ts = isinstance(left.schema[left_ts].dataType, _TsType)
+
+    def _num(c: Column) -> Column:
+        return F.unix_micros(c.cast("timestamp")) if is_ts else c.cast("double")
+
+    def _dist(rv: Column) -> Column:
+        return F.abs(_num(F.col("__ts")) - _num(rv.getField("__rts")))
+
+    if direction == "backward":
+        chosen = F.col("__bwd")
+    elif direction == "forward":
+        chosen = F.col("__fwd")
+    else:
+        b, f_ = F.col("__bwd"), F.col("__fwd")
+        take_b = b.isNotNull() & (f_.isNull() | (_dist(b) <= _dist(f_)))
+        chosen = F.when(take_b, b).otherwise(f_)
+    if tolerance is not None:
+        tol = float(tolerance) * (1_000_000.0 if is_ts else 1.0)
+        chosen = F.when(_dist(chosen) <= tol, chosen)
+
     return carried.filter(F.col("__tag") == 1).select(
         *[F.col("__lv").getField(c).alias(c) for c in left_cols],
-        *[F.col("__last_rv").getField(c).alias(c + suffix) for c in value_cols],
+        *[
+            chosen.getField("__p").getField(c).alias(c + suffix)
+            for c in value_cols
+        ],
     )
 
 

@@ -8,7 +8,7 @@ so adding them to a 100 TB validation pass costs no extra scan or shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # whitespace tokens and a BPE-ish split (word pieces OR single non-space punct)
@@ -314,4 +314,82 @@ def unigram_surprisal(
             ).alias("avg_surprisal"),
         )
         .select(F.col("__id").alias(id_col), "n_tokens", "avg_surprisal")
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    ln_round: int = 9,
+    out_round: int = 6,
+) -> DataFrame:
+    """Per-document average bigram surprisal ``mean(-ln p(w2 | w1))`` under
+    an add-α smoothed bigram model trained on the corpus itself — the
+    context-aware upgrade of :func:`unigram_surprisal`: token SEQUENCES the
+    corpus repeats verbatim (boilerplate, templates) score low even when the
+    individual tokens are common, and incoherent token salads score high.
+
+        p(w2 | w1) = (c(w1, w2) + α) / (c(w1, ·) + α·V)
+
+    with ``V`` the corpus vocabulary size and ``c(w1, ·)`` the count of
+    bigrams starting with ``w1``.  Returns ``(id_col, n_bigrams,
+    avg_surprisal)``; documents with fewer than 2 tokens are absent.
+
+    Scale shape: posexplode positions → ONE window (lag) per document key to
+    form bigrams, then the same vocabulary-aggregation / scoring-join /
+    per-doc-decimal-mean pipeline as unigram_surprisal — the bigram count
+    table is the only state and is vocabulary²-bounded (in practice ~linear
+    in corpus size with a long tail; broadcast it when it fits).  Per-bigram
+    ``-ln p`` is rounded to ``ln_round`` and document sums accumulate in
+    DECIMAL, so results are bit-stable under any partitioning.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "__pos", "__tok"
+            ),
+        )
+        .filter(F.col("__tok") != "")
+    )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    bg = toks.select(
+        "__id", F.lag("__tok").over(w).alias("__w1"), F.col("__tok").alias("__w2")
+    ).filter(F.col("__w1").isNotNull())
+    vocab_size = toks.agg(F.countDistinct("__tok").cast("long").alias("__v"))
+    ctx = bg.groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1"))
+    bc = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c2"))
+    scored = (
+        bc.join(ctx, "__w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "__w1",
+            "__w2",
+            F.round(
+                -F.log(
+                    (F.col("__c2").cast("double") + F.lit(float(alpha)))
+                    / (
+                        F.col("__c1").cast("double")
+                        + F.lit(float(alpha)) * F.col("__v").cast("double")
+                    )
+                ),
+                ln_round,
+            ).alias("__s"),
+        )
+    )
+    return (
+        bg.join(scored, ["__w1", "__w2"])
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__s").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                out_round,
+            ).alias("avg_surprisal"),
+        )
+        .select(F.col("__id").alias(id_col), "n_bigrams", "avg_surprisal")
     )

@@ -166,3 +166,86 @@ def test_normalize_text_idempotent(spark):
     dirty = "  a\t\tb \r\n\r\n\r\n c\x1f  "
     once = _norm(spark, dirty)
     assert _norm(spark, once) == once
+
+
+# ---------------------------------------------------------------------------
+# impute
+# ---------------------------------------------------------------------------
+
+
+def _imp(spark, strategy, **kw):
+    from json_schema_rs_spark.operators.repair import impute
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None), ("c", None)],
+        "g string, v double",
+    )
+    out = impute(df, "v", strategy=strategy, group_cols=["g"], **kw)
+    rows = sorted((r["g"], r["v"], r["v_imputed"]) for r in out.collect())
+    return rows
+
+
+def test_impute_mean_per_group(spark):
+    rows = _imp(spark, "mean")
+    assert ("a", 2.0, True) in rows and ("b", 10.0, True) in rows
+    # all-null group stays null, flag false
+    assert ("c", None, False) in rows
+    # untouched rows keep their value and a false flag
+    assert ("a", 1.0, False) in rows
+
+
+def test_impute_median_and_mode(spark):
+    from json_schema_rs_spark.operators.repair import impute
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 9.0), ("a", None)], "g string, v double"
+    )
+    med = impute(df, "v", "median", ["g"]).filter("v_imputed").collect()
+    assert med[0]["v"] == 1.0
+    mode = impute(df, "v", "mode", ["g"]).filter("v_imputed").collect()
+    assert mode[0]["v"] == 1.0
+
+
+def test_impute_mode_tie_breaks_to_smallest(spark):
+    from json_schema_rs_spark.operators.repair import impute
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 2.0), ("a", None)], "g string, v double"
+    )
+    got = impute(df, "v", "mode", ["g"]).filter("v_imputed").collect()
+    assert got[0]["v"] == 2.0
+
+
+def test_impute_const_and_global(spark):
+    from json_schema_rs_spark.operators.repair import impute
+
+    df = spark.createDataFrame([(1.0,), (None,)], "v double")
+    c = impute(df, "v", "const", fill_value=-1.0)
+    assert sorted(r["v"] for r in c.collect()) == [-1.0, 1.0]
+    g = impute(df, "v", "mean")          # no groups: one broadcast row
+    assert sorted(r["v"] for r in g.collect()) == [1.0, 1.0]
+    with pytest.raises(ValueError):
+        impute(df, "v", "bogus")
+    with pytest.raises(ValueError):
+        impute(df, "v", "const")
+
+
+# ---------------------------------------------------------------------------
+# bigram_surprisal
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_surprisal_ranks_repetition_low(spark):
+    from json_schema_rs_spark.operators.text import bigram_surprisal
+
+    rows = [(i, "the cat sat on the mat") for i in range(9)] + [
+        (100, "zebra quantum mat the onto jumps")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert got[0]["n_bigrams"] == 5
+    # the template (seen 9x) scores strictly lower than the odd doc
+    assert got[0]["avg_surprisal"] < got[100]["avg_surprisal"]
+    # single-token/empty docs absent
+    df2 = spark.createDataFrame([(1, "solo"), (2, "")], "doc_id long, text string")
+    assert bigram_surprisal(df2).count() == 0

@@ -127,3 +127,80 @@ def test_sessionize_duration_us_exact(spark):
     row = session_stats(ev, gap_minutes=30).collect()[0]
     assert row["duration_us"] == 600_000_125          # exact integer micros
     assert row["duration_sec"] == 600_000_125 / 1e6   # derived double
+
+
+# ---------------------------------------------------------------------------
+# asof directions + tolerance (round 2)
+# ---------------------------------------------------------------------------
+
+
+def _asof_dir(spark, direction, tolerance=None):
+    from json_schema_rs_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame(
+        [("u", 10.0, "a"), ("u", 25.0, "b"), ("u", 100.0, "c")],
+        "k string, ts double, tag string",
+    )
+    r = spark.createDataFrame(
+        [("u", 8.0, 1.0), ("u", 30.0, 2.0), ("u", 31.0, 3.0)],
+        "k string, ts double, v double",
+    )
+    out = asof_join(l, r, on="k", value_cols=["v"],
+                    direction=direction, tolerance=tolerance)
+    return {row["tag"]: row["v_r"] for row in out.collect()}
+
+
+def test_asof_forward(spark):
+    # each left row gets the SMALLEST right ts >= its ts
+    assert _asof_dir(spark, "forward") == {"a": 2.0, "b": 2.0, "c": None}
+
+
+def test_asof_nearest_prefers_closer_and_ties_backward(spark):
+    # a: prev at 8 (d=2) vs next at 30 (d=20) → prev; b: prev 8 (d=17) vs
+    # next 30 (d=5) → next; c: only prev (31, v=3)
+    assert _asof_dir(spark, "nearest") == {"a": 1.0, "b": 2.0, "c": 3.0}
+
+
+def test_asof_nearest_exact_tie_takes_backward(spark):
+    from json_schema_rs_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame([("u", 20.0, "x")], "k string, ts double, tag string")
+    r = spark.createDataFrame(
+        [("u", 10.0, 1.0), ("u", 30.0, 2.0)], "k string, ts double, v double"
+    )
+    out = asof_join(l, r, on="k", value_cols=["v"], direction="nearest").collect()
+    assert out[0]["v_r"] == 1.0
+
+
+def test_asof_tolerance_numeric_units(spark):
+    # tolerance 3: a's prev at distance 2 stays, b/c matches are farther
+    assert _asof_dir(spark, "nearest", tolerance=3.0) == {
+        "a": 1.0, "b": None, "c": None,
+    }
+
+
+def test_asof_tolerance_timestamp_seconds(spark):
+    from pyspark.sql import functions as F
+
+    from json_schema_rs_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame(
+        [("u", "2024-01-01 00:10:00")], "k string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 7.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    within = asof_join(l, r, on="k", value_cols=["v"], tolerance=601.0).collect()
+    beyond = asof_join(l, r, on="k", value_cols=["v"], tolerance=599.0).collect()
+    assert within[0]["v_r"] == 7.0 and beyond[0]["v_r"] is None
+
+
+def test_asof_unknown_direction_rejected(spark):
+    from json_schema_rs_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame([("u", 1.0)], "k string, ts double")
+    r = spark.createDataFrame([("u", 1.0, 1.0)], "k string, ts double, v double")
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, on="k", value_cols=["v"], direction="sideways")
