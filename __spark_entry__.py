@@ -2387,6 +2387,79 @@ def q_bigram_surprisal_docs(spark, sf_dir):
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+def q_funnel_events(spark, sf_dir):
+    # Strict-order funnel (operators/funnel.py): view → click → purchase per
+    # user, greedy earliest-match walk over ONE per-user sorted array — no
+    # per-stage self-join chain.  Oracle = the equivalent min-after chain.
+    from json_schema_rs_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_cohort_retention_events(spark, sf_dir):
+    # Weekly cohort retention triangle (operators/cohort.py): anchored
+    # integer week math (no engine-specific date_trunc('week') semantics).
+    # "offset" is a DuckDB keyword — aliased week_offset on both sides.
+    from json_schema_rs_spark.operators.cohort import cohort_retention
+
+    tri = cohort_retention(_t(spark, sf_dir, "events"), anchor="2024-01-01")
+    return tri.select(
+        "cohort",
+        F.col("offset").alias("week_offset"),
+        "n_active",
+        "cohort_size",
+        "retention",
+    )
+
+
+def q_scd2_customers(spark, sf_dir):
+    # SCD2 dimension merge (operators/scd.py): initial customer load +
+    # one deterministic update batch (portable md5 uniform picks ~30% of
+    # keys; <0.2 changes acctbal, <0.1 also moves segment; %997 keys arrive
+    # as brand-new customers) → full history with closed + open rows.
+    from json_schema_rs_spark.operators.sampling import uniform_hash
+    from json_schema_rs_spark.operators.scd import scd2_init, scd2_merge
+
+    dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").alias("bal")
+    )
+    hist = scd2_init(dim, ["c_custkey"], ["c_mktsegment", "bal"], "2024-01-01 00:00:00")
+    u = uniform_hash(F.col("c_custkey"), "scd")
+    upd = (
+        dim.withColumn("__u", u)
+        .filter(F.col("__u") < 0.3)
+        .select(
+            "c_custkey",
+            F.when(F.col("__u") < 0.1, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.when(F.col("__u") < 0.2, F.col("bal") + 100.0)
+            .otherwise(F.col("bal"))
+            .alias("bal"),
+        )
+        .unionByName(
+            dim.filter(F.col("c_custkey") % 997 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(1.0).alias("bal"),
+            )
+        )
+        .withColumn("effective_ts", F.lit("2024-02-01 00:00:00").cast("timestamp"))
+    )
+    return scd2_merge(hist, upd, ["c_custkey"], ["c_mktsegment", "bal"])
+
+
+def q_char_entropy_docs(spark, sf_dir):
+    # Character-level Shannon entropy (operators/text.py char_entropy):
+    # run-length spam and binary-blob detector; rounded-ln + decimal-sum
+    # portability contract, shuffles keyed by doc id only.
+    from json_schema_rs_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2537,6 +2610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_events": q_asof_nearest_events,
         "impute_events_value": q_impute_events_value,
         "bigram_surprisal_docs": q_bigram_surprisal_docs,
+        "funnel_events": q_funnel_events,
+        "cohort_retention_events": q_cohort_retention_events,
+        "scd2_customers": q_scd2_customers,
+        "char_entropy_docs": q_char_entropy_docs,
     }
 
 
@@ -4822,4 +4899,105 @@ def oracle_sql() -> dict[str, str]:
             FROM orders"""
             for i in range(1, 8)
         ),
+        "funnel_events": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                        WHERE e.event_type = 'click' GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                        WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+                 n AS (
+                   SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+                          (SELECT count(*) FROM s1) AS n_users
+                   UNION ALL
+                   SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM s2)
+                   UNION ALL
+                   SELECT CAST(3 AS INT), 'purchase', (SELECT count(*) FROM s3))
+            SELECT step, step_name, CAST(n_users AS BIGINT) AS n_users,
+                   round(n_users::DOUBLE
+                         / (SELECT n_users FROM n WHERE step = 1), 6) AS conversion
+            FROM n
+        """,
+        "cohort_retention_events": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(date_diff('day', DATE '2024-01-01',
+                                          CAST(ts AS DATE)) / 7.0) AS BIGINT) AS period
+              FROM events WHERE ts IS NOT NULL),
+            f AS (SELECT user_id, min(period) AS cohort FROM act GROUP BY user_id),
+            tri AS (
+              SELECT cohort, period - cohort AS week_offset,
+                     count(DISTINCT act.user_id) AS n_active
+              FROM act JOIN f ON act.user_id = f.user_id
+              GROUP BY cohort, period - cohort),
+            wd AS (
+              SELECT cohort, week_offset, CAST(n_active AS BIGINT) AS n_active,
+                     CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
+                          OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size
+              FROM tri)
+            SELECT cohort, week_offset, n_active, cohort_size,
+                   round(n_active::DOUBLE / cohort_size, 6) AS retention
+            FROM wd
+        """,
+        "scd2_customers": """
+            WITH dim AS (
+              SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer),
+            uu AS (
+              SELECT dim.*,
+                     (('0x' || substr(md5('scd:' || CAST(c_custkey AS VARCHAR)), 1, 13))::BIGINT)::DOUBLE
+                       / 4503599627370496.0 AS u
+              FROM dim),
+            upd AS (
+              SELECT c_custkey,
+                     CASE WHEN u < 0.1 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+                     CASE WHEN u < 0.2 THEN bal + 100.0 ELSE bal END AS bal
+              FROM uu WHERE u < 0.3
+              UNION ALL
+              SELECT c_custkey + 1000000, 'NEW', 1.0
+              FROM dim WHERE c_custkey % 997 = 0),
+            j AS (
+              SELECT coalesce(dim.c_custkey, upd.c_custkey) AS k,
+                     dim.c_custkey IS NOT NULL AS has_cur,
+                     dim.c_mktsegment AS cs, dim.bal AS cb,
+                     upd.c_mktsegment AS us, upd.bal AS ub,
+                     dim.c_custkey IS NOT NULL AND upd.c_custkey IS NOT NULL
+                       AND (dim.c_mktsegment IS DISTINCT FROM upd.c_mktsegment
+                            OR dim.bal IS DISTINCT FROM upd.bal) AS changed
+              FROM dim FULL OUTER JOIN upd ON dim.c_custkey = upd.c_custkey)
+            SELECT k AS c_custkey, cs AS c_mktsegment, cb AS bal,
+                   TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                   TIMESTAMP '2024-02-01 00:00:00' AS valid_to,
+                   FALSE AS is_current
+              FROM j WHERE changed
+            UNION ALL
+            SELECT k, us, ub, TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+              FROM j WHERE changed
+            UNION ALL
+            SELECT k, us, ub, TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+              FROM j WHERE NOT has_cur
+            UNION ALL
+            SELECT k, cs, cb, TIMESTAMP '2024-01-01 00:00:00', NULL, TRUE
+              FROM j WHERE has_cur AND NOT changed
+        """,
+        "char_entropy_docs": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL AND length(text) > 0),
+            i AS (SELECT doc_id, text,
+                         unnest(generate_series(1, length(text))) AS k FROM d),
+            cnt AS (SELECT doc_id, substr(text, CAST(k AS INT), 1) AS c,
+                           count(*) AS n
+                    FROM i GROUP BY doc_id, substr(text, CAST(k AS INT), 1)),
+            agg AS (SELECT doc_id,
+                           CAST(sum(n) AS BIGINT) AS n_chars_seen,
+                           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                           CAST(sum(CAST(n * round(ln(n::DOUBLE), 9)
+                                         AS DECIMAL(38,12))) AS DOUBLE) AS clogc
+                    FROM cnt GROUP BY doc_id)
+            SELECT doc_id, n_chars_seen, n_distinct_chars,
+                   round(round(ln(n_chars_seen::DOUBLE), 9) - clogc / n_chars_seen, 6)
+                     AS entropy
+            FROM agg
+        """,
     }

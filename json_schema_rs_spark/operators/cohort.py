@@ -1,0 +1,94 @@
+"""Cohort retention: group entities by first-activity period and measure how
+many stay active k periods later.
+
+No reference counterpart; dataset-level longitudinal analytics.  In a
+training-data pipeline the same shape answers "of the sources first crawled
+in week W, how many still deliver documents in week W+k" — source-freshness
+retention, a data-quality signal next to the drift checks.
+
+Period arithmetic is ANCHORED integer math, not calendar ``date_trunc``:
+``period = floor(datediff(day, anchor, ts) / period_days)``.  That is
+bit-identical in any engine (no ISO-week vs locale-week ambiguity) and keeps
+the oracle trivially portable.  The anchor must be ≤ the earliest event so
+period indexes are non-negative (floor vs truncate division would otherwise
+diverge between engines).
+
+Plan shape:
+
+  * distinct (user, period) — one shuffle on the user/period pair with
+    map-side partials (activity dedup);
+  * per-user first period — reuses the SAME user-keyed shuffle output shape
+    (Catalyst plans one Exchange per key set; both aggs are user-keyed after
+    the dedup);
+  * activity ⋈ first-period on user — key join, no skew (a user is one row
+    on the build side);
+  * final (cohort, offset) count-distinct — the output frame is
+    #cohorts × #offsets, broadcast-scale; the retention denominator comes
+    from a window over that tiny frame, not another pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def activity_periods(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    anchor: str = "2024-01-01",
+    period_days: int = 7,
+) -> DataFrame:
+    """Distinct ``(user_col, period)`` activity pairs, with ``period`` the
+    anchored ``period_days``-sized index of the event's calendar day."""
+    if period_days < 1:
+        raise ValueError("cohort: period_days must be ≥ 1")
+    day = F.datediff(F.col(ts_col).cast("date"), F.lit(anchor).cast("date"))
+    return (
+        df.select(
+            F.col(user_col),
+            F.floor(day / F.lit(period_days)).cast("long").alias("period"),
+        )
+        .filter(F.col("period").isNotNull())
+        .distinct()
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    anchor: str = "2024-01-01",
+    period_days: int = 7,
+    rate_round: int = 6,
+) -> DataFrame:
+    """Retention triangle: one row per ``(cohort, offset)`` —
+
+      ``(cohort, offset, n_active, cohort_size, retention)``
+
+    where ``cohort`` is the entity's first active period, ``offset`` ≥ 0 the
+    periods since it, ``n_active`` the distinct entities of that cohort
+    active at that offset, ``cohort_size`` = n_active at offset 0 (every
+    cohort is active in its own first period by construction), and
+    ``retention = n_active / cohort_size`` rounded to ``rate_round``.
+    """
+    act = activity_periods(df, user_col, ts_col, anchor, period_days)
+    first = act.groupBy(user_col).agg(F.min("period").alias("cohort"))
+    joined = act.join(first, user_col).select(
+        "cohort", (F.col("period") - F.col("cohort")).alias("offset"), user_col
+    )
+    tri = joined.groupBy("cohort", "offset").agg(
+        F.countDistinct(user_col).alias("n_active")
+    )
+    w = Window.partitionBy("cohort")  # #cohorts × #offsets rows: tiny
+    return (
+        tri.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("offset") == 0, F.col("n_active"))).over(w),
+        )
+        .withColumn(
+            "retention", F.round(F.col("n_active") / F.col("cohort_size"), rate_round)
+        )
+        .select("cohort", "offset", "n_active", "cohort_size", "retention")
+    )

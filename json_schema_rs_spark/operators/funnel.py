@@ -1,0 +1,144 @@
+"""Ordered-funnel analysis: how far along a step sequence each entity gets.
+
+No reference counterpart (`/root/reference` validates single JSON documents);
+this is dataset-level behavioral analytics over an event stream — the classic
+product/conversion query (view → click → purchase), and in a training-data
+pipeline the same shape audits multi-stage ingest flows (fetched → parsed →
+validated → accepted) per source.
+
+Semantics (the standard "strict-order funnel"): a user reaches stage ``k``
+when there is an event of type ``steps[k-1]`` STRICTLY AFTER the timestamp at
+which they reached stage ``k-1``.  Greedy earliest-match walking is exactly
+the minimal chain (stage-k time = min ts of a step-k event after stage-(k-1)
+time), so results are order- and partitioning-independent.
+
+Plan shape (the 100 TB-safe one):
+
+  * events are pre-filtered to the step types (tiny ``isin``), then ONE
+    shuffle groups them per user with map-side ``collect_list`` partials;
+  * the funnel walk itself is ``sort_array`` + ``F.aggregate`` over the
+    per-user array — pure JVM Column expressions, no Python, no window, no
+    second shuffle, no self-join per stage (a per-stage join chain would be
+    ``len(steps)`` shuffles);
+  * per-user event counts are bounded by the step-type filter; a user with
+    pathologically many events is a skewed GROUP (one array) — cap with an
+    upstream per-(user, type) daily dedup if a source can replay events.
+
+The step-count rollup then aggregates the per-user stage into ``len(steps)``
+rows — a broadcast-scale frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def user_funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-entity funnel progress: ``(user_col, stage_reached)`` where
+    ``stage_reached`` ∈ [0, len(steps)] counts the prefix of ``steps``
+    completed in strict timestamp order.  Entities with no step-type events
+    at all are absent (at corpus scale the inactive majority would dominate
+    the output with zero information).
+
+    Timestamps are compared as ``unix_micros`` longs, so ties are exact:
+    an event at the SAME microsecond as the previous stage does not advance
+    the funnel (strictly-after semantics, matching ``ts > prev`` in SQL).
+    """
+    if not steps:
+        raise ValueError("user_funnel: steps must be non-empty")
+    n = len(steps)
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col),
+        F.struct(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(type_col).alias("typ"),
+        ).alias("__e"),
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list("__e")).alias("__evs")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("long").alias("last")
+    )
+
+    def _step(acc, e):
+        advance = (
+            (acc.getField("stage") < F.lit(n))
+            & (e.getField("typ") == F.element_at(steps_lit, acc.getField("stage") + 1))
+            & (acc.getField("last").isNull() | (e.getField("us") > acc.getField("last")))
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc.getField("stage") + 1).alias("stage"),
+                e.getField("us").alias("last"),
+            ),
+        ).otherwise(acc)
+
+    return per_user.select(
+        user_col,
+        F.aggregate(F.col("__evs"), init, _step).getField("stage").alias("stage_reached"),
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    rate_round: int = 6,
+) -> DataFrame:
+    """Step-level funnel rollup: one row per step —
+
+      ``(step, step_name, n_users, conversion)``
+
+    where ``n_users`` counts entities whose ``stage_reached`` ≥ step and
+    ``conversion`` = n_users / n_users(step 1), rounded.  Steps nobody
+    reaches still appear with ``n_users = 0`` (a funnel report with silently
+    missing tail steps misreads as complete).
+
+    The per-user frame collapses via ``explode(sequence(1, stage))`` +
+    count — one extra (tiny) shuffle on the step index; the rate divides by
+    the step-1 count through a window over the ≤ len(steps)-row result.
+    """
+    users = user_funnel(df, steps, user_col, type_col, ts_col)
+    reached = (
+        users.filter(F.col("stage_reached") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("stage_reached"))).alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    all_steps = F.explode(
+        F.arrays_zip(
+            F.sequence(F.lit(1), F.lit(len(steps))).alias("step"),
+            F.array(*[F.lit(s) for s in steps]).alias("step_name"),
+        )
+    ).alias("z")
+    frame = (
+        df.sparkSession.range(1)
+        .select(all_steps)
+        .select(F.col("z.step").alias("step"), F.col("z.step_name").alias("step_name"))
+    )
+    w = Window.partitionBy()  # ≤ len(steps) rows: a driver-scale frame
+    return (
+        frame.join(reached, "step", "left")
+        .withColumn("n_users", F.coalesce(F.col("n_users"), F.lit(0)))
+        .withColumn(
+            "conversion",
+            F.round(
+                F.col("n_users")
+                / F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(w),
+                rate_round,
+            ),
+        )
+        .select("step", "step_name", "n_users", "conversion")
+    )

@@ -1,0 +1,146 @@
+"""Slowly-changing-dimension (SCD type 2) merge: maintain a full-history
+dimension table under batched updates.
+
+No reference counterpart; this is the datalake-side bookkeeping a validation
+engine's DIMENSIONS need (the referential-integrity and drift checks join
+against dimensions like repos/licenses/sources — at 100 TB those dimensions
+change over time, and audits need "what did the dimension say when this
+partition was validated", i.e. history, not overwrite).
+
+Table contract: ``key_cols`` + ``tracked_cols`` + ``valid_from`` (timestamp),
+``valid_to`` (timestamp, NULL = open), ``is_current`` (boolean).  Exactly one
+open row per key.
+
+Merge semantics per key, given a batch of updates carrying an effective
+timestamp:
+
+  * new key            → insert an open row starting at the effective ts;
+  * tracked change     → close the open row at the effective ts and insert a
+                         new open row (two output rows);
+  * no change / stale  → keep the open row untouched (an update whose
+                         effective ts is not AFTER the open row's
+                         ``valid_from`` is stale and ignored — replays are
+                         idempotent);
+  * key absent from batch → untouched.
+
+Closed history rows are never rewritten.  Change detection is null-safe
+struct equality over ``tracked_cols`` (NULL → NULL is "no change").
+
+Plan shape: updates dedup to one row per key via a max-struct aggregate (no
+window, one map-side-combined shuffle on the key), then ONE full-outer key
+join against the open slice; the 1-or-2 output rows per key materialize from
+an inline array explode — no second pass.  Closed history is a pure union
+branch (no shuffle).  At warehouse scale, bucket both history and updates by
+the key columns and the join is co-located (zero Exchange); the open slice
+is a partition-pruned read when history is partitioned by ``is_current``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_init(
+    df: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    load_ts: str,
+) -> DataFrame:
+    """Initial SCD2 load: every row becomes an open version starting at
+    ``load_ts`` (an ISO timestamp literal)."""
+    return df.select(
+        *key_cols,
+        *tracked_cols,
+        F.lit(load_ts).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_merge(
+    history: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_col: str = "effective_ts",
+) -> DataFrame:
+    """Merge one batch of ``updates`` into an SCD2 ``history`` table (see
+    module docstring for the contract and semantics).  Returns the full new
+    history frame.
+
+    ``updates`` may carry several rows per key: the one with the LARGEST
+    ``(effective_ts, tracked-values)`` tuple wins, deterministically, before
+    the merge — never hash order.
+    """
+    if not key_cols:
+        raise ValueError("scd2_merge: key_cols must be non-empty")
+    upd_one = (
+        updates.groupBy(*key_cols)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(effective_col).cast("timestamp").alias("__eff"),
+                    F.struct(*[F.col(c) for c in tracked_cols]).alias("__tv"),
+                )
+            ).alias("__u")
+        )
+        .select(
+            *key_cols,
+            F.col("__u.__eff").alias("__eff"),
+            F.col("__u.__tv").alias("__utv"),
+        )
+    )
+    closed = history.filter(~F.col("is_current"))
+    cur = history.filter(F.col("is_current")).select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in tracked_cols]).alias("__ctv"),
+        "valid_from",
+    )
+    j = cur.join(upd_one, key_cols, "full_outer")
+
+    has_cur = F.col("__ctv").isNotNull() | F.col("valid_from").isNotNull()
+    fresh = F.col("__eff") > F.col("valid_from")  # NULL-safe: stale/absent → false
+    changed = has_cur & fresh & ~F.col("__ctv").eqNullSafe(F.col("__utv"))
+    inserted = ~has_cur & F.col("__eff").isNotNull()
+
+    def _row(tv, vfrom, vto, current):
+        return F.struct(
+            tv.alias("tv"), vfrom.alias("vf"), vto.alias("vt"), current.alias("cur")
+        )
+
+    never = F.lit(None).cast("timestamp")
+    rows = (
+        F.when(
+            changed,
+            F.array(
+                _row(F.col("__ctv"), F.col("valid_from"), F.col("__eff"), F.lit(False)),
+                _row(F.col("__utv"), F.col("__eff"), never, F.lit(True)),
+            ),
+        )
+        .when(inserted, F.array(_row(F.col("__utv"), F.col("__eff"), never, F.lit(True))))
+        .otherwise(F.array(_row(F.col("__ctv"), F.col("valid_from"), never, F.lit(True))))
+    )
+    merged = (
+        j.select(*key_cols, F.explode(rows).alias("__r"))
+        .select(
+            *key_cols,
+            *[F.col("__r.tv").getField(c).alias(c) for c in tracked_cols],
+            F.col("__r.vf").alias("valid_from"),
+            F.col("__r.vt").alias("valid_to"),
+            F.col("__r.cur").alias("is_current"),
+        )
+    )
+    return closed.select(merged.columns).unionByName(merged)
+
+
+def scd2_at(history: DataFrame, ts: str) -> DataFrame:
+    """Point-in-time slice: the version of every key valid AT ``ts`` (an ISO
+    timestamp literal) — ``valid_from ≤ ts < valid_to`` with an open
+    ``valid_to`` counting as infinity.  A pure filter: partition pruning on
+    ``valid_from``/``is_current`` applies when history is so partitioned."""
+    t = F.lit(ts).cast("timestamp")
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

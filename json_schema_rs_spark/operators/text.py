@@ -393,3 +393,69 @@ def bigram_surprisal(
         )
         .select(F.col("__id").alias(id_col), "n_bigrams", "avg_surprisal")
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ln_round: int = 9,
+    out_round: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy over characters, in nats:
+
+        H = ln(n) - (Σ_c count_c · ln(count_c)) / n
+
+    A byte/char-level quality signal orthogonal to the token-level scores:
+    near-zero entropy exposes single-character floods and run-length spam,
+    abnormally high entropy exposes binary-in-text and encrypted/compressed
+    blobs — both standard pretraining filters that token heuristics miss.
+    Returns ``(id_col, n_chars_seen, n_distinct_chars, entropy)``; empty and
+    NULL texts are absent.
+
+    Portability contract (same as the surprisal family): each ``ln`` is
+    rounded to ``ln_round`` and the cross-character sum accumulates in
+    DECIMAL, so any engine produces bit-identical output regardless of
+    partitioning or reduce order.
+
+    Plan shape: character positions explode to |corpus chars| rows — the
+    honest cost of exact per-char counts (mirrors duplicated_span_stats) —
+    then two map-side-combined aggregations: (doc, char) counts, and the
+    per-doc entropy fold.  Both shuffles are keyed by doc id (uniform);
+    nothing is corpus-global.
+    """
+    text = F.col(text_col)
+    chars = (
+        df.filter(text.isNotNull() & (F.length(text) > 0))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text)),
+                    lambda i: F.substring(text, i, 1),
+                )
+            ).alias("__ch"),
+        )
+    )
+    counts = chars.groupBy("__id", "__ch").agg(F.count(F.lit(1)).alias("__c"))
+    term = (F.col("__c") * F.round(F.log(F.col("__c").cast("double")), ln_round)).cast(
+        "decimal(38,12)"
+    )
+    return (
+        counts.groupBy("__id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_chars_seen"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.sum(term).cast("double").alias("__clogc"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_chars_seen",
+            "n_distinct_chars",
+            F.round(
+                F.round(F.log(F.col("n_chars_seen").cast("double")), ln_round)
+                - F.col("__clogc") / F.col("n_chars_seen"),
+                out_round,
+            ).alias("entropy"),
+        )
+    )

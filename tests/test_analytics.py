@@ -1,0 +1,223 @@
+"""Funnel, cohort-retention, SCD2, and char-entropy operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def _funnel_events(spark):
+    rows = [
+        # u1 completes view → click → buy in order
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:01:00", "click"),
+        (1, "2024-01-01 00:02:00", "buy"),
+        # u2 clicks BEFORE viewing: click can't count, re-click after view missing
+        (2, "2024-01-01 00:00:00", "click"),
+        (2, "2024-01-01 00:01:00", "view"),
+        # u3 view + click at the SAME microsecond: strictly-after ⇒ stage 1 only
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-01 00:00:00", "click"),
+        # u4 only unrelated events → absent from user_funnel
+        (4, "2024-01-01 00:00:00", "error"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_user_funnel_stages(spark):
+    from json_schema_rs_spark.operators.funnel import user_funnel
+
+    got = {
+        r["user_id"]: r["stage_reached"]
+        for r in user_funnel(_funnel_events(spark), ["view", "click", "buy"]).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_funnel_counts_includes_empty_tail(spark):
+    from json_schema_rs_spark.operators.funnel import funnel_counts
+
+    out = funnel_counts(_funnel_events(spark), ["view", "click", "buy", "refund"])
+    rows = {r["step"]: r for r in out.collect()}
+    assert [rows[k]["n_users"] for k in (1, 2, 3, 4)] == [3, 1, 1, 0]
+    assert rows[1]["conversion"] == 1.0
+    assert rows[3]["conversion"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[4]["conversion"] == 0.0
+    assert rows[2]["step_name"] == "click"
+
+
+def test_funnel_greedy_equals_min_chain(spark):
+    # greedy earliest-match walk == per-stage min-after chain: a later view
+    # must NOT reset progress (u reaches click via the FIRST view)
+    from json_schema_rs_spark.operators.funnel import user_funnel
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:05:00", "view"),
+        (1, "2024-01-01 00:03:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert user_funnel(df, ["view", "click"]).collect()[0]["stage_reached"] == 2
+
+
+def test_funnel_rejects_empty_steps(spark):
+    from json_schema_rs_spark.operators.funnel import user_funnel
+
+    with pytest.raises(ValueError):
+        user_funnel(_funnel_events(spark), [])
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_triangle(spark):
+    from json_schema_rs_spark.operators.cohort import cohort_retention
+
+    rows = [
+        # cohort 0: u1 active weeks 0,1; u2 week 0 only
+        (1, "2024-01-01 12:00:00"),
+        (1, "2024-01-08 12:00:00"),
+        (2, "2024-01-02 12:00:00"),
+        # cohort 1: u3 first seen week 1, active again week 3
+        (3, "2024-01-09 12:00:00"),
+        (3, "2024-01-23 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        (r["cohort"], r["offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in cohort_retention(df, anchor="2024-01-01").collect()
+    }
+    assert got[(0, 0)] == (2, 2, 1.0)
+    assert got[(0, 1)] == (1, 2, 0.5)
+    assert got[(1, 0)] == (1, 1, 1.0)
+    assert got[(1, 2)] == (1, 1, 1.0)
+    assert (1, 1) not in got  # inactive offsets are absent, not zero-filled
+
+
+def test_cohort_duplicate_events_dedup(spark):
+    from json_schema_rs_spark.operators.cohort import activity_periods
+
+    rows = [(1, "2024-01-01 05:00:00"), (1, "2024-01-03 05:00:00")]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    assert activity_periods(df).count() == 1  # same week → one activity pair
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def _scd_frames(spark):
+    from json_schema_rs_spark.operators.scd import scd2_init
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, seg string, bal double",
+    )
+    hist = scd2_init(dim, ["k"], ["seg", "bal"], "2024-01-01 00:00:00")
+    upd = spark.createDataFrame(
+        [
+            (1, "a", 99.0, "2024-02-01 00:00:00"),   # changed bal → close + open
+            (2, "b", 20.0, "2024-02-01 00:00:00"),   # unchanged → untouched
+            (9, "new", 1.0, "2024-02-01 00:00:00"),  # new key → insert
+        ],
+        "k long, seg string, bal double, effective_ts string",
+    ).withColumn("effective_ts", F.to_timestamp("effective_ts"))
+    return hist, upd
+
+
+def test_scd2_merge_cases(spark):
+    from json_schema_rs_spark.operators.scd import scd2_merge
+
+    hist, upd = _scd_frames(spark)
+    out = scd2_merge(hist, upd, ["k"], ["seg", "bal"]).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["k"], []).append(r)
+    # k=1: closed old + open new
+    k1 = sorted(by[1], key=lambda r: r["is_current"])
+    assert len(k1) == 2
+    assert k1[0]["bal"] == 10.0 and not k1[0]["is_current"]
+    assert str(k1[0]["valid_to"]).startswith("2024-02-01")
+    assert k1[1]["bal"] == 99.0 and k1[1]["is_current"] and k1[1]["valid_to"] is None
+    # k=2 unchanged, k=3 untouched: single open rows with original values
+    for k in (2, 3):
+        assert len(by[k]) == 1 and by[k][0]["is_current"]
+        assert str(by[k][0]["valid_from"]).startswith("2024-01-01")
+    # k=9 inserted
+    assert len(by[9]) == 1 and by[9][0]["is_current"] and by[9][0]["seg"] == "new"
+    # invariant: exactly one open row per key
+    opens = [r["k"] for r in out if r["is_current"]]
+    assert sorted(opens) == [1, 2, 3, 9]
+
+
+def test_scd2_merge_idempotent_and_stale(spark):
+    from json_schema_rs_spark.operators.scd import scd2_merge
+
+    hist, upd = _scd_frames(spark)
+    once = scd2_merge(hist, upd, ["k"], ["seg", "bal"])
+    twice = scd2_merge(once, upd, ["k"], ["seg", "bal"])
+    # replaying the same batch changes nothing (stale effective ts for k=1's
+    # new open row; no-op for the rest)
+    a = sorted(repr(tuple(r)) for r in once.collect())
+    b = sorted(repr(tuple(r)) for r in twice.collect())
+    assert a == b
+
+
+def test_scd2_merge_dedups_batch_deterministically(spark):
+    from json_schema_rs_spark.operators.scd import scd2_init, scd2_merge
+
+    dim = spark.createDataFrame([(1, "a")], "k long, seg string")
+    hist = scd2_init(dim, ["k"], ["seg"], "2024-01-01 00:00:00")
+    upd = spark.createDataFrame(
+        [(1, "x", "2024-02-01 00:00:00"), (1, "z", "2024-02-01 00:00:00")],
+        "k long, seg string, effective_ts string",
+    ).withColumn("effective_ts", F.to_timestamp("effective_ts"))
+    out = scd2_merge(hist, upd, ["k"], ["seg"])
+    cur = out.filter("is_current").collect()
+    assert len(cur) == 1 and cur[0]["seg"] == "z"  # largest tuple wins
+
+
+def test_scd2_at_point_in_time(spark):
+    from json_schema_rs_spark.operators.scd import scd2_at, scd2_merge
+
+    hist, upd = _scd_frames(spark)
+    merged = scd2_merge(hist, upd, ["k"], ["seg", "bal"])
+    jan = {r["k"]: r["bal"] for r in scd2_at(merged, "2024-01-15 00:00:00").collect()}
+    mar = {r["k"]: r["bal"] for r in scd2_at(merged, "2024-03-01 00:00:00").collect()}
+    assert jan == {1: 10.0, 2: 20.0, 3: 30.0}      # k=9 not yet born
+    assert mar == {1: 99.0, 2: 20.0, 3: 30.0, 9: 1.0}
+
+
+# ---------------------------------------------------------------------------
+# char entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_values(spark):
+    from json_schema_rs_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}  # empty/null absent
+    assert got[1]["entropy"] == 0.0
+    assert got[2]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert got[3]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert got[3]["n_distinct_chars"] == 4 and got[3]["n_chars_seen"] == 4
