@@ -2460,6 +2460,94 @@ def q_char_entropy_docs(spark, sf_dir):
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_event_transitions(spark, sf_dir):
+    # First-order Markov transition matrix (operators/features.py): lead over
+    # (user, us, event_id) — deterministic tie order — then one (from, to)
+    # agg; per-from denominator via a window over the ≤ |types|² frame.
+    from json_schema_rs_spark.operators.features import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_rolling_window_events(spark, sf_dir):
+    # Trailing 1-hour per-user window features (operators/features.py):
+    # RANGE frame over unix_micros longs, DECIMAL(38,6) sum so Spark's
+    # in-order sliding evaluation and DuckDB's segment-tree merge agree
+    # bit-for-bit.  ONE entity-keyed shuffle.
+    from json_schema_rs_spark.operators.features import rolling_window_features
+
+    return rolling_window_features(_t(spark, sf_dir, "events"), window_sec=3600)
+
+
+def q_winnow_fp_docs(spark, sf_dir):
+    # Winnowing fingerprint profile (operators/dedup.py winnow_fingerprints):
+    # per-doc count + hash extremes verify the k-gram hash, the
+    # rightmost-min window rule, and the distinct collapse end-to-end.
+    from json_schema_rs_spark.operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.countDistinct("fp_hash").alias("n_hashes"),
+        F.min("fp_hash").alias("min_hash"),
+        F.max("fp_hash").alias("max_hash"),
+    )
+
+
+def q_winnow_pairs_docs(spark, sf_dir):
+    # MOSS-style near-dup pairs by shared winnowing fingerprints
+    # (operators/dedup.py winnow_pairs): fingerprint-hash bucket join with a
+    # broadcast hot-hash guard — never all-pairs.
+    from json_schema_rs_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"), k=8, window=4, min_shared=2
+    )
+
+
+def q_centroid_outliers_emb(spark, sf_dir):
+    # Per-label mean embedding (exact decimal per-dim sums, rounded to 9) +
+    # per-row cosine to its own centroid (operators/similarity.py
+    # group_centroids/centroid_distances).  Low cos = semantic outlier.
+    from json_schema_rs_spark.operators.similarity import centroid_distances
+
+    return centroid_distances(_t(spark, sf_dir, "embeddings"))
+
+
+def q_split_leakage_docs(spark, sf_dir):
+    # Cross-split near-dup leakage audit (operators/decontam.py
+    # split_leakage): hash_split labels + portable MinHash-LSH candidates +
+    # exact Jaccard verify, keeping only pairs straddling two splits.
+    from json_schema_rs_spark.operators.decontam import split_leakage
+
+    return split_leakage(
+        _t(spark, sf_dir, "documents"),
+        k=5,
+        num_hashes=8,
+        bands=4,
+        jaccard_threshold=0.3,
+        portable=True,
+    )
+
+
+def q_event_cadence(spark, sf_dir):
+    # Per-user inter-event cadence profile (operators/features.py
+    # event_cadence): exact microsecond gaps, decimal mean, interpolated
+    # median (Spark percentile == DuckDB quantile_cont).
+    from json_schema_rs_spark.operators.features import event_cadence
+
+    return event_cadence(_t(spark, sf_dir, "events"))
+
+
+def q_cdc_chunks_docs(spark, sf_dir):
+    # Content-defined chunking (operators/packing.py cdc_chunks): gear-style
+    # boundaries where the 52-bit md5 gram hash ≡ 0 (mod 64) — shift-robust
+    # chunk dedup.  Boundary detection + span assembly are shuffle-free.
+    from json_schema_rs_spark.operators.packing import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"), k=8, modulus=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2614,6 +2702,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_events": q_cohort_retention_events,
         "scd2_customers": q_scd2_customers,
         "char_entropy_docs": q_char_entropy_docs,
+        "event_transitions": q_event_transitions,
+        "rolling_window_events": q_rolling_window_events,
+        "winnow_fp_docs": q_winnow_fp_docs,
+        "winnow_pairs_docs": q_winnow_pairs_docs,
+        "centroid_outliers_emb": q_centroid_outliers_emb,
+        "split_leakage_docs": q_split_leakage_docs,
+        "event_cadence": q_event_cadence,
+        "cdc_chunks_docs": q_cdc_chunks_docs,
     }
 
 
@@ -4999,5 +5095,168 @@ def oracle_sql() -> dict[str, str]:
                    round(round(ln(n_chars_seen::DOUBLE), 9) - clogc / n_chars_seen, 6)
                      AS entropy
             FROM agg
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS to_type
+              FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            c AS (SELECT from_type, to_type, count(*) AS n_transitions
+                  FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+            SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+                   round(n_transitions::DOUBLE
+                         / sum(n_transitions) OVER (PARTITION BY from_type), 6) AS p
+            FROM c
+        """,
+        "rolling_window_events": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_window,
+                   round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE), 6)
+                     AS value_sum
+            FROM events
+            WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "winnow_fp_docs": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL AND length(text) >= 8),
+            g AS (SELECT doc_id, text,
+                         unnest(generate_series(1, length(text) - 7)) AS pos
+                  FROM d),
+            h AS (SELECT doc_id, pos,
+                         substr(md5(substr(text, CAST(pos AS INT), 8)), 1, 15) AS h
+                  FROM g),
+            win AS (SELECT doc_id,
+                           min({'h': h, 'np': -pos}) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+                    FROM h),
+            fp AS (SELECT DISTINCT doc_id, m.h AS fp_hash, -m.np AS fp_pos FROM win)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_fingerprints,
+                   CAST(count(DISTINCT fp_hash) AS BIGINT) AS n_hashes,
+                   min(fp_hash) AS min_hash,
+                   max(fp_hash) AS max_hash
+            FROM fp GROUP BY doc_id
+        """,
+        "winnow_pairs_docs": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL AND length(text) >= 8),
+            g AS (SELECT doc_id, text,
+                         unnest(generate_series(1, length(text) - 7)) AS pos
+                  FROM d),
+            h AS (SELECT doc_id, pos,
+                         substr(md5(substr(text, CAST(pos AS INT), 8)), 1, 15) AS h
+                  FROM g),
+            win AS (SELECT doc_id,
+                           min({'h': h, 'np': -pos}) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+                    FROM h),
+            fp AS (SELECT DISTINCT doc_id, m.h AS fp_hash FROM win),
+            sz AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) <= 1000)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM (SELECT * FROM fp WHERE fp_hash IN (SELECT fp_hash FROM sz)) a
+            JOIN (SELECT * FROM fp WHERE fp_hash IN (SELECT fp_hash FROM sz)) b
+              ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
+        """,
+        "centroid_outliers_emb": """
+            WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+            i AS (SELECT label, v,
+                         unnest(generate_series(0, len(v) - 1)) AS dim FROM e),
+            cent AS (
+              SELECT label, dim,
+                     round(CAST(sum(CAST(v[CAST(dim AS INT) + 1] AS DECIMAL(38,12)))
+                                AS DOUBLE) / count(*), 9) AS c
+              FROM i GROUP BY label, dim),
+            cv AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY label)
+            SELECT e.vec_id, e.label,
+                   round(list_cosine_similarity(e.v, cv.cvec), 6) AS cos_centroid
+            FROM e JOIN cv USING (label)
+        """,
+        "split_leakage_docs": _MINHASH_SIG + _MINHASH_BANDS + f"""
+            , pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            shl AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                                                  i -> substr(text, i, 5))) AS sh
+              FROM documents),
+            jj AS (
+              SELECT p.id_a, p.id_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+              FROM pairs p JOIN shl a ON a.doc_id = p.id_a JOIN shl b ON b.doc_id = p.id_b),
+            sp AS ({_hash_split_oracle()})
+            SELECT jj.id_a, jj.id_b, sa.split AS split_a, sb.split AS split_b,
+                   round(jj.jac, 6) AS jaccard
+            FROM jj JOIN sp sa ON sa.doc_id = jj.id_a
+                    JOIN sp sb ON sb.doc_id = jj.id_b
+            WHERE jj.jac >= 0.3 AND sa.split <> sb.split
+        """,
+        "event_cadence": """
+            WITH g AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+              FROM events WHERE ts IS NOT NULL)
+            , a AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     max(us) AS mx, min(us) AS mn,
+                     CAST(sum(CAST(gap AS DECIMAL(38,6))) AS DOUBLE) AS gsum,
+                     count(gap) AS gcnt,
+                     max(gap) AS gmax,
+                     list_sort(list(gap) FILTER (gap IS NOT NULL)) AS garr
+              FROM g GROUP BY user_id)
+            SELECT user_id, n_events,
+                   round((mx - mn) / 1000000.0, 6) AS span_sec,
+                   round(gsum / gcnt / 1000000.0, 6) AS mean_gap_sec,
+                   CASE WHEN len(garr) > 0 THEN
+                     (garr[(len(garr) + 1) // 2] + garr[len(garr) // 2 + 1]) / 2.0
+                       / 1000000.0
+                   END AS median_gap_sec,
+                   round(gmax / 1000000.0, 6) AS max_gap_sec
+            FROM a
+        """,
+        "cdc_chunks_docs": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+                       WHERE text IS NOT NULL AND length(text) >= 8),
+            g AS (SELECT doc_id, text, n,
+                         unnest(generate_series(1, n - 7)) AS i FROM d),
+            b AS (SELECT doc_id, text, n, i FROM g
+                  WHERE ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 13))::BIGINT
+                        % 64 = 0),
+            c1 AS (
+              SELECT doc_id, text,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx,
+                     coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 8, 1) AS cstart,
+                     i + 7 AS cend
+              FROM b),
+            fin AS (
+              SELECT d.doc_id, d.text,
+                     coalesce(bb.cnt, 0) AS chunk_idx,
+                     coalesce(bb.last_i + 8, 1) AS cstart,
+                     d.n AS cend
+              FROM d LEFT JOIN (SELECT doc_id, count(*) AS cnt, max(i) AS last_i
+                                FROM b GROUP BY doc_id) bb USING (doc_id)
+              WHERE coalesce(bb.last_i + 8, 1) <= d.n)
+            SELECT doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(cstart AS BIGINT) AS chunk_start,
+                   CAST(cend - cstart + 1 AS BIGINT) AS chunk_len,
+                   md5(substr(text, CAST(cstart AS INT), CAST(cend - cstart + 1 AS INT)))
+                     AS chunk_md5
+            FROM (SELECT * FROM c1 UNION ALL SELECT * FROM fin)
         """,
     }

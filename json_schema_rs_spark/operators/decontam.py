@@ -104,3 +104,55 @@ def decontaminate(
         .select(id_col)
     )
     return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.3,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-split near-duplicate leakage audit: assign every doc its stable
+    ``hash_split`` label, find near-dup candidate pairs with MinHash-LSH,
+    verify with exact Jaccard, and keep only pairs whose two sides landed in
+    DIFFERENT splits — the pairs that leak evaluation content into training.
+
+    Exact-duplicate leakage cannot happen under ``hash_split`` (identical
+    ids get identical splits; identical CONTENT under different ids can, and
+    near-duplicates always can) — this is the audit that catches both, the
+    standard companion to n-gram decontamination (same papers, §train/test
+    overlap).  Returns ``(id_a, id_b, split_a, split_b, jaccard)``.
+
+    Plan shape: the LSH candidate generation is the scale path
+    (banded buckets, never all-pairs — operators/dedup.py); split labels
+    join onto the (tiny) verified pair set by id, so the corpus is never
+    re-shuffled for labeling.
+    """
+    from .dedup import jaccard_verify, minhash_lsh_candidates
+    from .sampling import hash_split
+
+    pairs = minhash_lsh_candidates(
+        df, id_col, text_col=text_col, k=k, num_hashes=num_hashes, bands=bands,
+        portable=portable, max_bucket=10**9,
+    )
+    verified = jaccard_verify(df, pairs, id_col, text_col=text_col, k=k,
+                              threshold=jaccard_threshold)
+    labels = hash_split(
+        df.select(id_col), id_col, weights=weights, salt=salt
+    ).select(F.col(id_col).alias("__lid"), F.col("split").alias("__ls"))
+    return (
+        verified.join(labels, verified.id_a == F.col("__lid"))
+        .select("id_a", "id_b", "jaccard", F.col("__ls").alias("split_a"))
+        .join(labels, F.col("id_b") == F.col("__lid"))
+        .select(
+            "id_a", "id_b", "split_a", F.col("__ls").alias("split_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )

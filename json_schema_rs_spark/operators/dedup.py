@@ -380,3 +380,114 @@ def duplicated_span_stats(
             F.round(F.sum("__c") / F.max("__len"), 6).alias("dup_frac"),
         )
     )
+
+
+# -- winnowing (MOSS) fingerprints ----------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every ``k``-gram, then in each window of ``window``
+    consecutive grams keep the RIGHTMOST MINIMAL hash.  Guarantees every
+    shared substring of length ≥ ``k + window - 1`` contributes at least one
+    shared fingerprint — position-robust local dedup that MinHash (global
+    set similarity) and SimHash (global bit profile) both miss.
+
+    This variant also winnows the partial prefix windows (frame ``window-1
+    PRECEDING``..current from position 1), emitting a deterministic SUPERSET
+    of the classic fingerprint set with the same guarantee.
+
+    Returns distinct ``(id_col, fp_hash, fp_pos)`` rows — ``fp_hash`` the
+    60-bit md5-prefix gram hash (hex string: lexicographic compare, portable
+    to any engine), ``fp_pos`` the 1-based gram position.  Docs shorter than
+    ``k`` chars are absent.
+
+    Plan shape: gram positions explode to ~|corpus chars| rows (the honest
+    cost of positional fingerprints, mirrors duplicated_span_stats), then ONE
+    doc-keyed window picks per-window minima; the distinct collapses
+    window-to-window repeats.  Both shuffles key on the doc id (uniform).
+    The rightmost-min tie rule is encoded as ``min(struct(hash, -pos))`` —
+    struct comparison is lexicographic in Spark and DuckDB alike.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("winnow_fingerprints: k and window must be ≥ 1")
+    text = F.col(text_col)
+    grams = (
+        df.filter(text.isNotNull() & (F.length(text) >= k))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text) - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.substring(F.md5(F.substring(text, i, k)), 1, 15).alias("h"),
+                    ),
+                )
+            ).alias("__g"),
+        )
+        .select("doc", F.col("__g.pos").alias("pos"), F.col("__g.h").alias("h"))
+    )
+    w = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    winner = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w)
+    return (
+        grams.select(
+            "doc",
+            winner.getField("h").alias("fp_hash"),
+            (-winner.getField("np")).alias("fp_pos"),
+        )
+        .distinct()
+        .select(F.col("doc").alias(id_col), "fp_hash", F.col("fp_pos").cast("int").alias("fp_pos"))
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    ``(doc_a, doc_b, n_shared)`` with ``n_shared`` ≥ ``min_shared`` distinct
+    shared fingerprint HASHES (positions may differ — that is the point:
+    winnowing finds moved/copied spans).
+
+    Same scale shape as MinHash-LSH bucketing: the join key is the
+    fingerprint hash, never all-pairs; hashes shared by more than
+    ``max_bucket`` docs (boilerplate grams — license headers, shebangs) are
+    dropped with a broadcast anti-join before the pair join.
+    """
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k, window)
+        .select(F.col(id_col).alias("doc"), "fp_hash")
+        .distinct()
+    )
+    sizes = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("bsz"))
+    fps = fps.join(
+        F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), "fp_hash", "left_anti"
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1,0 +1,186 @@
+"""Event-stream feature engineering: transition matrices and rolling
+time-window aggregates.
+
+No reference counterpart (`/root/reference` validates single JSON documents);
+these are the per-entity temporal features a training-data pipeline derives
+from behavioral logs — the same shapes audit ingest flows (source → parse →
+validate transition health, trailing-hour ingest volume per source).
+
+Both operators shuffle ONCE on the entity key (the window partition); nothing
+is corpus-global.  At 100 TB the entity key is high-cardinality and uniform,
+so the Exchange balances; a pathological single entity is one window
+partition — cap upstream with a per-(entity, day) pre-aggregation if a
+source can flood one key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    rate_round: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event streams:
+
+      ``(from_type, to_type, n_transitions, p)``
+
+    where ``p = n(from → to) / Σ_to' n(from → to')`` rounded to
+    ``rate_round``.  Adjacency is defined by ``lead`` over the entity's
+    stream ordered by ``(unix_micros(ts), id_col)`` — the id tiebreak makes
+    same-microsecond events deterministically ordered, so the matrix is
+    partitioning-invariant.  Rows with NULL ts or type are excluded (they
+    have no defined position in the stream).
+
+    Plan shape: one entity-keyed window (lead) → one (from, to) hash
+    aggregate with map-side partials; the per-from denominator comes from a
+    window over the ≤ |types|² result frame, not a second data pass.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.unix_micros(F.col(ts_col).cast("timestamp")), F.col(id_col)
+    )
+    pairs = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    denom = Window.partitionBy("from_type")  # ≤ |types|² rows: tiny
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(denom), rate_round
+        ).alias("p"),
+    )
+
+
+def rolling_window_features(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_sec: int = 3600,
+    sum_round: int = 6,
+) -> DataFrame:
+    """Trailing event-time window aggregates per row — the classic feature
+    vector "this entity's activity over the last hour as of this event":
+
+      ``(id_col, key_col, n_window, value_sum)``
+
+    with ``n_window`` the number of the entity's events in
+    ``[ts - window_sec, ts]`` (inclusive both ends — RANGE frame semantics)
+    and ``value_sum`` their value total rounded to ``sum_round``; NULL
+    values don't contribute (an all-NULL window sums to NULL).
+
+    Portability contract: the windowed sum accumulates in DECIMAL(38,6) —
+    exact and associative — so Spark's in-order sliding-frame evaluation and
+    an engine that merges segment-tree partials (e.g. DuckDB) produce
+    bit-identical totals.  The frame orders by ``unix_micros`` longs, so the
+    boundary comparison is integer-exact.
+
+    Plan shape: ONE entity-keyed window (Exchange on the key + in-partition
+    sort); no joins, no second shuffle.  Rows with NULL ts are excluded (a
+    NULL has no position on the time axis).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-int(window_sec) * 1_000_000, Window.currentRow)
+    )
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            F.count(F.lit(1)).over(w).alias("n_window"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(38,6)")).over(w).cast("double"),
+                sum_round,
+            ).alias("value_sum"),
+        )
+    )
+
+
+def _long_median(vals):
+    """Exact median of a collected array of longs: ``(lo + hi) / 2.0`` over
+    the sorted middle pair — a long sum halved is exact in binary64, so any
+    engine reproduces it bit-for-bit (unlike interpolating percentiles).
+    NULL for an empty array."""
+    arr = F.sort_array(vals)
+    m = F.size(arr)
+    lo = F.element_at(arr, ((m + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (m / 2).cast("int") + 1)
+    return F.when(m > 0, (lo + hi) / 2.0)
+
+
+def event_cadence(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_round: int = 6,
+) -> DataFrame:
+    """Per-entity inter-event cadence profile:
+
+      ``(key_col, n_events, span_sec, mean_gap_sec, median_gap_sec,
+         max_gap_sec)``
+
+    — the "is this source alive and regular" signal: dead sources show huge
+    max gaps, replaying sources show near-zero medians, bursty scrapers show
+    mean ≫ median.  Entities with a single event have NULL gap stats.
+
+    Portability contract: gaps are exact MICROSECOND longs from a
+    deterministic ``(unix_micros, id)`` ordering; the mean accumulates the
+    long gaps in DECIMAL; the median is computed EXACTLY from the sorted gap
+    array as ``(lo + hi) / 2`` over long midpoints (interpolating
+    percentile implementations differ in the last ulp across engines —
+    Spark's ``lower + (upper-lower)·frac`` vs merge-based forms);
+    everything rounds to ``out_round`` after converting to seconds.
+
+    Plan shape: one entity-keyed window (lag) + one entity-keyed agg —
+    Catalyst reuses the same Exchange for both (identical key).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(us, F.col(id_col))
+    gaps = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col),
+        us.alias("__us"),
+        (us - F.lag(us).over(w)).alias("__gap"),
+    )
+    return gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round((F.max("__us") - F.min("__us")) / 1_000_000.0, out_round).alias(
+            "span_sec"
+        ),
+        F.round(
+            F.sum(F.col("__gap").cast("decimal(38,6)")).cast("double")
+            / F.count("__gap")
+            / 1_000_000.0,
+            out_round,
+        ).alias("mean_gap_sec"),
+        # NOT rounded: an even-count median is often exactly x.5 µs — the
+        # round-6 boundary, where HALF_UP-on-shortest-repr (Spark) and
+        # binary rounding (DuckDB) legitimately disagree.  The raw value is
+        # already deterministic: exact long midpoint / exact 2.0 / exact 1e6
+        # are correctly-rounded IEEE divides, identical on any engine.
+        (_long_median(F.collect_list("__gap")) / 1_000_000.0).alias("median_gap_sec"),
+        F.round(F.max("__gap") / 1_000_000.0, out_round).alias("max_gap_sec"),
+    )

@@ -199,3 +199,61 @@ def chunk_text(
         ),
         "n_chunks",
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    modulus: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (gear/Rabin-style): cut AFTER every ``k``-gram
+    whose hash is ≡ 0 (mod ``modulus``) — expected chunk length ≈ ``modulus``
+    chars + the ``k``-gram tail.  Unlike fixed-stride ``chunk_text``,
+    boundaries depend only on LOCAL content, so inserting or deleting a
+    prefix shifts at most one chunk: every later chunk re-synchronizes and
+    keeps its hash — the property backup dedup (LBFS), remote-sync and
+    chunk-level corpus dedup rely on.
+
+    Returns ``(id_col, chunk_idx, chunk_start, chunk_len, chunk_md5)``;
+    docs shorter than ``k`` are absent.  The boundary hash is the 52-bit
+    md5 prefix of the gram (portable: any engine replays it); an empty
+    trailing chunk (boundary at the very end) is not emitted.
+
+    Plan shape: boundary detection, span assembly and chunk hashing are ONE
+    shuffle-free projection — ``filter(sequence)`` finds boundary positions
+    as an ARRAY (no per-gram explode), spans zip from the shifted boundary
+    arrays, and only the ~n/modulus chunk rows fan out via posexplode.
+    """
+    if k < 1 or modulus < 1:
+        raise ValueError("cdc_chunks: k and modulus must be ≥ 1")
+    text = F.col(text_col)
+    n = F.length(text)
+
+    def _is_boundary(i):
+        gram_hash = F.conv(F.substring(F.md5(F.substring(text, i, k)), 1, 13), 16, 10)
+        return gram_hash.cast("long") % modulus == 0
+
+    bounds = F.filter(F.sequence(F.lit(1), n - k + 1), _is_boundary)
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(bounds, lambda b: b + k)
+    )
+    ends = F.concat(F.transform(bounds, lambda b: b + k - 1), F.array(n))
+    spans = F.arrays_zip(starts.alias("s"), ends.alias("e"))
+    return (
+        df.filter(text.isNotNull() & (n >= k))
+        .select(F.col(id_col), text.alias("__t"), F.posexplode(spans).alias("idx", "sp"))
+        .filter(F.col("sp.s") <= F.col("sp.e"))
+        .select(
+            id_col,
+            F.col("idx").cast("long").alias("chunk_idx"),
+            F.col("sp.s").cast("long").alias("chunk_start"),
+            (F.col("sp.e") - F.col("sp.s") + 1).cast("long").alias("chunk_len"),
+            F.md5(
+                F.substring(
+                    F.col("__t"), F.col("sp.s"), F.col("sp.e") - F.col("sp.s") + 1
+                )
+            ).alias("chunk_md5"),
+        )
+    )

@@ -360,3 +360,84 @@ def truncate_renorm(emb: Column, dims: int) -> Column:
     pre = F.slice(F.transform(emb, lambda v: v.cast("double")), 1, dims)
     nrm = l2_norm(pre)
     return F.transform(pre, lambda v: F.when(nrm > 0, v / nrm).otherwise(F.lit(0.0)))
+
+
+# ---------------------------------------------------------------------------
+# Group centroids + semantic outlier distance
+# ---------------------------------------------------------------------------
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    emb_col: str = "embedding",
+    dim_round: int = 9,
+) -> DataFrame:
+    """Per-group mean embedding: ``(group_col, centroid array<double>)``.
+
+    The semantic complement of the k-means centroids (operators/kmeans.py):
+    there the groups are LEARNED, here they are GIVEN (labels, sources,
+    languages) and the centroid summarizes each group's region of embedding
+    space — the input to per-group semantic outlier screens and
+    cross-group contamination checks.
+
+    Portability contract: per-dimension means accumulate in DECIMAL(38,12)
+    (exact, order-independent) and round to ``dim_round`` — any engine
+    produces the identical centroid regardless of partitioning.
+
+    Plan shape: one posexplode to (group, dim, val) — rows × dims, the
+    honest cost of exact per-dim sums, keyed by the group — then one
+    (group, dim) agg with map-side partials and a tiny per-group array
+    re-assembly (collect_list of ≤ dims structs on a #groups-row frame).
+    NULL groups and NULL vectors are excluded.
+    """
+    d = (
+        df.filter(F.col(group_col).isNotNull() & F.col(emb_col).isNotNull())
+        .select(
+            F.col(group_col),
+            F.posexplode(F.col(emb_col).cast("array<double>")).alias("__dim", "__val"),
+        )
+    )
+    per_dim = d.groupBy(group_col, "__dim").agg(
+        F.round(
+            F.sum(F.col("__val").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            dim_round,
+        ).alias("__c")
+    )
+    return per_dim.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__c"))),
+            lambda s: s.getField("__c"),
+        ).alias("centroid")
+    )
+
+
+def centroid_distances(
+    df: DataFrame,
+    group_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-row cosine similarity to the row's OWN group centroid:
+    ``(id_col, group_col, cos_centroid)`` — low values are semantic
+    outliers (mislabeled rows, contamination, embedding failures); a
+    downstream filter or per-group bottom-k turns this into a screen.
+
+    The centroid frame is #groups rows — broadcast onto a pure projection,
+    so beyond ``group_centroids``'s aggregation there is NO extra shuffle.
+    """
+    cents = group_centroids(df, group_col, emb_col)
+    return (
+        df.filter(F.col(group_col).isNotNull() & F.col(emb_col).isNotNull())
+        .join(F.broadcast(cents), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.round(
+                cosine(F.col(emb_col).cast("array<double>"), F.col("centroid")),
+                round_to,
+            ).alias("cos_centroid"),
+        )
+    )

@@ -152,3 +152,22 @@ def test_pack_next_fit_global_group(spark):
     assert sorted(out.columns) == ["bin_id", "doc_id", "tok"]
     got = {r["doc_id"]: r["bin_id"] for r in out.collect()}
     assert got == {1: 0, 2: 1}  # 400+200 > 512 → second doc opens bin 1
+
+
+def test_split_leakage_cross_split_near_dups(spark):
+    from json_schema_rs_spark.operators.decontam import split_leakage
+    from json_schema_rs_spark.operators.sampling import hash_split
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"unique text number {i} with nothing shared across docs xyz{i}") for i in range(20)]
+    # find two ids that land in different splits, give them near-identical text
+    probe = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    labels = {r.doc_id: r.split for r in hash_split(probe, "doc_id").collect()}
+    a = next(i for i in range(100) if labels[i] == "train")
+    b = next(i for i in range(100) if labels[i] != "train")
+    rows = [r for r in rows if r[0] not in (a, b)]
+    rows += [(a, base), (b, base + "!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_leakage(df, jaccard_threshold=0.3, portable=True).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(min(a, b), max(a, b))]
+    assert out[0].split_a != out[0].split_b and out[0].jaccard > 0.8

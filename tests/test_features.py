@@ -1,0 +1,176 @@
+"""Event-stream features (operators/features.py) and winnowing fingerprints
+(operators/dedup.py winnow_fingerprints / winnow_pairs)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+from json_schema_rs_spark.operators.features import (
+    event_transitions,
+    rolling_window_features,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_event_transitions_counts_and_rates(spark):
+    df = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01 00:00:00"), "a", 1.0),
+            (2, 1, _ts("2024-01-01 00:01:00"), "b", 1.0),
+            (3, 1, _ts("2024-01-01 00:02:00"), "a", 1.0),
+            (4, 1, _ts("2024-01-01 00:03:00"), "c", 1.0),
+            (5, 2, _ts("2024-01-01 00:00:00"), "a", 1.0),
+            (6, 2, _ts("2024-01-01 00:01:00"), "b", 1.0),
+        ],
+    )
+    out = {(r.from_type, r.to_type): (r.n_transitions, r.p) for r in event_transitions(df).collect()}
+    # from 'a': a→b twice, a→c once → p = 2/3, 1/3
+    assert out[("a", "b")] == (2, 0.666667)
+    assert out[("a", "c")] == (1, 0.333333)
+    assert out[("b", "a")] == (1, 1.0)
+    # no cross-user adjacency: user 2's trailing 'b' has no successor
+    assert ("b", "b") not in out and ("c", "a") not in out
+
+
+def test_event_transitions_tie_order_is_deterministic(spark):
+    # same-microsecond events order by event_id — the matrix is stable
+    t = _ts("2024-01-01 00:00:00")
+    df = _events(spark, [(2, 1, t, "b", 0.0), (1, 1, t, "a", 0.0), (3, 1, t, "c", 0.0)])
+    out = {(r.from_type, r.to_type) for r in event_transitions(df).collect()}
+    assert out == {("a", "b"), ("b", "c")}
+
+
+def test_rolling_window_inclusive_boundary_and_nulls(spark):
+    df = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01 00:00:00"), "e", 10.0),
+            (2, 1, _ts("2024-01-01 01:00:00"), "e", 5.0),   # exactly 3600s later: included
+            (3, 1, _ts("2024-01-01 01:00:01"), "e", None),  # NULL value: counts, no sum
+            (4, 1, _ts("2024-01-01 02:00:02"), "e", 7.0),   # window has only itself
+            (5, 2, _ts("2024-01-01 00:30:00"), "e", 1.0),   # other user: isolated
+        ],
+    )
+    out = {r.event_id: (r.n_window, r.value_sum) for r in rolling_window_features(df).collect()}
+    assert out[1] == (1, 10.0)
+    assert out[2] == (2, 15.0)       # RANGE boundary is inclusive
+    assert out[3] == (2, 5.0)        # event 1 aged out; NULL value not summed
+    assert out[4] == (1, 7.0)
+    assert out[5] == (1, 1.0)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # two docs sharing a substring of length ≥ k + window - 1 = 11 must share
+    # at least one fingerprint hash (the MOSS guarantee)
+    shared = "zqxjkvbwpmy"  # 11 chars, low-frequency letters
+    df = spark.createDataFrame(
+        [(1, "aaaa" + shared + "bbbb"), (2, "cccccccc" + shared + "dddd")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=8, window=4)
+    h1 = {r.fp_hash for r in fps.filter(F.col("doc_id") == 1).collect()}
+    h2 = {r.fp_hash for r in fps.filter(F.col("doc_id") == 2).collect()}
+    assert h1 & h2, "shared 11-char substring must yield a shared fingerprint"
+
+
+def test_winnow_rightmost_min_rule(spark):
+    # a run of one repeated char has ONE distinct gram hash; the rightmost-min
+    # rule keeps sliding the selected position right, so every position is a
+    # fingerprint (distinct (hash, pos) pairs, same hash)
+    df = spark.createDataFrame([(1, "aaaaaaaaaaaa")], "doc_id long, text string")
+    rows = winnow_fingerprints(df, k=8, window=4).collect()
+    assert len({r.fp_hash for r in rows}) == 1
+    assert sorted(r.fp_pos for r in rows) == [1, 2, 3, 4, 5]  # 12-8+1 positions
+
+
+def test_winnow_pairs_threshold(spark):
+    shared = "zqxjkvbwpmyhgfds"  # 16 shared chars → several shared fingerprints
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa" + shared + "bbbb"),
+            (2, "cccc" + shared + "dddd"),
+            (3, "unrelated text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_pairs(df, k=8, window=4, min_shared=2).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].n_shared >= 2
+
+
+def test_winnow_short_docs_absent(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, None), (3, "long enough text")], "doc_id long, text string"
+    )
+    assert {r.doc_id for r in winnow_fingerprints(df, k=8, window=4).select("doc_id").distinct().collect()} == {3}
+
+
+def test_event_cadence_exact_stats(spark):
+    df = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01 00:00:00"), "e", 0.0),
+            (2, 1, _ts("2024-01-01 00:00:10"), "e", 0.0),
+            (3, 1, _ts("2024-01-01 00:00:30"), "e", 0.0),  # gaps: 10s, 20s
+            (4, 2, _ts("2024-01-01 00:00:00"), "e", 0.0),  # single event
+        ],
+    )
+    from json_schema_rs_spark.operators.features import event_cadence
+
+    out = {r.user_id: r for r in event_cadence(df).collect()}
+    u1 = out[1]
+    assert (u1.n_events, u1.span_sec) == (3, 30.0)
+    assert u1.mean_gap_sec == 15.0
+    assert u1.median_gap_sec == 15.0  # even count: (10s + 20s) / 2
+    assert u1.max_gap_sec == 20.0
+    u2 = out[2]
+    assert u2.n_events == 1 and u2.span_sec == 0.0
+    assert u2.mean_gap_sec is None and u2.median_gap_sec is None
+
+
+def test_cdc_chunks_cover_and_resync(spark):
+    from json_schema_rs_spark.operators.packing import cdc_chunks
+
+    import random
+
+    rng = random.Random(7)
+    body = "".join(rng.choice("abcdefghij ") for _ in range(800))
+    df = spark.createDataFrame(
+        [(1, body), (2, "XYZPREFIX-" + body)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, k=8, modulus=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, cs in by_doc.items():
+        cs.sort(key=lambda r: r.chunk_idx)
+        # chunks tile the doc exactly: contiguous, full coverage
+        assert cs[0].chunk_start == 1
+        for a, b in zip(cs, cs[1:]):
+            assert a.chunk_start + a.chunk_len == b.chunk_start
+        total = cs[-1].chunk_start + cs[-1].chunk_len - 1
+        assert total == len(body) if doc == 1 else total == len(body) + 10
+    # shift-robustness: after re-sync, later chunk hashes are shared
+    h1 = {r.chunk_md5 for r in by_doc[1]}
+    h2 = {r.chunk_md5 for r in by_doc[2]}
+    assert len(h1 & h2) >= max(len(h1) - 2, 1), (len(h1), len(h1 & h2))
+
+
+def test_cdc_chunks_no_boundary_single_chunk(spark):
+    from json_schema_rs_spark.operators.packing import cdc_chunks
+
+    df = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+    rows = cdc_chunks(df, k=8, modulus=10**9).collect()
+    assert len(rows) == 1
+    assert (rows[0].chunk_idx, rows[0].chunk_start, rows[0].chunk_len) == (0, 1, 8)

@@ -130,3 +130,28 @@ def test_ivf_topk_contains_self_when_probed(emb):
     assert top[0]["vec_id"] == 0 and top[0]["cos"] == pytest.approx(1.0)
     # scored set is restricted to probed cells
     assert all(r["cell"] in probes for r in top)
+
+
+def test_group_centroids_exact_means(spark):
+    from json_schema_rs_spark.operators.similarity import (
+        centroid_distances,
+        group_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.0, 1.0]),
+            (3, 1, [2.0, 2.0]),
+            (4, None, [9.0, 9.0]),   # NULL group excluded
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    cents = {r.label: r.centroid for r in group_centroids(df).collect()}
+    assert cents == {0: [0.5, 0.5], 1: [2.0, 2.0]}
+
+    out = {r.vec_id: r.cos_centroid for r in centroid_distances(df).collect()}
+    # label-0 members are both at 45° to the [0.5, 0.5] centroid
+    assert out[1] == out[2] == 0.707107
+    assert out[3] == 1.0
+    assert 4 not in out
