@@ -52,6 +52,9 @@ BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact"
            "assoc_docs",
            # surprisal: the total-token count is ONE broadcast row
            "surprisal_docs",
+           # bigram surprisal: the vocabulary-size frame is ONE broadcast
+           # row crossJoined onto the (w1,w2) count table (constant cost)
+           "bigram_surprisal_docs",
            # fuzzy_lookup probes a SMALL broadcast dictionary with a
            # non-equi length filter — a BNLJ of a bounded broadcast side is
            # the intended dictionary-probe plan
@@ -97,7 +100,13 @@ SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "edit_distance_parts",
           # PageRank: edges ⋈ ranks and edges ⋈ outdeg are graph-sized on
           # both sides at scale — SMJ on the src key is the intended plan
-          "pagerank_nations"}
+          "pagerank_nations",
+          # SCD2 merge: the open-slice ⋈ update-batch join is FULL OUTER
+          # (new keys insert, absent keys pass through) — Spark cannot
+          # broadcast-hash a full outer join; SMJ on the key is the
+          # intended plan, and bucketing both tables by the key makes it
+          # co-located (zero Exchange) at warehouse scale
+          "scd2_customers"}
 
 
 def main() -> int:
