@@ -221,6 +221,17 @@ def bench_queries(spark) -> dict[str, float]:
         "pagerank_nations",
         "surprisal_docs",
         "winsorize_events",
+        "funnel_events",
+        "rolling_window_events",
+        "event_cadence",
+        "scd2_customers",
+        "cdc_chunks_docs",
+        # winnow_fp_docs (not winnow_pairs_docs): the pair set grows with
+        # near-dup density² on this templated corpus — fingerprinting is the
+        # corpus-sized stage worth timing; the pair join is candidate-sized
+        "winnow_fp_docs",
+        "centroid_outliers_emb",
+        "split_leakage_docs",
     ]
     qs = entrymod.queries()
 
