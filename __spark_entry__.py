@@ -2548,6 +2548,69 @@ def q_cdc_chunks_docs(spark, sf_dir):
     return cdc_chunks(_t(spark, sf_dir, "documents"), k=8, modulus=64)
 
 
+def _trade_edges(spark, sf_dir):
+    # the cross-nation trade graph shared by the graph-operator queries
+    # (same construction as q_pagerank_nations, broadcast dims)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.withColumnRenamed("n_name", "src")),
+              c.c_nationkey == F.col("n_nationkey"))
+        .drop("n_nationkey")
+        .join(F.broadcast(n.withColumnRenamed("n_name", "dst")
+                          .withColumnRenamed("n_nationkey", "n_nationkey2")),
+              s.s_nationkey == F.col("n_nationkey2"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def q_funnel_windowed_events(spark, sf_dir):
+    # Windowed funnel (operators/funnel.py horizon_sec): every later stage
+    # must land within 1 day of the anchor (the user's FIRST view) — the
+    # product-analytics "conversion window", same greedy walk.
+    from json_schema_rs_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        horizon_sec=86400,
+    )
+
+
+def q_triangles_nations(spark, sf_dir):
+    # Per-node triangle count + clustering coefficient over the undirected
+    # trade graph (operators/graph.py triangle_counts): wedge join + closing
+    # edge verify — each triangle found exactly once, never all-pairs.
+    from json_schema_rs_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_trade_edges(spark, sf_dir))
+
+
+def q_label_prop_nations(spark, sf_dir):
+    # Semi-supervised label propagation (operators/graph.py): seed each
+    # region's lowest-key nation with the region name, spread 2 synchronous
+    # majority-vote iterations over the trade graph (ties → ascending label).
+    from json_schema_rs_spark.operators.graph import label_propagation
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    seeds = (
+        n.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_name").alias("node"), F.col("r_name").alias("label"))
+    )
+    return label_propagation(_trade_edges(spark, sf_dir), seeds, iterations=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2710,6 +2773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_docs": q_split_leakage_docs,
         "event_cadence": q_event_cadence,
         "cdc_chunks_docs": q_cdc_chunks_docs,
+        "funnel_windowed_events": q_funnel_windowed_events,
+        "triangles_nations": q_triangles_nations,
+        "label_prop_nations": q_label_prop_nations,
     }
 
 
@@ -5258,5 +5324,91 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(text, CAST(cstart AS INT), CAST(cend - cstart + 1 AS INT)))
                      AS chunk_md5
             FROM (SELECT * FROM c1 UNION ALL SELECT * FROM fin)
+        """,
+        "funnel_windowed_events": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s1 ON e.user_id = s1.user_id
+                             AND e.ts > s1.t
+                             AND epoch_us(e.ts) <= epoch_us(s1.t) + 86400000000
+                        WHERE e.event_type = 'click' GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s2 ON e.user_id = s2.user_id
+                             AND e.ts > s2.t
+                        JOIN s1 ON e.user_id = s1.user_id
+                             AND epoch_us(e.ts) <= epoch_us(s1.t) + 86400000000
+                        WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+                 n AS (
+                   SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+                          (SELECT count(*) FROM s1) AS n_users
+                   UNION ALL
+                   SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM s2)
+                   UNION ALL
+                   SELECT CAST(3 AS INT), 'purchase', (SELECT count(*) FROM s3))
+            SELECT step, step_name, CAST(n_users AS BIGINT) AS n_users,
+                   round(n_users::DOUBLE
+                         / (SELECT n_users FROM n WHERE step = 1), 6) AS conversion
+            FROM n
+        """,
+        "triangles_nations": f"""
+            WITH ed AS ({_PAGERANK_EDGES_SQL}),
+            ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM ed WHERE src <> dst),
+            deg AS (SELECT node, count(*) AS degree
+                    FROM (SELECT a AS node FROM ce UNION ALL SELECT b FROM ce)
+                    GROUP BY node),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM ce e1 JOIN ce e2 ON e1.b = e2.a
+                    JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+            pn AS (SELECT node, count(*) AS n_triangles
+                   FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+                         UNION ALL SELECT z FROM tri)
+                   GROUP BY node)
+            SELECT deg.node, CAST(degree AS BIGINT) AS degree,
+                   CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN degree >= 2
+                        THEN round(2.0 * coalesce(n_triangles, 0)
+                                   / (degree * (degree - 1)), 6)
+                        ELSE 0.0 END AS clustering
+            FROM deg LEFT JOIN pn USING (node)
+        """,
+        "label_prop_nations": f"""
+            WITH ed AS ({_PAGERANK_EDGES_SQL}),
+            ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM ed WHERE src <> dst),
+            und AS (SELECT a AS nsrc, b AS ndst FROM ce
+                    UNION ALL SELECT b, a FROM ce),
+            nodes AS (SELECT DISTINCT nsrc AS node FROM und),
+            sd AS (SELECT n.n_name AS node, r.r_name AS label
+                   FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+                   WHERE n.n_nationkey = (SELECT min(n2.n_nationkey) FROM nation n2
+                                          WHERE n2.n_regionkey = n.n_regionkey)),
+            l0 AS (SELECT node, sd.label FROM nodes LEFT JOIN sd USING (node)),
+            v1 AS (SELECT u.nsrc AS node, l.label, count(*) AS n
+                   FROM und u JOIN l0 l ON u.ndst = l.node
+                   WHERE l.label IS NOT NULL GROUP BY u.nsrc, l.label),
+            b1 AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY n DESC, label) AS r
+                     FROM v1) WHERE r = 1),
+            l1 AS (SELECT l0.node,
+                          coalesce(sd.label, b1.label, l0.label) AS label
+                   FROM l0 LEFT JOIN b1 ON l0.node = b1.node
+                           LEFT JOIN sd ON l0.node = sd.node),
+            v2 AS (SELECT u.nsrc AS node, l.label, count(*) AS n
+                   FROM und u JOIN l1 l ON u.ndst = l.node
+                   WHERE l.label IS NOT NULL GROUP BY u.nsrc, l.label),
+            b2 AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY n DESC, label) AS r
+                     FROM v2) WHERE r = 1),
+            l2 AS (SELECT l1.node,
+                          coalesce(sd.label, b2.label, l1.label) AS label
+                   FROM l1 LEFT JOIN b2 ON l1.node = b2.node
+                           LEFT JOIN sd ON l1.node = sd.node)
+            SELECT node, label FROM l2
         """,
     }

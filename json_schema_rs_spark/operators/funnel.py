@@ -40,6 +40,7 @@ def user_funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    horizon_sec: int | None = None,
 ) -> DataFrame:
     """Per-entity funnel progress: ``(user_col, stage_reached)`` where
     ``stage_reached`` ∈ [0, len(steps)] counts the prefix of ``steps``
@@ -50,10 +51,18 @@ def user_funnel(
     Timestamps are compared as ``unix_micros`` longs, so ties are exact:
     an event at the SAME microsecond as the previous stage does not advance
     the funnel (strictly-after semantics, matching ``ts > prev`` in SQL).
+
+    ``horizon_sec`` (optional) makes the funnel WINDOWED: every later stage
+    must complete within ``horizon_sec`` of the anchor — the FIRST step-1
+    event (the common product-analytics "conversion window", anchored
+    deterministically; re-anchoring semantics would be input-order
+    ambiguous).  The anchored walk is still the minimal chain, so greedy
+    earliest-match stays exact.
     """
     if not steps:
         raise ValueError("user_funnel: steps must be non-empty")
     n = len(steps)
+    horizon_us = None if horizon_sec is None else int(horizon_sec) * 1_000_000
     steps_lit = F.array(*[F.lit(s) for s in steps])
     ev = df.filter(F.col(type_col).isin(steps)).select(
         F.col(user_col),
@@ -66,7 +75,9 @@ def user_funnel(
         F.sort_array(F.collect_list("__e")).alias("__evs")
     )
     init = F.struct(
-        F.lit(0).alias("stage"), F.lit(None).cast("long").alias("last")
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("long").alias("last"),
+        F.lit(None).cast("long").alias("anchor"),
     )
 
     def _step(acc, e):
@@ -75,11 +86,17 @@ def user_funnel(
             & (e.getField("typ") == F.element_at(steps_lit, acc.getField("stage") + 1))
             & (acc.getField("last").isNull() | (e.getField("us") > acc.getField("last")))
         )
+        if horizon_us is not None:
+            advance = advance & (
+                acc.getField("anchor").isNull()
+                | (e.getField("us") <= acc.getField("anchor") + F.lit(horizon_us))
+            )
         return F.when(
             advance,
             F.struct(
                 (acc.getField("stage") + 1).alias("stage"),
                 e.getField("us").alias("last"),
+                F.coalesce(acc.getField("anchor"), e.getField("us")).alias("anchor"),
             ),
         ).otherwise(acc)
 
@@ -96,6 +113,7 @@ def funnel_counts(
     type_col: str = "event_type",
     ts_col: str = "ts",
     rate_round: int = 6,
+    horizon_sec: int | None = None,
 ) -> DataFrame:
     """Step-level funnel rollup: one row per step —
 
@@ -110,7 +128,7 @@ def funnel_counts(
     count — one extra (tiny) shuffle on the step index; the rate divides by
     the step-1 count through a window over the ≤ len(steps)-row result.
     """
-    users = user_funnel(df, steps, user_col, type_col, ts_col)
+    users = user_funnel(df, steps, user_col, type_col, ts_col, horizon_sec)
     reached = (
         users.filter(F.col("stage_reached") >= 1)
         .select(F.explode(F.sequence(F.lit(1), F.col("stage_reached"))).alias("step"))

@@ -176,3 +176,140 @@ r{k} AS (
     # strip the trailing comma of the last CTE properly
     body = body.rstrip(",")
     return f"{body}\nSELECT node, rank FROM r{iterations}"
+
+
+# -- triangle counting / clustering coefficient ---------------------------------
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edges as ``(a, b)`` with ``a < b`` (self-loops
+    dropped, direction and multiplicity collapsed)."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient:
+
+      ``(node, degree, n_triangles, clustering)``
+
+    over the UNDIRECTED simple graph (direction, multiplicity and self-loops
+    collapsed).  ``clustering = 2·T / (deg · (deg-1))`` — the density of a
+    node's neighborhood; 0.0 when degree < 2.  In a near-dup or citation
+    graph, high clustering marks template families and mutual-citation
+    rings; low clustering with high degree marks hub/boilerplate nodes.
+
+    Plan shape (the standard distributed formulation): each triangle
+    ``a < b < c`` is found EXACTLY once by joining canonical edges
+    (a,b) ⋈ (b,c) on the middle node, then verifying (a,c) — two equi-join
+    shuffles, never an all-pairs product.  At scale, skewed high-degree
+    nodes dominate the wedge join; the classic mitigation (orient wedges by
+    degree) drops in here by replacing the ``<`` order with a
+    (degree, node) order.
+    """
+    e = _canonical_edges(edges)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    w = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    tri = w.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+    ).select("x", "y", "z")
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    round_to,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+# -- label propagation (semi-supervised) ----------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous semi-supervised label propagation: seed nodes carry fixed
+    labels; every other node repeatedly takes the MAJORITY label of its
+    (undirected, deduplicated) neighbors, ties broken by the ascending
+    label, keeping its current label when no neighbor is labeled yet.
+    Deterministic by construction — no hash order anywhere.
+
+    ``seeds``: ``(node, label)``.  Returns ``(node, label)`` for every node
+    (label NULL if unreached).  The classic use: spread a handful of
+    human-audited quality/topic labels across a near-dup or citation graph.
+
+    Plan shape per iteration: labeled frame ⋈ directed neighbor list (one
+    key shuffle) → (node, label) vote agg (second key shuffle) →
+    row_number pick — the same two-shuffle shape as a PageRank step; the
+    driver sees only loop control.  Fixed ``iterations`` keeps the whole
+    computation one declarative plan (oracle-replayable); a convergence
+    loop would compare successive frames driver-side like kmeans.
+    """
+    from pyspark.sql import Window
+
+    e = _canonical_edges(edges)
+    und = e.select(F.col("a").alias("nsrc"), F.col("b").alias("ndst")).unionByName(
+        e.select(F.col("b").alias("nsrc"), F.col("a").alias("ndst"))
+    )
+    nodes = und.select(F.col("nsrc").alias("node")).distinct()
+    sd = seeds.select(F.col("node").alias("__sn"), F.col("label").alias("__sl"))
+    labels = nodes.join(sd, nodes.node == F.col("__sn"), "left").select(
+        "node", F.col("__sl").alias("label")
+    )
+    for _ in range(int(iterations)):
+        msgs = und.join(
+            labels.filter(F.col("label").isNotNull()),
+            und.ndst == labels.node,
+        ).select(F.col("nsrc").alias("node"), "label")
+        votes = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("__n"))
+        w = Window.partitionBy("node").orderBy(F.desc("__n"), F.asc("label"))
+        best = (
+            votes.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(F.col("node").alias("__bn"), F.col("label").alias("__bl"))
+        )
+        labels = (
+            labels.join(best, labels.node == F.col("__bn"), "left")
+            .join(sd, labels.node == F.col("__sn"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__sl"), F.col("__bl"), F.col("label")).alias("label"),
+            )
+        )
+    return labels

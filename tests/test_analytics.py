@@ -221,3 +221,36 @@ def test_char_entropy_values(spark):
     assert got[2]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
     assert got[3]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
     assert got[3]["n_distinct_chars"] == 4 and got[3]["n_chars_seen"] == 4
+
+
+def test_funnel_horizon_cuts_late_stages(spark):
+    from datetime import datetime
+
+    from json_schema_rs_spark.operators.funnel import user_funnel
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    df = spark.createDataFrame(
+        [
+            # user 1: click within horizon, purchase after → stage 2
+            (1, 1, ts("2024-01-01 00:00:00"), "view"),
+            (2, 1, ts("2024-01-01 00:30:00"), "click"),
+            (3, 1, ts("2024-01-01 02:00:00"), "purchase"),
+            # user 2: all within one hour of the FIRST view → stage 3
+            (4, 2, ts("2024-01-01 00:00:00"), "view"),
+            (5, 2, ts("2024-01-01 00:20:00"), "click"),
+            (6, 2, ts("2024-01-01 00:40:00"), "purchase"),
+            # user 3: a later view can NOT re-anchor (anchored semantics)
+            (7, 3, ts("2024-01-01 00:00:00"), "view"),
+            (8, 3, ts("2024-01-01 05:00:00"), "view"),
+            (9, 3, ts("2024-01-01 05:10:00"), "click"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    steps = ["view", "click", "purchase"]
+    out = {r.user_id: r.stage_reached for r in user_funnel(df, steps, horizon_sec=3600).collect()}
+    assert out == {1: 2, 2: 3, 3: 1}
+    # and without the horizon user 1 converts fully
+    out2 = {r.user_id: r.stage_reached for r in user_funnel(df, steps).collect()}
+    assert out2[1] == 3 and out2[3] == 2

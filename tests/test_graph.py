@@ -78,3 +78,46 @@ def test_pagerank_rejects_bad_iterations(spark):
     df = _edges_df(spark, [("a", "b")])
     with pytest.raises(ValueError):
         pagerank(df, 0)
+
+
+def test_triangle_counts_known_graph(spark):
+    from json_schema_rs_spark.operators.graph import triangle_counts
+
+    # K3 (a,b,c) plus a pendant d off a; duplicate/reversed edges collapse
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("a", "d"), ("d", "d")],
+        "src string, dst string",
+    )
+    out = {r.node: r for r in triangle_counts(edges).collect()}
+    assert (out["a"].degree, out["a"].n_triangles, out["a"].clustering) == (3, 1, round(2 / 6, 6))
+    assert (out["b"].degree, out["b"].n_triangles, out["b"].clustering) == (2, 1, 1.0)
+    assert (out["c"].degree, out["c"].n_triangles) == (2, 1)
+    assert (out["d"].degree, out["d"].n_triangles, out["d"].clustering) == (1, 0, 0.0)
+
+
+def test_label_propagation_spread_and_ties(spark):
+    from json_schema_rs_spark.operators.graph import label_propagation
+
+    # path g1 - m - g2: m hears both labels equally → tie breaks ascending;
+    # far node f (g2 - f) gets g2's label on iteration 2
+    edges = spark.createDataFrame(
+        [("g1", "m"), ("m", "g2"), ("g2", "f")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("g1", "red"), ("g2", "blue")], "node string, label string"
+    )
+    out = {r.node: r.label for r in label_propagation(edges, seeds, iterations=2).collect()}
+    assert out["g1"] == "red" and out["g2"] == "blue"  # seeds immutable
+    assert out["m"] == "blue"   # tie: ascending label wins
+    assert out["f"] == "blue"
+
+
+def test_label_propagation_unreached_stays_null(spark):
+    from json_schema_rs_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a", "L")], "node string, label string")
+    out = {r.node: r.label for r in label_propagation(edges, seeds, iterations=3).collect()}
+    assert out == {"a": "L", "b": "L", "x": None, "y": None}
