@@ -2611,6 +2611,48 @@ def q_label_prop_nations(spark, sf_dir):
     return label_propagation(_trade_edges(spark, sf_dir), seeds, iterations=2)
 
 
+def q_record_linkage_customers(spark, sf_dir):
+    # Fellegi–Sunter record linkage (operators/linkage.py): score customer
+    # records against a deterministically perturbed copy (md5 uniform: <0.2
+    # scrambles the segment, <0.1 also shifts the balance), blocked on
+    # nation — the per-field ln weights are Python literals shared with the
+    # oracle, so no engine-side ln exists anywhere.
+    from json_schema_rs_spark.operators.linkage import fellegi_sunter
+    from json_schema_rs_spark.operators.sampling import uniform_hash
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    left = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).alias("bal_bucket"),
+    )
+    u = uniform_hash(F.col("c_custkey"), "link")
+    right = c.withColumn("__u", u).select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        "c_nationkey",
+        F.when(F.col("__u") < 0.2, F.lit("SCRAMBLED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.floor(
+            F.when(F.col("__u") < 0.1, F.col("c_acctbal") + 50.0)
+            .otherwise(F.col("c_acctbal"))
+            / 100
+        ).alias("bal_bucket"),
+    )
+    return fellegi_sunter(
+        left,
+        right,
+        "c_custkey",
+        "rid",
+        ["c_nationkey"],
+        [("c_mktsegment", 0.95, 0.2), ("bal_bucket", 0.9, 0.02)],
+        threshold=3.0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2776,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed_events": q_funnel_windowed_events,
         "triangles_nations": q_triangles_nations,
         "label_prop_nations": q_label_prop_nations,
+        "record_linkage_customers": q_record_linkage_customers,
     }
 
 
@@ -3027,6 +3070,46 @@ _PORTABLE_UNIFORM = (
     "(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT)::DOUBLE"
     " / 4503599627370496.0"
 )
+
+
+def _record_linkage_oracle() -> str:
+    # the ln weights come from the SAME fs_weights call the Spark plan uses,
+    # embedded as literals — the oracle replays the score bit-for-bit
+    from json_schema_rs_spark.operators.linkage import fs_weights
+
+    wa1, wd1 = fs_weights(0.95, 0.2)
+    wa2, wd2 = fs_weights(0.9, 0.02)
+    return f"""
+        WITH l AS (
+          SELECT c_custkey AS id_a, c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket
+          FROM customer),
+        r AS (
+          SELECT c_custkey + 1000000 AS id_b, c_nationkey,
+                 CASE WHEN u < 0.2 THEN 'SCRAMBLED' ELSE c_mktsegment END
+                   AS c_mktsegment,
+                 CAST(floor((CASE WHEN u < 0.1 THEN c_acctbal + 50.0
+                                  ELSE c_acctbal END) / 100) AS BIGINT)
+                   AS bal_bucket
+          FROM (SELECT *,
+                       (('0x' || substr(md5('link:' || CAST(c_custkey AS VARCHAR)), 1, 13))::BIGINT)::DOUBLE
+                         / 4503599627370496.0 AS u
+                FROM customer)),
+        j AS (
+          SELECT l.id_a, r.id_b,
+                 round(0.0
+                   + CASE WHEN l.c_mktsegment IS NOT NULL AND r.c_mktsegment IS NOT NULL
+                               AND l.c_mktsegment = r.c_mktsegment THEN {wa1!r}
+                          WHEN l.c_mktsegment IS NOT NULL AND r.c_mktsegment IS NOT NULL
+                               THEN {wd1!r} ELSE 0.0 END
+                   + CASE WHEN l.bal_bucket IS NOT NULL AND r.bal_bucket IS NOT NULL
+                               AND l.bal_bucket = r.bal_bucket THEN {wa2!r}
+                          WHEN l.bal_bucket IS NOT NULL AND r.bal_bucket IS NOT NULL
+                               THEN {wd2!r} ELSE 0.0 END, 6) AS score
+          FROM l JOIN r ON l.c_nationkey = r.c_nationkey)
+        SELECT id_a, id_b, score, score >= 3.0 AS is_match
+        FROM j WHERE score >= 0 OR score >= 3.0
+    """
 
 
 def _hash_split_oracle(weights=None, salt="split") -> str:
@@ -5411,4 +5494,5 @@ def oracle_sql() -> dict[str, str]:
                            LEFT JOIN sd ON l1.node = sd.node)
             SELECT node, label FROM l2
         """,
+        "record_linkage_customers": _record_linkage_oracle(),
     }

@@ -1,0 +1,94 @@
+"""Probabilistic record linkage: Fellegi–Sunter agreement scoring over
+blocked candidate pairs.
+
+No reference counterpart (`/root/reference` validates one document at a
+time); this is the entity-resolution layer a curation pipeline needs when
+the "same" record arrives from several sources without a shared key —
+author/repo/site identities, customer records, paper metadata.  The fuzzy
+join (operators/fuzzy.py) finds lexically-close VALUES; this scores whole
+RECORDS by combining per-field agreement evidence.
+
+Model (Fellegi & Sunter 1969): for field *i* with match probability ``m_i``
+(P(agree | same entity)) and chance probability ``u_i`` (P(agree |
+different entities)), an agreeing field contributes ``ln(m_i/u_i)`` and a
+disagreeing field ``ln((1-m_i)/(1-u_i))`` to the pair's log-likelihood
+weight; fields missing on either side contribute nothing (no information).
+Pairs at or above a threshold are declared matches.
+
+Portability contract: the per-field weights are computed ONCE in Python
+(driver-side floats) and embedded as literals in both the Spark plan and
+any SQL oracle — no engine-side ``ln`` at all; the score is a fixed-order
+sum of a handful of literal doubles, bit-identical everywhere.
+
+Plan shape (the 100 TB-safe one): candidates come from a BLOCKED equi-join
+(never all-pairs) — the caller picks block keys so blocks stay bounded
+(at warehouse scale: multi-key blocking = union of several blocked joins,
+each an equi-join).  Scoring is a pure projection on the pair frame.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fs_weights(m: float, u: float, digits: int = 9) -> tuple[float, float]:
+    """The (agree, disagree) log-likelihood weights for one field, rounded
+    to ``digits`` so the literals are short and reproducible in any SQL
+    dialect."""
+    if not (0.0 < u < m < 1.0):
+        raise ValueError(f"fs_weights: need 0 < u < m < 1, got m={m} u={u}")
+    return (round(math.log(m / u), digits), round(math.log((1 - m) / (1 - u)), digits))
+
+
+def fellegi_sunter(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    block_cols: list[str],
+    compares: list[tuple[str, float, float]],
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score blocked candidate pairs: ``(id_a, id_b, score, is_match)``.
+
+    ``compares``: ``(column, m, u)`` per field — the column must exist on
+    both sides.  ``block_cols`` must exist on both sides; candidates are the
+    equi-join on all of them.  Only pairs with ``score >= 0`` OR
+    ``is_match`` are returned (hopeless pairs are the overwhelming majority
+    of any block and carry no review value); pass ``round_to`` for the
+    output rounding of the literal-sum score.
+    """
+    if not block_cols:
+        raise ValueError("fellegi_sunter: block_cols must be non-empty (no all-pairs)")
+    if not compares:
+        raise ValueError("fellegi_sunter: compares must be non-empty")
+    lcols = [F.col(id_left).alias("id_a")] + [F.col(c).alias(f"__bl_{c}") for c in block_cols]
+    rcols = [F.col(id_right).alias("id_b")] + [F.col(c).alias(f"__br_{c}") for c in block_cols]
+    fields = [c for c, _, _ in compares]
+    l = left.select(*lcols, *[F.col(c).alias(f"__la_{c}") for c in fields])
+    r = right.select(*rcols, *[F.col(c).alias(f"__rb_{c}") for c in fields])
+    cond = [F.col(f"__bl_{c}") == F.col(f"__br_{c}") for c in block_cols]
+    j = l.join(r, reduce(lambda a, b: a & b, cond))
+
+    score = F.lit(0.0)
+    for c, m, u in compares:
+        wa, wd = fs_weights(m, u)
+        a, b = F.col(f"__la_{c}"), F.col(f"__rb_{c}")
+        both = a.isNotNull() & b.isNotNull()
+        score = score + (
+            F.when(both & (a == b), F.lit(wa))
+            .when(both, F.lit(wd))
+            .otherwise(F.lit(0.0))
+        )
+    out = j.select(
+        "id_a",
+        "id_b",
+        F.round(score, round_to).alias("score"),
+        (F.round(score, round_to) >= F.lit(float(threshold))).alias("is_match"),
+    )
+    return out.filter((F.col("score") >= 0) | F.col("is_match"))

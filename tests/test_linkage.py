@@ -1,0 +1,56 @@
+"""Fellegi–Sunter record linkage (operators/linkage.py)."""
+
+import math
+
+import pytest
+
+from json_schema_rs_spark.operators.linkage import fellegi_sunter, fs_weights
+
+
+def test_fs_weights_signs_and_values():
+    wa, wd = fs_weights(0.9, 0.1)
+    assert wa == round(math.log(9.0), 9) and wd == round(math.log(1.0 / 9.0), 9)
+    with pytest.raises(ValueError):
+        fs_weights(0.1, 0.9)
+
+
+def test_fellegi_sunter_scoring(spark):
+    left = spark.createDataFrame(
+        [(1, "b1", "alice", "x"), (2, "b1", "bob", "y"), (3, "b2", "carol", None)],
+        "lid long, blk string, name string, tag string",
+    )
+    right = spark.createDataFrame(
+        [(10, "b1", "alice", "x"), (11, "b1", "alice", "z"), (12, "b3", "alice", "x")],
+        "rid long, blk string, name string, tag string",
+    )
+    compares = [("name", 0.9, 0.1), ("tag", 0.8, 0.2)]
+    wa_n, wd_n = fs_weights(0.9, 0.1)
+    wa_t, wd_t = fs_weights(0.8, 0.2)
+    out = {(r.id_a, r.id_b): r for r in fellegi_sunter(
+        left, right, "lid", "rid", ["blk"], compares, threshold=3.0
+    ).collect()}
+    # (1,10): both agree
+    assert out[(1, 10)].score == round(wa_n + wa_t, 6) and out[(1, 10)].is_match
+    # (1,11): name agrees, tag differs — positive but below threshold
+    assert out[(1, 11)].score == round(wa_n + wd_t, 6) and not out[(1, 11)].is_match
+    # (2,10)/(2,11): both disagree → negative, filtered out
+    assert (2, 10) not in out and (2, 11) not in out
+    # cross-block pair (x, 12) never scored; record 3's block has no right rows
+    assert all(k[1] != 12 for k in out)
+
+
+def test_fellegi_sunter_null_field_is_no_information(spark):
+    left = spark.createDataFrame([(1, "b", "n", None)], "lid long, blk string, a string, b string")
+    right = spark.createDataFrame([(2, "b", "n", "v")], "rid long, blk string, a string, b string")
+    out = fellegi_sunter(
+        left, right, "lid", "rid", ["blk"],
+        [("a", 0.9, 0.1), ("b", 0.9, 0.1)], threshold=5.0,
+    ).collect()
+    wa, _ = fs_weights(0.9, 0.1)
+    assert len(out) == 1 and out[0].score == round(wa, 6) and not out[0].is_match
+
+
+def test_fellegi_sunter_requires_blocking(spark):
+    df = spark.createDataFrame([(1, "x")], "lid long, v string")
+    with pytest.raises(ValueError):
+        fellegi_sunter(df, df, "lid", "lid", [], [("v", 0.9, 0.1)], 1.0)
