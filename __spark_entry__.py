@@ -2653,6 +2653,66 @@ def q_record_linkage_customers(spark, sf_dir):
     )
 
 
+def q_auc_doclen_en(spark, sf_dir):
+    # Distributed ROC AUC (operators/scoring.py auc_score): does document
+    # length rank English docs above the rest?  Grouped Mann-Whitney — the
+    # shuffle is O(|distinct lengths|), never a global rank over rows; pair
+    # credit is exact doubled-integer arithmetic with ONE final division.
+    from json_schema_rs_spark.operators.scoring import auc_score
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return auc_score(docs, "n_chars", "is_en", quantize=None)
+
+
+def q_woe_value_bins(spark, sf_dir):
+    # WOE / information-value binning (operators/scoring.py woe_iv) of the
+    # event value against the purchase label — explicit boundaries (no
+    # global sort), one contingency agg, Laplace-smoothed ln rounded per the
+    # repo's engine-portability convention.
+    from json_schema_rs_spark.operators.scoring import woe_iv
+
+    ev = _t(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").alias("is_purchase")
+    )
+    return woe_iv(ev, "value", "is_purchase", [0.0, 5.0, 25.0, 100.0, 500.0])
+
+
+def q_ttest_click_purchase(spark, sf_dir):
+    # Welch two-sample t (operators/scoring.py welch_ttest): click vs
+    # purchase event values — ONE map-side-combined agg over exact decimal
+    # sums; only the final statistics are double (rounded 6).
+    from json_schema_rs_spark.operators.scoring import welch_ttest
+
+    ev = _t(spark, sf_dir, "events").select("value", "event_type")
+    return welch_ttest(ev, "value", "event_type", "click", "purchase")
+
+
+def q_trend_events_type(spark, sf_dir):
+    # Per-group OLS trend (operators/scoring.py group_trend): is value
+    # drifting over time within each event_type?  Closed-form slope /
+    # intercept / r² from one pass of decimal Σx Σy Σxy Σx² Σy² — no window,
+    # no sort, partitioning-invariant.
+    from json_schema_rs_spark.operators.scoring import group_trend
+
+    # x is whole DAYS since 2026-01-01, not raw epoch seconds, for two
+    # reasons: (1) Σx² of ~1.7e9-scale seconds needs ~19 significant digits
+    # and the n·Σx² − (Σx)² cancellation then amplifies cast ulps into the
+    # intercept; (2) an INTEGRAL x keeps every per-row x·y / x² product
+    # exactly representable, so the decimal accumulators are bit-identical
+    # across engines (a fractional x would be quantized by the decimal cast,
+    # which Java and DuckDB round differently at the 6th digit).
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor((F.unix_timestamp("ts") - F.lit(1767225600)) / 86400)
+        .cast("double")
+        .alias("x"),
+        "value",
+    )
+    return group_trend(ev, "event_type", "x", "value").orderBy("grp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2819,6 +2879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_nations": q_triangles_nations,
         "label_prop_nations": q_label_prop_nations,
         "record_linkage_customers": q_record_linkage_customers,
+        "auc_doclen_en": q_auc_doclen_en,
+        "woe_value_bins": q_woe_value_bins,
+        "ttest_click_purchase": q_ttest_click_purchase,
+        "trend_events_type": q_trend_events_type,
     }
 
 
@@ -5495,4 +5559,133 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, label FROM l2
         """,
         "record_linkage_customers": _record_linkage_oracle(),
+        "auc_doclen_en": """
+            WITH base AS (
+                SELECT n_chars AS s, (lang = 'en') AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            per_score AS (
+                SELECT s,
+                       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                       CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+                FROM base GROUP BY s),
+            ranked AS (
+                SELECT pos, neg,
+                       CAST(COALESCE(SUM(neg) OVER (ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS neg_below
+                FROM per_score)
+            SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) AS BIGINT) AS n_neg,
+                   CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+                     / (2.0 * SUM(pos) * SUM(neg)) AS auc
+            FROM ranked
+        """,
+        "woe_value_bins": """
+            WITH binned AS (
+                SELECT CASE WHEN value < 5.0 THEN 0
+                            WHEN value < 25.0 THEN 1
+                            WHEN value < 100.0 THEN 2
+                            ELSE 3 END AS bin,
+                       (event_type = 'purchase') AS y
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            per_bin AS (
+                SELECT bin,
+                       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                       CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+                FROM binned GROUP BY bin),
+            tot AS (
+                SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+                       CAST(SUM(n_neg) AS BIGINT) AS tn,
+                       CAST(COUNT(*) AS BIGINT) AS nb
+                FROM per_bin),
+            shares AS (
+                SELECT bin, n_pos, n_neg,
+                       CAST(n_pos + 1 AS DOUBLE) / CAST(tp + nb AS DOUBLE) AS ps,
+                       CAST(n_neg + 1 AS DOUBLE) / CAST(tn + nb AS DOUBLE) AS ns
+                FROM per_bin CROSS JOIN tot)
+            SELECT CAST(bin AS INTEGER) AS bin,
+                   CASE bin WHEN 0 THEN 0.0 WHEN 1 THEN 5.0
+                            WHEN 2 THEN 25.0 ELSE 100.0 END AS lo,
+                   CASE bin WHEN 0 THEN 5.0 WHEN 1 THEN 25.0
+                            WHEN 2 THEN 100.0 ELSE 500.0 END AS hi,
+                   n_pos, n_neg,
+                   ROUND(LN(ps / ns), 9) AS woe,
+                   ROUND((ps - ns) * ROUND(LN(ps / ns), 9), 9) AS iv_term
+            FROM shares ORDER BY bin
+        """,
+        "ttest_click_purchase": """
+            WITH base AS (
+                SELECT CAST(value AS DOUBLE) AS v,
+                       (event_type = 'click') AS a
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('click', 'purchase')),
+            agg AS (
+                SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                       SUM(CASE WHEN a THEN CAST(v AS DECIMAL(38,6)) END) AS sa,
+                       SUM(CASE WHEN NOT a THEN CAST(v AS DECIMAL(38,6)) END) AS sb,
+                       SUM(CASE WHEN a THEN CAST(v * v AS DECIMAL(38,12)) END) AS qa,
+                       SUM(CASE WHEN NOT a THEN CAST(v * v AS DECIMAL(38,12)) END) AS qb
+                FROM base),
+            d AS (
+                SELECT n_a, n_b,
+                       CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                       CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                       CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                       CAST(qa AS DOUBLE) AS dqa, CAST(qb AS DOUBLE) AS dqb
+                FROM agg),
+            v AS (
+                SELECT n_a, n_b, na, nb, ma, mb,
+                       (dqa - na * ma * ma) / (na - 1) AS va,
+                       (dqb - nb * mb * mb) / (nb - 1) AS vb
+                FROM d)
+            SELECT n_a, n_b,
+                   ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+                   ROUND(va, 6) AS var_a, ROUND(vb, 6) AS var_b,
+                   ROUND((ma - mb) / SQRT(va / na + vb / nb), 6) AS t_stat,
+                   ROUND((va / na + vb / nb) * (va / na + vb / nb)
+                     / ((va / na) * (va / na) / (na - 1)
+                        + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df_welch
+            FROM v
+        """,
+        "trend_events_type": """
+            WITH base AS (
+                SELECT event_type AS grp,
+                       CAST(FLOOR((epoch(ts) - 1767225600) / 86400) AS DOUBLE) AS x,
+                       CAST(value AS DOUBLE) AS y
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL),
+            agg AS (
+                SELECT grp,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+                       SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+                       SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+                       SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+                       SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
+                FROM base GROUP BY grp),
+            d AS (
+                SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+                       CAST(sxy AS DOUBLE) AS dsxy, CAST(sxx AS DOUBLE) AS dsxx,
+                       CAST(syy AS DOUBLE) AS dsyy
+                FROM agg),
+            m AS (
+                SELECT grp, n, nd, dsx, dsy,
+                       nd * dsxy - dsx * dsy AS cov_n,
+                       nd * dsxx - dsx * dsx AS varx_n,
+                       nd * dsyy - dsy * dsy AS vary_n
+                FROM d)
+            SELECT grp, n,
+                   ROUND(CASE WHEN n >= 2 AND varx_n <> 0
+                         THEN cov_n / varx_n END, 6) AS slope,
+                   ROUND(CASE WHEN n >= 2 AND varx_n <> 0
+                         THEN (dsy - (cov_n / varx_n) * dsx) / nd END, 6) AS intercept,
+                   ROUND(CASE WHEN n >= 2 AND varx_n <> 0 AND vary_n <> 0
+                         THEN (cov_n * cov_n) / (varx_n * vary_n) END, 6) AS r2
+            FROM m ORDER BY grp
+        """,
     }

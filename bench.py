@@ -232,6 +232,8 @@ def bench_queries(spark) -> dict[str, float]:
         "winnow_fp_docs",
         "centroid_outliers_emb",
         "split_leakage_docs",
+        "auc_doclen_en",
+        "trend_events_type",
     ]
     qs = entrymod.queries()
 

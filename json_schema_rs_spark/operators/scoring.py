@@ -1,0 +1,268 @@
+"""Model-evaluation scoring over dataset columns — AUC, WOE/IV binning,
+Welch two-sample test, and per-group linear trend.
+
+The reference validates documents one at a time and has no notion of a
+quality *score* (SURVEY §2.9); these are north-star additions for the
+LLM-data-curation loop: once a quality/lang/heuristic score exists
+(operators/text.py, operators/quality.py), a pipeline needs to know whether
+the score actually separates good from bad rows (AUC), how to bin it into
+a policy (WOE / information value), whether two slices differ (Welch), and
+whether a metric is drifting over time (trend).
+
+Scale notes (all four avoid the naive global sort):
+
+* ``auc_score`` uses the grouped Mann-Whitney identity: aggregate to ONE row
+  per distinct score value (pos/neg counts), then a window over the distinct
+  values — the shuffle is O(|distinct scores|), never O(rows).  For a
+  continuous score, quantize first (the ``quantize`` arg) so the distinct
+  domain stays bounded; the pair arithmetic is exact integers (doubled to
+  absorb the tie half-credit) with ONE final double division.
+* ``woe_iv`` bins with explicit boundaries (fixed-width by default) — no
+  ntile/global sort — then one contingency agg; ln is rounded per the repo's
+  engine-portability convention (cf. text.unigram_surprisal).
+* ``welch_ttest`` and ``group_trend`` are single map-side-combined
+  aggregations over exact DECIMAL sums (cf. stats.column_profile: float sums
+  are partitioning-order-dependent); only the final derived statistics are
+  double, rounded to 6 for the cross-engine boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SUM_TYPE = "decimal(38,6)"
+_SUMSQ_TYPE = "decimal(38,12)"
+
+
+def auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quantize: int | None = 6,
+) -> DataFrame:
+    """ROC AUC of ``score_col`` as a ranker for boolean ``label_col``.
+
+    Returns one row ``(n_pos:long, n_neg:long, auc:double)``.  Ties get the
+    standard half credit (average-rank convention).  NULL scores/labels are
+    excluded.  ``quantize`` rounds the score to that many decimals before
+    grouping (None = exact values) — bounds the distinct-value domain for
+    continuous scores, which is what keeps the window stage tiny at scale.
+
+    Distributed shape: groupBy(score) → |S| rows → one window ordered by
+    score (cheap: |S| rows) → one final agg.  2·pairs is exact integer:
+    ``Σ_s n_pos(s)·(2·cum_neg_below(s) + n_neg(s))``.
+    """
+    s = F.col(score_col).cast("double")
+    if quantize is not None:
+        s = F.round(s, quantize)
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        s.alias("__s"),
+        F.col(label_col).cast("boolean").alias("__y"),
+    )
+    per_score = base.groupBy("__s").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("long").alias("__pos"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("long").alias("__neg"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.select(
+        "__pos",
+        "__neg",
+        F.coalesce(F.sum("__neg").over(w), F.lit(0)).cast("long").alias("__neg_below"),
+    )
+    return ranked.agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+        (
+            F.sum(
+                F.col("__pos") * (F.lit(2) * F.col("__neg_below") + F.col("__neg"))
+            ).cast("double")
+            / (F.lit(2.0) * F.sum("__pos") * F.sum("__neg"))
+        ).alias("auc"),
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    boundaries: list[float],
+    ln_round: int = 9,
+) -> DataFrame:
+    """Weight-of-evidence binning of ``value_col`` against boolean
+    ``label_col`` with EXPLICIT bin boundaries (no global sort).
+
+    One row per bin: ``(bin:int, lo:double, hi:double, n_pos:long,
+    n_neg:long, woe:double, iv_term:double)`` ordered by bin.  Bin i covers
+    [boundaries[i], boundaries[i+1]); values below the first boundary land
+    in bin 0, at/above the last in the final bin.  Empty bins are absent
+    (they contribute nothing to IV).  WOE = ln(pos_share/neg_share) with
+    Laplace +1 smoothing on the counts so single-class bins stay finite;
+    iv_term = (pos_share − neg_share)·woe.  Total IV = Σ iv_term.
+
+    The ln is rounded to ``ln_round`` (engine-portable convention); shares
+    are exact rationals until the one double division each.
+    """
+    if len(boundaries) < 2:
+        raise ValueError("woe_iv needs at least 2 boundaries (1 bin)")
+    v = F.col(value_col).cast("double")
+    # WHEN chains evaluate first-match; build from the highest interior
+    # boundary inward so the outermost test is the LOWEST one ("v < b[1] →
+    # bin 0" wins first, then "v < b[2] → bin 1", ...).
+    bin_expr = F.lit(len(boundaries) - 2)
+    for i in range(len(boundaries) - 2, 0, -1):
+        bin_expr = F.when(v < F.lit(boundaries[i]), F.lit(i - 1)).otherwise(bin_expr)
+    binned = df.filter(v.isNotNull() & F.col(label_col).isNotNull()).select(
+        bin_expr.cast("int").alias("bin"),
+        F.col(label_col).cast("boolean").alias("__y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("long").alias("n_neg"),
+    )
+    totals = per_bin.agg(
+        F.sum("n_pos").cast("long").alias("__tp"),
+        F.sum("n_neg").cast("long").alias("__tn"),
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+    )
+    lo = F.lit(None).cast("double")
+    hi = F.lit(None).cast("double")
+    for i in range(len(boundaries) - 1):
+        lo = F.when(F.col("bin") == i, F.lit(float(boundaries[i]))).otherwise(lo)
+        hi = F.when(F.col("bin") == i, F.lit(float(boundaries[i + 1]))).otherwise(hi)
+    joined = per_bin.crossJoin(F.broadcast(totals))
+    pos_share = (F.col("n_pos") + 1).cast("double") / (
+        F.col("__tp") + F.col("__nb")
+    ).cast("double")
+    neg_share = (F.col("n_neg") + 1).cast("double") / (
+        F.col("__tn") + F.col("__nb")
+    ).cast("double")
+    woe = F.round(F.log(pos_share / neg_share), ln_round)
+    return (
+        joined.select(
+            "bin",
+            lo.alias("lo"),
+            hi.alias("hi"),
+            "n_pos",
+            "n_neg",
+            woe.alias("woe"),
+            F.round((pos_share - neg_share) * woe, ln_round).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic for ``value_col``
+    between ``group_col == group_a`` and ``group_col == group_b``.
+
+    One row: ``(n_a, n_b:long, mean_a, mean_b, var_a, var_b, t_stat,
+    df_welch:double)`` — means/variances/t/df rounded to 6 (cross-engine
+    decimal→double boundary, cf. stats.column_profile).  Variances are the
+    SAMPLE variance (÷ n−1) from exact decimal Σx / Σx²; groups need n ≥ 2.
+    Significance lookup is left to the caller (no t CDF on purpose — it is
+    transcendental and engine-specific; the statistic itself is the
+    portable, mergeable part).
+
+    Single map-side-combined aggregation — no shuffle beyond the one-row agg.
+    """
+    v = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    base = df.filter(v.isNotNull() & (in_a | in_b)).select(
+        v.alias("__v"), in_a.alias("__a")
+    )
+    agg = base.agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__a"), F.col("__v").cast(_SUM_TYPE))).alias("__sa"),
+        F.sum(F.when(~F.col("__a"), F.col("__v").cast(_SUM_TYPE))).alias("__sb"),
+        F.sum(
+            F.when(F.col("__a"), (F.col("__v") * F.col("__v")).cast(_SUMSQ_TYPE))
+        ).alias("__qa"),
+        F.sum(
+            F.when(~F.col("__a"), (F.col("__v") * F.col("__v")).cast(_SUMSQ_TYPE))
+        ).alias("__qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_a = F.col("__sa").cast("double") / na
+    mean_b = F.col("__sb").cast("double") / nb
+    var_a = (F.col("__qa").cast("double") - na * mean_a * mean_a) / (na - 1)
+    var_b = (F.col("__qb").cast("double") - nb * mean_b * mean_b) / (nb - 1)
+    se2_a = var_a / na
+    se2_b = var_b / nb
+    t_stat = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    df_welch = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (na - 1) + se2_b * se2_b / (nb - 1)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(var_a, 6).alias("var_a"),
+        F.round(var_b, 6).alias("var_b"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(df_welch, 6).alias("df_welch"),
+    )
+
+
+def group_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Closed-form per-group OLS of y on x: one row per group with
+    ``(n:long, slope, intercept, r2:double)`` rounded to 6.
+
+    The drift-over-time primitive: x = epoch seconds, y = a metric, group =
+    a segment; a nonzero slope is a trending metric.  Pure one-pass
+    map-side-combined aggregation over exact decimal Σx Σy Σxy Σx² Σy² —
+    no window, no sort; groups with zero x-variance or n < 2 return NULL
+    slope/intercept/r2.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        F.col(group_col).alias("grp"), x.alias("__x"), y.alias("__y")
+    )
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__x").cast(_SUM_TYPE)).alias("__sx"),
+        F.sum(F.col("__y").cast(_SUM_TYPE)).alias("__sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(_SUMSQ_TYPE)).alias("__sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(_SUMSQ_TYPE)).alias("__sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(_SUMSQ_TYPE)).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x_n = n * sxx - sx * sx
+    var_y_n = n * syy - sy * sy
+    ok = (F.col("n") >= 2) & (var_x_n != 0)
+    slope = F.when(ok, cov_n / var_x_n)
+    intercept = F.when(ok, (sy - (cov_n / var_x_n) * sx) / n)
+    r2 = F.when(
+        ok & (var_y_n != 0), (cov_n * cov_n) / (var_x_n * var_y_n)
+    )
+    return agg.select(
+        "grp",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

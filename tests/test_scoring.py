@@ -1,0 +1,153 @@
+"""Unit tests for operators/scoring.py — AUC, WOE/IV, Welch t, group trend.
+
+Expectations are hand-computed (scipy/sklearn aren't needed or available);
+the AUC cases cross-check the grouped Mann-Whitney identity against the
+O(n²) pair definition computed inline in Python.
+"""
+
+import math
+
+import pytest
+
+from json_schema_rs_spark.operators.scoring import (
+    auc_score,
+    group_trend,
+    welch_ttest,
+    woe_iv,
+)
+
+
+def _pair_auc(rows):
+    """O(n²) reference: P(score_pos > score_neg) + ½P(tie)."""
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    num = sum(1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg)
+    return num / (len(pos) * len(neg))
+
+
+def test_auc_matches_pair_definition(spark):
+    rows = [
+        (0.9, True), (0.8, True), (0.8, False), (0.7, True),
+        (0.5, False), (0.5, False), (0.5, True), (0.3, False),
+        (0.2, False), (0.1, True),
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = auc_score(df, "s", "y").collect()[0]
+    assert out["n_pos"] == 5 and out["n_neg"] == 5
+    assert out["auc"] == pytest.approx(_pair_auc(rows), abs=1e-12)
+
+
+def test_auc_perfect_and_inverted(spark):
+    perfect = spark.createDataFrame(
+        [(3.0, True), (2.0, True), (1.0, False), (0.0, False)], "s double, y boolean"
+    )
+    assert auc_score(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.0, True), (1.0, True), (2.0, False), (3.0, False)], "s double, y boolean"
+    )
+    assert auc_score(inverted, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_auc_all_ties_is_half(spark):
+    df = spark.createDataFrame(
+        [(1.0, True), (1.0, False), (1.0, True), (1.0, False)], "s double, y boolean"
+    )
+    assert auc_score(df, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_auc_null_rows_excluded_and_partition_invariant(spark):
+    rows = [(0.9, True), (None, True), (0.4, None), (0.2, False), (0.6, True)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    kept = [(s, y) for s, y in rows if s is not None and y is not None]
+    expect = _pair_auc(kept)
+    assert auc_score(df, "s", "y").collect()[0]["auc"] == pytest.approx(expect)
+    assert auc_score(df.repartition(7), "s", "y").collect()[0]["auc"] == pytest.approx(
+        expect
+    )
+
+
+def test_woe_iv_bins_and_smoothing(spark):
+    # bin 0: [0,10) → 3 pos, 1 neg; bin 1: [10,20) → 1 pos, 3 neg
+    rows = [
+        (1.0, True), (2.0, True), (9.9, True), (5.0, False),
+        (10.0, True), (12.0, False), (15.0, False), (19.0, False),
+    ]
+    df = spark.createDataFrame(rows, "v double, y boolean")
+    out = {r["bin"]: r.asDict() for r in woe_iv(df, "v", "y", [0.0, 10.0, 20.0]).collect()}
+    assert out[0]["n_pos"] == 3 and out[0]["n_neg"] == 1
+    assert out[1]["n_pos"] == 1 and out[1]["n_neg"] == 3
+    assert out[0]["lo"] == 0.0 and out[0]["hi"] == 10.0
+    # Laplace-smoothed shares: bin0 pos (3+1)/(4+2), neg (1+1)/(4+2)
+    woe0 = round(math.log((4 / 6) / (2 / 6)), 9)
+    assert out[0]["woe"] == pytest.approx(woe0, abs=1e-9)
+    assert out[0]["iv_term"] == pytest.approx(round((4 / 6 - 2 / 6) * woe0, 9), abs=1e-9)
+    # symmetric data → bin1 is the mirror
+    assert out[1]["woe"] == pytest.approx(-woe0, abs=1e-9)
+
+
+def test_woe_iv_out_of_range_values_clamp_to_edge_bins(spark):
+    df = spark.createDataFrame(
+        [(-5.0, True), (100.0, False), (5.0, True)], "v double, y boolean"
+    )
+    out = {r["bin"]: r.asDict() for r in woe_iv(df, "v", "y", [0.0, 10.0, 20.0]).collect()}
+    assert out[0]["n_pos"] == 2  # -5 clamps into bin 0
+    assert out[1]["n_neg"] == 1  # 100 clamps into bin 1
+
+
+def test_woe_iv_rejects_single_boundary(spark):
+    df = spark.createDataFrame([(1.0, True)], "v double, y boolean")
+    with pytest.raises(ValueError):
+        woe_iv(df, "v", "y", [0.0])
+
+
+def test_welch_ttest_hand_computed(spark):
+    a = [1.0, 2.0, 3.0, 4.0]          # mean 2.5, var 5/3
+    b = [2.0, 4.0, 6.0, 8.0, 10.0]    # mean 6.0, var 10
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, g string")
+    out = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    var_a, var_b = 5 / 3, 10.0
+    se2 = var_a / 4 + var_b / 5
+    t = (2.5 - 6.0) / math.sqrt(se2)
+    dfw = se2 * se2 / ((var_a / 4) ** 2 / 3 + (var_b / 5) ** 2 / 4)
+    assert out["n_a"] == 4 and out["n_b"] == 5
+    assert out["mean_a"] == pytest.approx(2.5) and out["mean_b"] == pytest.approx(6.0)
+    assert out["var_a"] == pytest.approx(round(var_a, 6), abs=1e-6)
+    assert out["t_stat"] == pytest.approx(round(t, 6), abs=1e-6)
+    assert out["df_welch"] == pytest.approx(round(dfw, 6), abs=1e-6)
+
+
+def test_welch_ttest_ignores_other_groups_and_nulls(spark):
+    rows = [(1.0, "a"), (2.0, "a"), (None, "a"), (3.0, "b"), (4.0, "b"),
+            (99.0, "c"), (5.0, "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    out = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    assert out["n_a"] == 2 and out["n_b"] == 3
+
+
+def test_group_trend_exact_line(spark):
+    # y = 3x + 1 exactly → slope 3, intercept 1, r2 1
+    rows = [("g", float(x), 3.0 * x + 1.0) for x in range(5)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = group_trend(df, "grp", "x", "y").collect()[0]
+    assert out["n"] == 5
+    assert out["slope"] == pytest.approx(3.0)
+    assert out["intercept"] == pytest.approx(1.0)
+    assert out["r2"] == pytest.approx(1.0)
+
+
+def test_group_trend_degenerate_groups(spark):
+    rows = [("one", 1.0, 5.0),                      # n=1 → NULLs
+            ("flat", 2.0, 1.0), ("flat", 2.0, 9.0)] # zero x-variance → NULLs
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = {r["grp"]: r.asDict() for r in group_trend(df, "grp", "x", "y").collect()}
+    assert out["one"]["slope"] is None and out["flat"]["slope"] is None
+    assert out["flat"]["n"] == 2
+
+
+def test_group_trend_partition_invariant(spark):
+    rows = [("g", float(x), 0.5 * x + 2.0 + (0.1 if x % 2 else -0.1)) for x in range(20)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    a = group_trend(df, "grp", "x", "y").collect()[0]
+    b = group_trend(df.repartition(9), "grp", "x", "y").collect()[0]
+    assert a == b

@@ -62,7 +62,11 @@ BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact"
            # edit_distance_pairs' short-string pool (len <= 2k values) is
            # broadcast by construction; its non-equi length filter plans as
            # a BNLJ of that bounded pool
-           "edit_distance_parts"}
+           "edit_distance_parts",
+           # WOE/IV: the per-bin frame (≤ n_bins rows) crossJoins the
+           # ONE-ROW broadcast totals aggregate — a 1-row BNLJ, the same
+           # scale-safe shape as the surprisal/bigram total joins
+           "woe_value_bins"}
 #: queries whose joins are big-×-big on purpose (no broadcast expectation)
 SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
