@@ -2713,6 +2713,96 @@ def q_trend_events_type(spark, sf_dir):
     return group_trend(ev, "event_type", "x", "value").orderBy("grp")
 
 
+def q_code_clone_classes(spark, sf_dir):
+    # Type-2 clone detection (operators/code.py clone_classes): canonicalize
+    # identifiers/literals/comments/whitespace into a normal form, md5 it,
+    # group — clone classes WITHOUT pair comparisons (one fused projection +
+    # one uniform-key shuffle).  Code payloads are synthesized two-template
+    # (function bodies differing only in names/numbers) so real clone
+    # classes exist; %3==2 rows keep the raw doc text as negatives.
+    from json_schema_rs_spark.operators.code import clone_classes
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    content = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("def load_"), i, F.lit("(x_"), i, F.lit("):\n    total_"),
+                i, F.lit(" = x_"), i, F.lit(" * "),
+                (F.col("doc_id") % 50 + 2).cast("string"),
+                F.lit("  # scale\n    return total_"), i,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("int f_"), i, F.lit("(int a) { return a + "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("; }  // helper "), i,
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    payload = docs.select("doc_id", content.alias("content"))
+    return clone_classes(payload, "doc_id", "content")
+
+
+def _clone_normalize_sql(expr: str) -> str:
+    """Fold operators/code.clone_normalize_stages() into nested DuckDB
+    regexp_replace calls — the ORACLE runs the identical pattern strings the
+    Spark projection runs (shared-dialect guarantee)."""
+    from json_schema_rs_spark.operators.code import clone_normalize_stages
+
+    out = expr
+    for pat, rep in clone_normalize_stages():
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'gs')" if "(?s)" in pat else (
+            f"regexp_replace({out}, '{p}', '{r}', 'g')"
+        )
+    return f"trim({out})"
+
+
+def _code_clone_oracle() -> str:
+    norm = _clone_normalize_sql("content")
+    return f"""
+        WITH payload AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                          'def load_' || doc_id::VARCHAR || '(x_' || doc_id::VARCHAR
+                          || '):' || chr(10) || '    total_' || doc_id::VARCHAR
+                          || ' = x_' || doc_id::VARCHAR || ' * '
+                          || (doc_id % 50 + 2)::VARCHAR
+                          || '  # scale' || chr(10) || '    return total_'
+                          || doc_id::VARCHAR
+                        WHEN doc_id % 3 = 1 THEN
+                          'int f_' || doc_id::VARCHAR || '(int a) {{ return a + '
+                          || (doc_id % 7)::VARCHAR || '; }}  // helper '
+                          || doc_id::VARCHAR
+                        ELSE text END AS content
+            FROM documents),
+        fp AS (
+            SELECT md5({norm}) AS clone_fp, doc_id::VARCHAR AS m
+            FROM payload)
+        SELECT clone_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               string_agg(m, ',' ORDER BY m) AS members
+        FROM fp GROUP BY clone_fp HAVING COUNT(*) >= 2
+    """
+
+
+def q_tfidf_keywords_docs(spark, sf_dir):
+    # TF-IDF keyword extraction (operators/text.py tfidf_keywords): one
+    # (doc, token) agg → vocab-sized idf frame + ONE broadcast N row →
+    # scoring join → per-doc top-k window.  No global sort; idf ln rounded
+    # per the engine-portability convention.
+    from json_schema_rs_spark.operators.text import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, "text", "doc_id", k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -2880,6 +2970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop_nations": q_label_prop_nations,
         "record_linkage_customers": q_record_linkage_customers,
         "auc_doclen_en": q_auc_doclen_en,
+        "code_clone_classes": q_code_clone_classes,
+        "tfidf_keywords_docs": q_tfidf_keywords_docs,
         "woe_value_bins": q_woe_value_bins,
         "ttest_click_purchase": q_ttest_click_purchase,
         "trend_events_type": q_trend_events_type,
@@ -5559,6 +5651,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, label FROM l2
         """,
         "record_linkage_customers": _record_linkage_oracle(),
+        "code_clone_classes": _code_clone_oracle(),
+        "tfidf_keywords_docs": """
+            WITH toks AS (
+                SELECT doc_id AS id, t.tok AS token
+                FROM documents,
+                     LATERAL unnest(regexp_split_to_array(lower(text), '\\s+'))
+                       AS t(tok)
+                WHERE text IS NOT NULL AND t.tok <> ''),
+            tf AS (
+                SELECT id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks GROUP BY id, token),
+            dfreq AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+                FROM tf GROUP BY token),
+            nd AS (SELECT COUNT(DISTINCT id) AS n FROM tf),
+            idf AS (
+                SELECT token, doc_freq,
+                       ROUND(LN(CAST(n AS DOUBLE) / CAST(doc_freq AS DOUBLE)), 9)
+                         AS idf
+                FROM dfreq CROSS JOIN nd),
+            scored AS (
+                SELECT tf.id, tf.token, tf.tf, idf.doc_freq,
+                       CAST(tf.tf AS DOUBLE) * idf.idf AS score
+                FROM tf JOIN idf USING (token)),
+            ranked AS (
+                SELECT id AS doc_id, token, tf, doc_freq, score,
+                       CAST(row_number() OVER (PARTITION BY id
+                         ORDER BY score DESC, token ASC) AS INTEGER) AS rank
+                FROM scored)
+            SELECT * FROM ranked WHERE rank <= 3
+        """,
         "auc_doclen_en": """
             WITH base AS (
                 SELECT n_chars AS s, (lang = 'en') AS y

@@ -234,6 +234,8 @@ def bench_queries(spark) -> dict[str, float]:
         "split_leakage_docs",
         "auc_doclen_en",
         "trend_events_type",
+        "code_clone_classes",
+        "tfidf_keywords_docs",
     ]
     qs = entrymod.queries()
 

@@ -263,3 +263,107 @@ def quality_metrics(
         F.size(comment).alias("comment_lines"),
         (F.regexp_count(c, F.lit(GENERATED_MARKER)) > 0).alias("is_generated"),
     )
+
+
+# --- type-2 clone detection -------------------------------------------------
+
+#: keywords preserved through identifier canonicalization — the small
+#: cross-language core that carries control-flow/structure signal.  Type-2
+#: clone detection (identical structure up to identifier/literal renaming)
+#: canonicalizes every OTHER identifier.
+CLONE_KEYWORDS: list[str] = [
+    "if", "else", "for", "while", "return", "def", "class",
+    "import", "from", "function", "const", "var",
+]
+
+#: sentinel indices for the literal tokens (outside the keyword range so the
+#: «i» unwrap passes can never collide; » terminates each sentinel so «9» is
+#: not a prefix-match inside «900»)
+_NUM_SENTINEL = "«900»"
+_STR_SENTINEL = "«901»"
+
+
+def clone_normalize_stages(keywords: list[str] | None = None) -> list[tuple[str, str]]:
+    """The ordered ``(pattern, replacement)`` regexp chain for type-2 code
+    normalization — exposed as DATA so the DuckDB oracle replays the exact
+    same strings (Java-regex ∩ RE2 dialect: no lookaround, no backrefs; all
+    replacements are constants).
+
+    Order matters:
+      1. comments out (block non-greedy DOTALL, then line);
+      2. numeric literals → a digit sentinel (BEFORE any sentinel exists, so
+         ``\\b\\d+\\b`` can never eat a sentinel's digits);
+      3. string literals → a sentinel (their inner digits are already
+         sentinels — harmless, the whole quoted span collapses anyway);
+      4. each kept keyword → ``«i»``;
+      5. every remaining identifier → ``<ID>`` (sentinels contain no
+         ``[A-Za-z_]`` so they pass through untouched);
+      6. unwrap sentinels back to ``<N>`` / ``<S>`` / the keyword;
+      7. collapse all whitespace runs and trim.
+    """
+    kws = CLONE_KEYWORDS if keywords is None else keywords
+    stages: list[tuple[str, str]] = [
+        (r"(?s)/\*.*?\*/", " "),
+        (r"(//|#|--)[^\n]*", " "),
+        (r"\b\d+\.\d+\b|\b\d+\b", _NUM_SENTINEL),
+        (r'"[^"\n]*"', _STR_SENTINEL),
+        (r"'[^'\n]*'", _STR_SENTINEL),
+    ]
+    stages += [(r"\b" + kw + r"\b", f"«{i}»") for i, kw in enumerate(kws)]
+    stages.append((r"[A-Za-z_][A-Za-z0-9_]*", "<ID>"))
+    stages.append((_NUM_SENTINEL, "<N>"))
+    stages.append((_STR_SENTINEL, "<S>"))
+    stages += [(f"«{i}»", kw) for i, kw in enumerate(kws)]
+    stages.append((r"\s+", " "))
+    return stages
+
+
+def normalize_code(col: Column, keywords: list[str] | None = None) -> Column:
+    """Type-2 normalized form of a code payload: comments stripped, string/
+    numeric literals and identifiers canonicalized, whitespace collapsed.
+    Two snippets that differ only in naming/literals/layout normalize to the
+    SAME string.  Pure sequential ``regexp_replace`` — fuses into the
+    surrounding projection, zero shuffles, zero Python."""
+    x = col
+    for pat, rep in clone_normalize_stages(keywords):
+        x = F.regexp_replace(x, pat, rep)
+    return F.trim(x)
+
+
+def clone_fingerprint(col: Column, keywords: list[str] | None = None) -> Column:
+    """md5 of the normalized form — the clone-class key.  md5 so the DuckDB
+    oracle reproduces it bit-for-bit (same trick as dedup.py's portable
+    MinHash)."""
+    return F.md5(normalize_code(col, keywords))
+
+
+def clone_classes(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    min_size: int = 2,
+) -> DataFrame:
+    """Group files into type-2 clone classes.
+
+    Returns one row per class with ≥ ``min_size`` members:
+    ``(clone_fp:string, n_members:long, members:string)`` — members is the
+    comma-joined ascending list of string-cast ids (a portable, bounded
+    rendering; at 100 TB swap for an explode if classes can be huge).
+
+    Shape at scale: ONE fused normalize+md5 projection over the corpus, one
+    hash-shuffle on the 32-byte fingerprint (uniform key — md5), map-side
+    combined agg.  Never compares file pairs; clone classes fall out of the
+    groupBy exactly like exact-dedup classes (operators/dedup.py).
+    """
+    fp = df.select(
+        clone_fingerprint(F.col(content_col)).alias("clone_fp"),
+        F.col(id_col).cast("string").alias("__m"),
+    )
+    return (
+        fp.groupBy("clone_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("__m"))).alias("members"),
+        )
+        .filter(F.col("n_members") >= min_size)
+    )

@@ -459,3 +459,66 @@ def char_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    ln_round: int = 9,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document.
+
+    Returns ``(id_col, token:string, tf:long, doc_freq:long, score:double,
+    rank:int)`` — rank 1..k within each document by (score DESC, token ASC),
+    so the result is fully deterministic.  ``score = tf · ln(N/df)`` with
+    the ln rounded to ``ln_round`` (the repo's engine-portability convention
+    — cf. unigram_surprisal / BM25); tf is the raw in-document count and N
+    the number of documents with at least one token.  Tokens appearing in
+    EVERY document get idf 0 and are therefore never keywords.
+
+    Scale shape: one tokenization projection → ONE (doc, token) map-side-
+    combined agg (the corpus-sized shuffle); document frequency and N are
+    aggregates OF that output (vocab-sized, then one broadcast row); the
+    scoring join is on the token against the vocab-sized idf frame, and the
+    final top-k is a per-document window over ≤ |doc vocab| rows.  No global
+    sort anywhere.
+    """
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("__id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    doc_freq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    n_docs = tf.agg(F.count_distinct(F.col("__id")).alias("__n"))
+    idf = doc_freq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "doc_freq",
+        F.round(
+            F.log(F.col("__n").cast("double") / F.col("doc_freq").cast("double")),
+            ln_round,
+        ).alias("__idf"),
+    )
+    scored = tf.join(idf, "token").select(
+        "__id",
+        "token",
+        "tf",
+        "doc_freq",
+        (F.col("tf").cast("double") * F.col("__idf")).alias("score"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__id").alias(id_col), "token", "tf", "doc_freq", "score", "rank")
+    )

@@ -1,0 +1,118 @@
+"""Unit tests for type-2 clone detection (operators/code.py) and TF-IDF
+keyword extraction (operators/text.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.code import (
+    clone_classes,
+    clone_fingerprint,
+    normalize_code,
+)
+from json_schema_rs_spark.operators.text import tfidf_keywords
+
+
+def _norm_one(spark, s):
+    return (
+        spark.createDataFrame([(s,)], "c string")
+        .select(normalize_code(F.col("c")).alias("n"))
+        .collect()[0]["n"]
+    )
+
+
+def test_normalize_canonicalizes_type2_variants(spark):
+    a = """
+    def load_users(path_a):
+        total_a = path_a * 42  # count them
+        return total_a
+    """
+    b = """def fetch_items(src):   /* different
+           comment style */
+        acc = src * 7
+        return acc"""
+    na, nb = _norm_one(spark, a), _norm_one(spark, b)
+    assert na == nb
+    # keywords and canonical tokens survive; raw identifiers don't
+    assert "def" in na and "return" in na and "<ID>" in na and "<N>" in na
+    assert "load_users" not in na and "42" not in na
+
+
+def test_normalize_strings_and_numbers(spark):
+    a = 'x = "hello world" + 3.14'
+    b = "y = 'bye' + 271"
+    assert _norm_one(spark, a) == _norm_one(spark, b) == "<ID> = <S> + <N>"
+
+
+def test_normalize_distinguishes_structure(spark):
+    # different control flow must NOT collapse
+    assert _norm_one(spark, "if a: return b") != _norm_one(spark, "for a: return b")
+
+
+def test_normalize_keyword_not_eaten_inside_identifier(spark):
+    # 'iffy' contains 'if' but is a plain identifier
+    assert _norm_one(spark, "iffy = 1") == "<ID> = <N>"
+    assert _norm_one(spark, "if x") == "if <ID>"
+
+
+def test_clone_classes_groups_and_min_size(spark):
+    rows = [
+        (1, "def f(a):\n  return a * 10"),
+        (2, "def g(bb):\n  return bb * 99  # same shape"),
+        (3, "while x: x = x - 1"),  # unique → filtered out
+        (4, "def h(c):\n  return c * 5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = clone_classes(df, "doc_id", "content").collect()
+    assert len(out) == 1
+    assert out[0]["n_members"] == 3
+    assert out[0]["members"] == "1,2,4"
+
+
+def test_clone_fingerprint_partition_invariant(spark):
+    rows = [(i, f"def f{i}(x):\n  return x + {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    a = sorted(r["f"] for r in df.select(clone_fingerprint(F.col("content")).alias("f")).collect())
+    b = sorted(
+        r["f"]
+        for r in df.repartition(7)
+        .select(clone_fingerprint(F.col("content")).alias("f"))
+        .collect()
+    )
+    assert a == b and len(set(a)) == 1  # all type-2 identical
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry banana cherry cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, "text", "doc_id", k=2)
+    got = {(r["doc_id"], r["rank"]): r.asDict() for r in out.collect()}
+    # banana appears in all 3 docs → idf 0 → never a keyword unless nothing else
+    top1 = got[(1, 1)]
+    assert top1["token"] == "apple" and top1["tf"] == 2 and top1["doc_freq"] == 1
+    assert top1["score"] == pytest.approx(2 * round(math.log(3), 9), abs=1e-9)
+    # doc 2: cherry (df=2) beats banana (idf 0)
+    assert got[(2, 1)]["token"] == "cherry"
+    assert got[(2, 1)]["score"] == pytest.approx(round(math.log(3 / 2), 9), abs=1e-9)
+    # doc 3 rank1: cherry tf=3
+    assert got[(3, 1)]["token"] == "cherry" and got[(3, 1)]["tf"] == 3
+    # ranks never exceed k and ties break by token asc
+    assert all(r <= 2 for (_, r) in got)
+
+
+def test_tfidf_deterministic_tiebreak_and_empty_docs(spark):
+    rows = [(1, "aa bb"), (2, "aa bb"), (3, None), (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, "text", "doc_id", k=2).collect()
+    # idf 0 for both tokens (they appear in all non-empty docs) — scores tie
+    # at 0; token ASC breaks the tie
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["token"])
+    assert by_doc[1] == ["aa", "bb"] and by_doc[2] == ["aa", "bb"]
+    assert 3 not in by_doc and 4 not in by_doc

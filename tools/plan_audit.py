@@ -66,7 +66,10 @@ BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact"
            # WOE/IV: the per-bin frame (≤ n_bins rows) crossJoins the
            # ONE-ROW broadcast totals aggregate — a 1-row BNLJ, the same
            # scale-safe shape as the surprisal/bigram total joins
-           "woe_value_bins"}
+           "woe_value_bins",
+           # TF-IDF: the vocab-sized doc-frequency frame crossJoins the
+           # ONE-ROW broadcast N aggregate — same 1-row BNLJ shape
+           "tfidf_keywords_docs"}
 #: queries whose joins are big-×-big on purpose (no broadcast expectation)
 SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
