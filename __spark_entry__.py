@@ -2505,6 +2505,29 @@ def q_winnow_pairs_docs(spark, sf_dir):
     )
 
 
+def q_setsim_ppjoin_docs(spark, sf_dir):
+    # EXACT Jaccard self-join with prefix filtering (operators/setsim.py
+    # ppjoin_pairs, PPJoin-style): char-5-gram sets, every pair with
+    # jaccard >= 0.6, no false negatives, no all-pairs join — the prefix
+    # index shuffles only p = sz - ceil(t*sz) + 1 rare-first tokens per doc.
+    from json_schema_rs_spark.operators.setsim import ppjoin_pairs
+
+    return ppjoin_pairs(_t(spark, sf_dir, "documents"), 0.6, shingle_k=5)
+
+
+def q_repo_fork_pairs(spark, sf_dir):
+    # Repo-level fork/clone detection (operators/setsim.py
+    # repo_fingerprint_pairs): union each repo's winnowing fingerprints and
+    # exact-Jaccard the repo profiles; edits inside files shift only local
+    # fingerprints, so forks keep high overlap.
+    from json_schema_rs_spark.operators.setsim import repo_fingerprint_pairs
+
+    return repo_fingerprint_pairs(
+        _t(spark, sf_dir, "documents"), repo_col="source", k=8, window=4,
+        min_jaccard=0.42,
+    )
+
+
 def q_centroid_outliers_emb(spark, sf_dir):
     # Per-label mean embedding (exact decimal per-dim sums, rounded to 9) +
     # per-row cosine to its own centroid (operators/similarity.py
@@ -2961,6 +2984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window_events": q_rolling_window_events,
         "winnow_fp_docs": q_winnow_fp_docs,
         "winnow_pairs_docs": q_winnow_pairs_docs,
+        "setsim_ppjoin_docs": q_setsim_ppjoin_docs,
+        "repo_fork_pairs": q_repo_fork_pairs,
         "centroid_outliers_emb": q_centroid_outliers_emb,
         "split_leakage_docs": q_split_leakage_docs,
         "event_cadence": q_event_cadence,
@@ -5470,6 +5495,58 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 2
+        """,
+        "setsim_ppjoin_docs": """
+            WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+                       WHERE text IS NOT NULL),
+            tok AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS token
+                    FROM d, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+            ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*) AS ov
+                   FROM tok a JOIN tok b
+                     ON a.token = b.token AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST(ov AS INTEGER) AS overlap,
+                   CAST(sa.sz AS INTEGER) AS size_a,
+                   CAST(sb.sz AS INTEGER) AS size_b,
+                   round(CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov), 6) AS jaccard
+            FROM ov
+            JOIN sz sa ON sa.doc_id = ov.doc_a
+            JOIN sz sb ON sb.doc_id = ov.doc_b
+            WHERE CAST(ov AS DOUBLE) >= 0.6 * CAST(sa.sz + sb.sz - ov AS DOUBLE)
+        """,
+        "repo_fork_pairs": """
+            WITH d AS (SELECT doc_id, source, text FROM documents
+                       WHERE text IS NOT NULL AND length(text) >= 8),
+            g AS (SELECT doc_id, source, text,
+                         unnest(generate_series(1, length(text) - 7)) AS pos
+                  FROM d),
+            h AS (SELECT doc_id, source, pos,
+                         substr(md5(substr(text, CAST(pos AS INT), 8)), 1, 15) AS h
+                  FROM g),
+            win AS (SELECT source, doc_id,
+                           min({'h': h, 'np': -pos}) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+                    FROM h),
+            fp AS (SELECT DISTINCT source, m.h AS fp_hash FROM win),
+            sz AS (SELECT source, count(*) AS sz FROM fp GROUP BY source),
+            ov AS (SELECT a.source AS repo_a, b.source AS repo_b,
+                          count(*) AS ov
+                   FROM fp a JOIN fp b
+                     ON a.fp_hash = b.fp_hash AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT repo_a, repo_b,
+                   CAST(ov AS BIGINT) AS overlap,
+                   CAST(sa.sz AS BIGINT) AS size_a,
+                   CAST(sb.sz AS BIGINT) AS size_b,
+                   round(CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov), 6) AS jaccard
+            FROM ov
+            JOIN sz sa ON sa.source = ov.repo_a
+            JOIN sz sb ON sb.source = ov.repo_b
+            WHERE CAST(ov AS DOUBLE) >= 0.42 * CAST(sa.sz + sb.sz - ov AS DOUBLE)
         """,
         "centroid_outliers_emb": """
             WITH e AS (

@@ -1,0 +1,267 @@
+"""Exact set-similarity self-join with prefix filtering (PPJoin-style), and
+repo-level fingerprint overlap for fork/clone detection.
+
+The dedup family already has APPROXIMATE candidate generators (MinHash-LSH,
+SimHash, winnowing — operators/dedup.py); this module adds the EXACT
+counterpart: every pair with Jaccard ≥ t is returned, no false negatives,
+without an all-pairs join.  The trick is prefix filtering (Chaudhuri et al.,
+"A Primitive Operator for Similarity Joins", ICDE'06; Xiao et al., PPJoin,
+WWW'08): order every document's token set by a GLOBAL canonical order
+(ascending document frequency, ties by token — rarest first), and index only
+each set's first
+
+    p = |s| − ceil(t·|s|) + 1
+
+tokens.  Any pair with Jaccard ≥ t must share at least one token within
+both prefixes under that order, so joining on prefix tokens is a complete
+candidate generator; rare-first ordering makes the join buckets small (the
+frequent tokens never enter short prefixes).
+
+No reference counterpart (the reference validates single documents,
+src/lib.rs); this is a north-star dataset-curation addition.
+
+Distributed shape (and why it holds at 10^12 files):
+
+* token df = one hash-agg over (doc, token) — map-side combined;
+* the canonical order needs NO global rank assignment: sorting each doc's
+  tokens by the (df, token) STRUCT gives the same order as dense ranks
+  would, so there is no single-partition row_number bottleneck over the
+  vocabulary;
+* per-doc sort is ``sort_array`` on a bounded token set — executor-local;
+* the candidate join shuffles (token → docs) only for PREFIX tokens; the
+  size filter ``least ≥ t·greatest`` prunes before the distinct;
+* verification joins the bounded candidate set back to the per-doc sorted
+  arrays and computes the exact overlap with ``array_intersect`` — never
+  all-pairs.
+
+Exactness caveat at adversarial scale: a token that is rare *globally* can
+still fan out a hot prefix bucket if the corpus is pathological (10^6 docs
+that all share one otherwise-unique token).  ``max_prefix_df`` (default
+None = exact) drops prefix entries whose token df exceeds the bound — an
+explicit recall trade-off knob, OFF by default because it breaks the
+no-false-negative guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: whitespace tokenizer shared with the text family (cf. __spark_entry__
+#: _doc_tokens / topk_tokens): lower → split \s+ → drop empties.  Kept
+#: byte-identical to the DuckDB oracle's string_split_regex.
+def _token_array(text_col: str):
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    return F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))
+
+
+def token_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """``(id, token)`` distinct tokens per document (NULL / empty texts
+    dropped).  One narrow explode; the downstream ops own the shuffles.
+
+    Default tokens are whitespace words.  ``shingle_k`` switches to distinct
+    lowercase character k-grams (operators/dedup.py char_shingles — strings
+    shorter than k yield one whole-string shingle), the right granularity
+    when the word vocabulary is tiny or the payload is source code.
+    """
+    if shingle_k is not None:
+        from .dedup import char_shingles
+
+        arr = char_shingles(F.lower(F.col(text_col)), shingle_k)
+    else:
+        arr = _token_array(text_col)
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(arr).alias("token"))
+    )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_prefix_df: int | None = None,
+    round_to: int = 6,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard-similarity self-join: all pairs of documents whose
+    distinct-token Jaccard is ≥ ``threshold``, via prefix filtering.
+
+    Returns ``(doc_a, doc_b, overlap:int, size_a:int, size_b:int,
+    jaccard:double)`` with ``doc_a < doc_b``, jaccard rounded to
+    ``round_to`` for the cross-engine boundary.  The ≥-t filter itself runs
+    on exact integers (``overlap ≥ t·(size_a+size_b−overlap)`` with one
+    double multiply) so boundary pairs cannot flap on rounding.
+
+    ``max_prefix_df``: optional hot-prefix guard — see module docstring;
+    None (default) keeps the join exact.  ``shingle_k``: tokenize as
+    lowercase char k-grams instead of words (see token_sets).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = token_sets(df, id_col, text_col, shingle_k)
+
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # Canonical global order WITHOUT a global rank: per-doc sort by the
+    # (df, token) struct.  collect_list is bounded by the doc's token count.
+    # Prefix length p = sz − ceil(t·sz) + 1, computed in the same projection
+    # (sz is a tiny int — exact).
+    per_doc = (
+        toks.join(dfreq, "token")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "token"))),
+                lambda s: F.struct(s["token"].alias("token"), s["df"].alias("df")),
+            ).alias("ranked")
+        )
+        .select(
+            "id",
+            F.transform("ranked", lambda s: s["token"]).alias("toks"),
+            F.size("ranked").cast("int").alias("sz"),
+            "ranked",
+        )
+        .select(
+            "id",
+            "toks",
+            "sz",
+            F.slice(
+                "ranked",
+                1,
+                (F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1).cast("int"),
+            ).alias("prefix"),
+        )
+    )
+
+    pref = per_doc.select("id", "sz", F.explode("prefix").alias("p")).select(
+        "id", "sz", F.col("p.token").alias("token"), F.col("p.df").alias("df")
+    )
+    if max_prefix_df is not None:
+        pref = pref.filter(F.col("df") <= F.lit(int(max_prefix_df)))
+    a = pref.select(F.col("id").alias("doc_a"), F.col("sz").alias("size_a"), "token")
+    b = pref.select(F.col("id").alias("doc_b"), F.col("sz").alias("size_b"), "token")
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("size_a", "size_b").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("size_a", "size_b").cast("double")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sets = per_doc.select("id", "toks", "sz")
+    verified = (
+        cand.join(sets.select(F.col("id").alias("doc_a"), F.col("toks").alias("__ta"),
+                              F.col("sz").alias("size_a")), "doc_a")
+        .join(sets.select(F.col("id").alias("doc_b"), F.col("toks").alias("__tb"),
+                          F.col("sz").alias("size_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__ta", "__tb")).cast("int").alias("overlap"),
+            "size_a",
+            "size_b",
+        )
+        .filter(
+            F.col("overlap").cast("double")
+            >= F.lit(float(threshold))
+            * (F.col("size_a") + F.col("size_b") - F.col("overlap")).cast("double")
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "overlap",
+        "size_a",
+        "size_b",
+        F.round(
+            F.col("overlap").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("overlap")).cast("double"),
+            round_to,
+        ).alias("jaccard"),
+    )
+
+
+def repo_fingerprint_pairs(
+    df: DataFrame,
+    repo_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_jaccard: float = 0.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Repo-level near-duplicate (fork / vendored-copy) detection: fingerprint
+    each repo as the distinct UNION of its files' winnowing fingerprints
+    (operators/dedup.py winnow_fingerprints — the MOSS scheme, lifted from
+    file to repo granularity), then exact Jaccard between repo fingerprint
+    sets.
+
+    Returns ``(repo_a, repo_b, overlap:long, size_a:long, size_b:long,
+    jaccard:double)`` with repo_a < repo_b and jaccard ≥ ``min_jaccard``.
+
+    Whole-file content hashes would miss forks that touched every file;
+    winnowing fingerprints survive local edits, so a fork with 10% churn
+    still lands at jaccard ≈ 0.8.  Distributed shape: fingerprinting is the
+    corpus-sized stage (narrow per-doc); the repo profile is one distinct +
+    hash-agg on (repo, fp); the pair join shuffles on fp_hash — bucket sizes
+    are the number of REPOS sharing a fingerprint, and the hot-hash guard
+    inside winnow_pairs' fingerprint stage does not apply here, so truly
+    universal fingerprints (license headers) fan out; at 10^6-repo scale cap
+    them upstream by filtering fingerprints whose repo-df exceeds a bound —
+    they carry no similarity signal (idf ≈ 0).
+    """
+    from .dedup import winnow_fingerprints
+
+    # Fingerprint per FILE (gram positions must not collide across a repo's
+    # files inside the winnowing window), keyed by the caller's REAL file id
+    # — never a synthetic monotonically_increasing_id, which is evaluated
+    # per-branch and nondeterministic under retries (cf. the round-1 asof
+    # advice) — then union-distinct per repo.
+    per_file = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, window=window)
+    fps = (
+        per_file.join(df.select(id_col, repo_col), id_col)
+        .select(F.col(repo_col).alias("repo"), "fp_hash")
+        .distinct()
+    )
+    sizes = fps.groupBy("repo").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a = fps.select(F.col("repo").alias("repo_a"), "fp_hash")
+    b = fps.select(F.col("repo").alias("repo_b"), "fp_hash")
+    inter = (
+        a.join(b, "fp_hash")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("repo").alias("repo_a"), F.col("sz").alias("size_a")), "repo_a")
+        .join(sizes.select(F.col("repo").alias("repo_b"), F.col("sz").alias("size_b")), "repo_b")
+        .select(
+            "repo_a",
+            "repo_b",
+            "overlap",
+            "size_a",
+            "size_b",
+            F.round(
+                F.col("overlap").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("overlap")).cast("double"),
+                round_to,
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(
+            F.col("overlap").cast("double")
+            >= F.lit(float(min_jaccard))
+            * (F.col("size_a") + F.col("size_b") - F.col("overlap")).cast("double")
+        )
+    return out

@@ -1,0 +1,133 @@
+"""Exact set-similarity join (operators/setsim.py): ppjoin_pairs must equal a
+brute-force all-pairs Jaccard on the same tokenization (no false negatives —
+prefix filtering is a complete candidate generator), and repo_fingerprint_pairs
+must surface a fork whose files were each locally edited.
+
+No reference counterpart (the reference validates single documents,
+src/lib.rs); this is dataset-curation surface per SURVEY.md §2.9.
+"""
+
+from itertools import combinations
+
+import pytest
+
+from json_schema_rs_spark.operators.setsim import (
+    ppjoin_pairs,
+    repo_fingerprint_pairs,
+    token_sets,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # ~0.8 vs 1
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "pack my box with five dozen liquor jugs"),
+    (5, "pack my box with five dozen liquor jugs today"),  # superset of 4
+    (6, "completely unrelated words appear here only"),
+    (7, ""),                                               # empty → no tokens
+    (8, None),                                             # null → dropped
+    (9, "the the THE the"),                                # distinct-lower = {the}
+    (10, "the"),                                           # jaccard 1.0 vs 9
+]
+
+
+def _brute(rows, threshold, shingle_k=None):
+    def toks(t):
+        if t is None:
+            return None
+        if shingle_k is not None:
+            s = t.lower()
+            if len(s) == 0:
+                return set()
+            if len(s) < shingle_k:
+                return {s}
+            return {s[i : i + shingle_k] for i in range(len(s) - shingle_k + 1)}
+        return {w for w in t.lower().split() if w}
+
+    sets = {i: toks(t) for i, t in rows if t is not None}
+    out = {}
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        ov = len(sa & sb)
+        un = len(sa) + len(sb) - ov
+        if un and ov >= threshold * un:
+            out[(a, b)] = (ov, len(sa), len(sb), round(ov / un, 6))
+    return out
+
+
+def _collect_pairs(df):
+    return {
+        (r.doc_a, r.doc_b): (r.overlap, r.size_a, r.size_b, r.jaccard)
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 1.0])
+def test_ppjoin_matches_bruteforce_words(spark, threshold):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = _collect_pairs(ppjoin_pairs(df, threshold))
+    assert got == _brute(DOCS, threshold)
+
+
+@pytest.mark.parametrize("threshold", [0.4, 0.7])
+def test_ppjoin_matches_bruteforce_shingles(spark, threshold):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = _collect_pairs(ppjoin_pairs(df, threshold, shingle_k=5))
+    assert got == _brute(DOCS, threshold, shingle_k=5)
+
+
+def test_ppjoin_exact_dup_has_jaccard_one(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = _collect_pairs(ppjoin_pairs(df, 1.0))
+    assert got[(1, 3)][3] == 1.0
+    assert got[(9, 10)][3] == 1.0
+
+
+def test_ppjoin_threshold_validation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        ppjoin_pairs(df, 0.0)
+    with pytest.raises(ValueError):
+        ppjoin_pairs(df, 1.5)
+
+
+def test_max_prefix_df_only_drops_pairs(spark):
+    # The hot-prefix knob trades recall, never precision: its output is a
+    # subset of the exact result and every surviving pair is still exact.
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    exact = _collect_pairs(ppjoin_pairs(df, 0.3))
+    capped = _collect_pairs(ppjoin_pairs(df, 0.3, max_prefix_df=1))
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert exact[k] == v
+
+
+def test_token_sets_shingle_mode(spark):
+    df = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    # shorter than k → one whole-string shingle (char_shingles parity)
+    rows = token_sets(df, shingle_k=5).collect()
+    assert [(r.id, r.token) for r in rows] == [(1, "abcd")]
+
+
+def test_repo_fingerprint_pairs_detects_fork(spark):
+    # repo B = fork of repo A with a local edit in each file; repo C unrelated.
+    base1 = "def add(a, b):\n    return a + b\n" * 3
+    base2 = "class Greeter:\n    def hi(self):\n        return 'hi'\n" * 3
+    rows = [
+        (1, "repoA", base1),
+        (2, "repoA", base2),
+        (3, "repoB", base1.replace("add", "plus")),
+        (4, "repoB", base2.replace("hi", "yo")),
+        (5, "repoC", "SELECT * FROM t WHERE x > 0 ORDER BY y\n" * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r.repo_a, r.repo_b): r.jaccard
+        for r in repo_fingerprint_pairs(df, min_jaccard=0.2).collect()
+    }
+    assert ("repoA", "repoB") in out
+    assert out[("repoA", "repoB")] < 1.0  # edits lowered it below identity
+    assert ("repoA", "repoC") not in out
+    assert ("repoB", "repoC") not in out
