@@ -2528,6 +2528,31 @@ def q_repo_fork_pairs(spark, sf_dir):
     )
 
 
+def q_pmi_collocations_docs(spark, sf_dir):
+    # Document-level PMI collocations (operators/collocations.py): the df
+    # band bounds the per-doc pair fan-out BEFORE the self-join; the PMI
+    # argument is IEEE double ops over exact counts, one rounded ln.
+    from json_schema_rs_spark.operators.collocations import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_df=20, max_df=450, min_pair_count=10
+    )
+
+
+def q_assoc_rules_brands(spark, sf_dir):
+    # Market-basket association rules over order → part-brand baskets
+    # (operators/collocations.py association_rules): support / confidence /
+    # lift from exact longs; the part dimension is broadcast.
+    from json_schema_rs_spark.operators.collocations import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return association_rules(baskets, "l_orderkey", "p_brand", min_pair_count=40)
+
+
 def q_centroid_outliers_emb(spark, sf_dir):
     # Per-label mean embedding (exact decimal per-dim sums, rounded to 9) +
     # per-row cosine to its own centroid (operators/similarity.py
@@ -2986,6 +3011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs_docs": q_winnow_pairs_docs,
         "setsim_ppjoin_docs": q_setsim_ppjoin_docs,
         "repo_fork_pairs": q_repo_fork_pairs,
+        "pmi_collocations_docs": q_pmi_collocations_docs,
+        "assoc_rules_brands": q_assoc_rules_brands,
         "centroid_outliers_emb": q_centroid_outliers_emb,
         "split_leakage_docs": q_split_leakage_docs,
         "event_cadence": q_event_cadence,
@@ -5547,6 +5574,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.source = ov.repo_a
             JOIN sz sb ON sb.source = ov.repo_b
             WHERE CAST(ov AS DOUBLE) >= 0.42 * CAST(sa.sz + sb.sz - ov AS DOUBLE)
+        """,
+        "pmi_collocations_docs": r"""
+            WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+                       WHERE text IS NOT NULL AND trim(lower(text)) <> ''),
+            toks AS (SELECT DISTINCT doc_id, tok AS token
+                     FROM (SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS tok
+                           FROM d)
+                     WHERE tok <> ''),
+            band AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                     FROM toks GROUP BY token
+                     HAVING count(*) >= 20 AND count(*) <= 450),
+            kept AS (SELECT k.doc_id, k.token FROM toks k JOIN band USING (token)),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+            pairs AS (SELECT a.token AS token_a, b.token AS token_b,
+                             CAST(count(*) AS BIGINT) AS n_ab
+                      FROM kept a JOIN kept b
+                        ON a.doc_id = b.doc_id AND a.token < b.token
+                      GROUP BY 1, 2 HAVING count(*) >= 10)
+            SELECT token_a, token_b, n_ab, da.df AS n_a, db.df AS n_b,
+                   round(ln((CAST(n_ab AS DOUBLE) * CAST(n.n AS DOUBLE))
+                            / (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE))), 9) AS pmi
+            FROM pairs
+            CROSS JOIN n
+            JOIN band da ON da.token = pairs.token_a
+            JOIN band db ON db.token = pairs.token_b
+        """,
+        "assoc_rules_brands": """
+            WITH items AS (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+                           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+            n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items),
+            marg AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY i),
+            pairs AS (SELECT a.i AS item_a, b.i AS item_b,
+                             CAST(count(*) AS BIGINT) AS n_ab
+                      FROM items a JOIN items b ON a.b = b.b AND a.i <> b.i
+                      GROUP BY 1, 2 HAVING count(*) >= 40)
+            SELECT item_a, item_b, n_ab, ma.c AS n_a, mb.c AS n_b,
+                   round(CAST(n_ab AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS support,
+                   round(CAST(n_ab AS DOUBLE) / CAST(ma.c AS DOUBLE), 6) AS confidence,
+                   round((CAST(n_ab AS DOUBLE) * CAST(n.n AS DOUBLE))
+                         / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)), 6) AS lift
+            FROM pairs
+            CROSS JOIN n
+            JOIN marg ma ON ma.i = pairs.item_a
+            JOIN marg mb ON mb.i = pairs.item_b
         """,
         "centroid_outliers_emb": """
             WITH e AS (

@@ -1,0 +1,182 @@
+"""Co-occurrence analytics: PMI collocations over a document corpus and
+market-basket association rules (support / confidence / lift).
+
+No reference counterpart (the reference validates one document at a time,
+src/lib.rs); these are corpus-statistics additions a training-data pipeline
+uses to find multi-word expressions worth keeping intact (PMI) and to audit
+categorical co-occurrence structure (association rules).
+
+Distributed shape (and why it holds at 10^12 rows):
+
+* both operators reduce the corpus to (container, item) DISTINCT pairs first
+  — everything downstream is sized by the ITEM DOMAIN and the pair domain,
+  never by raw rows;
+* pair generation self-joins on the container key, so the fan-out per
+  container is O(v²) in the container's FILTERED item count — the df band
+  (``min_df`` .. ``max_df``) is the scale guard: hapax items pair with
+  nothing useful and stopword-frequent items pair with EVERYTHING while
+  carrying zero collocation signal (PMI → 0, lift → 1), so both ends are
+  dropped before the join;
+* marginal counts are vocabulary-sized aggregations, broadcast back onto
+  the pair frame;
+* ``ln`` results are rounded to ``ln_round`` (the BM25-idf portability
+  contract: engines differ in the last ulp of transcendentals) and ratios
+  round at the cross-engine boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_token_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared plumbing: ``(toks, dfreq, pairs)`` where ``toks`` is the
+    distinct (doc, token) relation band-filtered to ``min_df <= df
+    [<= max_df]``, ``dfreq`` its per-token document frequency, and ``pairs``
+    the per-document unordered token pairs (token_a < token_b) with their
+    document co-occurrence count ``n_ab``.
+
+    Tokens are lowercase whitespace words (the corpus-wide tokenizer used
+    by the text family).  One corpus-sized explode; the df filter runs
+    BEFORE the per-doc self-join so the pair fan-out is bounded by the
+    banded vocabulary.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), r"\s+"),
+                        lambda t: t != F.lit(""),
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    band = dfreq.filter(F.col("df") >= F.lit(int(min_df)))
+    if max_df is not None:
+        band = band.filter(F.col("df") <= F.lit(int(max_df)))
+    kept = toks.join(band.select("token"), "token")
+    a = kept.select("__id", F.col("token").alias("token_a"))
+    b = kept.select("__id", F.col("token").alias("token_b"))
+    pairs = (
+        a.join(b, "__id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    return kept, band, pairs
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int | None = None,
+    min_pair_count: int = 2,
+    ln_round: int = 9,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs at DOCUMENT granularity:
+    ``pmi = ln(n_ab · N / (n_a · n_b))`` where N is the number of documents
+    with at least one token and n_* are document frequencies.  High PMI =
+    tokens that co-occur far more than independence predicts (collocations,
+    templates, boilerplate families); pmi < 0 = repulsion.
+
+    Returns ``(token_a, token_b, n_ab, n_a, n_b, pmi)`` with
+    token_a < token_b, restricted to pairs seen in ≥ ``min_pair_count``
+    documents and tokens inside the ``min_df``..``max_df`` band.
+
+    The PMI argument is built from EXACT integer counts via IEEE double
+    multiply/divide (correctly rounded, hence engine-identical) before the
+    single rounded ``ln`` — the BM25-idf portability contract.
+    """
+    base = df.filter(F.col(text_col).isNotNull()).filter(
+        F.trim(F.lower(F.col(text_col))) != ""
+    )
+    _, band, pairs = doc_token_pairs(df, id_col, text_col, min_df, max_df)
+    n_docs = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    out = (
+        pairs.filter(F.col("n_ab") >= F.lit(int(min_pair_count)))
+        .join(F.broadcast(band.select(F.col("token").alias("token_a"), F.col("df").alias("n_a"))), "token_a")
+        .join(F.broadcast(band.select(F.col("token").alias("token_b"), F.col("df").alias("n_b"))), "token_b")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    ratio = (F.col("n_ab").cast("double") * F.col("__n").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return out.select(
+        "token_a",
+        "token_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(F.log(ratio), ln_round).alias("pmi"),
+    )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    out_round: int = 6,
+) -> DataFrame:
+    """Directed pairwise association rules A → B over (basket, item) rows:
+    ``support = n_ab / N``, ``confidence = n_ab / n_a``,
+    ``lift = confidence / (n_b / N)``.  Input rows need not be distinct —
+    the operator dedups (basket, item) first, so quantity columns don't
+    skew counts.
+
+    Returns ``(item_a, item_b, n_ab, n_a, n_b, support, confidence, lift)``
+    for BOTH directions of every co-occurring pair with
+    ``n_ab ≥ min_pair_count``.
+
+    Scale shape: dedup + marginals are item-domain aggregations; the pair
+    join shuffles on the basket key with per-basket O(items²) fan-out —
+    baskets are naturally small (an order's lineitems); for heavy baskets
+    apply a df band first (see pmi_collocations).  Ratios are IEEE double
+    ops over exact longs (engine-identical), rounded once at ``out_round``.
+    """
+    items = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = items.select("__b").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    marg = items.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    a = items.select("__b", F.col("__i").alias("item_a"))
+    b = items.select("__b", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= F.lit(int(min_pair_count)))
+    )
+    out = (
+        pairs.join(F.broadcast(marg.select(F.col("__i").alias("item_a"), F.col("__c").alias("n_a"))), "item_a")
+        .join(F.broadcast(marg.select(F.col("__i").alias("item_b"), F.col("__c").alias("n_b"))), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(d("n_ab") / d("__n"), out_round).alias("support"),
+        F.round(d("n_ab") / d("n_a"), out_round).alias("confidence"),
+        F.round((d("n_ab") * d("__n")) / (d("n_a") * d("n_b")), out_round).alias("lift"),
+    )

@@ -1,0 +1,119 @@
+"""Co-occurrence analytics (operators/collocations.py): PMI against a
+hand-computed brute force, and association rules against closed-form
+support/confidence/lift on a tiny basket set.
+
+No reference counterpart (the reference validates single documents,
+src/lib.rs); corpus-statistics surface per SURVEY.md §2.9.
+"""
+
+import math
+from itertools import combinations
+
+import pytest
+
+from json_schema_rs_spark.operators.collocations import (
+    association_rules,
+    pmi_collocations,
+)
+
+DOCS = [
+    (1, "new york city council"),
+    (2, "new york subway map"),
+    (3, "new york city parks"),
+    (4, "los angeles city hall"),
+    (5, "san francisco bay area"),
+    (6, "new jersey turnpike"),
+    (7, ""),          # no tokens → excluded from N
+    (8, None),        # null → excluded from N
+    (9, "york minster england"),
+]
+
+
+def _brute_pmi(rows, min_df, max_df, min_pair):
+    docs = {i: set(t.lower().split()) for i, t in rows if t}
+    n = len(docs)
+    df = {}
+    for toks in docs.values():
+        for t in toks:
+            df[t] = df.get(t, 0) + 1
+    keep = {t for t, c in df.items() if c >= min_df and (max_df is None or c <= max_df)}
+    pair = {}
+    for toks in docs.values():
+        for a, b in combinations(sorted(toks & keep), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    out = {}
+    for (a, b), c in pair.items():
+        if c >= min_pair:
+            out[(a, b)] = (c, df[a], df[b],
+                           round(math.log((c * n) / (df[a] * df[b])), 9))
+    return out
+
+
+def test_pmi_matches_brute_force(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = {
+        (r.token_a, r.token_b): (r.n_ab, r.n_a, r.n_b, r.pmi)
+        for r in pmi_collocations(df, min_df=2, min_pair_count=2).collect()
+    }
+    assert got == _brute_pmi(DOCS, 2, None, 2)
+    # "new york" is the collocation: co-occurs 3×, each appears 4×; N = 7
+    n_ab, n_a, n_b, pmi = got[("new", "york")]
+    assert (n_ab, n_a, n_b) == (3, 4, 4)
+    assert pmi == round(math.log(3 * 7 / 16), 9) and pmi > 0
+
+
+def test_pmi_df_band_drops_both_tails(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = pmi_collocations(df, min_df=2, max_df=3, min_pair_count=1).collect()
+    # band 2..3 keeps only "city" (df=3): new/york (df=4) and every hapax are
+    # dropped, and a lone banded token pairs with nothing
+    assert got == []
+    # widening max_df readmits new/york and their pairs
+    wide = pmi_collocations(df, min_df=2, max_df=4, min_pair_count=1).collect()
+    assert {(r.token_a, r.token_b) for r in wide} == {
+        ("new", "york"), ("city", "new"), ("city", "york")
+    }
+
+
+BASKETS = [
+    (1, "bread"), (1, "butter"), (1, "milk"),
+    (2, "bread"), (2, "butter"),
+    (3, "bread"), (3, "milk"),
+    (4, "butter"), (4, "milk"),
+    (5, "bread"), (5, "butter"),
+    (5, "butter"),  # duplicate row must not double-count
+]
+
+
+def test_association_rules_closed_form(spark):
+    df = spark.createDataFrame(BASKETS, "basket int, item string")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in association_rules(df, "basket", "item", min_pair_count=2).collect()
+    }
+    # bread∧butter in baskets 1,2,5 → n_ab=3; bread in 1,2,3,5 → 4; butter in 1,2,4,5 → 4; N=5
+    r = got[("bread", "butter")]
+    assert (r.n_ab, r.n_a, r.n_b) == (3, 4, 4)
+    assert r.support == round(3 / 5, 6)
+    assert r.confidence == round(3 / 4, 6)
+    assert r.lift == round((3 * 5) / (4 * 4), 6)
+    # both directions emitted; confidence direction-sensitive
+    assert got[("butter", "bread")].confidence == round(3 / 4, 6)
+    # milk∧bread in 1,3 → n_ab=2, n_milk=3
+    r2 = got[("milk", "bread")]
+    assert (r2.n_ab, r2.n_a, r2.n_b) == (2, 3, 4)
+    assert r2.confidence == round(2 / 3, 6)
+
+
+def test_association_rules_min_pair_count(spark):
+    df = spark.createDataFrame(BASKETS, "basket int, item string")
+    got = association_rules(df, "basket", "item", min_pair_count=3).collect()
+    assert {(r.item_a, r.item_b) for r in got} == {("bread", "butter"), ("butter", "bread")}
+
+
+def test_pmi_empty_and_null_docs_excluded_from_n(spark):
+    # only 2 docs with tokens → N = 2, a pair present in both has pmi = ln(2·2/(2·2)) = 0
+    rows = [(1, "alpha beta"), (2, "alpha beta"), (3, None), (4, "  ")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = pmi_collocations(df, min_df=1, min_pair_count=1).collect()
+    assert len(got) == 1 and got[0].pmi == 0.0
