@@ -2553,6 +2553,18 @@ def q_assoc_rules_brands(spark, sf_dir):
     return association_rules(baskets, "l_orderkey", "p_brand", min_pair_count=40)
 
 
+def q_decayed_event_counts(spark, sf_dir):
+    # Half-life decayed volume per event type (operators/trending.py): one
+    # map-side-combinable agg; per-event 2^(-age/half_life) weights rounded
+    # to 9 (transcendental contract) and summed in DECIMAL; as_of pinned to
+    # the corpus max(ts) as a single broadcast row.
+    from json_schema_rs_spark.operators.trending import decayed_counts
+
+    return decayed_counts(
+        _t(spark, sf_dir, "events"), "event_type", "ts", half_life_hours=168.0
+    )
+
+
 def q_centroid_outliers_emb(spark, sf_dir):
     # Per-label mean embedding (exact decimal per-dim sums, rounded to 9) +
     # per-row cosine to its own centroid (operators/similarity.py
@@ -3013,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_fork_pairs": q_repo_fork_pairs,
         "pmi_collocations_docs": q_pmi_collocations_docs,
         "assoc_rules_brands": q_assoc_rules_brands,
+        "decayed_event_counts": q_decayed_event_counts,
         "centroid_outliers_emb": q_centroid_outliers_emb,
         "split_leakage_docs": q_split_leakage_docs,
         "event_cadence": q_event_cadence,
@@ -5618,6 +5631,19 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN n
             JOIN marg ma ON ma.i = pairs.item_a
             JOIN marg mb ON mb.i = pairs.item_b
+        """,
+        "decayed_event_counts": """
+            WITH m AS (SELECT max(epoch_us(ts)) AS asof FROM events),
+            w AS (SELECT event_type,
+                         round(pow(2, -CAST(m.asof - epoch_us(ts) AS DOUBLE)
+                                      / (168.0 * 3600 * 1000000)), 9) AS w
+                  FROM events CROSS JOIN m
+                  WHERE epoch_us(ts) <= m.asof)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE), 6) AS decayed,
+                   round(CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS recency
+            FROM w GROUP BY event_type
         """,
         "centroid_outliers_emb": """
             WITH e AS (

@@ -1,0 +1,86 @@
+"""Exponentially time-decayed counts — "what is trending NOW" per key,
+computed in one aggregation pass.
+
+No reference counterpart (the reference has no time dimension; its only
+timestamp notion is the ``date-time`` string format, src/string.rs:203-204).
+This is the standard streaming-analytics primitive (half-life decayed
+frequency) realized as a batch aggregation: every event contributes
+``2^(-(as_of − ts) / half_life)``, so an event one half-life old counts ½,
+two half-lives ¼, and the per-key sum is a recency-weighted volume that a
+plain window count can't express without picking an arbitrary cutoff.
+
+Distributed shape: ONE map-side-combinable aggregation on the key — the
+decay weight is a pure projection (no window, no self-join, no state), so
+the operator scales exactly like ``groupBy(key).count()`` at 10^12 rows.
+
+Portability contract: the decay exponent is built from EXACT integer
+microseconds (long→double conversion and IEEE division are correctly
+rounded, hence engine-identical); ``pow(2, x)`` is transcendental, so each
+per-event weight is rounded to ``weight_round`` digits (the BM25-idf/ln
+contract) and summed in DECIMAL(38,12) — exact, order-independent — before
+one final rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def decayed_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    half_life_hours: float = 168.0,
+    as_of_micros: int | None = None,
+    weight_round: int = 9,
+    out_round: int = 6,
+) -> DataFrame:
+    """Per-key raw and half-life-decayed event counts.
+
+    Returns ``(key_col, n_events, decayed, recency)`` where ``decayed`` is
+    the exponentially-weighted count at ``as_of`` and ``recency`` =
+    decayed / n_events ∈ (0, 1] — 1.0 means all volume is brand new, → 0
+    means the key's volume is stale history.  Sorting by ``decayed`` ranks
+    keys by *current* activity; comparing ``recency`` across keys separates
+    trending keys from formerly-big ones.
+
+    ``as_of_micros``: the evaluation instant as epoch MICROseconds; None
+    pins it to the corpus max(ts) (one broadcast row), keeping the operator
+    deterministic on a fixed snapshot.  Events after ``as_of`` are excluded
+    (their weight would exceed 1).
+    """
+    if half_life_hours <= 0:
+        raise ValueError(f"half_life_hours must be positive, got {half_life_hours}")
+    hl_us = int(round(half_life_hours * 3600.0 * 1_000_000))
+    tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    frame = events.select(F.col(key_col).alias("__k"), tsu.alias("__us"))
+    if as_of_micros is None:
+        asof = frame.agg(F.max("__us").alias("__asof"))
+        frame = frame.crossJoin(F.broadcast(asof))
+    else:
+        frame = frame.withColumn("__asof", F.lit(int(as_of_micros)))
+    w = F.round(
+        F.pow(
+            F.lit(2.0),
+            -(F.col("__asof") - F.col("__us")).cast("double") / F.lit(float(hl_us)),
+        ),
+        weight_round,
+    )
+    return (
+        frame.filter(F.col("__us") <= F.col("__asof"))
+        .groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(w.cast("decimal(38,12)")).alias("__dec"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "n_events",
+            F.round(F.col("__dec").cast("double"), out_round).alias("decayed"),
+            F.round(
+                F.col("__dec").cast("double") / F.col("n_events").cast("double"),
+                out_round,
+            ).alias("recency"),
+        )
+    )

@@ -1,0 +1,55 @@
+"""Half-life decayed counts (operators/trending.py): closed-form weights on
+pinned timestamps, as_of pinning, and future-event exclusion.
+
+No reference counterpart (the reference has no time dimension,
+src/string.rs:203-204); streaming-analytics surface per SURVEY.md §2.9.
+"""
+
+from datetime import datetime, timezone
+from decimal import Decimal
+
+import pytest
+
+from json_schema_rs_spark.operators.trending import decayed_counts
+
+H = 3600 * 1_000_000  # one hour in micros
+
+
+def _ts(us):
+    return datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+
+
+def test_decay_closed_form(spark):
+    # half-life 1h; as_of = max ts = 2h. Weights: 2h old → 0.25, 1h → 0.5, now → 1.0
+    rows = [("a", _ts(0)), ("a", _ts(H)), ("a", _ts(2 * H)), ("b", _ts(0))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r.k: r for r in decayed_counts(df, "k", "ts", half_life_hours=1.0).collect()}
+    assert got["a"].n_events == 3
+    assert got["a"].decayed == round(0.25 + 0.5 + 1.0, 6)
+    assert got["a"].recency == round(1.75 / 3, 6)
+    assert got["b"].decayed == 0.25 and got["b"].recency == 0.25
+
+
+def test_pinned_as_of_and_future_exclusion(spark):
+    rows = [("a", _ts(0)), ("a", _ts(H)), ("a", _ts(5 * H))]  # last is future
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = decayed_counts(df, "k", "ts", 1.0, as_of_micros=H).collect()[0]
+    assert got.n_events == 2                      # the 5h event is after as_of
+    assert got.decayed == round(0.5 + 1.0, 6)
+
+
+def test_recency_orders_trending_over_stale(spark):
+    # same total volume; "hot" events are recent, "old" events are ancient
+    rows = [("hot", _ts(100 * H)), ("hot", _ts(99 * H)),
+            ("old", _ts(0)), ("old", _ts(H))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r.k: r for r in decayed_counts(df, "k", "ts", 10.0).collect()}
+    assert got["hot"].n_events == got["old"].n_events == 2
+    assert got["hot"].decayed > got["old"].decayed
+    assert got["hot"].recency > 0.9 and got["old"].recency < 0.01
+
+
+def test_bad_half_life_raises(spark):
+    df = spark.createDataFrame([("a", _ts(0))], "k string, ts timestamp")
+    with pytest.raises(ValueError):
+        decayed_counts(df, "k", "ts", 0.0)
