@@ -2565,6 +2565,28 @@ def q_decayed_event_counts(spark, sf_dir):
     )
 
 
+def q_zonemap_prune_profile(spark, sf_dir):
+    # Data-skipping planner (sources/layout.py zonemap_profile): would a
+    # range-cluster rewrite pay off for price predicates?  Insertion-order
+    # zones (files keyed by arrival = orderkey blocks) vs price-clustered
+    # zones, two predicates each — ONE corpus aggregation per layout, then
+    # verdicts over the tiny zone frame; scan_amplification quantifies the
+    # rewrite's win before any 100 TB shuffle happens.
+    from json_schema_rs_spark.sources.layout import zonemap_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    preds = [(1000.0, 5000.0), (30000.0, 40000.0)]
+    ins = zonemap_profile(
+        li, "l_extendedprice", F.floor(F.col("l_orderkey") / 1000), preds,
+        layout="insertion",
+    )
+    clu = zonemap_profile(
+        li, "l_extendedprice", F.floor(F.col("l_extendedprice") / 2000), preds,
+        layout="clustered",
+    )
+    return ins.unionByName(clu)
+
+
 def q_centroid_outliers_emb(spark, sf_dir):
     # Per-label mean embedding (exact decimal per-dim sums, rounded to 9) +
     # per-row cosine to its own centroid (operators/similarity.py
@@ -3026,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations_docs": q_pmi_collocations_docs,
         "assoc_rules_brands": q_assoc_rules_brands,
         "decayed_event_counts": q_decayed_event_counts,
+        "zonemap_prune_profile": q_zonemap_prune_profile,
         "centroid_outliers_emb": q_centroid_outliers_emb,
         "split_leakage_docs": q_split_leakage_docs,
         "event_cadence": q_event_cadence,
@@ -5644,6 +5667,42 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
                          / CAST(count(*) AS DOUBLE), 6) AS recency
             FROM w GROUP BY event_type
+        """,
+        "zonemap_prune_profile": """
+            WITH zi AS (
+              SELECT floor(l_orderkey / 1000) AS z,
+                     min(l_extendedprice) AS zmin, max(l_extendedprice) AS zmax,
+                     CAST(count(*) AS BIGINT) AS c,
+                     CAST(sum(CASE WHEN l_extendedprice BETWEEN 1000 AND 5000 THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+                     CAST(sum(CASE WHEN l_extendedprice BETWEEN 30000 AND 40000 THEN 1 ELSE 0 END) AS BIGINT) AS m1
+              FROM lineitem GROUP BY 1),
+            zc AS (
+              SELECT floor(l_extendedprice / 2000) AS z,
+                     min(l_extendedprice) AS zmin, max(l_extendedprice) AS zmax,
+                     CAST(count(*) AS BIGINT) AS c,
+                     CAST(sum(CASE WHEN l_extendedprice BETWEEN 1000 AND 5000 THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+                     CAST(sum(CASE WHEN l_extendedprice BETWEEN 30000 AND 40000 THEN 1 ELSE 0 END) AS BIGINT) AS m1
+              FROM lineitem GROUP BY 1),
+            arms AS (
+              SELECT 'insertion' AS layout, 1000.0 AS pred_lo, 5000.0 AS pred_hi,
+                     z.zmin, z.zmax, z.c, z.m0 AS m FROM zi z
+              UNION ALL
+              SELECT 'insertion', 30000.0, 40000.0, z.zmin, z.zmax, z.c, z.m1 FROM zi z
+              UNION ALL
+              SELECT 'clustered', 1000.0, 5000.0, z.zmin, z.zmax, z.c, z.m0 FROM zc z
+              UNION ALL
+              SELECT 'clustered', 30000.0, 40000.0, z.zmin, z.zmax, z.c, z.m1 FROM zc z)
+            SELECT layout, pred_lo, pred_hi,
+                   CAST(count(*) AS BIGINT) AS n_zones,
+                   CAST(sum(CASE WHEN zmax < pred_lo OR zmin > pred_hi THEN 1 ELSE 0 END) AS BIGINT) AS zones_pruned,
+                   round(CAST(sum(CASE WHEN zmax < pred_lo OR zmin > pred_hi THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS prune_frac,
+                   CAST(sum(c) AS BIGINT) AS rows_total,
+                   CAST(sum(CASE WHEN zmax < pred_lo OR zmin > pred_hi THEN 0 ELSE c END) AS BIGINT) AS rows_scanned,
+                   CAST(sum(m) AS BIGINT) AS rows_matched,
+                   round(CAST(sum(CASE WHEN zmax < pred_lo OR zmin > pred_hi THEN 0 ELSE c END) AS DOUBLE)
+                         / CAST(greatest(sum(m), 1) AS DOUBLE), 6) AS scan_amplification
+            FROM arms GROUP BY layout, pred_lo, pred_hi
         """,
         "centroid_outliers_emb": """
             WITH e AS (

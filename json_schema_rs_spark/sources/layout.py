@@ -121,3 +121,87 @@ def range_boundaries(
             F.round(F.col("__b"), bound_round).alias("bound"),
         )
     )
+
+
+def zonemap_profile(
+    df: "DataFrame",
+    value_col: str,
+    zone_col,
+    predicates: list[tuple],
+    layout: str = "layout",
+    out_round: int = 6,
+) -> "DataFrame":
+    """Quantify how well a candidate layout's zone maps (per-file/row-group
+    min-max statistics) would prune range predicates on ``value_col`` —
+    BEFORE paying for a 100 TB rewrite.
+
+    ``zone_col`` is any Column assigning each row to a zone (a simulated
+    file/row group): e.g. ``F.floor(F.col("id") / 10000)`` models
+    insertion-order files, ``F.floor(F.col(value_col) / width)`` models a
+    range-clustered layout, a :func:`zorder_key` prefix models Z-order.
+    ``predicates`` is a list of inclusive ``(lo, hi)`` ranges.
+
+    Returns one row per predicate: ``(layout, pred_lo, pred_hi, n_zones,
+    zones_pruned, prune_frac, rows_total, rows_scanned, rows_matched,
+    scan_amplification)`` where a zone is pruned when ``zmax < lo or
+    zmin > hi`` (exactly the footer-stats test a parquet reader applies),
+    ``rows_scanned`` sums surviving zones, and ``scan_amplification`` =
+    rows_scanned / max(rows_matched, 1) — 1.0 is a perfect layout, the
+    ratio of the two layouts' amplifications is the speedup a re-cluster
+    buys.
+
+    Scale shape: ONE aggregation over the corpus (groupBy zone, with one
+    conditional sum per predicate fused into the same pass — map-side
+    combined, output is zone-domain sized); each predicate verdict is then
+    an aggregation over the TINY zone frame.  No collect, no second scan.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not predicates:
+        raise ValueError("zonemap_profile: need at least one (lo, hi) predicate")
+    v = F.col(value_col)
+    zones = df.groupBy(zone_col.alias("__z")).agg(
+        F.min(v).alias("__zmin"),
+        F.max(v).alias("__zmax"),
+        F.count(F.lit(1)).cast("long").alias("__zcnt"),
+        *[
+            F.sum(
+                F.when(v.between(F.lit(lo), F.lit(hi)), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"__m{i}")
+            for i, (lo, hi) in enumerate(predicates)
+        ],
+    )
+    per_pred = []
+    for i, (lo, hi) in enumerate(predicates):
+        pruned = (F.col("__zmax") < F.lit(lo)) | (F.col("__zmin") > F.lit(hi))
+        per_pred.append(
+            zones.agg(
+                F.lit(layout).alias("layout"),
+                F.lit(float(lo)).alias("pred_lo"),
+                F.lit(float(hi)).alias("pred_hi"),
+                F.count(F.lit(1)).cast("long").alias("n_zones"),
+                F.sum(F.when(pruned, 1).otherwise(0)).cast("long").alias("zones_pruned"),
+                F.round(
+                    F.sum(F.when(pruned, 1).otherwise(0)).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    out_round,
+                ).alias("prune_frac"),
+                F.sum("__zcnt").cast("long").alias("rows_total"),
+                F.sum(F.when(~pruned, F.col("__zcnt")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("rows_scanned"),
+                F.sum(f"__m{i}").cast("long").alias("rows_matched"),
+            ).withColumn(
+                "scan_amplification",
+                F.round(
+                    F.col("rows_scanned").cast("double")
+                    / F.greatest(F.col("rows_matched"), F.lit(1)).cast("double"),
+                    out_round,
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), per_pred)

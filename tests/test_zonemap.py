@@ -1,0 +1,57 @@
+"""Zone-map skipping profiler (sources/layout.py zonemap_profile): closed-form
+prune fractions on a clustered vs a scrambled layout.
+
+No reference counterpart (the reference has no storage layer) — layout
+planning surface per SURVEY.md §2.9.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.sources.layout import zonemap_profile
+
+
+def _df(spark):
+    return spark.range(100).select(F.col("id").cast("long").alias("v"))
+
+
+def test_clustered_layout_prunes(spark):
+    df = _df(spark)
+    out = zonemap_profile(
+        df, "v", F.floor(F.col("v") / 10), [(25, 34)], layout="clustered"
+    ).collect()[0]
+    # 10 tight zones of 10; [25,34] touches zones 2 and 3 only
+    assert out.n_zones == 10 and out.zones_pruned == 8
+    assert out.prune_frac == 0.8
+    assert (out.rows_total, out.rows_scanned, out.rows_matched) == (100, 20, 10)
+    assert out.scan_amplification == 2.0
+
+
+def test_scrambled_layout_prunes_nothing(spark):
+    df = _df(spark)
+    out = zonemap_profile(
+        df, "v", F.col("v") % 10, [(25, 34)], layout="scrambled"
+    ).collect()[0]
+    # every zone spans ~the full domain → zero pruning, 10× amplification
+    assert out.n_zones == 10 and out.zones_pruned == 0
+    assert (out.rows_scanned, out.rows_matched) == (100, 10)
+    assert out.scan_amplification == 10.0
+
+
+def test_multiple_predicates_one_pass(spark):
+    df = _df(spark)
+    rows = zonemap_profile(
+        df, "v", F.floor(F.col("v") / 10), [(0, 9), (0, 99), (200, 300)]
+    ).collect()
+    by_pred = {(r.pred_lo, r.pred_hi): r for r in rows}
+    assert by_pred[(0.0, 9.0)].zones_pruned == 9    # only zone 0 survives
+    full = by_pred[(0.0, 99.0)]
+    assert full.zones_pruned == 0 and full.rows_matched == 100
+    miss = by_pred[(200.0, 300.0)]
+    assert miss.zones_pruned == 10 and miss.rows_scanned == 0
+    assert miss.rows_matched == 0 and miss.scan_amplification == 0.0
+
+
+def test_empty_predicates_raise(spark):
+    with pytest.raises(ValueError):
+        zonemap_profile(_df(spark), "v", F.col("v"), [])
