@@ -2587,6 +2587,21 @@ def q_zonemap_prune_profile(spark, sf_dir):
     return ins.unionByName(clu)
 
 
+def q_join_size_estimate(spark, sf_dir):
+    # Exact pre-join cardinality + skew diagnostic (operators/joins.py
+    # join_size_estimate): sum over matching keys of cl·cr from two
+    # key-domain aggs — the full join never runs; skew_share near 1.0 says
+    # salt before shuffling.
+    from json_schema_rs_spark.operators.joins import join_size_estimate
+
+    return join_size_estimate(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
 def q_centroid_outliers_emb(spark, sf_dir):
     # Per-label mean embedding (exact decimal per-dim sums, rounded to 9) +
     # per-row cosine to its own centroid (operators/similarity.py
@@ -3049,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules_brands": q_assoc_rules_brands,
         "decayed_event_counts": q_decayed_event_counts,
         "zonemap_prune_profile": q_zonemap_prune_profile,
+        "join_size_estimate": q_join_size_estimate,
         "centroid_outliers_emb": q_centroid_outliers_emb,
         "split_leakage_docs": q_split_leakage_docs,
         "event_cadence": q_event_cadence,
@@ -5667,6 +5683,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
                          / CAST(count(*) AS DOUBLE), 6) AS recency
             FROM w GROUP BY event_type
+        """,
+        "join_size_estimate": """
+            WITH lc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+                        FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+            rc AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+                   FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+            ls AS (SELECT CAST(sum(c) AS BIGINT) AS left_rows,
+                          CAST(count(*) AS BIGINT) AS left_keys FROM lc),
+            rs AS (SELECT CAST(sum(c) AS BIGINT) AS right_rows,
+                          CAST(count(*) AS BIGINT) AS right_keys FROM rc),
+            js AS (SELECT CAST(count(*) AS BIGINT) AS matching_keys,
+                          CAST(coalesce(sum(lc.c * rc.c), 0) AS BIGINT) AS join_rows,
+                          CAST(coalesce(max(lc.c * rc.c), 0) AS BIGINT) AS max_key_product
+                   FROM lc JOIN rc ON lc.k = rc.k)
+            SELECT left_rows, left_keys, right_rows, right_keys,
+                   matching_keys, join_rows, max_key_product,
+                   round(CAST(max_key_product AS DOUBLE)
+                         / CAST(greatest(join_rows, 1) AS DOUBLE), 6) AS skew_share
+            FROM ls CROSS JOIN rs CROSS JOIN js
         """,
         "zonemap_prune_profile": """
             WITH zi AS (

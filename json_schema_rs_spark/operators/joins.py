@@ -204,3 +204,69 @@ def interval_join(
     )
     out = l.join(r, on, "inner").filter(overlap & canonical)
     return out.drop(l["__b"]).drop(r["__b"]).drop(*[r[k] for k in equi_keys])
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str | None = None,
+    out_round: int = 6,
+) -> DataFrame:
+    """EXACT output cardinality of ``left ⋈ right`` on an equi-key — without
+    executing the join: ``|A ⋈ B| = Σ_k cA(k) · cB(k)``.
+
+    At 10^12 rows a mis-planned join is the difference between minutes and
+    a cluster-filling blowup; this diagnostic costs two key-domain-sized
+    aggregations (map-side combined) plus a join of those SMALL count
+    relations — never the full join — and tells you, ahead of time, whether
+    to broadcast, pre-bucket, or salt (``salted_join``).
+
+    One output row: ``(left_rows, right_rows, left_keys, right_keys,
+    matching_keys, join_rows, max_key_product, skew_share)`` where
+    ``max_key_product`` is the largest single key's contribution and
+    ``skew_share`` its fraction of ``join_rows`` — a share near 1.0 says one
+    hot key dominates and the shuffle join will straggle without salting.
+    All counts are exact longs; NULL keys never match (inner-join
+    semantics), mirroring the real join.
+    """
+    right_on = right_on or left_on
+    lc = (
+        left.filter(F.col(left_on).isNotNull())
+        .groupBy(F.col(left_on).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__cl"))
+    )
+    rc = (
+        right.filter(F.col(right_on).isNotNull())
+        .groupBy(F.col(right_on).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__cr"))
+    )
+    lstats = lc.agg(
+        F.sum("__cl").cast("long").alias("left_rows"),
+        F.count(F.lit(1)).cast("long").alias("left_keys"),
+    )
+    rstats = rc.agg(
+        F.sum("__cr").cast("long").alias("right_rows"),
+        F.count(F.lit(1)).cast("long").alias("right_keys"),
+    )
+    prod = F.col("__cl") * F.col("__cr")
+    jstats = (
+        lc.join(rc, "__k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("matching_keys"),
+            F.coalesce(F.sum(prod), F.lit(0)).cast("long").alias("join_rows"),
+            F.coalesce(F.max(prod), F.lit(0)).cast("long").alias("max_key_product"),
+        )
+    )
+    return (
+        lstats.crossJoin(rstats)
+        .crossJoin(jstats)
+        .withColumn(
+            "skew_share",
+            F.round(
+                F.col("max_key_product").cast("double")
+                / F.greatest(F.col("join_rows"), F.lit(1)).cast("double"),
+                out_round,
+            ),
+        )
+    )

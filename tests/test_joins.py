@@ -207,3 +207,32 @@ def test_interval_join_matches_naive(spark):
     assert got_pairs == want
     # exactly-once: no pair emitted twice even when spans share many buckets
     assert len(got_pairs) == len(set(got_pairs))
+
+
+def test_join_size_estimate_exact(spark):
+    from json_schema_rs_spark.operators.joins import join_size_estimate
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k int"
+    )
+    right = spark.createDataFrame(
+        [(1,), (2,), (2,), (2,), (4,), (None,)], "k int"
+    )
+    got = join_size_estimate(left, right, "k").collect()[0]
+    # k=1: 2·1=2, k=2: 1·3=3 → join_rows 5; NULLs never match
+    assert (got.left_rows, got.right_rows) == (4, 5)
+    assert (got.left_keys, got.right_keys) == (3, 3)
+    assert got.matching_keys == 2 and got.join_rows == 5
+    assert got.max_key_product == 3 and got.skew_share == 0.6
+    # ground truth: the real join
+    assert left.join(right, "k").count() == 5
+
+
+def test_join_size_estimate_disjoint(spark):
+    from json_schema_rs_spark.operators.joins import join_size_estimate
+
+    left = spark.createDataFrame([(1,)], "k int")
+    right = spark.createDataFrame([(2,)], "k int")
+    got = join_size_estimate(left, right, "k").collect()[0]
+    assert got.join_rows == 0 and got.matching_keys == 0
+    assert got.skew_share == 0.0
