@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from json_schema_rs_spark import TableSpec, ValidationEngine
 from json_schema_rs_spark.operators.integrity import orphan_rows
-from json_schema_rs_spark.operators.graph import pagerank_oracle_sql
+from json_schema_rs_spark.operators.graph import k_core_oracle_sql, pagerank_oracle_sql
 from json_schema_rs_spark.operators.sampling import weighted_sample_oracle_sql
 from json_schema_rs_spark.operators.search import bm25_oracle_sql
 from json_schema_rs_spark.operators.stats import profile_oracle_sql
@@ -2708,6 +2708,31 @@ def q_label_prop_nations(spark, sf_dir):
     return label_propagation(_trade_edges(spark, sf_dir), seeds, iterations=2)
 
 
+def q_kcore_trade(spark, sf_dir):
+    # k-core decomposition (operators/graph.py k_core): peel the thresholded
+    # customer↔supplier trade graph (an edge where the pair shares >= 2
+    # lineitems; 'c:'/'s:' prefixes keep the two key spaces disjoint) down
+    # to its 3-core — the recurring-trade backbone.  Bipartite and sparse,
+    # so the synchronous peel does real transitive work (dropping a casual
+    # customer demotes its suppliers, which drops more customers).  Each
+    # round = one degree agg + two semi-joins, lineage cut per round.
+    from json_schema_rs_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= 2)
+        .select("src", "dst")
+    )
+    return k_core(edges, k=3, rounds=6)
+
+
 def q_record_linkage_customers(spark, sf_dir):
     # Fellegi–Sunter record linkage (operators/linkage.py): score customer
     # records against a deterministically perturbed copy (md5 uniform: <0.2
@@ -3072,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed_events": q_funnel_windowed_events,
         "triangles_nations": q_triangles_nations,
         "label_prop_nations": q_label_prop_nations,
+        "kcore_trade": q_kcore_trade,
         "record_linkage_customers": q_record_linkage_customers,
         "auc_doclen_en": q_auc_doclen_en,
         "code_clone_classes": q_code_clone_classes,
@@ -5918,6 +5944,13 @@ def oracle_sql() -> dict[str, str]:
                            LEFT JOIN sd ON l1.node = sd.node)
             SELECT node, label FROM l2
         """,
+        "kcore_trade": k_core_oracle_sql(
+            """SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+               GROUP BY 1, 2 HAVING count(*) >= 2""",
+            k=3, rounds=6,
+        ),
         "record_linkage_customers": _record_linkage_oracle(),
         "code_clone_classes": _code_clone_oracle(),
         "tfidf_keywords_docs": """

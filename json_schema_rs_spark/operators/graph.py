@@ -313,3 +313,95 @@ def label_propagation(
             )
         )
     return labels
+
+
+# -- k-core decomposition --------------------------------------------------------
+
+
+def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node keeps
+    degree ≥ k after everyone below k is (transitively) removed — by the
+    standard synchronous peel: each round recomputes degrees over the
+    surviving subgraph and drops nodes under k.
+
+    Returns ``(node, core_degree)`` — the node's degree within the final
+    surviving subgraph.  ``rounds`` is a FIXED unroll (deterministic plan,
+    replayable by an engine-independent oracle); the peel is monotone, so a
+    converged graph is a fixpoint and extra rounds are no-ops.  On graphs
+    with long thin chains the peel needs up to |V| rounds to converge —
+    size ``rounds`` to the expected core depth, or re-run on the (already
+    tiny) residual.
+
+    Plan shape per round: one degree aggregation (map-side combined, output
+    node-domain sized) + two semi-joins of the edge list against the
+    surviving node set — no all-pairs, no driver-side node list.  Unlike
+    ``pagerank`` (a LINEAR recurrence — each iteration reads the previous
+    ranks once, so lazy lineage grows linearly), a peel round reads the
+    surviving edge frame THREE times (degree agg + both semi-joins): left
+    lazy, the plan tree would triple per round and Catalyst analysis blows
+    up around round 7.  Each round therefore truncates lineage with an
+    eager ``localCheckpoint`` — exactly what the 100 TB path wants too
+    (re-computing round r-1 three times per round is wasted work at any
+    scale; at corpus scale prefer a reliable ``checkpoint`` dir so a lost
+    executor doesn't force a full replay).  Works on the undirected simple
+    graph (direction/multiplicity collapsed, self-loops dropped).
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    alive = _canonical_edges(edges).localCheckpoint(eager=True)
+    for _ in range(int(rounds)):
+        if alive.isEmpty():
+            break
+        deg = (
+            alive.select(F.col("a").alias("node"))
+            .unionByName(alive.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
+        keep = deg.filter(F.col("__d") >= F.lit(int(k))).select("node")
+        alive = (
+            alive.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        alive.select(F.col("a").alias("node"))
+        .unionByName(alive.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+
+
+def k_core_oracle_sql(edges_sql: str, k: int, rounds: int = 8) -> str:
+    """ANSI-SQL oracle replaying :func:`k_core` VERBATIM — the same fixed
+    unroll of the synchronous peel as chained CTEs (the early-exit on an
+    empty survivor set is a pure optimization: the peel is a fixpoint, so
+    extra rounds over the converged/empty graph change nothing).
+    ``edges_sql`` must select columns (src, dst)."""
+    if k < 1:
+        raise ValueError("k_core_oracle_sql: k must be >= 1")
+    # AS MATERIALIZED is load-bearing: each round reads the previous
+    # survivor set three times, so an inlining planner (DuckDB's default)
+    # would expand the unroll to 3^rounds copies of the base edge query —
+    # the SQL twin of the lineage blowup k_core's localCheckpoint cuts.
+    parts = [
+        f"WITH ed AS MATERIALIZED ({edges_sql}),",
+        "a0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        "       greatest(src, dst) AS b FROM ed WHERE src <> dst),",
+    ]
+    for r in range(1, int(rounds) + 1):
+        prev = f"a{r - 1}"
+        parts.append(f"""
+d{r} AS (SELECT node, count(*) AS dg
+         FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+         GROUP BY node),
+k{r} AS (SELECT node FROM d{r} WHERE dg >= {int(k)}),
+a{r} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e
+         JOIN k{r} ka ON e.a = ka.node
+         JOIN k{r} kb ON e.b = kb.node),""")
+    body = "\n".join(parts).rstrip(",")
+    last = f"a{int(rounds)}"
+    return f"""{body}
+SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS node FROM {last} UNION ALL SELECT b FROM {last})
+GROUP BY node"""

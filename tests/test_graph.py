@@ -121,3 +121,50 @@ def test_label_propagation_unreached_stays_null(spark):
     seeds = spark.createDataFrame([("a", "L")], "node string, label string")
     out = {r.node: r.label for r in label_propagation(edges, seeds, iterations=3).collect()}
     assert out == {"a": "L", "b": "L", "x": None, "y": None}
+
+
+def _kcore_brute(edges, k):
+    # networkx-free fixpoint peel on a python set
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        es = {e for e in es if e[0] not in drop and e[1] not in drop}
+
+
+def test_k_core_matches_fixpoint_peel(spark):
+    from json_schema_rs_spark.operators.graph import k_core
+
+    # a 4-clique (core-3) with a pendant chain and a triangle hung off it
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),              # chain peels at k=2
+        ("f", "g"), ("g", "h"), ("h", "f"),  # triangle survives k=2
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for k in (1, 2, 3, 4):
+        got = {r.node: r.core_degree for r in k_core(df, k, rounds=8).collect()}
+        assert got == _kcore_brute(edges, k), f"k={k}"
+    # k=3 keeps exactly the 4-clique at degree 3 each
+    got3 = {r.node: r.core_degree for r in k_core(df, 3).collect()}
+    assert got3 == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # k=4: nothing
+    assert k_core(df, 4).count() == 0
+
+
+def test_k_core_direction_and_multiplicity_collapsed(spark):
+    from json_schema_rs_spark.operators.graph import k_core
+
+    edges = [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.core_degree for r in k_core(df, 2, rounds=4).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}  # simple triangle
+
+    import pytest
+    with pytest.raises(ValueError):
+        k_core(df, 0)
