@@ -146,6 +146,23 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_strip_boilerplate_docs(spark, sf_dir):
+    # Cross-document boilerplate-line removal (operators/dedup.py
+    # strip_boilerplate_lines — the C4 "line seen in >= 3 docs" rule, code
+    # analogue: license headers / generated-file banners).  The synthetic
+    # docs are single-line, so lines are synthesized deterministically by
+    # breaking after every 3rd word; stripped text is rebuilt in original
+    # line order.  Explode + distinct-doc count + one join back — nothing
+    # quadratic, AQE broadcasts the (small) offender set.
+    from json_schema_rs_spark.operators.dedup import strip_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){2}\S+) ", "$1\n").alias("text"),
+    )
+    return strip_boilerplate_lines(docs, "doc_id", min_docs=3)
+
+
 def q_ri_orders_building(spark, sf_dir):
     # referential integrity via broadcast left-anti join (reference.rs $ref realized)
     orders = _t(spark, sf_dir, "orders")
@@ -2935,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_key_docs": q_unique_key_docs,
         "dedup_near_key": q_dedup_near_key,
         "dedup_exact": q_dedup_exact,
+        "strip_boilerplate_docs": q_strip_boilerplate_docs,
         "ri_orders_building": q_ri_orders_building,
         "drift_psi_en": q_drift_psi_en,
         "drift_ks_en": q_drift_ks_en,
@@ -3760,6 +3778,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_key": """
             SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS cnt
             FROM documents GROUP BY lang, n_chars HAVING count(*) > 1
+        """,
+        "strip_boilerplate_docs": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_replace(text, '((\S+ ){2}\S+) ',
+                                             '\1' || chr(10), 'g') AS t
+                       FROM documents),
+            ex AS (SELECT doc_id,
+                          unnest(string_split(t, chr(10))) AS line,
+                          unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+                   FROM d),
+            freq AS (SELECT trim(line) AS k, count(DISTINCT doc_id) AS nd
+                     FROM ex WHERE trim(line) <> '' GROUP BY 1),
+            bad AS (SELECT k FROM freq WHERE nd >= 3),
+            m AS (SELECT e.doc_id, e.pos, e.line, (b.k IS NOT NULL) AS strip
+                  FROM ex e LEFT JOIN bad b ON trim(e.line) = b.k)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped,
+                   coalesce(string_agg(CASE WHEN NOT strip THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text_clean
+            FROM m GROUP BY doc_id
         """,
         "dedup_exact": """
             SELECT sha256(text) AS text_sha, CAST(count(*) AS BIGINT) AS cnt

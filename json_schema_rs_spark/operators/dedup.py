@@ -491,3 +491,104 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# -- cross-document boilerplate lines ------------------------------------------
+
+
+def line_frequencies(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Document frequency of each distinct non-blank line: ``(line,
+    n_docs)`` where ``line`` is the whitespace-trimmed segment between
+    ``delim`` occurrences and ``n_docs`` counts DISTINCT documents.
+
+    The corpus-wide signal behind boilerplate stripping (C4's "discard any
+    line seen three or more times" rule, and its code-corpus analogue for
+    license headers / shebangs / generated-file banners).
+
+    Plan: split+explode (|corpus lines| rows — the honest cost), then a
+    two-phase distinct-doc count: map-side distinct on (line, doc) before
+    the per-line count, so the shuffle carries one row per (line, doc),
+    never per occurrence.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.split(F.col(text_col), delim, -1)).alias("__raw"),
+        )
+        .select("__doc", F.trim(F.col("__raw")).alias("line"))
+        .filter(F.col("line") != "")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_docs: int = 3,
+    delim: str = "\n",
+) -> DataFrame:
+    """Remove every line whose trimmed form occurs in ``min_docs`` or more
+    DISTINCT documents; blank lines never count and are never stripped.
+
+    Returns one row per input document: ``(id_col, n_lines, n_stripped,
+    text_clean)`` — surviving lines re-joined with ``delim`` in original
+    order (empty string when everything was boilerplate).
+
+    Plan: one posexplode (line order rides the position, no window), the
+    ``line_frequencies`` aggregate, one join of the exploded lines against
+    the offending-line set (small by construction — lines ABOVE a document-
+    frequency threshold; AQE picks broadcast when it fits), then one
+    groupBy(doc) rebuild via sort_array over (pos, line) structs.  Two
+    shuffles end-to-end at any corpus size; nothing is quadratic in
+    documents or lines.
+    """
+    if min_docs < 2:
+        raise ValueError(f"strip_boilerplate_lines: min_docs must be >= 2, got {min_docs}")
+    exploded = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("__pos", "__line"),
+    )
+    bad = (
+        line_frequencies(df, id_col, text_col, delim)
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("line").alias("__bad"))
+    )
+    marked = exploded.join(
+        bad, F.trim(F.col("__line")) == F.col("__bad"), "left"
+    ).select(
+        "__doc",
+        "__pos",
+        "__line",
+        F.col("__bad").isNotNull().alias("__strip"),
+    )
+    rebuilt = (
+        marked.groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("__strip").cast("long")).alias("n_stripped"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__strip"),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                delim,
+            ).alias("text_clean"),
+        )
+        .withColumnRenamed("__doc", id_col)
+    )
+    return rebuilt

@@ -206,3 +206,42 @@ def test_duplicated_span_short_and_empty_docs(spark):
         ["doc_id", "text"],
     )
     assert duplicated_span_stats(df, "doc_id", k=20).collect() == []
+
+
+def test_line_frequencies_distinct_docs(spark):
+    from json_schema_rs_spark.operators.dedup import line_frequencies
+
+    rows = [
+        (1, "# license\n# license\nunique one"),   # dup within one doc counts once
+        (2, "# license\nunique two"),
+        (3, "   \nblank ignored"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.line: r.n_docs for r in line_frequencies(df, "doc_id").collect()}
+    assert got["# license"] == 2
+    assert "" not in got and "   " not in got
+
+
+def test_strip_boilerplate_lines(spark):
+    from json_schema_rs_spark.operators.dedup import strip_boilerplate_lines
+
+    rows = [
+        (1, "KEEP ME\n# license\nunique one\n\n# license"),
+        (2, "# license\nunique two"),
+        (3, "  # license \nunique three\nKEEP ME"),
+        (4, "all unique here"),
+        (5, "# license"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_boilerplate_lines(df, "doc_id", min_docs=3).collect()}
+    assert len(out) == 5
+    # '# license' sits in docs 1,2,3,5 (trimmed match) -> stripped everywhere
+    assert out[1].text_clean == "KEEP ME\nunique one\n"   # blank line survives
+    assert (out[1].n_lines, out[1].n_stripped) == (5, 2)
+    assert out[3].text_clean == "unique three\nKEEP ME"   # padded variant stripped
+    assert out[4].text_clean == "all unique here" and out[4].n_stripped == 0
+    assert out[5].text_clean == "" and out[5].n_stripped == 1  # fully boilerplate
+
+    import pytest
+    with pytest.raises(ValueError):
+        strip_boilerplate_lines(df, "doc_id", min_docs=1)
