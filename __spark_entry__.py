@@ -163,6 +163,17 @@ def q_strip_boilerplate_docs(spark, sf_dir):
     return strip_boilerplate_lines(docs, "doc_id", min_docs=3)
 
 
+def q_complexity_docs(spark, sf_dir):
+    # Regex-level structural complexity (operators/code.py
+    # complexity_metrics): branch/bool-op counts -> cyclomatic estimate,
+    # def count, nesting proxy, identifier-length mean.  One fused
+    # projection over the corpus; the screening stand-in for AST metrics.
+    from json_schema_rs_spark.operators.code import complexity_metrics
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return complexity_metrics(docs, "doc_id", "text")
+
+
 def q_ri_orders_building(spark, sf_dir):
     # referential integrity via broadcast left-anti join (reference.rs $ref realized)
     orders = _t(spark, sf_dir, "orders")
@@ -2953,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_key": q_dedup_near_key,
         "dedup_exact": q_dedup_exact,
         "strip_boilerplate_docs": q_strip_boilerplate_docs,
+        "complexity_docs": q_complexity_docs,
         "ri_orders_building": q_ri_orders_building,
         "drift_psi_en": q_drift_psi_en,
         "drift_ks_en": q_drift_ks_en,
@@ -3799,6 +3811,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT strip THEN line END,
                                        chr(10) ORDER BY pos), '') AS text_clean
             FROM m GROUP BY doc_id
+        """,
+        "complexity_docs": r"""
+            WITH m AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '\b(if|elif|for|while|case|when|catch|except)\b')) AS BIGINT)
+                  AS n_branches,
+                CAST(len(regexp_extract_all(text, '(&&|\|\|)')) AS BIGINT)
+                  AS n_bool_ops,
+                CAST(len(regexp_extract_all(text,
+                  '\b(def|function|fn|func)\b')) AS BIGINT) AS n_defs,
+                list_max(list_transform(string_split(text, chr(10)),
+                  s -> length(s) - length(ltrim(s)))) AS max_indent,
+                regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*') AS ids
+              FROM documents)
+            SELECT doc_id, n_branches, n_bool_ops,
+                   CAST(1 + n_branches + n_bool_ops AS BIGINT) AS cyclomatic_est,
+                   n_defs,
+                   CAST(max_indent AS BIGINT) AS max_indent,
+                   CASE WHEN len(ids) > 0
+                        THEN floor(CAST(list_sum(list_transform(ids,
+                                 x -> length(x))) AS DOUBLE)
+                                   / len(ids) * 100.0 + 0.5) / 100.0
+                        ELSE 0.0 END AS avg_ident_len
+            FROM m
         """,
         "dedup_exact": """
             SELECT sha256(text) AS text_sha, CAST(count(*) AS BIGINT) AS cnt

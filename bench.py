@@ -236,6 +236,17 @@ def bench_queries(spark) -> dict[str, float]:
         "trend_events_type",
         "code_clone_classes",
         "tfidf_keywords_docs",
+        "record_linkage_customers",
+        "cohort_retention_events",
+        "setsim_ppjoin_docs",
+        "pmi_collocations_docs",
+        "decayed_event_counts",
+        "zonemap_prune_profile",
+        "join_size_estimate",
+        "triangles_nations",
+        "kcore_trade",
+        "strip_boilerplate_docs",
+        "complexity_docs",
     ]
     qs = entrymod.queries()
 

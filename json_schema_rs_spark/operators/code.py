@@ -367,3 +367,58 @@ def clone_classes(
         )
         .filter(F.col("n_members") >= min_size)
     )
+
+
+# --- structural complexity ----------------------------------------------------
+
+#: branch-opening tokens counted toward the cyclomatic estimate — the
+#: language-agnostic core (C/Java/Python/Rust/Go/SQL spellings).
+BRANCH_TOKEN_RE = r"\b(if|elif|for|while|case|when|catch|except)\b"
+#: short-circuit boolean operators (each adds a decision point).
+BOOL_OP_RE = r"(&&|\|\|)"
+#: function/method definitions across the same language core.
+DEF_TOKEN_RE = r"\b(def|function|fn|func)\b"
+#: identifier shape shared by the clone canonicalizer above.
+IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def complexity_metrics(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Per-file structural-complexity estimates — the McCabe-flavored
+    screening signals a code-corpus curation pass filters and stratifies on
+    (deep ASTs need a parser; these are the regex-level stand-ins that run
+    at corpus scale as ONE fused projection, no Python, no shuffle):
+
+      n_branches      — branch-opening keyword count (BRANCH_TOKEN_RE)
+      n_bool_ops      — short-circuit ``&&`` / ``||`` count
+      cyclomatic_est  — 1 + n_branches + n_bool_ops (decision-point form)
+      n_defs          — function-definition keyword count
+      max_indent      — deepest leading-whitespace run (nesting proxy)
+      avg_ident_len   — mean identifier length, 2dp (floor-form rounding —
+                        same IEEE op order in any engine)
+
+    Token counting is text-level: keywords inside strings/comments count
+    (documented screening-signal tradeoff; strip comments first via
+    ``normalize_code`` when that bias matters).
+    """
+    c = F.col(content_col)
+    lines = F.split(c, "\n", -1)
+    indents = F.transform(lines, lambda s: F.length(s) - F.length(F.ltrim(s)))
+    idents = F.regexp_extract_all(c, F.lit(IDENT_RE), 0)
+    ident_chars = F.aggregate(
+        idents, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    n_branches = F.regexp_count(c, F.lit(BRANCH_TOKEN_RE))
+    n_bool = F.regexp_count(c, F.lit(BOOL_OP_RE))
+    return df.select(
+        F.col(id_col),
+        n_branches.cast("long").alias("n_branches"),
+        n_bool.cast("long").alias("n_bool_ops"),
+        (F.lit(1) + n_branches + n_bool).cast("long").alias("cyclomatic_est"),
+        F.regexp_count(c, F.lit(DEF_TOKEN_RE)).cast("long").alias("n_defs"),
+        F.array_max(indents).cast("long").alias("max_indent"),
+        F.when(F.size(idents) > 0,
+               F.floor(ident_chars.cast("double") / F.size(idents) * 100.0 + 0.5)
+               / 100.0).otherwise(F.lit(0.0)).alias("avg_ident_len"),
+    )

@@ -135,3 +135,21 @@ def test_license_rollup_counts(spark):
     assert rows[("py", "Apache-2.0")] == 1
     assert rows[("go", None)] == 1
     assert sum(rows.values()) == len(LICENSED)
+
+
+def test_complexity_metrics_pinned(spark):
+    from json_schema_rs_spark.operators.code import complexity_metrics
+
+    rows = [
+        (1, "def f(x):\n    if x and True:\n        for i in y:\n"
+            "            while z || w:\n                pass"),
+        (2, "flat line no branches"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {r.doc_id: r for r in complexity_metrics(df).collect()}
+    r1 = out[1]
+    assert (r1.n_branches, r1.n_bool_ops, r1.cyclomatic_est) == (3, 1, 5)
+    assert r1.n_defs == 1 and r1.max_indent == 16
+    assert out[2].cyclomatic_est == 1 and out[2].avg_ident_len == 4.5
+    assert out[3].avg_ident_len == 0.0 and out[3].max_indent == 0
