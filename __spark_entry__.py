@@ -174,6 +174,23 @@ def q_complexity_docs(spark, sf_dir):
     return complexity_metrics(docs, "doc_id", "text")
 
 
+def q_group_quality_langs(spark, sf_dir):
+    # Per-GROUP quality gate (operators/quality.py group_quality_report):
+    # the same declarative thresholds as quality_report_docs, evaluated
+    # independently per language — one groupBy(lang) carries every metric,
+    # constant explode per group.  exact=True so DuckDB reproduces the
+    # distinct count bit-for-bit.
+    from json_schema_rs_spark.operators.quality import group_quality_report
+    from json_schema_rs_spark.spec import QualitySpec
+
+    docs = _t(spark, sf_dir, "documents")
+    specs = [
+        QualitySpec("source", min_completeness=0.99, min_distinct_ratio=0.01),
+        QualitySpec("n_chars", min_mean=150.0, max_mean=300.0),
+    ]
+    return group_quality_report(docs, "lang", specs, exact=True)
+
+
 def q_ri_orders_building(spark, sf_dir):
     # referential integrity via broadcast left-anti join (reference.rs $ref realized)
     orders = _t(spark, sf_dir, "orders")
@@ -3052,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_constraints_events": q_check_constraints_events,
         "check_cross_column_lineitem": q_check_cross_column_lineitem,
         "quality_report_docs": q_quality_report_docs,
+        "group_quality_langs": q_group_quality_langs,
         "quality_report_events": q_quality_report_events,
         "suggest_constraints_docs": q_suggest_constraints_docs,
         "range_join_ship_windows": q_range_join_ship_windows,
@@ -4832,6 +4850,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR),
                    'check:tax_le_discount', CAST(l_tax AS VARCHAR)
             FROM lineitem WHERE l_returnflag = 'R' AND (l_tax <= l_discount) = false
+        """,
+        "group_quality_langs": """
+            WITH m AS (
+              SELECT lang AS "group", CAST(count(*) AS DOUBLE) AS n,
+                     count(source) AS nn, count(DISTINCT source) AS nd,
+                     avg(n_chars) AS mean_c
+              FROM documents GROUP BY lang)
+            SELECT "group", 'quality:completeness:source' AS constraint_id,
+                   CAST(round(nn / n, 6) AS VARCHAR) AS observed_value,
+                   CAST(0.99 AS DOUBLE) AS threshold, nn / n >= 0.99 AS passed FROM m
+            UNION ALL
+            SELECT "group", 'quality:min_distinct_ratio:source',
+                   CAST(round(nd / n, 6) AS VARCHAR),
+                   CAST(0.01 AS DOUBLE), nd / n >= 0.01 FROM m
+            UNION ALL
+            SELECT "group", 'quality:min_mean:n_chars',
+                   CAST(round(mean_c, 6) AS VARCHAR),
+                   CAST(150.0 AS DOUBLE), mean_c >= 150.0 FROM m
+            UNION ALL
+            SELECT "group", 'quality:max_mean:n_chars',
+                   CAST(round(mean_c, 6) AS VARCHAR),
+                   CAST(300.0 AS DOUBLE), mean_c <= 300.0 FROM m
         """,
         "quality_report_docs": """
             WITH m AS (

@@ -143,3 +143,99 @@ def cast_safety(df: DataFrame, col, target_type: str, label: str | None = None) 
             ",",
         ).alias("uncastable_examples"),
     )
+
+
+def group_quality_report(
+    df: DataFrame,
+    group_col: str,
+    specs: list[QualitySpec],
+    exact: bool = False,
+) -> DataFrame:
+    """Per-GROUP quality thresholds — the same declarative specs as
+    :func:`quality_report`, evaluated independently for every value of
+    ``group_col`` (per repo, per language, per source shard): one row per
+    (group, column, metric-threshold) with ``group`` prepended to the
+    shared REPORT_COLS shape.
+
+    The missing scope between per-row validation (ValidationEngine) and the
+    whole-table gate: "each repo's license-column completeness ≥ 0.99",
+    "no language's mean document length drifts under 200".
+
+    Plan: ONE groupBy(group).agg(every metric) — a single shuffle on the
+    group key with map-side partials, then a constant-size explode per
+    group row.  Same caveat as ``quality_report`` on multiple
+    ``exact=True`` distincts (Catalyst ``Expand``); the HLL default is the
+    100 TB path.
+    """
+    if not specs:
+        raise ValueError("no quality specs given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, q in enumerate(specs):
+        c = q.column
+        if q.min_completeness is not None:
+            aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        if q._needs_distinct():
+            d = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
+            aggs.append(d.alias(f"__nd_{i}"))
+        if q._needs_mean():
+            aggs.append(F.avg(F.col(c)).alias(f"__mean_{i}"))
+    rows = df.groupBy(F.col(group_col).alias("group")).agg(*aggs)
+
+    def entry(cid: str, observed, threshold: float, ok) -> F.Column:
+        # NULL metric → failed, same contract as quality_report
+        return F.struct(
+            F.lit(cid).alias("constraint_id"),
+            F.round(observed, 6).cast("string").alias("observed_value"),
+            F.lit(float(threshold)).alias("threshold"),
+            F.coalesce(ok, F.lit(False)).alias("passed"),
+        )
+
+    entries = []
+    n = F.col("__n").cast("double")
+    for i, q in enumerate(specs):
+        c = q.column
+        if q.min_completeness is not None:
+            comp = F.col(f"__nn_{i}") / n
+            entries.append(
+                entry(f"quality:completeness:{c}", comp, q.min_completeness,
+                      comp >= q.min_completeness)
+            )
+        if q._needs_distinct():
+            ratio = F.col(f"__nd_{i}") / n
+            if q.min_distinct_ratio is not None:
+                entries.append(
+                    entry(f"quality:min_distinct_ratio:{c}", ratio,
+                          q.min_distinct_ratio, ratio >= q.min_distinct_ratio)
+                )
+            if q.max_distinct_ratio is not None:
+                entries.append(
+                    entry(f"quality:max_distinct_ratio:{c}", ratio,
+                          q.max_distinct_ratio, ratio <= q.max_distinct_ratio)
+                )
+        if q._needs_mean():
+            mean = F.col(f"__mean_{i}")
+            if q.min_mean is not None:
+                entries.append(
+                    entry(f"quality:min_mean:{c}", mean, q.min_mean, mean >= q.min_mean)
+                )
+            if q.max_mean is not None:
+                entries.append(
+                    entry(f"quality:max_mean:{c}", mean, q.max_mean, mean <= q.max_mean)
+                )
+    return rows.select(
+        "group", F.explode(F.array(*entries)).alias("m")
+    ).select("group", *[F.col(f"m.{c}").alias(c) for c in REPORT_COLS])
+
+
+def group_quality_violations(
+    df: DataFrame, group_col: str, specs: list[QualitySpec], exact: bool = False
+) -> DataFrame:
+    """Failed per-group thresholds in the engine's shared violation shape —
+    ``row_key`` carries the group (``__group__:<value>``) so the rows union
+    cleanly into ``ValidationEngine.dataset_violations``."""
+    rep = group_quality_report(df, group_col, specs, exact=exact)
+    return rep.filter(~F.col("passed")).select(
+        F.concat(F.lit("__group__:"), F.col("group").cast("string")).alias("row_key"),
+        "constraint_id",
+        "observed_value",
+    )

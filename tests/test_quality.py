@@ -100,3 +100,34 @@ def test_cast_safety_empty_input_is_zero_not_null(spark):
     assert row["n_values"] == 0
     assert row["n_uncastable"] == 0          # not NULL
     assert row["uncastable_examples"] == ""
+
+
+def test_group_quality_report_per_group_and_null_metric(spark):
+    from json_schema_rs_spark.operators.quality import (
+        group_quality_report,
+        group_quality_violations,
+    )
+    from json_schema_rs_spark.spec import QualitySpec
+
+    rows = [
+        ("a", "x", 10.0), ("a", "y", 20.0), ("a", None, 30.0),
+        ("b", "x", 100.0), ("b", "x", 100.0),
+        ("c", None, None), ("c", None, None),   # all-null group -> NULL metrics fail
+    ]
+    df = spark.createDataFrame(rows, "g string, s string, v double")
+    specs = [QualitySpec("s", min_completeness=0.9),
+             QualitySpec("v", max_mean=50.0)]
+    rep = {(r.group, r.constraint_id): r
+           for r in group_quality_report(df, "g", specs, exact=True).collect()}
+    assert len(rep) == 6   # 3 groups x 2 checks
+    assert rep[("a", "quality:completeness:s")].passed is False   # 2/3
+    assert rep[("b", "quality:completeness:s")].passed is True
+    assert rep[("b", "quality:max_mean:v")].passed is False       # mean 100
+    # NULL mean (group c) must FAIL, not vanish
+    assert rep[("c", "quality:max_mean:v")].passed is False
+    assert rep[("c", "quality:max_mean:v")].observed_value is None
+
+    vio = group_quality_violations(df, "g", specs, exact=True)
+    keys = {(r.row_key, r.constraint_id) for r in vio.collect()}
+    assert ("__group__:c", "quality:completeness:s") in keys
+    assert ("__group__:b", "quality:max_mean:v") in keys
