@@ -1979,6 +1979,25 @@ def q_violation_diff_docs(spark, sf_dir):
     return violation_diff(prev, cur)
 
 
+def q_embedding_cov8(spark, sf_dir):
+    # Distributed covariance, wide Column-expression form (operators/pca.py
+    # embedding_covariance): every first/second moment is a column of ONE
+    # agg — engine-portable, plan size O(d^2), right up to d~16.
+    from json_schema_rs_spark.operators.pca import embedding_covariance
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"), 8)
+
+
+def q_embedding_gram_cov(spark, sf_dir):
+    # Full-dimension covariance via Arrow partial-Gram (operators/pca.py
+    # embedding_gram_covariance): one BLAS call per batch, (idx, val)
+    # partials merged in a tiny agg — plan size O(1) in d, the d-in-the-
+    # hundreds / 100 TB path behind pca_fit.
+    from json_schema_rs_spark.operators.pca import embedding_gram_covariance
+
+    return embedding_gram_covariance(_t(spark, sf_dir, "embeddings"), 64)
+
+
 def q_kmeans_step_embeddings(spark, sf_dir):
     # One Lloyd iteration (operators/kmeans.py): shuffle-free literal-centroid
     # assign + ONE hash agg (64 avgs, map-side combine ⇒ the shuffle moves
@@ -3093,6 +3112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomalies_events": q_volume_anomalies_events,
         "cast_safety_source": q_cast_safety_source,
         "kmeans_step_embeddings": q_kmeans_step_embeddings,
+        "embedding_cov8": q_embedding_cov8,
+        "embedding_gram_cov": q_embedding_gram_cov,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "temperature_mix_docs": q_temperature_mix_docs,
         "token_budget_docs": q_token_budget_docs,
@@ -3748,6 +3769,28 @@ _FK_DISCOVERY_ORACLE = "\nUNION ALL\n".join(
         _fk_pair_sql("lineitem.l_suppkey->nation.n_nationkey", "lineitem", "l_suppkey", "nation", "n_nationkey"),
     ]
 )
+
+
+
+
+def _embcov_oracle(d: int) -> str:
+    # replays operators/pca.py covariance verbatim (double-cast elements,
+    # round-6 means/covs, upper triangle) in the explode + self-join form —
+    # a flat 5-expression query at ANY d, where the wide 2·d² spelling
+    # trips DuckDB's 1000-deep expression parser limit at d=64
+    return f"""
+        WITH ex AS (
+          SELECT vec_id,
+                 unnest(range(1, len(embedding) + 1)) AS k,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings)
+        SELECT CAST(a.k - 1 AS INT) AS i, CAST(b.k - 1 AS INT) AS j,
+               round(avg(a.x), 6) + 0.0 AS mean_i, round(avg(b.x), 6) + 0.0 AS mean_j,
+               round(avg(a.x * b.x) - avg(a.x) * avg(b.x), 6) + 0.0 AS cov
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.k <= b.k
+        WHERE a.k <= {d} AND b.k <= {d}
+        GROUP BY 1, 2
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4851,6 +4894,8 @@ def oracle_sql() -> dict[str, str]:
                    'check:tax_le_discount', CAST(l_tax AS VARCHAR)
             FROM lineitem WHERE l_returnflag = 'R' AND (l_tax <= l_discount) = false
         """,
+        "embedding_cov8": _embcov_oracle(8),
+        "embedding_gram_cov": _embcov_oracle(64),
         "group_quality_langs": """
             WITH m AS (
               SELECT lang AS "group", CAST(count(*) AS DOUBLE) AS n,

@@ -1,0 +1,245 @@
+"""Distributed PCA / whitening statistics for embedding columns.
+
+No reference counterpart (the reference validates documents; it has no
+vector surface) — this is the classic big-n / small-d decomposition a
+100 TB embedding pipeline needs (decorrelate before quantization, energy
+compaction before a cheaper ANN index, drift detection in component space):
+
+  * the DISTRIBUTED part is only moment accumulation — one hash-free
+    ``df.agg`` carrying every first and second moment (d + d·(d+1)/2
+    expressions, map-side combined, ONE aggregated row leaves the
+    executors); nothing shuffles but partial aggregates, independent of n;
+  * the d×d eigendecomposition happens driver-side in numpy — d² scalars,
+    never data (same driver/data split as operators/kmeans.py loop
+    control).
+
+Means and covariances are rounded (default 6dp) as part of the operator
+contract so any engine replays the same matrix bit-for-bit (the kmeans
+precedent: double aggregation + fixed rounding is oracle-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_covariance(
+    df: DataFrame,
+    dim: int,
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Upper-triangle covariance of an ``array<float>`` column:
+    ``(i, j, mean_i, mean_j, cov)`` for ``0 <= i <= j < dim``, with
+    ``cov = round(E[x_i x_j] - E[x_i]E[x_j], round_to)``.
+
+    ONE aggregation pass — every moment is a column of the same ``agg``
+    (whole-stage codegen splits the projection automatically), so the plan
+    reads the corpus once and emits a single row; the triangle explode is
+    a constant-size (d·(d+1)/2) projection of that row.  No per-row
+    Python, no O(n·d²) explode.
+
+    CAVEAT — this wide form is engine-portable (plain ``avg`` columns, the
+    oracle replays it), but Catalyst planning/codegen cost grows with the
+    d·(d+1)/2 expression count: fine to d≈16 (152 exprs), ~70 s of pure
+    planning at d=64 (2 144 exprs).  Above d≈32 use
+    :func:`embedding_gram_covariance` — the Arrow-batched partial-Gram
+    path whose plan size is O(1) in d.
+    """
+    if dim < 1:
+        raise ValueError(f"embedding_covariance: dim must be >= 1, got {dim}")
+    e = F.col(emb_col).cast("array<double>")
+    aggs = [F.avg(e.getItem(i)).alias(f"__m{i}") for i in range(dim)]
+    aggs += [
+        F.avg(e.getItem(i) * e.getItem(j)).alias(f"__p{i}_{j}")
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    row = df.agg(*aggs)
+    cells = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            (F.round(F.col(f"__m{i}"), round_to) + 0.0).alias("mean_i"),
+            (F.round(F.col(f"__m{j}"), round_to) + 0.0).alias("mean_j"),
+            # + 0.0 canonicalizes IEEE -0.0 (a tiny negative moment rounds
+            # to the sign-preserving negative zero; engines disagree on its
+            # string form) — applies to every rounded output here
+            (
+                F.round(
+                    F.col(f"__p{i}_{j}") - F.col(f"__m{i}") * F.col(f"__m{j}"),
+                    round_to,
+                )
+                + 0.0
+            ).alias("cov"),
+        )
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    return row.select(F.explode(F.array(*cells)).alias("c")).select(
+        "c.i", "c.j", "c.mean_i", "c.mean_j", "c.cov"
+    )
+
+
+def embedding_gram_covariance(
+    df: DataFrame,
+    dim: int,
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Same output contract as :func:`embedding_covariance` —
+    ``(i, j, mean_i, mean_j, cov)`` over the upper triangle — via
+    per-Arrow-batch partial Gram matrices instead of d² aggregate columns:
+
+      * ``mapInPandas`` computes ``(n, Σx, XᵀX)`` per batch in numpy (one
+        BLAS call per batch, no per-row Python) and emits the packed
+        triangle as (idx, val) rows — d·(d+3)/2 + 1 rows per batch;
+      * one groupBy(idx) sum merges the partials — the shuffle carries
+        O(partitions · d²) scalars, independent of n;
+      * the final d²-sized row assembles means/covariances with the same
+        rounding contract.
+
+    The plan size is O(1) in d (one UDF node + one tiny agg), so this is
+    the path for d in the hundreds.  Floating partials are merged in a
+    partitioning-dependent order; the ``round_to`` contract absorbs the
+    last-ulp wobble exactly as kmeans' rounded means do.
+    """
+    if dim < 1:
+        raise ValueError(f"embedding_gram_covariance: dim must be >= 1, got {dim}")
+    import numpy as np
+    import pandas as pd
+
+    d = int(dim)
+    iu = [(i, j) for i in range(d) for j in range(i, d)]
+
+    # packed index space: 0 → n, 1+i → Σx_i, 1+d + i·d + j → Σ x_i·x_j.
+    # The sparse i·d+j packing (vs dense triangle) keeps the INVERSE pure
+    # integer arithmetic downstream — the assembly must stay data-shaped
+    # (joins over (idx, val) rows), because spelling d² cells out as
+    # expressions is exactly the O(d²)-plan trap this path exists to avoid.
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+            x = x[:, :d]   # honor dim (first-d-dimensions contract, like getItem)
+            gram = x.T @ x
+            idxs = [0] + [1 + i for i in range(d)] + [1 + d + i * d + j for i, j in iu]
+            vals = [float(len(x))]
+            vals += [float(s) for s in x.sum(axis=0)]
+            vals += [float(gram[i, j]) for i, j in iu]
+            yield pd.DataFrame({"idx": idxs, "val": vals})
+
+    parts = df.select(emb_col).mapInPandas(partial, "idx long, val double")
+    merged = parts.groupBy("idx").agg(F.sum("val").alias("val"))
+    nrow = merged.filter(F.col("idx") == 0).select(F.col("val").alias("__n"))
+    means = merged.filter((F.col("idx") >= 1) & (F.col("idx") <= d)).select(
+        (F.col("idx") - 1).cast("int").alias("__mi"), F.col("val").alias("__s")
+    )
+    pairs = merged.filter(F.col("idx") > d).select(
+        F.floor((F.col("idx") - 1 - d) / d).cast("int").alias("i"),
+        ((F.col("idx") - 1 - d) % d).cast("int").alias("j"),
+        F.col("val").alias("__p"),
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(nrow))
+        .join(F.broadcast(means), F.col("i") == F.col("__mi"))
+        .drop("__mi")
+        .withColumnRenamed("__s", "__si")
+        .join(F.broadcast(means), F.col("j") == F.col("__mi"))
+        .drop("__mi")
+        .withColumnRenamed("__s", "__sj")
+    )
+    n = F.col("__n")
+    return out.select(
+        "i",
+        "j",
+        # + 0.0: same -0.0 canonicalization as the wide path
+        (F.round(F.col("__si") / n, round_to) + 0.0).alias("mean_i"),
+        (F.round(F.col("__sj") / n, round_to) + 0.0).alias("mean_j"),
+        (
+            F.round(
+                F.col("__p") / n - (F.col("__si") / n) * (F.col("__sj") / n),
+                round_to,
+            )
+            + 0.0
+        ).alias("cov"),
+    )
+
+
+def pca_fit(
+    df: DataFrame,
+    dim: int,
+    n_components: int,
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit PCA: returns ``(mean, components, explained_variance)`` where
+    ``components`` is ``n_components`` rows of length ``dim`` (descending
+    eigenvalue order, sign fixed so each component's largest-|coefficient|
+    entry is positive — eigenvectors are sign-ambiguous and numpy's choice
+    is platform-dependent; the convention makes fits reproducible).
+
+    Driver-side work is the d×d ``numpy.linalg.eigh`` on the collected
+    covariance triangle — d² scalars cross the driver boundary, never
+    rows.
+    """
+    if not 1 <= n_components <= dim:
+        raise ValueError(
+            f"pca_fit: n_components must be in [1, {dim}], got {n_components}"
+        )
+    import numpy as np
+
+    # wide Column-expression form while the plan stays small, Arrow
+    # partial-Gram beyond (see embedding_covariance's caveat)
+    cov_fn = embedding_covariance if dim <= 16 else embedding_gram_covariance
+    tri = cov_fn(df, dim, emb_col, round_to).collect()
+    cov = np.zeros((dim, dim))
+    mean = [0.0] * dim
+    for r in tri:
+        cov[r.i][r.j] = cov[r.j][r.i] = r.cov
+        mean[r.i] = r.mean_i
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for k in order:
+        v = vecs[:, k]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return mean, comps, [float(vals[k]) for k in order]
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    emb_col: str = "embedding",
+    out_col: str = "pca",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project embeddings onto fitted components: adds ``out_col`` =
+    ``array<double>`` of length ``len(components)`` with
+    ``round((x - mean) · c_k, round_to)`` per component.
+
+    Pure Column expressions (``zip_with`` + ``aggregate`` dot products) —
+    JVM-side, fused into whatever projection already reads the vectors;
+    the (k × dim) component matrix rides as literals, no join, no UDF.
+    """
+    e = F.col(emb_col).cast("array<double>")
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(e, mean_lit, lambda x, m: x - m)
+
+    def dot(comp: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in comp])
+        return F.round(
+            F.aggregate(
+                F.zip_with(centered, c, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_to,
+        )
+
+    return df.withColumn(out_col, F.array(*[dot(c) for c in components]))

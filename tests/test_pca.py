@@ -1,0 +1,78 @@
+import math
+
+import numpy as np
+import pytest
+
+from json_schema_rs_spark.operators.pca import (
+    embedding_covariance,
+    embedding_gram_covariance,
+    pca_fit,
+    pca_project,
+)
+
+
+def _toy(spark, n=60, d=6, seed=7):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n, 2) @ rng.randn(2, d)        # rank-2 structure
+    noise = 0.01 * rng.randn(n, d)
+    x = base + noise
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), x
+
+
+def test_wide_covariance_matches_numpy(spark):
+    df, x = _toy(spark)
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(df, 6).collect()}
+    x = x.astype(np.float32).astype(np.float64)     # the float storage round-trip
+    exp = np.cov(x, rowvar=False, bias=True)
+    assert len(got) == 21
+    for (i, j), c in got.items():
+        assert math.isclose(c, round(exp[i][j], 6), abs_tol=2e-6), (i, j)
+
+
+def test_gram_path_matches_wide_path(spark):
+    df, _ = _toy(spark)
+    w = {(r.i, r.j): r for r in embedding_covariance(df, 6).collect()}
+    g = {(r.i, r.j): r for r in embedding_gram_covariance(df, 6).collect()}
+    assert w.keys() == g.keys()
+    for k in w:
+        assert math.isclose(w[k].cov, g[k].cov, abs_tol=1e-6), k
+        assert math.isclose(w[k].mean_i, g[k].mean_i, abs_tol=1e-6), k
+
+
+def test_pca_fit_recovers_rank2_structure(spark):
+    df, _ = _toy(spark)
+    mean, comps, ev = pca_fit(df, 6, 3)
+    assert len(comps) == 3 and all(len(c) == 6 for c in comps)
+    assert ev[0] >= ev[1] >= ev[2] >= 0
+    # rank-2 data + tiny noise: 3rd eigenvalue collapses
+    assert ev[2] < 0.01 * ev[0]
+    # orthonormal components
+    for a in range(3):
+        for b in range(3):
+            dot = sum(comps[a][k] * comps[b][k] for k in range(6))
+            assert math.isclose(dot, 1.0 if a == b else 0.0, abs_tol=1e-6)
+    # sign convention: largest-|coeff| entry positive
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+
+
+def test_pca_project_matches_numpy(spark):
+    df, _ = _toy(spark)
+    mean, comps, _ = pca_fit(df, 6, 2)
+    out = {r.vec_id: (list(r.embedding), list(r.pca))
+           for r in pca_project(df, mean, comps).collect()}
+    m = np.array(mean)
+    w = np.array(comps)
+    for _, (emb, proj) in out.items():
+        exp = (np.array(emb, dtype=np.float64) - m) @ w.T
+        for k in range(2):
+            assert math.isclose(proj[k], round(exp[k], 6), abs_tol=2e-6)
+
+
+def test_dim_validation(spark):
+    df, _ = _toy(spark)
+    with pytest.raises(ValueError):
+        embedding_covariance(df, 0)
+    with pytest.raises(ValueError):
+        pca_fit(df, 6, 7)
