@@ -1533,6 +1533,17 @@ def q_sketch_mincount_users(spark, sf_dir):
     )
 
 
+def q_hll_overlap_event_types(spark, sf_dir):
+    # Pairwise audience overlap between event types (operators/sketches.py
+    # hll_pairwise_overlap): inclusion-exclusion over portable p=8 HLL
+    # sketches — corpus touched once for registers, the pair algebra runs
+    # on |groups|x256 register rows.
+    from json_schema_rs_spark.operators.sketches import hll_pairwise_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_pairwise_overlap(ev, "event_type", "user_id", p=8)
+
+
 def q_sketch_hll_users(spark, sf_dir):
     # portable HyperLogLog (p=8): two-level (group, bucket) register agg →
     # harmonic estimate.  At n≈150 per group it exercises the linear-counting
@@ -3080,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "sketch_mincount_users": q_sketch_mincount_users,
         "sketch_hll_users": q_sketch_hll_users,
+        "hll_overlap_event_types": q_hll_overlap_event_types,
         "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
         "distinct_users_by_type": q_distinct_users_by_type,
         "multi_distinct_events": q_multi_distinct_events,
@@ -4785,6 +4797,59 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM agg JOIN nr ON agg.ws = nr.ws
             ORDER BY win_start_s
+        """,
+        "hll_overlap_event_types": """
+            WITH h AS (
+              SELECT event_type AS g,
+                     ('0x'||substr(md5('hll:'||CAST(user_id AS VARCHAR)),1,12))::BIGINT AS hv
+              FROM events WHERE user_id IS NOT NULL),
+            b AS (SELECT g, hv // 1099511627776 AS bucket,
+                         hv % 1099511627776 AS w FROM h),
+            regs AS (
+              SELECT g, bucket,
+                     max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS reg
+              FROM b GROUP BY g, bucket),
+            agg1 AS (SELECT g, sum(power(2.0, -reg)) AS pi, count(*) AS np
+                     FROM regs GROUP BY g),
+            est1 AS (
+              SELECT g,
+                     CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0)
+                               / (pi + (256 - np)) <= 640.0 AND (256 - np) > 0
+                          THEN round(256.0 * ln(256.0 / (256 - np)), 6)
+                          ELSE round((0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0)
+                                     / (pi + (256 - np)), 6)
+                     END AS est
+              FROM agg1),
+            pairs AS (SELECT a.g AS ga, bb.g AS gb
+                      FROM (SELECT DISTINCT g FROM regs) a
+                      JOIN (SELECT DISTINCT g FROM regs) bb ON a.g < bb.g),
+            ur AS (SELECT ga, gb, bucket, max(reg) AS reg FROM (
+                     SELECT p.ga, p.gb, r.bucket, r.reg
+                     FROM regs r JOIN pairs p ON r.g = p.ga
+                     UNION ALL
+                     SELECT p.ga, p.gb, r.bucket, r.reg
+                     FROM regs r JOIN pairs p ON r.g = p.gb)
+                   GROUP BY ga, gb, bucket),
+            agg2 AS (SELECT ga, gb, sum(power(2.0, -reg)) AS pi, count(*) AS np
+                     FROM ur GROUP BY ga, gb),
+            est2 AS (
+              SELECT ga, gb,
+                     CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0)
+                               / (pi + (256 - np)) <= 640.0 AND (256 - np) > 0
+                          THEN round(256.0 * ln(256.0 / (256 - np)), 6)
+                          ELSE round((0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0)
+                                     / (pi + (256 - np)), 6)
+                     END AS est_union
+              FROM agg2)
+            SELECT e2.ga, e2.gb, ea.est AS est_a, eb.est AS est_b, e2.est_union,
+                   greatest(round(ea.est + eb.est - e2.est_union, 6), 0.0) AS est_overlap,
+                   CASE WHEN e2.est_union > 0
+                        THEN round(greatest(round(ea.est + eb.est - e2.est_union, 6), 0.0)
+                                   / e2.est_union, 6) + 0.0
+                        ELSE 0.0 END AS jaccard_est
+            FROM est2 e2
+            JOIN est1 ea ON e2.ga = ea.g
+            JOIN est1 eb ON e2.gb = eb.g
         """,
         "sketch_hll_users": """
             WITH h AS (

@@ -368,3 +368,84 @@ def bloom_prefilter(
     """
     bitmap = bloom_build_bitmap(keys, keys_key, m_bits, j, salt)
     return big.filter(bloom_might_contain(F.col(big_key), bitmap, m_bits, j, salt))
+
+
+def hll_pairwise_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+    salt: str = "hll",
+    portable: bool = True,
+) -> DataFrame:
+    """Estimated audience overlap between every pair of groups:
+    ``(ga, gb, est_a, est_b, est_union, est_overlap, jaccard_est)`` for
+    ``ga < gb`` — inclusion–exclusion over HLL sketches
+    (``|A∩B| ≈ est(A) + est(B) − est(A∪B)``, clamped at 0), the standard
+    mergeable answer to "how many users/keys do these sources share"
+    without ever joining raw data.
+
+    Scale shape: the corpus is touched ONCE (the ``hll_registers``
+    aggregate); everything after operates on register frames —
+    |groups|·2^p rows — so the pair expansion (each register joins the
+    tiny broadcast pair list twice, union-max per (pair, bucket)) costs
+    O(|groups|² · 2^p) regardless of corpus size.  Union estimates reuse
+    the registers' max-monoid (``hll_merge`` law), so
+    ``est_union == hll_estimate`` over the concatenated raw inputs,
+    exactly.  NULL values are excluded (a NULL key is no audience member).
+    """
+    src = df.filter(F.col(value_col).isNotNull())
+    regs = hll_registers(src, [group_col], value_col, p=p, salt=salt, portable=portable)
+    est = hll_estimate(regs, [group_col], p=p)
+
+    groups = regs.select(F.col(group_col).alias("ga")).distinct()
+    pairs = groups.crossJoin(groups.select(F.col("ga").alias("gb"))).filter(
+        F.col("ga") < F.col("gb")
+    )
+    ra = regs.select(F.col(group_col).alias("ga"), "bucket", "reg").join(
+        F.broadcast(pairs), "ga"
+    )
+    rb = regs.select(F.col(group_col).alias("gb"), "bucket", "reg").join(
+        F.broadcast(pairs), "gb"
+    )
+    union_regs = (
+        ra.select("ga", "gb", "bucket", "reg")
+        .unionByName(rb.select("ga", "gb", "bucket", "reg"))
+        .groupBy("ga", "gb", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est_u = hll_estimate(union_regs, ["ga", "gb"], p=p).select(
+        "ga", "gb", F.col("est_distinct").alias("est_union")
+    )
+    out = (
+        est_u.join(
+            F.broadcast(
+                est.select(F.col(group_col).alias("ga"), F.col("est_distinct").alias("est_a"))
+            ),
+            "ga",
+        )
+        .join(
+            F.broadcast(
+                est.select(F.col(group_col).alias("gb"), F.col("est_distinct").alias("est_b"))
+            ),
+            "gb",
+        )
+    )
+    overlap = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6),
+        F.lit(0.0),
+    )
+    return out.select(
+        "ga",
+        "gb",
+        "est_a",
+        "est_b",
+        "est_union",
+        overlap.alias("est_overlap"),
+        F.when(
+            F.col("est_union") > 0,
+            F.round(overlap / F.col("est_union"), 6) + 0.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard_est"),
+    )

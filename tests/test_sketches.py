@@ -154,3 +154,28 @@ def test_bloom_prefilter_superset_of_join(spark):
     assert true_rows.join(kept, ["k", "v"], "left_anti").count() == 0
     # and the prefilter actually prunes most non-matches
     assert kept.count() < 1000
+
+
+def test_hll_pairwise_overlap_tracks_truth(spark):
+    from json_schema_rs_spark.operators.sketches import hll_pairwise_overlap
+
+    # A: 0..999, B: 500..1499 (50% overlap), C: 2000..2199 (disjoint)
+    rows = ([("A", i) for i in range(1000)]
+            + [("B", i) for i in range(500, 1500)]
+            + [("C", i) for i in range(2000, 2200)]
+            + [("A", None)])                      # NULL never counts
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = {(r.ga, r.gb): r for r in hll_pairwise_overlap(df, "g", "v", p=8).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    # p=8 HLL: ~6.5% standard error; allow 3 sigma
+    assert abs(ab.est_a - 1000) < 200 and abs(ab.est_b - 1000) < 200
+    assert abs(ab.est_union - 1500) < 300
+    assert abs(ab.est_overlap - 500) < 350
+    assert 0.15 < ab.jaccard_est < 0.55
+    # disjoint pairs: union ~= a + b, overlap small relative to union
+    ac = out[("A", "C")]
+    assert ac.est_overlap < 0.25 * ac.est_union
+    # inclusion-exclusion identity holds exactly as computed
+    for r in out.values():
+        assert r.est_overlap == max(round(r.est_a + r.est_b - r.est_union, 6), 0.0)

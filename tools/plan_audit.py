@@ -69,7 +69,26 @@ BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact"
            "woe_value_bins",
            # TF-IDF: the vocab-sized doc-frequency frame crossJoins the
            # ONE-ROW broadcast N aggregate — same 1-row BNLJ shape
-           "tfidf_keywords_docs"}
+           "tfidf_keywords_docs",
+           # partial-Gram covariance: the (idx,val) pair frame crossJoins
+           # the ONE-ROW broadcast n aggregate (constant cost; the whole
+           # post-UDF relation is d²-sized)
+           "embedding_gram_cov",
+           # PMI: the pair-count frame crossJoins the ONE-ROW broadcast
+           # total-token aggregate (unigram side is a broadcast HASH join)
+           "pmi_collocations_docs",
+           # association rules: the same ONE-ROW basket-count crossJoin
+           "assoc_rules_brands",
+           # decayed counts: the per-key max-exponent rebase row is a
+           # ONE-ROW broadcast crossJoin (keeps 2^(t/h) weights finite)
+           "decayed_event_counts",
+           # join-size estimate: the two scalar summary rows (|A|,|B|)
+           # crossJoin as ONE-ROW broadcasts onto the per-key product frame
+           "join_size_estimate",
+           # HLL overlap: the group-domain pair expansion crossJoins two
+           # DISTINCT-group frames (|groups|² rows, corpus-size-independent
+           # — all inputs are register aggregates)
+           "hll_overlap_event_types"}
 #: queries whose joins are big-×-big on purpose (no broadcast expectation)
 SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
@@ -113,7 +132,22 @@ SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           # broadcast-hash a full outer join; SMJ on the key is the
           # intended plan, and bucketing both tables by the key makes it
           # co-located (zero Exchange) at warehouse scale
-          "scd2_customers"}
+          "scd2_customers",
+          # association rules pair the item-count aggregate with the
+          # pair-count aggregate — both collapse to the (small) distinct
+          # item domain only at THIS corpus; at high item cardinality both
+          # are big, SMJ on the item key is the intended plan
+          "assoc_rules_brands",
+          # fork detection joins two repo-level fingerprint-set aggregates
+          # (both repo-domain-sized at scale) — big-big on purpose
+          "repo_fork_pairs",
+          # triangle counting: the wedge join e1 ⋈ e2 and the closing-edge
+          # verify pair the SAME corpus-sized canonical edge list — SMJ on
+          # the middle node / (a,b) key is the intended plan
+          "triangles_nations",
+          # label propagation: edges ⋈ labels per iteration is graph-sized
+          # on both sides at scale (same shape as the PageRank steps)
+          "label_prop_nations"}
 
 
 def main() -> int:
