@@ -672,6 +672,36 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media).select("media_id", "n_bytes", "payload_sha")
 
 
+def q_phash_media(spark, sf_dir):
+    # dHash perceptual fingerprints over the synthetic media corpus
+    # (operators/multimodal.py perceptual_hash) — the deterministic
+    # sha256-chain grid stands in for decode+downscale, so the full 64-bit
+    # fingerprint is oracle-checked; one fused projection, no UDF.
+    from json_schema_rs_spark.operators.multimodal import perceptual_hash, synthesize_media
+
+    return perceptual_hash(synthesize_media(spark, _MEDIA_ROWS))
+
+
+def q_phash_near_pairs(spark, sf_dir):
+    # Near-duplicate media detection: original corpus unioned with an
+    # id-shifted byte-identical clone -> every (i, i+10000) pair at
+    # Hamming 0.  Candidates come from 4x16-bit pigeonhole bands (catches
+    # Hamming <= 3 by construction, never all-pairs); the DuckDB oracle
+    # replays the GUARANTEE with a brute-force all-pairs Hamming filter --
+    # valid because banding's recall is exact under max_hamming=3 and no
+    # bucket here exceeds max_bucket.
+    from json_schema_rs_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_candidates,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, _MEDIA_ROWS)
+    clone = media.withColumn("media_id", F.col("media_id") + 10000)
+    hashes = perceptual_hash(media.unionByName(clone))
+    return phash_candidates(hashes, max_hamming=3)
+
+
 def q_multimodal_frame_plan(spark, sf_dir):
     from json_schema_rs_spark.operators.multimodal import frame_sample_plan, synthesize_media
 
@@ -1542,6 +1572,19 @@ def q_hll_overlap_event_types(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return hll_pairwise_overlap(ev, "event_type", "user_id", p=8)
+
+
+def q_calibration_events(spark, sf_dir):
+    # Reliability diagram + ECE companion for the scoring family
+    # (operators/scoring.py calibration_bins): value/100 as a [0,1] score
+    # for "is this a purchase" — one bin-keyed agg, decimal sums.
+    from json_schema_rs_spark.operators.scoring import calibration_bins
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("value") / 100.0).alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return calibration_bins(ev, "score", "label", n_bins=10)
 
 
 def q_sketch_hll_users(spark, sf_dir):
@@ -3045,6 +3088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
+        "phash_media": q_phash_media,
+        "phash_near_pairs": q_phash_near_pairs,
         "format_checks": q_format_checks,
         "grouping_sets_events": q_grouping_sets_events,
         "scalar_subquery_orders": q_scalar_subquery_orders,
@@ -3092,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_mincount_users": q_sketch_mincount_users,
         "sketch_hll_users": q_sketch_hll_users,
         "hll_overlap_event_types": q_hll_overlap_event_types,
+        "calibration_events": q_calibration_events,
         "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
         "distinct_users_by_type": q_distinct_users_by_type,
         "multi_distinct_events": q_multi_distinct_events,
@@ -3805,6 +3851,24 @@ def _embcov_oracle(d: int) -> str:
     """
 
 
+
+
+def _phash_sql(payload_expr: str) -> str:
+    # dHash over the sha256-chain grid, mirroring multimodal.perceptual_hash
+    g = (f"substr(sha256({payload_expr}) || sha256(sha256({payload_expr})) "
+         f"|| sha256(sha256(sha256({payload_expr}))), 1, 144)")
+    bytes_sql = []
+    for r in range(8):
+        bits = " + ".join(
+            f"(CASE WHEN ('0x'||substr(g, {(r * 9 + c) * 2 + 1}, 2))::BIGINT"
+            f" < ('0x'||substr(g, {(r * 9 + c + 1) * 2 + 1}, 2))::BIGINT"
+            f" THEN {1 << c} ELSE 0 END)"
+            for c in range(8)
+        )
+        bytes_sql.append(f"lower(lpad(hex({bits}), 2, '0'))")
+    return f"SELECT media_id, {' || '.join(bytes_sql)} AS phash FROM (SELECT media_id, {g} AS g FROM p)"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_validate_summary": f"""
@@ -4206,6 +4270,35 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY sha256(text) ORDER BY doc_id) AS rn
               FROM documents)
             WHERE rn = 1
+        """,
+        "phash_media": f"""
+            WITH p AS (
+              SELECT range AS media_id,
+                     repeat(sha256(range::VARCHAR), (range % 7 + 1)::INT) AS payload
+              FROM range({_MEDIA_ROWS}))
+            {_phash_sql("payload")}
+        """,
+        "phash_near_pairs": f"""
+            WITH p AS (
+              SELECT range % 10000 AS base_id,
+                     CASE WHEN range < 10000 THEN range ELSE range END AS media_id,
+                     repeat(sha256((range % 10000)::VARCHAR),
+                            ((range % 10000) % 7 + 1)::INT) AS payload
+              FROM (SELECT unnest([range, range + 10000]) AS range
+                    FROM range({_MEDIA_ROWS}))),
+            ph AS ({_phash_sql("payload")})
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(('0x'||substr(a.phash, 1, 4))::BIGINT,
+                                      ('0x'||substr(b.phash, 1, 4))::BIGINT))
+                      + bit_count(xor(('0x'||substr(a.phash, 5, 4))::BIGINT,
+                                      ('0x'||substr(b.phash, 5, 4))::BIGINT))
+                      + bit_count(xor(('0x'||substr(a.phash, 9, 4))::BIGINT,
+                                      ('0x'||substr(b.phash, 9, 4))::BIGINT))
+                      + bit_count(xor(('0x'||substr(a.phash, 13, 4))::BIGINT,
+                                      ('0x'||substr(b.phash, 13, 4))::BIGINT)) AS INT)
+                     AS hamming
+            FROM ph a JOIN ph b ON a.media_id < b.media_id
+            WHERE hamming <= 3
         """,
         "multimodal_features": f"""
             WITH p AS (
@@ -4797,6 +4890,25 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM agg JOIN nr ON agg.ws = nr.ws
             ORDER BY win_start_s
+        """,
+        "calibration_events": """
+            WITH src AS (
+              SELECT least(greatest(CAST(value AS DOUBLE) / 100.0, 0.0), 1.0) AS s,
+                     CAST(event_type = 'purchase' AS INT) AS y
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            agg AS (
+              SELECT CAST(least(CAST(floor(s * 10) AS INT), 9) AS INT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     SUM(CAST(s AS DECIMAL(38,12))) AS ss,
+                     SUM(CAST(y AS DECIMAL(38,12))) AS sy
+              FROM src GROUP BY 1)
+            SELECT bin, n,
+                   round(CAST(ss AS DOUBLE) / n, 6) + 0.0 AS mean_score,
+                   round(CAST(sy AS DOUBLE) / n, 6) + 0.0 AS pos_rate,
+                   round((round(CAST(sy AS DOUBLE) / n, 6) + 0.0)
+                         - (round(CAST(ss AS DOUBLE) / n, 6) + 0.0), 6) + 0.0 AS gap
+            FROM agg
         """,
         "hll_overlap_event_types": """
             WITH h AS (

@@ -143,3 +143,156 @@ def synthesize_media(spark, n_rows: int) -> DataFrame:
     return spark.range(n_rows).select(
         i.alias("media_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta")
     )
+
+
+# --- perceptual hashing (dHash) ----------------------------------------------
+
+#: dHash grid: 8 rows x 9 columns of grayscale cells -> 64 comparison bits
+PHASH_ROWS, PHASH_COLS = 8, 9
+
+
+def phash_grid_hex(payload_col) -> "F.Column":
+    """Deterministic stand-in for decode+downscale: 144 hex chars (72
+    grayscale bytes = the 8×9 dHash grid) derived from the payload via
+    sha512‖sha256 — stable across machines AND replayable in any engine
+    with sha functions, so the full pipeline is oracle-checkable.  A real
+    deployment swaps this single Column for the output of an injected
+    decoder (same 144-hex contract), leaving hash/banding/verify intact.
+    """
+    c = payload_col if not isinstance(payload_col, str) else F.col(payload_col)
+    # sha256 chain (not sha512): every link hashes a hex STRING, so any
+    # engine with just sha256 replays the grid byte-for-byte
+    h1 = F.sha2(c, 256)
+    h2 = F.sha2(h1, 256)
+    h3 = F.sha2(h2, 256)
+    return F.substring(F.concat(h1, h2, h3), 1, PHASH_ROWS * PHASH_COLS * 2)
+
+
+def perceptual_hash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    grid_hex: "F.Column | None" = None,
+) -> DataFrame:
+    """64-bit dHash fingerprint per media row: ``(id_col, phash)`` with
+    ``phash`` as 16 lowercase hex chars (hex avoids BIGINT sign traps on
+    the top bit and is engine-portable byte-for-byte).
+
+    bit (r,c) = grid[r][c] < grid[r][c+1] — the classic difference hash:
+    invariant to global brightness/contrast shifts of a real decoded
+    grid.  Pure Column expressions (64 comparisons + 8 byte folds fused
+    into one projection); ``grid_hex`` overrides the grid source (a real
+    decoder's 144-hex output) — the default is the deterministic
+    :func:`phash_grid_hex` stand-in.
+    """
+    g = grid_hex if grid_hex is not None else phash_grid_hex(payload_col)
+    # Everything below is LOOP-based array expressions (transform /
+    # aggregate over sequences), not 128 unrolled conv(substr(...)) calls:
+    # unrolled, the fused projection's generated Java overflows the JVM's
+    # 64 KB method limit and whole-stage codegen falls back to interpreted
+    # (measured).  The array forms generate one compact loop each.
+    staged = media.select(F.col(id_col), g.alias("__grid"))
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(PHASH_ROWS * PHASH_COLS - 1)),
+        lambda i: F.conv(F.col("__grid").substr(i * 2 + 1, F.lit(2)), 16, 10).cast(
+            "int"
+        ),
+    )
+    staged = staged.select(F.col(id_col), cells.alias("__cells"))
+
+    def bit(r, c):
+        # element_at is 1-based; 2^c via double pow (exact for c < 31)
+        lt = F.element_at(F.col("__cells"), (r * PHASH_COLS + c + 1).cast("int")) < F.element_at(
+            F.col("__cells"), (r * PHASH_COLS + c + 2).cast("int")
+        )
+        return F.when(lt, F.pow(F.lit(2.0), c).cast("int")).otherwise(F.lit(0))
+
+    bytes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(PHASH_ROWS - 1)),
+        lambda r: F.lower(
+            F.lpad(
+                F.hex(
+                    F.aggregate(
+                        F.sequence(F.lit(0), F.lit(PHASH_COLS - 2)),
+                        F.lit(0),
+                        lambda acc, c: acc + bit(r, c),
+                    )
+                ),
+                2,
+                "0",
+            )
+        ),
+    )
+    return staged.select(
+        F.col(id_col), F.array_join(bytes_arr, "").alias("phash")
+    )
+
+
+def phash_candidates(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Near-duplicate media pairs: ``(id_a, id_b, hamming)`` with Hamming
+    distance ≤ ``max_hamming`` between 64-bit dHash fingerprints.
+
+    Same pigeonhole banding as ``dedup.simhash_candidates``: 4 bands of 16
+    bits — ≤3 flipped bits leave ≥1 band intact, so candidate generation
+    is 4 equi-join shuffles on (band, value), never all-pairs; buckets
+    above ``max_bucket`` (flat-color boilerplate media) are dropped with a
+    broadcast anti-join.  Exact Hamming verify on candidates via per-band
+    xor + bit_count (JVM-side).
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"phash_candidates: pigeonhole banding covers max_hamming in [0,3], "
+            f"got {max_hamming}"
+        )
+    bands = hashes.select(
+        F.col(id_col).alias("doc"),
+        F.col("phash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("phash", b * 4 + 1, 4).alias("bval"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc", "phash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    sizes = bands.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("bsz"))
+    bands = bands.join(
+        F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "bval"], "left_anti"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+
+    def chunk(col: str, k: int) -> "F.Column":
+        return F.conv(F.substring(col, k * 4 + 1, 4), 16, 10).cast("long")
+
+    ham = None
+    for k in range(4):
+        h = F.bit_count(chunk("pa", k).bitwiseXOR(chunk("pb", k)))
+        ham = h if ham is None else ham + h
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -266,3 +266,77 @@ def group_trend(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a [0,1] score against a boolean label:
+    one row per equal-width bin —
+
+      ``(bin, n, mean_score, pos_rate, gap)``
+
+    with ``bin = min(floor(score·n_bins), n_bins−1)``, ``gap =
+    round(pos_rate − mean_score, 6)`` (positive = under-confident).  The
+    weighted |gap| total is the expected calibration error — see
+    :func:`expected_calibration_error`.  NULL scores/labels excluded;
+    scores are clamped to [0,1] first (a screening score slightly outside
+    the range lands in the edge bins rather than a phantom bin).
+
+    ONE groupBy(bin) aggregation — map-side combined, ≤ ``n_bins`` rows
+    shuffle.  Means/rates are decimal-summed so the result is
+    partitioning-invariant at any scale.
+    """
+    if n_bins < 2:
+        raise ValueError(f"calibration_bins: n_bins must be >= 2, got {n_bins}")
+    s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    lab = F.col(label_col).cast("boolean")
+    src = df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+    b = F.least(
+        F.floor(s * F.lit(int(n_bins))).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    agged = (
+        src.select(
+            b.alias("bin"),
+            s.cast("decimal(38,12)").alias("__s"),
+            lab.cast("int").cast("decimal(38,12)").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__s").alias("__ss"),
+            F.sum("__y").alias("__sy"),
+        )
+    )
+    # exact decimal sums cast to double BEFORE the divide (the repo-wide
+    # idiom: one correctly-rounded double division, engine-portable)
+    nd = F.col("n").cast("double")
+    mean_score = F.round(F.col("__ss").cast("double") / nd, 6) + 0.0
+    pos_rate = F.round(F.col("__sy").cast("double") / nd, 6) + 0.0
+    return agged.select(
+        "bin",
+        "n",
+        mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        (F.round(pos_rate - mean_score, 6) + 0.0).alias("gap"),
+    )
+
+
+def expected_calibration_error(bins: DataFrame) -> DataFrame:
+    """Weighted calibration summary over :func:`calibration_bins` output:
+    one row ``(n:long, ece:double, max_gap:double)`` with
+    ``ece = round(Σ n_b·|gap_b| / N, 6)`` — the standard ECE — and the
+    worst single-bin |gap|.  Constant-size input (≤ n_bins rows)."""
+    return bins.agg(
+        F.sum("n").cast("long").alias("n"),
+        (
+            F.round(
+                F.sum(F.col("n") * F.abs(F.col("gap"))) / F.sum("n"), 6
+            )
+            + 0.0
+        ).alias("ece"),
+        (F.round(F.max(F.abs(F.col("gap"))), 6) + 0.0).alias("max_gap"),
+    )

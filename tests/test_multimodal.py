@@ -69,3 +69,46 @@ def test_frame_sample_plan(spark):
     for r in got:
         expected = (max(durations[r["media_id"]] - 1, 0)) // 500 + 1
         assert r["count"] == expected
+
+
+def _dhash_py(grid_hex):
+    # pure-python dHash replay of perceptual_hash
+    cells = [int(grid_hex[i:i+2], 16) for i in range(0, 144, 2)]
+    out = ""
+    for r in range(8):
+        byte = sum((1 << c) for c in range(8)
+                   if cells[r*9 + c] < cells[r*9 + c + 1])
+        out += format(byte, "02x")
+    return out
+
+
+def test_perceptual_hash_matches_python_replay(spark):
+    from json_schema_rs_spark.operators.multimodal import (
+        perceptual_hash, phash_grid_hex, synthesize_media,
+    )
+    media = synthesize_media(spark, 30)
+    got = {r.media_id: r.phash for r in perceptual_hash(media).collect()}
+    grids = {r.media_id: r.g for r in media.select(
+        "media_id", phash_grid_hex("payload").alias("g")).collect()}
+    assert len(got) == 30
+    for mid, ph in got.items():
+        assert ph == _dhash_py(grids[mid]), mid
+        assert len(ph) == 16
+
+
+def test_phash_candidates_pigeonhole_and_verify(spark):
+    from json_schema_rs_spark.operators.multimodal import phash_candidates
+
+    base = "00112233445566" + "77"
+    near = "00112233445566" + "76"   # 1 bit flipped in the last byte
+    far  = "ffeeddccbbaa9988"        # many bits away
+    rows = [(1, base), (2, near), (3, far), (4, base)]
+    df = spark.createDataFrame(rows, "media_id long, phash string")
+    out = {(r.id_a, r.id_b): r.hamming for r in phash_candidates(df).collect()}
+    assert out[(1, 2)] == 1 and out[(2, 4)] == 1
+    assert out[(1, 4)] == 0              # exact dup
+    assert (1, 3) not in out and (2, 3) not in out
+
+    import pytest
+    with pytest.raises(ValueError):
+        phash_candidates(df, max_hamming=5)

@@ -151,3 +151,44 @@ def test_group_trend_partition_invariant(spark):
     a = group_trend(df, "grp", "x", "y").collect()[0]
     b = group_trend(df.repartition(9), "grp", "x", "y").collect()[0]
     assert a == b
+
+
+def test_calibration_bins_and_ece(spark):
+    from json_schema_rs_spark.operators.scoring import (
+        calibration_bins,
+        expected_calibration_error,
+    )
+
+    # perfectly calibrated bins 0.25 / 0.75 plus clamping + NULL hygiene
+    rows = (
+        [(0.25, True)] * 1 + [(0.25, False)] * 3        # bin 2: rate .25
+        + [(0.75, True)] * 3 + [(0.75, False)] * 1      # bin 7: rate .75
+        + [(1.5, True), (-0.5, False)]                  # clamp -> bins 9 / 0
+        + [(None, True), (0.5, None)]                   # dropped
+    )
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r.bin: r for r in calibration_bins(df, "score", "label", n_bins=10).collect()}
+    assert set(out) == {0, 2, 7, 9}
+    assert out[2].n == 4 and out[2].mean_score == 0.25 and out[2].pos_rate == 0.25
+    assert out[2].gap == 0.0 and out[7].gap == 0.0
+    assert out[9].mean_score == 1.0 and out[9].pos_rate == 1.0   # clamped high
+    assert out[0].mean_score == 0.0 and out[0].pos_rate == 0.0   # clamped low
+
+    ece = expected_calibration_error(
+        calibration_bins(df, "score", "label", n_bins=10)
+    ).collect()[0]
+    assert ece.n == 10 and ece.ece == 0.0 and ece.max_gap == 0.0
+
+    import pytest
+    with pytest.raises(ValueError):
+        calibration_bins(df, "score", "label", n_bins=1)
+
+
+def test_calibration_gap_signs(spark):
+    from json_schema_rs_spark.operators.scoring import calibration_bins
+
+    # scores say 0.1 but labels fire half the time -> under-confident, gap > 0
+    rows = [(0.1, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = calibration_bins(df, "score", "label", n_bins=10).collect()[0]
+    assert r.bin == 1 and r.gap == 0.4
