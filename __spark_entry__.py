@@ -2013,6 +2013,17 @@ def q_drift_psi_windows(spark, sf_dir):
     )
 
 
+def q_fd_discovery_lineitem(spark, sf_dir):
+    # Pairwise FD profiling (operators/reconcile.py fd_discovery): which of
+    # the lineitem status/flag/mode-ish columns determine each other —
+    # explode to (pair, det, dep) then the two-phase distinct-pair agg, so
+    # the shuffle carries distinct value pairs only.
+    from json_schema_rs_spark.operators.reconcile import fd_discovery
+
+    li = _t(spark, sf_dir, "lineitem")
+    return fd_discovery(li, ["l_returnflag", "l_linestatus", "l_tax"])
+
+
 def q_fd_lineitem_returnflag(spark, sf_dir):
     # Functional-dependency check l_orderkey → l_returnflag: two-phase
     # aggregation (unique pairs shuffle, never raw rows).
@@ -3157,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_events": q_freshness_events,
         "benford_orders_totalprice": q_benford_orders_totalprice,
         "fd_lineitem_returnflag": q_fd_lineitem_returnflag,
+        "fd_discovery_lineitem": q_fd_discovery_lineitem,
         "violation_diff_docs": q_violation_diff_docs,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "delta_validate_docs": q_delta_validate_docs,
@@ -5240,6 +5252,30 @@ def oracle_sql() -> dict[str, str]:
                    + ((n5+1.0)/(n_rows+6.0) - (1.0/6)) * ln(((n5+1.0)/(n_rows+6.0)) / (1.0/6))
                    , 6) AS psi
             FROM c
+        """,
+        "fd_discovery_lineitem": """
+            WITH cols AS (
+              SELECT * FROM (VALUES ('l_returnflag'), ('l_linestatus'),
+                                    ('l_tax')) c(name)),
+            ex AS (
+              SELECT a.name AS det, b.name AS dep,
+                     CASE a.name WHEN 'l_returnflag' THEN CAST(l.l_returnflag AS VARCHAR)
+                                 WHEN 'l_linestatus' THEN CAST(l.l_linestatus AS VARCHAR)
+                                 ELSE CAST(l.l_tax AS VARCHAR) END AS dv,
+                     CASE b.name WHEN 'l_returnflag' THEN CAST(l.l_returnflag AS VARCHAR)
+                                 WHEN 'l_linestatus' THEN CAST(l.l_linestatus AS VARCHAR)
+                                 ELSE CAST(l.l_tax AS VARCHAR) END AS pv
+              FROM lineitem l, cols a, cols b WHERE a.name <> b.name),
+            dp AS (SELECT DISTINCT det, dep, dv, pv FROM ex),
+            pd AS (SELECT det, dep, dv, count(*) AS ndep
+                   FROM dp GROUP BY det, dep, dv)
+            SELECT det, dep,
+                   CAST(count(*) AS BIGINT) AS n_det_values,
+                   CAST(sum(ndep) AS BIGINT) AS n_pairs,
+                   sum(ndep) = count(*) AS holds,
+                   round(CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) + 0.0 AS violating_share
+            FROM pd GROUP BY det, dep
         """,
         "fd_lineitem_returnflag": """
             SELECT l_orderkey, count(*) AS n_rows,

@@ -316,3 +316,68 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
         F.round(expected, 6).alias("expected_p"),
         F.round(total * F.pow(obs - expected, F.lit(2.0)) / expected, 6).alias("chi2_term"),
     )
+
+
+def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Profile every ordered column pair for functional dependency
+    ``det → dep``: one row per (det, dep) pair —
+
+      ``(det, dep, n_det_values, n_pairs, holds, violating_share)``
+
+    where ``n_det_values`` counts distinct determinant values, ``n_pairs``
+    distinct (det, dep) value pairs; the FD holds exactly when they are
+    equal, and ``violating_share = round(violating_det_values /
+    n_det_values, 6)`` grades how badly it fails (Deequ-style discovery —
+    :func:`fd_violations` then drills into any candidate worth enforcing).
+    NULLs are values here (same convention as fd_violations: a key mapping
+    to both 'x' and NULL violates).
+
+    Plan: ONE explode to (pair, det_val, dep_val) — |rows|·k·(k−1) rows
+    for k profiled columns, the honest generic cost (profile few columns,
+    not wide tables) — then the same two-phase distinct-pair aggregation
+    as fd_violations: map-side dedup on (pair, det, dep) bounds the
+    shuffle by distinct pairs, and the second agg is pair-domain sized.
+    """
+    if len(cols) < 2:
+        raise ValueError("fd_discovery: need at least two columns")
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+    exploded = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(a).alias("det"),
+                    F.lit(b).alias("dep"),
+                    F.col(a).cast("string").alias("dv"),
+                    F.col(b).cast("string").alias("pv"),
+                )
+                for a, b in pairs
+            ])
+        ).alias("e")
+    ).select("e.det", "e.dep", "e.dv", "e.pv")
+    distinct_pairs = exploded.groupBy("det", "dep", "dv", "pv").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per_det = distinct_pairs.groupBy("det", "dep", "dv").agg(
+        F.count(F.lit(1)).alias("__ndep")
+    )
+    return (
+        per_det.groupBy("det", "dep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_det_values"),
+            F.sum("__ndep").cast("long").alias("n_pairs"),
+            F.sum((F.col("__ndep") > 1).cast("long")).alias("__nviol"),
+        )
+        .select(
+            "det",
+            "dep",
+            "n_det_values",
+            "n_pairs",
+            (F.col("n_pairs") == F.col("n_det_values")).alias("holds"),
+            (
+                F.round(
+                    F.col("__nviol").cast("double") / F.col("n_det_values"), 6
+                )
+                + 0.0
+            ).alias("violating_share"),
+        )
+    )

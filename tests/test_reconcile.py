@@ -237,3 +237,25 @@ def test_robust_outliers_all_identical_flags_nothing(spark):
 
     df = spark.createDataFrame([(i, 5.0) for i in range(20)], ["id", "v"])
     assert robust_outliers(df, "v", k=1.0).collect() == []
+
+
+def test_fd_discovery_pairwise(spark):
+    from json_schema_rs_spark.operators.reconcile import fd_discovery
+
+    rows = [
+        ("a", 1, "x"), ("a", 1, "x"),      # a -> 1 consistent
+        ("b", 2, "x"), ("b", 2, "y"),      # b -> {x,y}: code->tag violated
+        ("c", 3, None), ("c", 3, "z"),     # NULL counts as a value
+    ]
+    df = spark.createDataFrame(rows, "code string, num int, tag string")
+    out = {(r.det, r.dep): r for r in fd_discovery(df, ["code", "num", "tag"]).collect()}
+    assert len(out) == 6
+    assert out[("code", "num")].holds is True
+    assert out[("num", "code")].holds is True       # bijective here
+    r = out[("code", "tag")]
+    assert r.holds is False and r.n_det_values == 3 and r.n_pairs == 5
+    assert r.violating_share == round(2 / 3, 6)
+    # tag 'x' maps to codes {a, b} -> tag->code violated; NULL is a value
+    r2 = out[("tag", "code")]
+    assert r2.holds is False and r2.n_det_values == 4   # x, y, z, NULL
+    assert r2.violating_share == 0.25
