@@ -2024,6 +2024,21 @@ def q_fd_discovery_lineitem(spark, sf_dir):
     return fd_discovery(li, ["l_returnflag", "l_linestatus", "l_tax"])
 
 
+def q_attribution_join_events(spark, sf_dir):
+    # Click->purchase attribution within 30 minutes per user — the batch
+    # face of streaming/stream_join.windowed_stream_join (watermarks are a
+    # no-op on batch frames, so THIS exact operator is what the streaming
+    # parity test runs): equi-key shuffle + bounded time-range residual.
+    from json_schema_rs_spark.streaming.stream_join import windowed_stream_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    return windowed_stream_join(clicks, buys, key="user_id", max_lag_sec=1800).select(
+        "user_id", "l_event_id", "r_event_id", "lag_sec"
+    )
+
+
 def q_fd_lineitem_returnflag(spark, sf_dir):
     # Functional-dependency check l_orderkey → l_returnflag: two-phase
     # aggregation (unique pairs shuffle, never raw rows).
@@ -3169,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders_totalprice": q_benford_orders_totalprice,
         "fd_lineitem_returnflag": q_fd_lineitem_returnflag,
         "fd_discovery_lineitem": q_fd_discovery_lineitem,
+        "attribution_join_events": q_attribution_join_events,
         "violation_diff_docs": q_violation_diff_docs,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "delta_validate_docs": q_delta_validate_docs,
@@ -5252,6 +5268,17 @@ def oracle_sql() -> dict[str, str]:
                    + ((n5+1.0)/(n_rows+6.0) - (1.0/6)) * ln(((n5+1.0)/(n_rows+6.0)) / (1.0/6))
                    , 6) AS psi
             FROM c
+        """,
+        "attribution_join_events": """
+            SELECT c.user_id, c.event_id AS l_event_id, b.event_id AS r_event_id,
+                   CAST(floor((epoch_us(b.ts) - epoch_us(c.ts)) / 1000000.0) AS BIGINT)
+                     AS lag_sec
+            FROM events c
+            JOIN events b
+              ON c.user_id = b.user_id
+             AND b.ts >= c.ts
+             AND b.ts <= c.ts + INTERVAL 1800 SECONDS
+            WHERE c.event_type = 'click' AND b.event_type = 'purchase'
         """,
         "fd_discovery_lineitem": """
             WITH cols AS (

@@ -1,0 +1,88 @@
+"""Watermarked STREAM-STREAM join: correlate two unbounded event feeds
+within a bounded time window (click→purchase attribution, request→response
+latency pairing, media-upload→scan-result matching).
+
+No reference counterpart (the reference is strictly batch, SURVEY §2.9);
+this completes the streaming family's join surface: validate_stream /
+ri_stream are stream-static, this is the genuinely stateful two-stream
+case — Structured Streaming's flagship capability and its most
+state-sensitive one.
+
+State-bound rules (the part that keeps a 100 TB/day feed from OOMing the
+state store — Spark only evicts buffered rows when BOTH are true):
+
+  * each side carries ``withWatermark(ts, delay)`` — late data beyond the
+    delay is dropped AND the watermark bounds how long rows wait for a
+    partner;
+  * the join condition constrains the two event times to a finite range
+    (``left.ts BETWEEN right.ts - lower AND right.ts + upper``), so every
+    buffered row has an expiry the engine can compute.
+
+Plan shape: one shuffle per side on the join key into a shared
+state-store partitioning (same Exchange layout as a batch SMJ), then
+per-partition symmetric hash join with watermark eviction.  Inner joins
+emit as matches arrive; outer variants must wait for watermark closure —
+higher latency, same state bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag_sec: int = 3600,
+    watermark_delay: str = "10 minutes",
+    how: str = "inner",
+    prefix: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """Join two event streams on ``key`` where the right event lands within
+    ``[left_ts, left_ts + max_lag_sec]`` — the attribution shape ("a
+    purchase within an hour of the click").
+
+    Both sides get ``watermark_delay`` watermarks, and every non-key
+    column is prefixed (``l_`` / ``r_``) so the output schema is
+    collision-free.  Output columns: ``key, l_*, r_*, lag_sec``
+    (``long``, right minus left event time in seconds).
+
+    ``how``: ``inner`` (default) or ``leftOuter`` — left-outer emits
+    unmatched left rows (NULL right side) only after the watermark passes
+    their window, which is the correct "click never converted" semantics.
+    Works identically on batch DataFrames (watermarks are a no-op there),
+    which is what the stream==batch parity tests exploit.
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"windowed_stream_join: how must be inner|leftOuter, got {how}")
+    if max_lag_sec <= 0:
+        raise ValueError(f"windowed_stream_join: max_lag_sec must be > 0, got {max_lag_sec}")
+    lp, rp = prefix
+
+    def _tag(df: DataFrame, ts_col: str, p: str) -> DataFrame:
+        cols = [
+            F.col(c).alias(c if c == key else f"{p}{c}") for c in df.columns
+        ]
+        return df.select(*cols).withWatermark(f"{p}{ts_col}", watermark_delay)
+
+    lt = _tag(left, left_ts, lp)
+    rt = _tag(right, right_ts, rp)
+    lts, rts = F.col(f"{lp}{left_ts}"), F.col(f"{rp}{right_ts}")
+    cond = (
+        (lt[key] == rt[key])
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {int(max_lag_sec)} SECONDS"))
+    )
+    joined = lt.join(rt, cond, how).drop(rt[key])
+    # cast("timestamp") first: parquet event times land as TIMESTAMP_NTZ,
+    # which unix_micros rejects (same normalization as operators/temporal)
+    lag = (
+        F.unix_micros(rts.cast("timestamp")) - F.unix_micros(lts.cast("timestamp"))
+    ) / F.lit(1_000_000)
+    return joined.withColumn(
+        "lag_sec", F.floor(lag).cast("long")
+    )

@@ -1,0 +1,89 @@
+"""Watermarked stream-stream join — stream == batch parity."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.streaming.stream_join import windowed_stream_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def _feeds(spark, tmp_path):
+    # split events into two "streams": clicks and purchases per user
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks_dir.mkdir(), buys_dir.mkdir()
+    src.filter(F.col("event_type") == "click").write.parquet(
+        str(clicks_dir / "p"), mode="overwrite"
+    )
+    src.filter(F.col("event_type") == "purchase").write.parquet(
+        str(buys_dir / "p"), mode="overwrite"
+    )
+    cb = spark.read.parquet(str(clicks_dir / "p"))
+    bb = spark.read.parquet(str(buys_dir / "p"))
+    cs = spark.readStream.schema(cb.schema).parquet(str(clicks_dir / "p"))
+    bs = spark.readStream.schema(bb.schema).parquet(str(buys_dir / "p"))
+    return cb, bb, cs, bs
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    cb, bb, cs, bs = _feeds(spark, tmp_path)
+    args = dict(key="user_id", left_ts="ts", right_ts="ts", max_lag_sec=1800)
+
+    sdf = windowed_stream_join(cs, bs, **args).select(
+        "user_id", "l_event_id", "r_event_id", "lag_sec"
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM ssj")
+
+    want = windowed_stream_join(cb, bb, **args).select(
+        "user_id", "l_event_id", "r_event_id", "lag_sec"
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_windowed_join_semantics(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    clicks = spark.createDataFrame(
+        [(1, "c1", t0), (2, "c2", t0)],
+        "user_id long, event_id string, ts timestamp",
+    )
+    buys = spark.createDataFrame(
+        [
+            (1, "b-in", t0 + dt.timedelta(seconds=600)),    # within 1800s
+            (1, "b-late", t0 + dt.timedelta(seconds=3600)), # outside
+            (1, "b-before", t0 - dt.timedelta(seconds=5)),  # before click
+            (2, "b-edge", t0 + dt.timedelta(seconds=1800)), # inclusive edge
+        ],
+        "user_id long, event_id string, ts timestamp",
+    )
+    out = windowed_stream_join(clicks, buys, key="user_id", max_lag_sec=1800)
+    got = {(r.l_event_id, r.r_event_id): r.lag_sec for r in out.collect()}
+    assert got == {("c1", "b-in"): 600, ("c2", "b-edge"): 1800}
+
+    # leftOuter keeps unconverted clicks with NULL right side
+    outer = windowed_stream_join(
+        clicks.filter("event_id = 'c1'"),
+        buys.filter("event_id = 'b-late'"),
+        key="user_id",
+        max_lag_sec=1800,
+        how="leftOuter",
+    ).collect()
+    assert len(outer) == 1 and outer[0].r_event_id is None and outer[0].lag_sec is None
+
+    import pytest
+    with pytest.raises(ValueError):
+        windowed_stream_join(clicks, buys, key="user_id", how="full")
+    with pytest.raises(ValueError):
+        windowed_stream_join(clicks, buys, key="user_id", max_lag_sec=0)
