@@ -89,6 +89,7 @@ def ppjoin_pairs(
     max_prefix_df: int | None = None,
     round_to: int = 6,
     shingle_k: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-similarity self-join: all pairs of documents whose
     distinct-token Jaccard is ≥ ``threshold``, via prefix filtering.
@@ -102,6 +103,13 @@ def ppjoin_pairs(
     ``max_prefix_df``: optional hot-prefix guard — see module docstring;
     None (default) keeps the join exact.  ``shingle_k``: tokenize as
     lowercase char k-grams instead of words (see token_sets).
+
+    ``materialize`` (default True): persist the ranked per-doc relation
+    (MEMORY_AND_DISK) — it feeds THREE plan branches (prefix index + both
+    verify sides) and rebuilding the token-df join + per-doc sort per
+    branch tripled wall-clock (measured 37 s → 13 s at sf0.1).  The
+    relation is one bounded row per document; at petabyte scale write it
+    to a temp parquet (checkpoint) instead and pass materialize=False.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -139,19 +147,63 @@ def ppjoin_pairs(
         )
     )
 
-    pref = per_doc.select("id", "sz", F.explode("prefix").alias("p")).select(
-        "id", "sz", F.col("p.token").alias("token"), F.col("p.df").alias("df")
+    if materialize:
+        from pyspark import StorageLevel
+
+        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pref = per_doc.select(
+        "id", "sz", F.posexplode("prefix").alias("pos0", "p")
+    ).select(
+        "id",
+        "sz",
+        (F.col("pos0") + 1).cast("int").alias("pos"),  # 1-based prefix position
+        F.col("p.token").alias("token"),
+        F.col("p.df").alias("df"),
     )
     if max_prefix_df is not None:
         pref = pref.filter(F.col("df") <= F.lit(int(max_prefix_df)))
-    a = pref.select(F.col("id").alias("doc_a"), F.col("sz").alias("size_a"), "token")
-    b = pref.select(F.col("id").alias("doc_b"), F.col("sz").alias("size_b"), "token")
+    a = pref.select(
+        F.col("id").alias("doc_a"), F.col("sz").alias("size_a"),
+        F.col("pos").alias("pos_a"), "token",
+    )
+    b = pref.select(
+        F.col("id").alias("doc_b"), F.col("sz").alias("size_b"),
+        F.col("pos").alias("pos_b"), "token",
+    )
+    # PPJoin POSITION filter (Xiao et al. §3): a qualifying pair needs
+    # overlap ≥ α = ceil(t/(1+t)·(sa+sb)), and for the FIRST shared prefix
+    # token at positions (i, j) every shared token sits at ≥ i / ≥ j, so
+    # overlap ≤ 1 + min(sa−i, sb−j).  Filtering every matched entry by that
+    # bound keeps completeness (the first shared entry of a qualifying pair
+    # always passes) and prunes candidates before the distinct.  NOTE the
+    # limit of ALL prefix tricks: they pay one match row per shared prefix
+    # token occurrence, so a corpus whose token space is tiny and uniformly
+    # hot (the sf templated docs: 2 041 distinct 5-grams, p99 df ≈ 0.77·n —
+    # nothing is rare for the order to exploit) keeps Σ df² match volume no
+    # matter the filter order.  That is a property of exact set joins, not
+    # of this plan; on such corpora scope the input (per-language/per-repo
+    # partition) or accept the max_prefix_df recall knob.
+    alpha = F.ceil(
+        F.lit(float(threshold) / (1.0 + float(threshold)))
+        * (F.col("size_a") + F.col("size_b")).cast("double")
+    )
     cand = (
         a.join(b, "token")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
             F.least("size_a", "size_b").cast("double")
             >= F.lit(float(threshold)) * F.greatest("size_a", "size_b").cast("double")
+        )
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("size_a") - F.col("pos_a"),
+                    F.col("size_b") - F.col("pos_b"),
+                )
+            ).cast("double")
+            >= alpha
         )
         .select("doc_a", "doc_b")
         .distinct()
