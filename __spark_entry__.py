@@ -2772,6 +2772,12 @@ def q_split_leakage_docs(spark, sf_dir):
         bands=4,
         jaccard_threshold=0.3,
         portable=True,
+        # hot-bucket guard ON (mirrored in the oracle's HAVING): r=2 bands
+        # put whole template families in one bucket on this corpus —
+        # unguarded, 5 000 docs made 1.1 M candidate pairs and the verify
+        # dominated the bench (17 s); guarded it is the sub-quadratic shape.
+        # 48 binds at sf0.01 too, so the correctness gate exercises it.
+        max_bucket=48,
     )
 
 
@@ -6187,9 +6193,15 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN cv USING (label)
         """,
         "split_leakage_docs": _MINHASH_SIG + _MINHASH_BANDS + f"""
-            , pairs AS (
+            , kept AS (
+              SELECT band, key FROM bands GROUP BY band, key
+              HAVING count(*) <= 48),
+            gb AS (
+              SELECT b.doc_id, b.band, b.key FROM bands b
+              JOIN kept k ON k.band = b.band AND k.key = b.key),
+            pairs AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
+              FROM gb a JOIN gb b
                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
             shl AS (
               SELECT doc_id,

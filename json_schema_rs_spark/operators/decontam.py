@@ -117,6 +117,7 @@ def split_leakage(
     bands: int = 4,
     jaccard_threshold: float = 0.3,
     portable: bool = False,
+    max_bucket: int = 10**9,
 ) -> DataFrame:
     """Cross-split near-duplicate leakage audit: assign every doc its stable
     ``hash_split`` label, find near-dup candidate pairs with MinHash-LSH,
@@ -133,13 +134,22 @@ def split_leakage(
     (banded buckets, never all-pairs — operators/dedup.py); split labels
     join onto the (tiny) verified pair set by id, so the corpus is never
     re-shuffled for labeling.
+
+    ``max_bucket`` forwards to the hot-bucket guard (drop LSH buckets with
+    more than this many docs before pairing).  On boilerplate-heavy corpora
+    this is the knob that keeps the candidate join sub-quadratic: with few
+    rows per band (r = num_hashes/bands small) template text lands whole
+    document families in one bucket, and Σ|bucket|² is the join's output
+    size.  Default keeps the audit exhaustive; production audits should set
+    it (the dropped buckets ARE the boilerplate clusters, catchable by the
+    exact n-gram decontamination pass instead).
     """
     from .dedup import jaccard_verify, minhash_lsh_candidates
     from .sampling import hash_split
 
     pairs = minhash_lsh_candidates(
         df, id_col, text_col=text_col, k=k, num_hashes=num_hashes, bands=bands,
-        portable=portable, max_bucket=10**9,
+        portable=portable, max_bucket=max_bucket,
     )
     verified = jaccard_verify(df, pairs, id_col, text_col=text_col, k=k,
                               threshold=jaccard_threshold)
