@@ -247,6 +247,10 @@ def bench_queries(spark) -> dict[str, float]:
         "kcore_trade",
         "strip_boilerplate_docs",
         "complexity_docs",
+        "calibration_events",
+        "phash_near_pairs",
+        "hll_overlap_event_types",
+        "fd_discovery_lineitem",
     ]
     qs = entrymod.queries()
 

@@ -64,8 +64,15 @@ def windowed_stream_join(
     lp, rp = prefix
 
     def _tag(df: DataFrame, ts_col: str, p: str) -> DataFrame:
+        # cast the event-time column to TIMESTAMP up front: parquet event
+        # times land as TIMESTAMP_NTZ, which withWatermark rejects outright
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — same normalization as
+        # operators/temporal
         cols = [
-            F.col(c).alias(c if c == key else f"{p}{c}") for c in df.columns
+            (
+                F.col(c).cast("timestamp") if c == ts_col else F.col(c)
+            ).alias(c if c == key else f"{p}{c}")
+            for c in df.columns
         ]
         return df.select(*cols).withWatermark(f"{p}{ts_col}", watermark_delay)
 
@@ -78,11 +85,7 @@ def windowed_stream_join(
         & (rts <= lts + F.expr(f"INTERVAL {int(max_lag_sec)} SECONDS"))
     )
     joined = lt.join(rt, cond, how).drop(rt[key])
-    # cast("timestamp") first: parquet event times land as TIMESTAMP_NTZ,
-    # which unix_micros rejects (same normalization as operators/temporal)
-    lag = (
-        F.unix_micros(rts.cast("timestamp")) - F.unix_micros(lts.cast("timestamp"))
-    ) / F.lit(1_000_000)
+    lag = (F.unix_micros(rts) - F.unix_micros(lts)) / F.lit(1_000_000)
     return joined.withColumn(
         "lag_sec", F.floor(lag).cast("long")
     )
