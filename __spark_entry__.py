@@ -3078,6 +3078,61 @@ def q_tfidf_keywords_docs(spark, sf_dir):
     return tfidf_keywords(docs, "text", "doc_id", k=3)
 
 
+def q_out_of_order_events(spark, sf_dir):
+    # Out-of-order-arrival validation (operators/ordering.py
+    # out_of_order_events): running-max high-water check over each user's
+    # ASSIGNMENT-ordered stream.  The synthetic feed is perfectly ordered, so
+    # the query models late delivery deterministically (every 97th event
+    # arrives with its timestamp 2 h behind — same synthesized-scenario
+    # pattern as q_code_clone_classes) and the operator must flag exactly
+    # those regressions.
+    from json_schema_rs_spark.operators.ordering import out_of_order_events
+
+    ev = _t(spark, sf_dir, "events")
+    delayed = ev.withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 97 == 0, F.col("ts") - F.expr("INTERVAL 2 HOURS")
+        ).otherwise(F.col("ts")),
+    )
+    return out_of_order_events(delayed)
+
+
+def q_time_gaps_events(spark, sf_dir):
+    # Feed-completeness validation (operators/ordering.py time_gaps): every
+    # silence > 24 h inside a user's stream, bracketed by exact-microsecond
+    # timestamps — the dual of sessionization.
+    from json_schema_rs_spark.operators.ordering import time_gaps
+
+    return time_gaps(_t(spark, sf_dir, "events"), min_gap_sec=86400.0)
+
+
+def q_transition_violations_events(spark, sf_dir):
+    # State-machine conformance (operators/ordering.py
+    # transition_violations): the allowed funnel machine below; every
+    # adjacent (from → to) pair outside it is a violation row, and streams
+    # must START at signup or view.  The allowed set is a broadcast literal
+    # isin — never a join.
+    from json_schema_rs_spark.operators.ordering import transition_violations
+
+    allowed = [
+        ("signup", "view"),
+        ("view", "view"),
+        ("view", "click"),
+        ("click", "view"),
+        ("click", "purchase"),
+        ("purchase", "view"),
+        ("view", "error"),
+        ("click", "error"),
+        ("error", "view"),
+    ]
+    return transition_violations(
+        _t(spark, sf_dir, "events"),
+        allowed,
+        allowed_starts=["signup", "view"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3269,6 +3324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_value_bins": q_woe_value_bins,
         "ttest_click_purchase": q_ttest_click_purchase,
         "trend_events_type": q_trend_events_type,
+        "out_of_order_events": q_out_of_order_events,
+        "time_gaps_events": q_time_gaps_events,
+        "transition_violations_events": q_transition_violations_events,
     }
 
 
@@ -6527,5 +6585,65 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN n >= 2 AND varx_n <> 0 AND vary_n <> 0
                          THEN (cov_n * cov_n) / (varx_n * vary_n) END, 6) AS r2
             FROM m ORDER BY grp
+        """,
+        "out_of_order_events": """
+            WITH delayed AS (
+                SELECT user_id, event_id,
+                       CASE WHEN event_id % 97 = 0
+                            THEN ts - INTERVAL 2 HOUR ELSE ts END AS ts
+                FROM events WHERE ts IS NOT NULL),
+            s AS (
+                SELECT user_id, event_id, ts,
+                       max(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS hw_us
+                FROM delayed)
+            SELECT user_id, event_id, ts,
+                   make_timestamp(hw_us) AS high_water_ts,
+                   hw_us - epoch_us(ts) AS regression_us
+            FROM s
+            WHERE hw_us IS NOT NULL AND hw_us - epoch_us(ts) > 0
+        """,
+        "time_gaps_events": """
+            WITH s AS (
+                SELECT user_id,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ) AS prev_us,
+                       epoch_us(ts) AS cur_us
+                FROM events WHERE ts IS NOT NULL)
+            SELECT user_id,
+                   make_timestamp(prev_us) AS gap_start,
+                   make_timestamp(cur_us) AS gap_end,
+                   cur_us - prev_us AS gap_us
+            FROM s
+            WHERE prev_us IS NOT NULL AND cur_us - prev_us > 86400000000
+        """,
+        "transition_violations_events": """
+            WITH s AS (
+                SELECT user_id, event_id,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ) AS from_type,
+                       event_type AS to_type
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL)
+            SELECT user_id, event_id, from_type, to_type,
+                   CASE WHEN from_type IS NULL THEN 'invalid_start'
+                        ELSE 'invalid_transition' END AS constraint_id
+            FROM s
+            WHERE (from_type IS NOT NULL
+                   AND (from_type || chr(1) || to_type) NOT IN (
+                       'signup' || chr(1) || 'view',
+                       'view'   || chr(1) || 'view',
+                       'view'   || chr(1) || 'click',
+                       'click'  || chr(1) || 'view',
+                       'click'  || chr(1) || 'purchase',
+                       'purchase' || chr(1) || 'view',
+                       'view'   || chr(1) || 'error',
+                       'click'  || chr(1) || 'error',
+                       'error'  || chr(1) || 'view'))
+               OR (from_type IS NULL AND to_type NOT IN ('signup', 'view'))
         """,
     }

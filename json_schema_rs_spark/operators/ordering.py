@@ -1,0 +1,195 @@
+"""Order / sequence validation over per-entity event streams: out-of-order
+arrival, time-gap completeness, and transition (state-machine) conformance.
+
+No reference counterpart (`/root/reference` validates one JSON document at a
+time — src/lib.rs — and has no cross-row or temporal dimension); these are
+the dataset-level *ordering* constraints an ingest-validation engine needs:
+"did this source deliver events in order?", "are there holes in the feed?",
+"does every entity's event sequence follow the allowed state machine?".
+They complement sessionize/asof (operators/temporal.py) — same
+one-shuffle-per-entity-key shape, but emitting VIOLATION rows in the
+engine's spirit (row key, constraint id, observed value) instead of derived
+features.
+
+All three operators:
+
+* shuffle ONCE on the entity key (the window partition) — nothing is
+  corpus-global, no second Exchange;
+* order by exact integer MICROseconds (``unix_micros``) with the event id
+  as tiebreak, so results are partitioning-invariant and bit-reproducible
+  across engines (floating epoch math never appears);
+* drop NULL-timestamp rows (they have no position in the stream) rather
+  than letting NULL ordering semantics differ between engines.
+
+Scale notes (100 TB): the entity key is high-cardinality and roughly
+uniform, so the single Exchange balances; a pathological flood entity is one
+window partition — bound it upstream with a per-(entity, day) split of the
+partition key, which preserves all three semantics except gap/transition
+checks ACROSS the day boundary (re-checkable with a cheap boundary-rows
+pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _stream_window(key_col: str, ts_col: str, id_col: str) -> Window:
+    # (micros, id) ordering: same-microsecond events get a deterministic
+    # total order, so lag/lead read the same neighbor on every engine
+    return Window.partitionBy(key_col).orderBy(
+        F.unix_micros(F.col(ts_col).cast("timestamp")), F.col(id_col)
+    )
+
+
+def out_of_order_events(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Out-of-order arrival check: within each entity's stream ordered by
+    ASSIGNMENT order (ascending ``id_col`` — the producer's sequence), flag
+    every event whose timestamp regresses behind the maximum timestamp seen
+    so far.  Returns one violation row per late event:
+
+      ``(key, event_id, ts, high_water_ts, regression_us)``
+
+    where ``high_water_ts`` is the running max over the preceding events and
+    ``regression_us`` > 0 is how far behind it this event landed (exact
+    integer microseconds).  The running max — not plain ``lag`` — is the
+    ingest-correct definition: after one late event, comparing only to the
+    immediate predecessor would mark the *recovered* in-order successor as a
+    second violation.
+
+    Plan: one entity-keyed window (running max), shuffle-free otherwise.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    hw = F.max(tsu).over(w)
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(id_col),
+            F.col(ts_col),
+            hw.alias("__hw_us"),
+            (F.lit(0) - (tsu - hw)).alias("regression_us"),
+        )
+        .filter(F.col("regression_us") > 0)
+        .select(
+            key_col,
+            id_col,
+            ts_col,
+            F.timestamp_micros(F.col("__hw_us")).alias("high_water_ts"),
+            "regression_us",
+        )
+    )
+
+
+def time_gaps(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gap_sec: float = 3600.0,
+) -> DataFrame:
+    """Feed-completeness check — the dual of sessionization
+    (operators/temporal.py): emit every interval of SILENCE longer than
+    ``min_gap_sec`` within an entity's stream:
+
+      ``(key, gap_start, gap_end, gap_us)``
+
+    where ``gap_start``/``gap_end`` are the timestamps bracketing the hole.
+    The compare is exact integer microseconds (``gap_us > min_gap_sec·10⁶``)
+    so the boundary case is decided identically on every engine.
+
+    A missing-interval report over expected-cadence feeds is the standard
+    "did the pipeline stall?" validation; downstream, the gaps table joins
+    back to source metadata to localize the outage.
+    """
+    w = _stream_window(key_col, ts_col, id_col)
+    tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(tsu).over(w)
+    gap_us = int(round(min_gap_sec * 1_000_000))
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col),
+            prev.alias("__prev_us"),
+            tsu.alias("__cur_us"),
+        )
+        .filter(
+            F.col("__prev_us").isNotNull()
+            & ((F.col("__cur_us") - F.col("__prev_us")) > gap_us)
+        )
+        .select(
+            key_col,
+            F.timestamp_micros(F.col("__prev_us")).alias("gap_start"),
+            F.timestamp_micros(F.col("__cur_us")).alias("gap_end"),
+            (F.col("__cur_us") - F.col("__prev_us")).alias("gap_us"),
+        )
+    )
+
+
+def transition_violations(
+    df: DataFrame,
+    allowed: list[tuple[str, str]],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    allowed_starts: list[str] | None = None,
+) -> DataFrame:
+    """State-machine conformance: given the allowed transition edges
+    ``(from_type, to_type)``, emit every adjacent pair in an entity's stream
+    that is NOT an allowed edge:
+
+      ``(key, event_id, from_type, to_type, constraint_id)``
+
+    ``event_id`` is the id of the LATER event (the one that broke the
+    machine).  When ``allowed_starts`` is given, each entity's FIRST event
+    must be one of those types; violations carry ``from_type = NULL`` and
+    constraint id ``invalid_start``.  Adjacency is (micros, id)-ordered, so
+    same-microsecond events have a deterministic order.
+
+    The allowed set rides as a broadcast literal (an ``isin`` over
+    ``from || '\\x01' || to``), never a join — the state machine is tiny by
+    construction.  One entity-keyed window; shuffle-free otherwise.
+    """
+    w = _stream_window(key_col, ts_col, id_col)
+    sep = "\x01"
+    edges = [f"{a}{sep}{b}" for a, b in allowed]
+    prev_t = F.lag(type_col).over(w)
+    pairs = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(id_col),
+            prev_t.alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+    )
+    bad_edge = (
+        F.col("from_type").isNotNull()
+        & ~F.concat(F.col("from_type"), F.lit(sep), F.col("to_type")).isin(edges)
+    )
+    if allowed_starts is not None:
+        bad_start = F.col("from_type").isNull() & ~F.col("to_type").isin(
+            list(allowed_starts)
+        )
+        keep = bad_edge | bad_start
+        cid = F.when(F.col("from_type").isNull(), F.lit("invalid_start")).otherwise(
+            F.lit("invalid_transition")
+        )
+    else:
+        keep = bad_edge
+        cid = F.lit("invalid_transition")
+    return pairs.filter(keep).select(
+        key_col, id_col, "from_type", "to_type", cid.alias("constraint_id")
+    )

@@ -1,0 +1,129 @@
+"""Order / sequence validation operators (operators/ordering.py):
+out-of-order arrival, time-gap completeness, transition conformance."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.ordering import (
+    out_of_order_events,
+    time_gaps,
+    transition_violations,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+
+
+def test_out_of_order_running_max_not_lag(spark):
+    # u1: 10:00, 11:00, 10:30 (late), 11:30 (recovered, in order vs high water)
+    # a lag-based check would wrongly flag the 11:30 recovery row too
+    df = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01 10:00:00"), "view"),
+            (1, 2, _ts("2024-01-01 11:00:00"), "view"),
+            (1, 3, _ts("2024-01-01 10:30:00"), "view"),
+            (1, 4, _ts("2024-01-01 11:30:00"), "view"),
+        ],
+    )
+    got = out_of_order_events(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.event_id == 3
+    assert r.high_water_ts == _ts("2024-01-01 11:00:00")
+    assert r.regression_us == 30 * 60 * 1_000_000
+
+
+def test_out_of_order_null_ts_excluded(spark):
+    df = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01 10:00:00"), "view"),
+            (1, 2, None, "view"),
+            (1, 3, _ts("2024-01-01 09:00:00"), "view"),
+        ],
+    )
+    got = out_of_order_events(df).collect()
+    assert [r.event_id for r in got] == [3]
+
+
+def test_time_gaps_exact_boundary(spark):
+    # gaps: exactly 1 h (NOT > threshold -> kept out) and 1 h + 1 µs (kept)
+    df = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01 10:00:00"), "view"),
+            (1, 2, _ts("2024-01-01 11:00:00"), "view"),
+            (1, 3, _ts("2024-01-01 12:00:00.000001"), "view"),
+            (2, 4, _ts("2024-01-01 00:00:00"), "view"),
+        ],
+    )
+    got = time_gaps(df, min_gap_sec=3600.0).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.gap_start == _ts("2024-01-01 11:00:00")
+    assert r.gap_end == _ts("2024-01-01 12:00:00.000001")
+    assert r.gap_us == 3_600_000_001
+
+
+def test_transition_violations_and_starts(spark):
+    df = _events(
+        spark,
+        [
+            # u1 starts legally, then an illegal purchase->purchase edge
+            (1, 1, _ts("2024-01-01 10:00:00"), "signup"),
+            (1, 2, _ts("2024-01-01 10:01:00"), "view"),
+            (1, 3, _ts("2024-01-01 10:02:00"), "click"),
+            (1, 4, _ts("2024-01-01 10:03:00"), "purchase"),
+            (1, 5, _ts("2024-01-01 10:04:00"), "purchase"),
+            # u2 starts illegally at purchase
+            (2, 6, _ts("2024-01-01 10:00:00"), "purchase"),
+            (2, 7, _ts("2024-01-01 10:01:00"), "view"),
+        ],
+    )
+    allowed = [
+        ("signup", "view"),
+        ("view", "click"),
+        ("click", "purchase"),
+        ("purchase", "view"),
+    ]
+    got = transition_violations(
+        df, allowed, allowed_starts=["signup", "view"]
+    ).collect()
+    by_id = {r.event_id: r for r in got}
+    assert set(by_id) == {5, 6}
+    assert by_id[5].constraint_id == "invalid_transition"
+    assert by_id[5].from_type == "purchase" and by_id[5].to_type == "purchase"
+    assert by_id[6].constraint_id == "invalid_start"
+    assert by_id[6].from_type is None
+
+
+def test_transition_no_start_check_by_default(spark):
+    df = _events(spark, [(2, 6, _ts("2024-01-01 10:00:00"), "purchase")])
+    got = transition_violations(df, [("view", "click")]).collect()
+    assert got == []
+
+
+def test_ordering_single_exchange(spark):
+    # each operator should shuffle once on the entity key, nothing more
+    df = _events(
+        spark,
+        [(1, 1, _ts("2024-01-01 10:00:00"), "view")],
+    )
+    for plan_df in (
+        out_of_order_events(df),
+        time_gaps(df),
+        transition_violations(df, [("view", "click")]),
+    ):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
