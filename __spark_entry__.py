@@ -3133,6 +3133,28 @@ def q_transition_violations_events(spark, sf_dir):
     )
 
 
+def q_key_skew_lineitem(spark, sf_dir):
+    # Key-skew profile for the engine's biggest shuffle key
+    # (operators/profiling.py key_skew_profile): top-share / CV / Gini /
+    # entropy of rows-per-l_orderkey — the pre-shuffle "salt or not?" report.
+    # Gini uses the count-of-counts contraction, so no global row_number.
+    from json_schema_rs_spark.operators.profiling import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+def q_corr_matrix_lineitem(spark, sf_dir):
+    # Pairwise Pearson matrix over lineitem's numeric columns in ONE
+    # aggregate (operators/profiling.py correlation_matrix): exact decimal
+    # sums, double-on-double final formula, round 6.
+    from json_schema_rs_spark.operators.profiling import correlation_matrix
+
+    return correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3327,6 +3349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_of_order_events": q_out_of_order_events,
         "time_gaps_events": q_time_gaps_events,
         "transition_violations_events": q_transition_violations_events,
+        "key_skew_lineitem": q_key_skew_lineitem,
+        "corr_matrix_lineitem": q_corr_matrix_lineitem,
     }
 
 
@@ -6645,5 +6669,83 @@ def oracle_sql() -> dict[str, str]:
                        'click'  || chr(1) || 'error',
                        'error'  || chr(1) || 'view'))
                OR (from_type IS NULL AND to_type NOT IN ('signup', 'view'))
+        """,
+        "key_skew_lineitem": """
+            WITH counts AS (
+                SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+                FROM lineitem WHERE l_orderkey IS NOT NULL
+                GROUP BY l_orderkey),
+            cc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM counts GROUP BY c),
+            cc2 AS (
+                SELECT c, m,
+                       COALESCE(SUM(m) OVER (
+                           ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cb
+                FROM cc),
+            s AS (SELECT
+                SUM(c::HUGEINT * (m::HUGEINT * cb::HUGEINT
+                                  + (m::HUGEINT * (m + 1)) // 2)) AS ranksum,
+                CAST(SUM(c * m) AS BIGINT) AS n_rows,
+                SUM(c::HUGEINT * c * m) AS sumsq,
+                CAST(SUM(m) AS BIGINT) AS n_keys,
+                CAST(COUNT(*) AS BIGINT) AS n_distinct_counts,
+                CAST(MAX(c) AS BIGINT) AS max_count,
+                CAST(SUM(CAST(m * c * round(ln(c::DOUBLE), 9)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS sclogc
+              FROM cc2)
+            SELECT n_rows, n_keys, n_distinct_counts, max_count,
+                   round(max_count / n_rows::DOUBLE, 9) AS top_share,
+                   round(sqrt((n_keys::DOUBLE * sumsq::DOUBLE
+                               - n_rows::DOUBLE * n_rows::DOUBLE)
+                              / (n_keys::DOUBLE * n_keys::DOUBLE))
+                         / (n_rows::DOUBLE / n_keys::DOUBLE), 9) AS cv,
+                   round((2.0 * ranksum::DOUBLE) / (n_keys::DOUBLE * n_rows::DOUBLE)
+                         - (n_keys::DOUBLE + 1.0) / n_keys::DOUBLE, 9) AS gini,
+                   round(round(ln(n_rows::DOUBLE), 9) - sclogc / n_rows, 9)
+                     AS entropy
+            FROM s
+        """,
+        "corr_matrix_lineitem": """
+            WITH b AS (
+                SELECT l_quantity::DOUBLE AS x1, l_extendedprice::DOUBLE AS x2,
+                       l_discount::DOUBLE AS x3, l_tax::DOUBLE AS x4
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+            a AS (SELECT
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(x1 AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                CAST(SUM(CAST(x2 AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+                CAST(SUM(CAST(x3 AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+                CAST(SUM(CAST(x4 AS DECIMAL(38,6))) AS DOUBLE) AS s4,
+                CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS ss1,
+                CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS ss2,
+                CAST(SUM(CAST(x3 * x3 AS DECIMAL(38,12))) AS DOUBLE) AS ss3,
+                CAST(SUM(CAST(x4 * x4 AS DECIMAL(38,12))) AS DOUBLE) AS ss4,
+                CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS p12,
+                CAST(SUM(CAST(x1 * x3 AS DECIMAL(38,12))) AS DOUBLE) AS p13,
+                CAST(SUM(CAST(x1 * x4 AS DECIMAL(38,12))) AS DOUBLE) AS p14,
+                CAST(SUM(CAST(x2 * x3 AS DECIMAL(38,12))) AS DOUBLE) AS p23,
+                CAST(SUM(CAST(x2 * x4 AS DECIMAL(38,12))) AS DOUBLE) AS p24,
+                CAST(SUM(CAST(x3 * x4 AS DECIMAL(38,12))) AS DOUBLE) AS p34
+              FROM b),
+            pairs(col_x, col_y, sx, sy, sxx, syy, sxy) AS (
+                SELECT 'l_quantity', 'l_extendedprice', s1, s2, ss1, ss2, p12 FROM a
+                UNION ALL SELECT 'l_quantity', 'l_discount', s1, s3, ss1, ss3, p13 FROM a
+                UNION ALL SELECT 'l_quantity', 'l_tax', s1, s4, ss1, ss4, p14 FROM a
+                UNION ALL SELECT 'l_extendedprice', 'l_discount', s2, s3, ss2, ss3, p23 FROM a
+                UNION ALL SELECT 'l_extendedprice', 'l_tax', s2, s4, ss2, ss4, p24 FROM a
+                UNION ALL SELECT 'l_discount', 'l_tax', s3, s4, ss3, ss4, p34 FROM a
+            )
+            SELECT col_x, col_y, (SELECT n FROM a) AS n,
+                   CASE WHEN (SELECT n FROM a) >= 2
+                             AND (SELECT n FROM a) * sxx - sx * sx > 0
+                             AND (SELECT n FROM a) * syy - sy * sy > 0
+                        THEN round(((SELECT n FROM a) * sxy - sx * sy)
+                                   / (sqrt((SELECT n FROM a) * sxx - sx * sx)
+                                      * sqrt((SELECT n FROM a) * syy - sy * sy)), 6)
+                   END AS corr
+            FROM pairs
         """,
     }

@@ -1,0 +1,217 @@
+"""Distribution profiling for partition/shuffle planning: key-skew metrics
+and a pairwise correlation matrix.
+
+No reference counterpart (`/root/reference` validates one document at a
+time); these answer the questions a 100 TB job asks BEFORE it shuffles:
+"how skewed is this join/groupBy key?" (salt or not, AQE skew thresholds)
+and "which numeric columns are redundant?" (feature pruning, constraint
+inference).  They pair with join_size_estimate (operators/joins.py), which
+predicts output cardinality from the same key-count aggregates.
+
+Exactness contract (the engine-wide convention, cf. operators/stats.py):
+every sum that crosses partitions is an exact INTEGER or DECIMAL sum —
+order-invariant under any partitioning — and irrational terms (ln) enter
+sums only after ``round(·, 9)``, which is bit-identical across engines.
+Only the FINAL derived doubles are rounded for output.
+
+Scale shapes:
+
+* ``key_skew_profile`` — one map-side-combined count agg over the key, then
+  a count-of-counts contraction (distinct count VALUES — a tiny frame for
+  any real distribution) for the Gini rank sum, so there is NO global
+  row_number over the key table (a single-partition bottleneck at 10^9
+  keys).  Entropy/CV/top-share come from one more scalar agg.
+* ``correlation_matrix`` — ONE aggregate computes every pairwise sum
+  (d + d·(d+1)/2 decimal sums for d columns); no per-pair passes, no
+  shuffle beyond the single final-agg exchange.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SUM_TYPE = "decimal(38,6)"
+_CROSS_TYPE = "decimal(38,12)"
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ln_round: int = 9,
+    out_round: int = 9,
+) -> DataFrame:
+    """One-row skew profile of the distribution of rows over a key:
+
+      ``(n_rows, n_keys, n_distinct_counts, max_count, top_share, cv,
+        gini, entropy)``
+
+    * ``top_share``  — share of all rows held by the heaviest key (the
+      number AQE's skew-join threshold cares about);
+    * ``cv``         — coefficient of variation of per-key counts
+      (0 = perfectly uniform);
+    * ``gini``       — Gini coefficient of the count distribution
+      (0 = uniform, → 1 = one key holds everything);
+    * ``entropy``    — Shannon entropy of the key distribution in nats
+      (``ln(n_keys)`` when uniform; low = concentrated).
+
+    Rows with a NULL in any key column are excluded (NULL join keys never
+    collide in an equi-join, so they don't contribute to skew).
+
+    The Gini rank sum uses the count-of-counts contraction: keys are grouped
+    by their count VALUE ``c`` (``m_c`` keys share it); for ascending-count
+    ranks, every ordering of tied keys yields the same rank sum, so
+
+      Σ rank·count = Σ_c c · ( m_c·cum_before(c) + m_c·(m_c+1)/2 )
+
+    needs only a running sum over the DISTINCT count values — a frame of
+    typically a few thousand rows even at 10^9 keys — never a global
+    row_number over the key table.  All sums are exact integers.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    pred = F.lit(True)
+    for k in keys:
+        pred = pred & F.col(k).isNotNull()
+    counts = df.filter(pred).groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+
+    # count-of-counts: one more map-side-combined agg, tiny result
+    cc = counts.groupBy("__c").agg(F.count(F.lit(1)).alias("__m"))
+    w = (
+        Window.orderBy("__c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # __rc (block rank·count sum) stays exact: every product runs in
+    # decimal(38,0) and m·(m+1) is even, so the halving is integral
+    ranksum = cc.withColumn(
+        "__cb", F.coalesce(F.sum("__m").over(w), F.lit(0)).cast("decimal(38,0)")
+    ).select(
+        (
+            F.col("__c").cast("decimal(38,0)")
+            * (
+                F.col("__m").cast("decimal(38,0)") * F.col("__cb")
+                + F.expr("CAST(__m * (__m + 1) DIV 2 AS DECIMAL(38,0))")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("__rc"),
+        (F.col("__c").cast("decimal(38,0)") * F.col("__m")).alias("__n"),
+        (
+            F.col("__c").cast("decimal(38,0)") * F.col("__c") * F.col("__m")
+        ).alias("__n2"),
+        F.col("__m").alias("__k"),
+        F.col("__c").alias("__cval"),
+        (
+            F.col("__m")
+            * F.col("__c")
+            * F.round(F.log(F.col("__c").cast("double")), ln_round)
+        )
+        .cast(_CROSS_TYPE)
+        .alias("__clogc"),
+    ).agg(
+        F.sum("__rc").alias("__ranksum"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum("__n2").alias("__sumsq"),
+        F.sum("__k").cast("long").alias("n_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_counts"),
+        F.max("__cval").cast("long").alias("max_count"),
+        F.sum("__clogc").cast("double").alias("__sclogc"),
+    )
+
+    n = F.col("n_rows").cast("double")
+    k_ = F.col("n_keys").cast("double")
+    rs = F.col("__ranksum").cast("double")
+    sq = F.col("__sumsq").cast("double")
+    mean = n / k_
+    var = (k_ * sq - n * n) / (k_ * k_)
+    return ranksum.select(
+        "n_rows",
+        "n_keys",
+        "n_distinct_counts",
+        "max_count",
+        F.round(F.col("max_count") / n, out_round).alias("top_share"),
+        F.round(F.when(n > 0, F.sqrt(var) / mean), out_round).alias("cv"),
+        # gini (ascending ranks): (2·Σ rank·count)/(K·n) − (K+1)/K
+        F.round(
+            F.when(F.col("n_keys") > 0, (2.0 * rs) / (k_ * n) - (k_ + 1.0) / k_),
+            out_round,
+        ).alias("gini"),
+        F.round(
+            F.when(
+                n > 0,
+                F.round(F.log(n), ln_round) - F.col("__sclogc") / n,
+            ),
+            out_round,
+        ).alias("entropy"),
+    )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    out_round: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns, computed in ONE
+    aggregate pass:
+
+      ``(col_x, col_y, n, corr)``   for every x < y (input order)
+
+    Complete-case: rows with a NULL in ANY profiled column are dropped
+    first, so every pair shares one ``n`` and the whole matrix needs a
+    single set of sums (d + d·(d+1)/2 decimal sums for d columns — all
+    map-side combined, one Exchange).
+
+    Sums are exact decimals (Σx at (38,6), Σx², Σxy at (38,12)) —
+    partitioning-invariant — and the Pearson formula runs in double on the
+    decimal-cast-to-double sums (the engine's cross-engine-stable shape,
+    cf. group_trend in operators/scoring.py), rounded to ``out_round``.
+    ``corr`` is NULL when either column is constant.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix: need at least two columns")
+    pred = F.lit(True)
+    for c in cols:
+        pred = pred & F.col(c).isNotNull()
+    base = df.filter(pred)
+
+    # double products cast to decimal BEFORE the sum (the stats.py pattern):
+    # the IEEE product is bit-identical on every engine, and the decimal sum
+    # is order-invariant under any partitioning
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs.append(F.sum(d.cast(_SUM_TYPE)).alias(f"__s_{c}"))
+        aggs.append(F.sum((d * d).cast(_CROSS_TYPE)).alias(f"__ss_{c}"))
+    pairs = list(combinations(cols, 2))
+    for x, y in pairs:
+        dx, dy = F.col(x).cast("double"), F.col(y).cast("double")
+        aggs.append(F.sum((dx * dy).cast(_CROSS_TYPE)).alias(f"__sp_{x}_{y}"))
+    agg = base.agg(*aggs)
+
+    n = F.col("__n").cast("double")
+
+    def _corr(x: str, y: str):
+        sx = F.col(f"__s_{x}").cast("double")
+        sy = F.col(f"__s_{y}").cast("double")
+        sxx = F.col(f"__ss_{x}").cast("double")
+        syy = F.col(f"__ss_{y}").cast("double")
+        sxy = F.col(f"__sp_{x}_{y}").cast("double")
+        cov_n = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        return F.when(
+            (F.col("__n") >= 2) & (vx > 0) & (vy > 0),
+            F.round(cov_n / (F.sqrt(vx) * F.sqrt(vy)), out_round),
+        )
+
+    rows = [
+        F.struct(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.col("__n").alias("n"),
+            _corr(x, y).alias("corr"),
+        )
+        for x, y in pairs
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("__r")).select("__r.*")

@@ -1,0 +1,90 @@
+"""Distribution profiling (operators/profiling.py): key skew and the
+one-pass correlation matrix."""
+
+import math
+
+import pytest
+
+from json_schema_rs_spark.operators.profiling import (
+    correlation_matrix,
+    key_skew_profile,
+)
+
+
+def test_key_skew_uniform(spark):
+    # 4 keys x 3 rows each: gini 0, cv 0, entropy ln(12) - ln(3) = ln(4)
+    rows = [(k, i) for k in "abcd" for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r.n_rows == 12 and r.n_keys == 4
+    assert r.n_distinct_counts == 1 and r.max_count == 3
+    assert r.top_share == 0.25
+    assert r.cv == 0.0
+    assert r.gini == 0.0
+    assert abs(r.entropy - math.log(4)) < 1e-6
+
+
+def test_key_skew_concentrated(spark):
+    # one key holds 97 of 100 rows; three singletons
+    rows = [("hot", i) for i in range(97)] + [(f"k{i}", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r.n_rows == 100 and r.n_keys == 4
+    assert r.top_share == 0.97
+    # exact gini for counts [1,1,1,97] ascending:
+    # ranksum = 1+2+3+4*97 = 394 -> 2*394/(4*100) - 5/4 = 0.72
+    assert r.gini == pytest.approx(0.72, abs=1e-9)
+    assert r.entropy < 0.25  # concentrated -> near zero
+
+
+def test_key_skew_null_keys_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("a", 3)], "k string, v int"
+    )
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r.n_rows == 2 and r.n_keys == 1
+
+
+def test_key_skew_composite_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 1, 2), ("a", 2, 3), ("b", 1, 4)],
+        "k1 string, k2 int, v int",
+    )
+    r = key_skew_profile(df, ["k1", "k2"]).collect()[0]
+    assert r.n_keys == 3 and r.max_count == 2
+
+
+def test_correlation_matrix_exact(spark):
+    # y = 2x exactly -> corr 1; z constant -> NULL; w anti-correlated
+    rows = [(float(i), 2.0 * i, 5.0, float(-i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    got = {(r.col_x, r.col_y): r for r in correlation_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert len(got) == 6
+    assert got[("x", "y")].corr == 1.0
+    assert got[("x", "w")].corr == -1.0
+    assert got[("x", "z")].corr is None  # constant column
+    assert got[("x", "y")].n == 10
+
+
+def test_correlation_matrix_complete_case(spark):
+    rows = [(1.0, 1.0), (2.0, None), (3.0, 2.0), (4.0, 5.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = correlation_matrix(df, ["x", "y"]).collect()
+    assert got[0].n == 3  # the NULL row dropped for every pair
+
+
+def test_correlation_matrix_single_agg_plan(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], "x double, y double, z double")
+    plan = (
+        correlation_matrix(df, ["x", "y", "z"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one aggregate pass: exactly one exchange (the final single-group agg)
+    assert plan.count("Exchange") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_correlation_matrix_needs_two_cols(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        correlation_matrix(df, ["x"])
