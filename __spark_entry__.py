@@ -3155,6 +3155,30 @@ def q_corr_matrix_lineitem(spark, sf_dir):
     )
 
 
+def q_control_chart_events(spark, sf_dir):
+    # Metric control chart (operators/monitoring.py control_chart): hourly
+    # per-type event counts; limits trained on the first three weeks, every
+    # hour scored — 3σ rule + the 8-consecutive-same-side run rule, all in
+    # one window chain (no second Exchange for the run counting).
+    from json_schema_rs_spark.operators.monitoring import control_chart
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return control_chart(
+        hourly,
+        "event_type",
+        "hour_ts",
+        "n",
+        baseline_before="2024-01-22 00:00:00",
+        sigma=3.0,
+        run_length=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3351,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_violations_events": q_transition_violations_events,
         "key_skew_lineitem": q_key_skew_lineitem,
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
+        "control_chart_events": q_control_chart_events,
     }
 
 
@@ -6747,5 +6772,55 @@ def oracle_sql() -> dict[str, str]:
                                       * sqrt((SELECT n FROM a) * syy - sy * sy)), 6)
                    END AS corr
             FROM pairs
+        """,
+        "control_chart_events": """
+            WITH h AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                       CAST(count(*) AS DOUBLE) AS v
+                FROM events WHERE ts IS NOT NULL
+                GROUP BY event_type, date_trunc('hour', ts)),
+            b AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS bn,
+                       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS bs,
+                       CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS bss
+                FROM h WHERE hour_ts < TIMESTAMP '2024-01-22 00:00:00'
+                GROUP BY event_type),
+            lim AS (
+                SELECT event_type, round(bs / bn, 9) AS center,
+                       round(sqrt(greatest(0.0,
+                             bss / bn - (bs / bn) * (bs / bn))), 9) AS sigma_hat
+                FROM b),
+            s AS (
+                SELECT h.event_type, hour_ts, v, center, sigma_hat,
+                       CASE WHEN sigma_hat > 0
+                            THEN (v - center) / sigma_hat END AS z,
+                       CASE WHEN center IS NULL THEN NULL
+                            WHEN v > center THEN 1
+                            WHEN v < center THEN -1 ELSE 0 END AS side
+                FROM h LEFT JOIN lim USING (event_type)),
+            r AS (
+                SELECT *, lag(side) OVER w AS prev_side,
+                       row_number() OVER w AS rn
+                FROM s
+                WINDOW w AS (PARTITION BY event_type ORDER BY epoch(hour_ts), v)),
+            r2 AS (
+                SELECT *, CASE WHEN side IS NULL OR side = 0
+                                    OR prev_side IS NULL OR side <> prev_side
+                               THEN 1 ELSE 0 END AS st
+                FROM r),
+            r3 AS (
+                SELECT *, max(CASE WHEN st = 1 THEN rn END) OVER (
+                           PARTITION BY event_type ORDER BY epoch(hour_ts), v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS lsr
+                FROM r2)
+            SELECT event_type, hour_ts, v AS value, center, sigma_hat,
+                   round(z, 9) AS zscore,
+                   CASE WHEN center IS NOT NULL THEN
+                        CASE WHEN sigma_hat > 0 THEN abs(z) > 3.0
+                             ELSE v <> center END END AS beyond_limit,
+                   CASE WHEN center IS NOT NULL
+                        THEN side <> 0 AND rn - lsr + 1 >= 8 END AS run_violation
+            FROM r3
         """,
     }

@@ -1,0 +1,150 @@
+"""Metric control charts: Shewhart x-bar limits + run rules over a metric
+time series — the anomaly-detection layer a validation engine runs OVER its
+own per-window metrics (row counts, violation rates, drift scores).
+
+No reference counterpart (`/root/reference` is a stateless per-document
+validator); this is the Deequ-style "is today's metric value anomalous
+against history?" check, realized as one declarative plan:
+
+  1. baseline stats per group from the training window — one
+     map-side-combined aggregate (exact decimal Σv, Σv², population σ);
+  2. limits broadcast back onto the full series (the per-group stats frame
+     is |groups| rows — always broadcastable);
+  3. point rules as column expressions, run rules as ONE per-group window
+     (consecutive same-side counting via the sign-change running-sum trick,
+     cf. sessionize in operators/temporal.py).
+
+Scale shape: the input is already a METRIC series (one row per
+group × window, produced by an upstream aggregate), so even a 100 TB corpus
+yields a tiny frame here; the plan still avoids any driver-side collect and
+stays correct if the series itself is huge (both the baseline agg and the
+run-rule window shuffle once on the group key).
+
+Exactness: baseline mean/σ come from exact decimal sums; z-scores and
+limits are double arithmetic on the decimal-cast-to-double sums, rounded
+for output (the engine-wide convention, cf. operators/stats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SUM_TYPE = "decimal(38,6)"
+_SUMSQ_TYPE = "decimal(38,12)"
+
+
+def control_chart(
+    metrics: DataFrame,
+    group_cols: list[str] | str,
+    ts_col: str,
+    value_col: str,
+    baseline_before: str,
+    sigma: float = 3.0,
+    run_length: int = 8,
+    out_round: int = 9,
+) -> DataFrame:
+    """Shewhart control chart over a per-group metric series.
+
+    ``baseline_before`` (an ISO timestamp literal) splits history: rows with
+    ``ts < baseline_before`` train the per-group center line and σ; EVERY
+    row is then scored against its group's limits:
+
+      ``(group..., ts, value, center, sigma_hat, zscore,
+        beyond_limit, run_violation)``
+
+    * ``beyond_limit``  — |value − center| > sigma·σ̂  (the classic 3σ rule);
+    * ``run_violation`` — the point closes a run of ``run_length``
+      consecutive same-side points (Western Electric run rule; detects
+      slow drifts 3σ never catches).  Points exactly ON the center line
+      break runs.  σ̂ is POPULATION σ of the baseline window.
+
+    Groups absent from the baseline window score NULL (no limits — surfaced
+    rather than silently passed).  A degenerate baseline (σ̂ = 0) flags any
+    departure from the center as ``beyond_limit``.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    ts = F.col(ts_col).cast("timestamp")
+    v = F.col(value_col).cast("double")
+    cutoff = F.lit(baseline_before).cast("timestamp")
+
+    base = (
+        metrics.filter(ts < cutoff)
+        .filter(v.isNotNull())
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__bn"),
+            F.sum(v.cast(_SUM_TYPE)).alias("__bs"),
+            F.sum((v * v).cast(_SUMSQ_TYPE)).alias("__bss"),
+        )
+    )
+    bn = F.col("__bn").cast("double")
+    bs = F.col("__bs").cast("double")
+    bss = F.col("__bss").cast("double")
+    center = bs / bn
+    var = F.greatest(F.lit(0.0), bss / bn - (bs / bn) * (bs / bn))
+    limits = base.select(
+        *groups,
+        F.round(center, out_round).alias("center"),
+        F.round(F.sqrt(var), out_round).alias("sigma_hat"),
+    )
+
+    scored = metrics.filter(v.isNotNull()).join(F.broadcast(limits), groups, "left")
+    z = F.when(
+        F.col("sigma_hat") > 0,
+        (v - F.col("center")) / F.col("sigma_hat"),
+    )
+    side = F.when(F.col("center").isNull(), F.lit(None).cast("int")).otherwise(
+        F.when(v > F.col("center"), 1).when(v < F.col("center"), -1).otherwise(0)
+    )
+    w = Window.partitionBy(*groups).orderBy(ts.cast("long"), v)
+    # run counting: a new run starts whenever the side changes (or is 0 /
+    # NULL); run id = running count of starts, then length = row_number
+    # within the (group, run) — all inside one window partition chain
+    # run length without a second Exchange: current row_number minus the
+    # row_number of the most recent run START (running max over the same
+    # window partitioning — window layers stack on one sort).  Window
+    # expressions are materialized per layer because Spark cannot nest a
+    # window function inside another window function's argument.
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = (
+        scored.withColumn("__side", side)
+        .withColumn("__prev_side", F.lag("__side").over(w))
+        .withColumn(
+            "__start",
+            F.when(
+                F.col("__side").isNull()
+                | (F.col("__side") == 0)
+                | F.col("__prev_side").isNull()
+                | (F.col("__side") != F.col("__prev_side")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__last_start_rn",
+            F.max(F.when(F.col("__start") == 1, F.col("__rn"))).over(cum),
+        )
+        .withColumn("__runlen", F.col("__rn") - F.col("__last_start_rn") + 1)
+    )
+    run_len = F.col("__runlen")
+
+    beyond = F.when(
+        F.col("center").isNotNull(),
+        F.when(F.col("sigma_hat") > 0, F.abs(z) > F.lit(float(sigma))).otherwise(
+            v != F.col("center")
+        ),
+    )
+    return scored.select(
+        *groups,
+        F.col(ts_col),
+        v.alias("value"),
+        "center",
+        "sigma_hat",
+        F.round(z, out_round).alias("zscore"),
+        beyond.alias("beyond_limit"),
+        F.when(
+            F.col("center").isNotNull(),
+            (F.col("__side") != 0) & (run_len >= int(run_length)),
+        ).alias("run_violation"),
+    )

@@ -1,0 +1,92 @@
+"""Metric control chart (operators/monitoring.py)."""
+
+from datetime import datetime, timedelta
+
+from json_schema_rs_spark.operators.monitoring import control_chart
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(i):
+    return T0 + timedelta(hours=i)
+
+
+def test_beyond_limit_flags_spike(spark):
+    # baseline hours 0-9 alternate 9/11 (center 10, sigma 1); hour 12 = 20
+    rows = [("a", _ts(i), 9.0 if i % 2 == 0 else 11.0) for i in range(10)]
+    rows += [("a", _ts(12), 20.0), ("a", _ts(13), 10.5)]
+    df = _series(spark, rows)
+    got = {
+        r.ts: r
+        for r in control_chart(
+            df, "grp", "ts", "v", baseline_before=str(_ts(10))
+        ).collect()
+    }
+    assert got[_ts(12)].beyond_limit is True
+    assert got[_ts(12)].zscore == 10.0
+    assert got[_ts(13)].beyond_limit is False
+    assert got[_ts(0)].center == 10.0 and got[_ts(0)].sigma_hat == 1.0
+
+
+def test_run_rule_detects_slow_drift(spark):
+    # center 10; then 9 consecutive points at 10.5 (inside 3 sigma but all
+    # above center).  The run actually starts at hour 9 (the last baseline
+    # point, 11.0, is also above center), so points 8..10 of the run —
+    # hours 16, 17, 18 — close it.
+    rows = [("a", _ts(i), 9.0 if i % 2 == 0 else 11.0) for i in range(10)]
+    rows += [("a", _ts(10 + j), 10.5) for j in range(9)]
+    df = _series(spark, rows)
+    got = control_chart(df, "grp", "ts", "v", baseline_before=str(_ts(10))).collect()
+    runs = sorted(r.ts for r in got if r.run_violation)
+    assert runs == [_ts(16), _ts(17), _ts(18)]
+    assert not any(r.beyond_limit for r in got if r.ts >= _ts(10))
+
+
+def test_run_broken_by_center_crossing(spark):
+    rows = [("a", _ts(i), 9.0 if i % 2 == 0 else 11.0) for i in range(10)]
+    # 5 above, one below, 5 above: no run of 8
+    rows += [("a", _ts(10 + j), 10.5) for j in range(5)]
+    rows += [("a", _ts(15), 9.5)]
+    rows += [("a", _ts(16 + j), 10.5) for j in range(5)]
+    df = _series(spark, rows)
+    got = control_chart(df, "grp", "ts", "v", baseline_before=str(_ts(10))).collect()
+    assert not any(r.run_violation for r in got)
+
+
+def test_unseen_group_scores_null(spark):
+    rows = [("a", _ts(i), 10.0) for i in range(5)]
+    rows += [("new", _ts(6), 10.0)]
+    df = _series(spark, rows)
+    got = {r.grp: r for r in control_chart(df, "grp", "ts", "v", baseline_before=str(_ts(5))).collect() if r.grp == "new"}
+    r = got["new"]
+    assert r.center is None and r.beyond_limit is None and r.run_violation is None
+
+
+def test_zero_sigma_baseline(spark):
+    # constant baseline: any departure from the center is beyond_limit
+    rows = [("a", _ts(i), 10.0) for i in range(5)]
+    rows += [("a", _ts(5), 10.0), ("a", _ts(6), 10.1)]
+    df = _series(spark, rows)
+    got = {r.ts: r for r in control_chart(df, "grp", "ts", "v", baseline_before=str(_ts(5))).collect()}
+    assert got[_ts(5)].beyond_limit is False
+    assert got[_ts(6)].beyond_limit is True
+    assert got[_ts(6)].zscore is None
+
+
+def test_single_exchange_chain(spark):
+    rows = [("a", _ts(i), 10.0) for i in range(5)]
+    df = _series(spark, rows)
+    plan = (
+        control_chart(df, "grp", "ts", "v", baseline_before=str(_ts(3)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # baseline agg + scoring window each shuffle on the group key; the run
+    # counting must NOT add a third exchange; limits join is broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
