@@ -3179,6 +3179,31 @@ def q_control_chart_events(spark, sf_dir):
     )
 
 
+def q_km_retention_events(spark, sf_dir):
+    # Kaplan–Meier retention curves (operators/survival.py): subjects = one
+    # groupBy over the event log (duration to last purchase, censored at
+    # last activity otherwise); cohort = first-activity week; the curve is
+    # the log-domain running product per cohort — no UDF, no driver loop.
+    from json_schema_rs_spark.operators.survival import (
+        kaplan_meier,
+        retention_subjects,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    subj = retention_subjects(ev)
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    coh = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.col("user_id").alias("subject"))
+        .agg(
+            F.to_date(F.date_trunc("week", F.timestamp_micros(F.min(tsu)))).alias(
+                "cohort"
+            )
+        )
+    )
+    return kaplan_meier(subj.join(coh, "subject"), "cohort", "duration", "observed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3376,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_lineitem": q_key_skew_lineitem,
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
         "control_chart_events": q_control_chart_events,
+        "km_retention_events": q_km_retention_events,
     }
 
 
@@ -6822,5 +6848,53 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN center IS NOT NULL
                         THEN side <> 0 AND rn - lsr + 1 >= 8 END AS run_violation
             FROM r3
+        """,
+        "km_retention_events": """
+            WITH pu AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) AS fst,
+                       max(epoch_us(ts)) AS lst,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS term
+                FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+            subj AS (
+                SELECT CAST(date_trunc('week', make_timestamp(fst)) AS DATE) AS grp,
+                       CAST(floor((COALESCE(term, lst) - fst) / 86400000000.0)
+                            AS BIGINT) AS t,
+                       term IS NOT NULL AS observed
+                FROM pu),
+            pt AS (
+                SELECT grp, t,
+                       CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_event,
+                       CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+                         AS n_censored
+                FROM subj GROUP BY grp, t),
+            ar AS (
+                SELECT *, sum(n_event + n_censored) OVER (
+                           PARTITION BY grp ORDER BY t DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS n_risk
+                FROM pt),
+            cv AS (
+                SELECT *,
+                       sum(CAST(CASE WHEN n_event > 0 AND n_event < n_risk
+                                THEN round(ln(1.0 - n_event::DOUBLE
+                                             / n_risk::DOUBLE), 9)
+                                ELSE 0.0 END AS DECIMAL(38,12))) OVER (
+                           PARTITION BY grp ORDER BY t ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS logsum,
+                       sum(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY grp ORDER BY t ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS dead
+                FROM ar)
+            SELECT grp AS cohort, t, CAST(n_risk AS BIGINT) AS n_risk,
+                   n_event, n_censored,
+                   CASE WHEN dead > 0 THEN 0.0
+                        ELSE round(exp(CAST(logsum AS DOUBLE)), 9)
+                   END AS survival
+            FROM cv
         """,
     }

@@ -1,0 +1,140 @@
+"""Kaplan–Meier survival estimation per cohort — retention / time-to-event
+curves with right-censoring.
+
+No reference counterpart (`/root/reference` validates single documents);
+this is the standard product/retention analysis a behavioral-event corpus
+supports: "what fraction of cohort g is still active after t days?", with
+subjects who never exhibit the terminal event treated as CENSORED at their
+last observation (dropping them instead would bias survival down — the
+whole point of the KM estimator).
+
+Distributed shape (holds at 10^12 events):
+
+  1. subjects arrive pre-reduced as (group, duration, observed) rows —
+     typically from one groupBy over the event log;
+  2. per (group, duration): d (events) and c (censored) — one
+     map-side-combined aggregate;
+  3. at-risk n(t) = reverse running sum of (d+c) over each group's distinct
+     durations — ONE window per group, frame size = distinct durations
+     (≪ subjects);
+  4. S(t) = Π_{t_i ≤ t, d_i > 0} (1 − d_i/n_i), accumulated in LOG domain:
+     each factor's ln is rounded to ``ln_round`` BEFORE the exact decimal
+     running sum (the engine's cross-engine portability contract, cf.
+     char_entropy / decayed_counts), and only the final exp is rounded for
+     output.  No driver-side loop, no UDF, no unbounded product overflow.
+
+Censoring convention (standard KM): at a tied time, events happen BEFORE
+censorings — censored-at-t subjects still count as at-risk for deaths at t.
+Times with d = 0 (pure-censoring times) appear in the output with the
+carried survival so the at-risk trajectory is auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SUM_TYPE = "decimal(38,12)"
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    group_col: str = "cohort",
+    duration_col: str = "duration",
+    event_col: str = "observed",
+    ln_round: int = 9,
+    out_round: int = 9,
+) -> DataFrame:
+    """KM survival curve per group over subject-level
+    ``(group, duration, observed)`` rows (``observed`` truthy = the terminal
+    event happened at ``duration``; falsy = censored there).  Returns one
+    row per (group, distinct duration):
+
+      ``(group, t, n_risk, n_event, n_censored, survival)``
+
+    ``survival`` is S(t) AFTER the deaths at t.  NULL durations are
+    excluded; a time where every at-risk subject dies drives S to exactly
+    0.0 (the log-domain accumulator short-circuits via a min flag, not
+    ln(0)).
+    """
+    d = F.col(duration_col)
+    ev = F.col(event_col).cast("boolean")
+    per_t = (
+        subjects.filter(d.isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), d.alias("t"))
+        .agg(
+            F.sum(F.when(ev, 1).otherwise(0)).cast("long").alias("n_event"),
+            F.sum(F.when(ev, 0).otherwise(1)).cast("long").alias("n_censored"),
+        )
+    )
+    w_desc = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = per_t.withColumn(
+        "n_risk", F.sum(F.col("n_event") + F.col("n_censored")).over(w_desc)
+    )
+    # per-time log factor: ln(1 - d/n) rounded, NULL at d=0 (factor 1),
+    # sentinel flag when d = n (survival hits exact zero from there on)
+    frac = F.col("n_event").cast("double") / F.col("n_risk").cast("double")
+    log_f = F.when(
+        (F.col("n_event") > 0) & (F.col("n_event") < F.col("n_risk")),
+        F.round(F.log(F.lit(1.0) - frac), ln_round),
+    ).otherwise(F.lit(0.0))
+    dead = F.when(F.col("n_event") == F.col("n_risk"), 1).otherwise(0)
+    w_asc = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = at_risk.withColumn(
+        "__logsum", F.sum(log_f.cast(_SUM_TYPE)).over(w_asc)
+    ).withColumn("__dead", F.sum(dead).over(w_asc))
+    return curve.select(
+        F.col("grp").alias(group_col),
+        F.col("t"),
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.when(F.col("__dead") > 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("__logsum").cast("double")), out_round)
+        )
+        .alias("survival"),
+    )
+
+
+def retention_subjects(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    churn_type: str = "purchase",
+) -> DataFrame:
+    """Standard subject derivation from a raw event log: per user, duration
+    = whole days from the user's first event to their LAST event of
+    ``churn_type`` (observed = true), or to their last event of any type
+    (observed = false, censored) when they never emit ``churn_type``.
+
+    One groupBy on the user key; durations are exact integer days from
+    integer microsecond arithmetic.
+    """
+    tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("subject"))
+        .agg(
+            F.min(tsu).alias("__first"),
+            F.max(tsu).alias("__last"),
+            F.max(F.when(F.col(type_col) == churn_type, tsu)).alias("__term"),
+        )
+    )
+    end = F.coalesce(F.col("__term"), F.col("__last"))
+    return per_user.select(
+        "subject",
+        F.floor((end - F.col("__first")) / F.lit(86_400_000_000)).cast("long").alias(
+            "duration"
+        ),
+        F.col("__term").isNotNull().alias("observed"),
+    )

@@ -1,0 +1,66 @@
+"""Kaplan–Meier survival (operators/survival.py)."""
+
+from datetime import datetime
+
+import pytest
+
+from json_schema_rs_spark.operators.survival import kaplan_meier, retention_subjects
+
+
+def test_km_textbook_curve(spark):
+    # classic worked example: durations 6,6,6,7,10 with the 7 censored
+    # t=6: n=5, d=3 -> S = 0.4;  t=7: censored only, S carries 0.4
+    # t=10: n=1, d=1 -> S = 0.0 (exact, via the dead flag not ln(0))
+    rows = [
+        ("g", 6, True), ("g", 6, True), ("g", 6, True),
+        ("g", 7, False), ("g", 10, True),
+    ]
+    df = spark.createDataFrame(rows, "cohort string, duration int, observed boolean")
+    got = {r.t: r for r in kaplan_meier(df).collect()}
+    assert got[6].n_risk == 5 and got[6].n_event == 3
+    assert got[6].survival == pytest.approx(0.4, abs=1e-9)
+    assert got[7].n_risk == 2 and got[7].n_censored == 1
+    assert got[7].survival == pytest.approx(0.4, abs=1e-9)
+    assert got[10].n_risk == 1 and got[10].survival == 0.0
+
+
+def test_km_all_censored(spark):
+    rows = [("g", 3, False), ("g", 5, False)]
+    df = spark.createDataFrame(rows, "cohort string, duration int, observed boolean")
+    got = kaplan_meier(df).collect()
+    assert all(r.survival == 1.0 for r in got)
+
+
+def test_km_groups_independent(spark):
+    rows = [("a", 1, True), ("a", 2, True), ("b", 1, False), ("b", 2, True)]
+    df = spark.createDataFrame(rows, "cohort string, duration int, observed boolean")
+    got = {(r.cohort, r.t): r for r in kaplan_meier(df).collect()}
+    assert got[("a", 1)].survival == pytest.approx(0.5, abs=1e-9)
+    assert got[("a", 2)].survival == 0.0
+    assert got[("b", 1)].survival == 1.0  # censored only
+    assert got[("b", 2)].survival == 0.0
+
+
+def test_retention_subjects_durations(spark):
+    rows = [
+        # user 1: purchases on day 3, keeps browsing later (observed, d=3)
+        (1, datetime(2024, 1, 1), "view"),
+        (1, datetime(2024, 1, 4), "purchase"),
+        (1, datetime(2024, 1, 9), "view"),
+        # user 2: never purchases -> censored at last activity (d=2)
+        (2, datetime(2024, 1, 1), "view"),
+        (2, datetime(2024, 1, 3), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {r.subject: r for r in retention_subjects(df).collect()}
+    assert got[1].duration == 3 and got[1].observed is True
+    assert got[2].duration == 2 and got[2].observed is False
+
+
+def test_km_plan_no_python(spark):
+    rows = [("g", 1, True)]
+    df = spark.createDataFrame(rows, "cohort string, duration int, observed boolean")
+    plan = kaplan_meier(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # one shuffle on the group key feeds both window passes + the agg
+    assert plan.count("Exchange hashpartitioning") <= 2
