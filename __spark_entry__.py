@@ -3204,6 +3204,19 @@ def q_km_retention_events(spark, sf_dir):
     return kaplan_meier(subj.join(coh, "subject"), "cohort", "duration", "observed")
 
 
+def q_containment_pairs_docs(spark, sf_dir):
+    # Asymmetric set-containment join (operators/setsim.py
+    # containment_pairs): directed subset-dup pairs |A∩B|/|A| ≥ 0.9,
+    # prefix-filtered on the A side only, scoped per source (the templated
+    # corpus is quadratically self-similar unscoped — scoping is also the
+    # realistic per-repo dedup shape).
+    from json_schema_rs_spark.operators.setsim import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), 0.9, scope_col="source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3402,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
         "control_chart_events": q_control_chart_events,
         "km_retention_events": q_km_retention_events,
+        "containment_pairs_docs": q_containment_pairs_docs,
     }
 
 
@@ -6896,5 +6910,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(exp(CAST(logsum AS DOUBLE)), 9)
                    END AS survival
             FROM cv
+        """,
+        "containment_pairs_docs": r"""
+            WITH d AS (SELECT doc_id, source, text FROM documents
+                       WHERE text IS NOT NULL),
+            t AS (SELECT doc_id AS id, source,
+                         unnest(list_distinct(list_filter(
+                             string_split_regex(lower(text), '\s+'),
+                             x -> x <> ''))) AS token
+                  FROM d),
+            sz AS (SELECT id, CAST(count(*) AS INT) AS sz FROM t GROUP BY id),
+            ov AS (SELECT a.id AS ia, b.id AS ib, CAST(count(*) AS INT) AS ov
+                   FROM t a JOIN t b
+                     ON a.token = b.token AND a.source = b.source
+                   WHERE a.id <> b.id
+                   GROUP BY a.id, b.id)
+            SELECT ia AS doc_a, ib AS doc_b, ov AS overlap,
+                   sa.sz AS size_a, sb.sz AS size_b,
+                   round(ov::DOUBLE / sa.sz, 6) AS containment
+            FROM ov JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id
+            WHERE ov::DOUBLE >= 0.9 * sa.sz
         """,
     }

@@ -242,6 +242,157 @@ def ppjoin_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scope_col: str | None = None,
+    round_to: int = 6,
+    shingle_k: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact ASYMMETRIC set-containment self-join: every DIRECTED pair
+    ``(doc_a, doc_b)`` with ``|A ∩ B| / |A| ≥ threshold`` — doc_a's token
+    set (almost) inside doc_b's.  Jaccard (ppjoin_pairs) misses exactly
+    this case: a paragraph pasted into a 100× larger document scores near
+    zero Jaccard but containment 1.0, which is what subset-dup removal,
+    quote/boilerplate attribution, and fork-ancestry direction need.
+
+    Returns ``(doc_a, doc_b, overlap:int, size_a:int, size_b:int,
+    containment:double)``, containment rounded to ``round_to``; the ≥-t
+    filter runs on exact integers (``overlap ≥ t·size_a`` with one double
+    multiply), so boundary pairs cannot flap on rounding.
+
+    ``scope_col`` restricts comparisons to documents sharing that column's
+    value (per-source / per-repo scoping) — at corpus scale an unscoped
+    containment join against a templated corpus is quadratic in the result
+    itself, and scoping is also what makes the token join's shuffle key
+    (scope, token) fine-grained.
+
+    Prefix filtering (rare-first canonical order, as ppjoin_pairs): a pair
+    with containment ≥ t must share a token within A's first
+    ``sz_a − ceil(t·sz_a) + 1`` ranked tokens, but anywhere in B — so only
+    the A side is prefix-sliced and B contributes its full ranked list.
+    The PPJoin position bound adapts to ``overlap ≤ 1 + min(sz_a − i,
+    sz_b − j)`` against the required ``ceil(t·sz_a)``.
+
+    Cost note (same as ppjoin_pairs): candidate volume is Σ_token
+    df_prefix(token)·df(token); rare-first prefixes keep it near-linear on
+    natural corpora, and ``scope_col`` bounds it on templated ones.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = token_sets(df, id_col, text_col, shingle_k)
+    if scope_col is not None:
+        scope = df.select(
+            F.col(id_col).alias("id"), F.col(scope_col).alias("__scope")
+        )
+        toks = toks.join(scope, "id")
+    else:
+        toks = toks.withColumn("__scope", F.lit(0))
+
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_doc = (
+        toks.join(dfreq, "token")
+        .groupBy("id")
+        .agg(
+            F.first("__scope").alias("__scope"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "token"))),
+                lambda s: s["token"],
+            ).alias("toks"),
+        )
+        .select("id", "__scope", "toks", F.size("toks").cast("int").alias("sz"))
+    )
+    if materialize:
+        from pyspark import StorageLevel
+
+        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+
+    need = F.ceil(F.lit(float(threshold)) * F.col("sz").cast("double")).cast("int")
+    a = per_doc.select(
+        F.col("id").alias("doc_a"),
+        "__scope",
+        F.col("sz").alias("size_a"),
+        F.posexplode(
+            F.slice("toks", 1, (F.col("sz") - need + 1).cast("int"))
+        ).alias("pos0_a", "token"),
+    ).select(
+        "doc_a", "__scope", "size_a", (F.col("pos0_a") + 1).alias("pos_a"), "token"
+    )
+    b = per_doc.select(
+        F.col("id").alias("doc_b"),
+        "__scope",
+        F.col("sz").alias("size_b"),
+        F.posexplode("toks").alias("pos0_b", "token"),
+    ).select(
+        "doc_b", "__scope", "size_b", (F.col("pos0_b") + 1).alias("pos_b"), "token"
+    )
+    alpha = F.ceil(
+        F.lit(float(threshold)) * F.col("size_a").cast("double")
+    )
+    cand = (
+        a.join(b, ["token", "__scope"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("size_b").cast("double") >= alpha)
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("size_a") - F.col("pos_a"),
+                    F.col("size_b") - F.col("pos_b"),
+                )
+            ).cast("double")
+            >= alpha
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sets = per_doc.select("id", "toks", "sz")
+    return (
+        cand.join(
+            sets.select(
+                F.col("id").alias("doc_a"),
+                F.col("toks").alias("__ta"),
+                F.col("sz").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("doc_b"),
+                F.col("toks").alias("__tb"),
+                F.col("sz").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__ta", "__tb")).cast("int").alias("overlap"),
+            "size_a",
+            "size_b",
+        )
+        .filter(
+            F.col("overlap").cast("double")
+            >= F.lit(float(threshold)) * F.col("size_a").cast("double")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "overlap",
+            "size_a",
+            "size_b",
+            F.round(
+                F.col("overlap").cast("double") / F.col("size_a").cast("double"),
+                round_to,
+            ).alias("containment"),
+        )
+    )
+
+
 def repo_fingerprint_pairs(
     df: DataFrame,
     repo_col: str = "source",

@@ -1,0 +1,62 @@
+"""Asymmetric set-containment join (operators/setsim.py containment_pairs)."""
+
+import pytest
+
+from json_schema_rs_spark.operators.setsim import containment_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_subset_detected_directionally(spark):
+    # doc 1 is a 4-token subset of doc 2's 12 tokens: containment(1->2)=1.0
+    # but Jaccard = 4/12 — the asymmetric case a Jaccard join misses
+    small = "alpha beta gamma delta"
+    big = small + " e1 e2 e3 e4 e5 e6 e7 e8"
+    df = _docs(spark, [(1, small, "s"), (2, big, "s")])
+    got = {(r.doc_a, r.doc_b): r for r in containment_pairs(df, 0.9).collect()}
+    assert set(got) == {(1, 2)}  # NOT (2, 1): big is not inside small
+    r = got[(1, 2)]
+    assert r.overlap == 4 and r.size_a == 4 and r.size_b == 12
+    assert r.containment == 1.0
+
+
+def test_threshold_boundary_exact(spark):
+    # overlap 9 of size_a 10 = 0.9 exactly -> kept at t=0.9 (>= semantics)
+    a = " ".join(f"t{i}" for i in range(10))
+    b = " ".join(f"t{i}" for i in range(9)) + " other1 other2 other3"
+    df = _docs(spark, [(1, a, "s"), (2, b, "s")])
+    got = [(r.doc_a, r.doc_b) for r in containment_pairs(df, 0.9).collect()]
+    assert (1, 2) in got
+    got95 = [(r.doc_a, r.doc_b) for r in containment_pairs(df, 0.95).collect()]
+    assert (1, 2) not in got95
+
+
+def test_scope_separates(spark):
+    df = _docs(spark, [(1, "a b c d", "s1"), (2, "a b c d e f", "s2")])
+    assert containment_pairs(df, 0.9, scope_col="source").collect() == []
+    # unscoped, the pair appears
+    assert len(containment_pairs(df, 0.9).collect()) == 1
+
+
+def test_mutual_containment_both_directions(spark):
+    df = _docs(spark, [(1, "x y z", "s"), (2, "z y x", "s")])
+    got = {(r.doc_a, r.doc_b) for r in containment_pairs(df, 1.0).collect()}
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_no_python_in_plan(spark):
+    df = _docs(spark, [(1, "a b", "s")])
+    plan = (
+        containment_pairs(df, 0.9, materialize=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bad_threshold(spark):
+    df = _docs(spark, [(1, "a", "s")])
+    with pytest.raises(ValueError):
+        containment_pairs(df, 0.0)
