@@ -3217,6 +3217,24 @@ def q_containment_pairs_docs(spark, sf_dir):
     )
 
 
+def q_unicode_nfc_docs(spark, sf_dir):
+    # Unicode-normalization validation (operators/text.py
+    # unicode_normalization_check): the synthetic corpus is ASCII, so the
+    # query plants a decomposed accent (combining U+0301) on every 37th doc
+    # — the check must flag exactly those and fingerprint the NFC repair.
+    from json_schema_rs_spark.operators.text import unicode_normalization_check
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            # decomposed accent, explicit escape: "e" + combining U+0301
+            F.concat(F.col("text"), F.lit(" cafe\u0301")),
+        ).otherwise(F.col("text")),
+    )
+    return unicode_normalization_check(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3416,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "control_chart_events": q_control_chart_events,
         "km_retention_events": q_km_retention_events,
         "containment_pairs_docs": q_containment_pairs_docs,
+        "unicode_nfc_docs": q_unicode_nfc_docs,
     }
 
 
@@ -6930,5 +6949,19 @@ def oracle_sql() -> dict[str, str]:
                    round(ov::DOUBLE / sa.sz, 6) AS containment
             FROM ov JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id
             WHERE ov::DOUBLE >= 0.9 * sa.sz
+        """,
+        "unicode_nfc_docs": """
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 37 = 0
+                            THEN text || ' cafe' || chr(769)
+                            ELSE text END AS t
+                FROM documents WHERE text IS NOT NULL),
+            n AS (SELECT doc_id, t, nfc_normalize(t) AS nn FROM p)
+            SELECT doc_id, 'not_normalized:NFC' AS constraint_id,
+                   CAST(length(t) AS INT) AS n_chars,
+                   CAST(length(nn) AS INT) AS n_chars_norm,
+                   md5(nn) AS normalized_md5
+            FROM n WHERE t <> nn
         """,
     }

@@ -522,3 +522,74 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(F.col("__id").alias(id_col), "token", "tf", "doc_freq", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization validation
+# ---------------------------------------------------------------------------
+
+_norm_udfs: dict[str, object] = {}
+
+
+def _normalize_udf(form: str):
+    """Arrow-batched normalizer (lazy: pandas_udf construction needs an
+    active session).  One vectorized pass per batch; only the text column
+    crosses the Python boundary."""
+    if form not in _norm_udfs:
+        import pandas as pd  # noqa: F401  (Arrow batch type)
+
+        def _kernel(s):
+            import unicodedata
+
+            return s.map(
+                lambda x: unicodedata.normalize(form, x) if x is not None else None
+            )
+
+        _norm_udfs[form] = F.pandas_udf(_kernel, "string")
+    return _norm_udfs[form]
+
+
+def unicode_normalization_check(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode-normalization validation: flag documents whose text is NOT in
+    the given normal form (NFC by default) — the standard ingest check that
+    catches decomposed accents, compatibility ligatures, and other
+    byte-unstable encodings BEFORE hashing/dedup (two canonically-equal
+    strings with different code-point sequences get different sha256s,
+    silently defeating exact dedup and the row-fidelity invariant).
+
+    Returns one row per NON-normalized document:
+
+      ``(id, constraint_id='not_normalized:<form>', n_chars, n_chars_norm,
+        normalized_md5)``
+
+    ``normalized_md5`` is the md5 of the normalized text — the repair
+    fingerprint a downstream fix-up pass can verify against.  The
+    normalizer is an Arrow-batched pandas UDF (Python's unicodedata is the
+    reference UCD implementation; there is no JVM-side builtin) over ONLY
+    the (id, text) projection; the equality check and hashing stay
+    JVM-side.  Shuffle-free — the check rides the scan like every row-level
+    constraint.
+
+    Reference seed: format/validity checking per string field
+    (/root/reference/src/string.rs) lifted to encoding-level validity.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normal form {form!r}")
+    norm = _normalize_udf(form)(F.col(text_col))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col).alias("__t"), norm.alias("__n"))
+        .filter(F.col("__t") != F.col("__n"))
+        .select(
+            id_col,
+            F.lit(f"not_normalized:{form}").alias("constraint_id"),
+            F.length("__t").cast("int").alias("n_chars"),
+            F.length("__n").cast("int").alias("n_chars_norm"),
+            F.md5(F.encode("__n", "UTF-8")).alias("normalized_md5"),
+        )
+    )

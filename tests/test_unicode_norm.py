@@ -1,0 +1,48 @@
+"""Unicode-normalization validation (operators/text.py
+unicode_normalization_check)."""
+
+import hashlib
+import unicodedata
+
+import pytest
+
+from json_schema_rs_spark.operators.text import unicode_normalization_check
+
+
+def test_decomposed_flagged_with_repair_fingerprint(spark):
+    decomposed = "café"          # e + combining acute
+    composed = unicodedata.normalize("NFC", decomposed)  # é precomposed
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, "plain ascii"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    got = unicode_normalization_check(df).collect()
+    assert [r.doc_id for r in got] == [1]
+    r = got[0]
+    assert r.constraint_id == "not_normalized:NFC"
+    assert r.n_chars == 5 and r.n_chars_norm == 4
+    assert r.normalized_md5 == hashlib.md5(composed.encode()).hexdigest()
+
+
+def test_nfkc_catches_compatibility_chars(spark):
+    # ligature ﬁ is NFC-stable but NFKC-decomposes to "fi"
+    df = spark.createDataFrame([(1, "ﬁle")], "doc_id bigint, text string")
+    assert unicode_normalization_check(df, form="NFC").collect() == []
+    got = unicode_normalization_check(df, form="NFKC").collect()
+    assert len(got) == 1 and got[0].n_chars_norm == 4
+
+
+def test_bad_form_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        unicode_normalization_check(df, form="NFX")
+
+
+def test_arrow_batched_not_row_python(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    plan = (
+        unicode_normalization_check(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan        # vectorized boundary
+    assert "BatchEvalPython" not in plan    # never row-at-a-time
