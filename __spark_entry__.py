@@ -3235,6 +3235,30 @@ def q_unicode_nfc_docs(spark, sf_dir):
     return unicode_normalization_check(docs)
 
 
+def q_route_quarantine_docs(spark, sf_dir):
+    # Quarantine routing (engine.route): one fused constraint pass splits
+    # the corpus into clean/quarantined; the per-lang routing report counts
+    # both sides plus total quarantine reasons.
+    docs = _t(spark, sf_dir, "documents")
+    valid, quar = _doc_engine().route(docs)
+    a = valid.groupBy(F.col("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_valid")
+    )
+    b = quar.groupBy(F.col("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_quarantined"),
+        F.sum(F.size("violations")).cast("long").alias("n_reasons"),
+    )
+    return (
+        a.join(b, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
+            F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
+            F.coalesce("n_reasons", F.lit(0)).alias("n_reasons"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3435,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_retention_events": q_km_retention_events,
         "containment_pairs_docs": q_containment_pairs_docs,
         "unicode_nfc_docs": q_unicode_nfc_docs,
+        "route_quarantine_docs": q_route_quarantine_docs,
     }
 
 
@@ -6963,5 +6988,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(nn) AS INT) AS n_chars_norm,
                    md5(nn) AS normalized_md5
             FROM n WHERE t <> nn
+        """,
+        "route_quarantine_docs": f"""
+            WITH c AS ({_DOC_CHECKS}),
+            f AS (SELECT lang,
+                         (v_text_req + v_text_min + v_text_max + v_lang
+                          + v_src_req + v_src_pat + v_nc_min + v_nc_max) AS nv
+                  FROM c)
+            SELECT lang,
+                   CAST(sum(CASE WHEN nv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_valid,
+                   CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_quarantined,
+                   CAST(sum(CASE WHEN nv > 0 THEN nv ELSE 0 END) AS BIGINT)
+                     AS n_reasons
+            FROM f GROUP BY lang
         """,
     }

@@ -149,6 +149,48 @@ class ValidationEngine:
             out = out.unionByName(p)
         return out, stats
 
+    # -- quarantine routing ----------------------------------------------------
+
+    def route(
+        self,
+        df: DataFrame,
+        quarantine_prefixes: Optional[list[str]] = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Single-pass valid/quarantine split — the write-side dual of
+        ``validate``: rows that clear the row-level constraints flow to the
+        clean sink, the rest (with their ``violations`` payload attached) to
+        the quarantine sink for triage/repair (operators/repair.py).
+
+        ``quarantine_prefixes`` narrows what quarantines: only violations
+        whose constraint_id starts with one of the prefixes block a row
+        (e.g. ``["required:", "type_mismatch"]`` blocks on hard breaks
+        while pattern/range findings pass through as warnings).  None =
+        any violation quarantines.
+
+        Both returned frames derive from ONE annotated projection — the
+        fused whole-stage-codegen constraint pass — so writing both sinks
+        costs one scan each with no shuffle (the engine-wide
+        recompute-over-cache choice, cf. bench.py's measured numbers).  The
+        quarantined frame keeps ``violations`` (and ``content_sha256`` when
+        configured) so the quarantine table is self-describing.
+        """
+        ann = self.annotate(df)
+        if quarantine_prefixes is None:
+            blocking = ~F.col("passed")
+        else:
+            prefixes = list(quarantine_prefixes)
+            if not prefixes:
+                raise ValueError("quarantine_prefixes must be None or non-empty")
+
+            def _blocks(v):
+                hit = F.lit(False)
+                for p in prefixes:
+                    hit = hit | v["constraint_id"].startswith(p)
+                return hit
+
+            blocking = F.exists("violations", _blocks)
+        return ann.filter(~blocking), ann.filter(blocking)
+
     # -- the D1 entry ------------------------------------------------------------
 
     def validate(self, df: DataFrame) -> ValidationResult:

@@ -1,0 +1,59 @@
+"""Quarantine routing (engine.route)."""
+
+import pytest
+
+from json_schema_rs_spark import ValidationEngine
+from json_schema_rs_spark.spec import TableSpec, number_field, string_field
+
+
+def _engine():
+    spec = TableSpec()
+    spec.add_field(string_field("name", required=True).with_pattern("^[a-z]+$"))
+    spec.add_field(number_field("score").with_range(0.0, 100.0))
+    return ValidationEngine(spec, key_cols=["id"], group_col="name")
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "good", 50.0),       # clean
+            (2, None, 50.0),         # required violation
+            (3, "BAD!", 50.0),       # pattern violation
+            (4, "fine", 1000.0),     # range violation
+        ],
+        "id bigint, name string, score double",
+    )
+
+
+def test_route_splits_exactly(spark):
+    valid, quar = _engine().route(_df(spark))
+    assert sorted(r.id for r in valid.collect()) == [1]
+    q = {r.id: r for r in quar.collect()}
+    assert sorted(q) == [2, 3, 4]
+    # quarantine rows are self-describing: violations payload retained
+    assert all(len(r.violations) > 0 for r in q.values())
+
+
+def test_route_prefix_filter(spark):
+    # block only on required:, let pattern/range findings pass through
+    valid, quar = _engine().route(_df(spark), quarantine_prefixes=["required:"])
+    assert sorted(r.id for r in valid.collect()) == [1, 3, 4]
+    assert [r.id for r in quar.collect()] == [2]
+    # pass-through rows still carry their warning payload
+    warn = {r.id: r.violations for r in valid.collect()}
+    assert len(warn[3]) > 0 and len(warn[4]) > 0
+
+
+def test_route_empty_prefixes_rejected(spark):
+    with pytest.raises(ValueError):
+        _engine().route(_df(spark), quarantine_prefixes=[])
+
+
+def test_route_partition_counts_match_validate(spark):
+    df = _df(spark)
+    eng = _engine()
+    valid, quar = eng.route(df)
+    res = eng.validate(df)
+    n_failed = res.summary.agg({"n_failed": "sum"}).collect()[0][0]
+    assert quar.count() == n_failed
+    assert valid.count() + quar.count() == df.count()
