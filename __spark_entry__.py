@@ -3134,13 +3134,13 @@ def q_transition_violations_events(spark, sf_dir):
 
 
 def q_key_skew_lineitem(spark, sf_dir):
-    # Key-skew profile for the engine's biggest shuffle key
-    # (operators/profiling.py key_skew_profile): top-share / CV / Gini /
+    # Full key-distribution profile for the engine's biggest shuffle key
+    # (operators/profiling.py key_distribution_profile): top-share / CV / Gini /
     # entropy of rows-per-l_orderkey — the pre-shuffle "salt or not?" report.
     # Gini uses the count-of-counts contraction, so no global row_number.
-    from json_schema_rs_spark.operators.profiling import key_skew_profile
+    from json_schema_rs_spark.operators.profiling import key_distribution_profile
 
-    return key_skew_profile(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    return key_distribution_profile(_t(spark, sf_dir, "lineitem"), "l_orderkey")
 
 
 def q_corr_matrix_lineitem(spark, sf_dir):

@@ -1,5 +1,10 @@
-"""Distribution profiling for partition/shuffle planning: key-skew metrics
-and a pairwise correlation matrix.
+"""Distribution profiling for partition/shuffle planning: full key-
+distribution metrics and a pairwise correlation matrix.
+
+``key_distribution_profile`` extends the quick diagnostic
+``operators/stats.key_skew_profile`` (total/max/share/ratio) with the
+shape statistics — Gini, entropy, CV — that decide between salting
+strategies, at the cost of one more (tiny) count-of-counts aggregate.
 
 No reference counterpart (`/root/reference` validates one document at a
 time); these answer the questions a 100 TB job asks BEFORE it shuffles:
@@ -16,7 +21,7 @@ Only the FINAL derived doubles are rounded for output.
 
 Scale shapes:
 
-* ``key_skew_profile`` — one map-side-combined count agg over the key, then
+* ``key_distribution_profile`` — one map-side-combined count agg over the key, then
   a count-of-counts contraction (distinct count VALUES — a tiny frame for
   any real distribution) for the Gini rank sum, so there is NO global
   row_number over the key table (a single-partition bottleneck at 10^9
@@ -37,7 +42,7 @@ _SUM_TYPE = "decimal(38,6)"
 _CROSS_TYPE = "decimal(38,12)"
 
 
-def key_skew_profile(
+def key_distribution_profile(
     df: DataFrame,
     key_cols: list[str] | str,
     ln_round: int = 9,

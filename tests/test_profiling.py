@@ -7,7 +7,7 @@ import pytest
 
 from json_schema_rs_spark.operators.profiling import (
     correlation_matrix,
-    key_skew_profile,
+    key_distribution_profile,
 )
 
 
@@ -15,7 +15,7 @@ def test_key_skew_uniform(spark):
     # 4 keys x 3 rows each: gini 0, cv 0, entropy ln(12) - ln(3) = ln(4)
     rows = [(k, i) for k in "abcd" for i in range(3)]
     df = spark.createDataFrame(rows, "k string, v int")
-    r = key_skew_profile(df, "k").collect()[0]
+    r = key_distribution_profile(df, "k").collect()[0]
     assert r.n_rows == 12 and r.n_keys == 4
     assert r.n_distinct_counts == 1 and r.max_count == 3
     assert r.top_share == 0.25
@@ -28,7 +28,7 @@ def test_key_skew_concentrated(spark):
     # one key holds 97 of 100 rows; three singletons
     rows = [("hot", i) for i in range(97)] + [(f"k{i}", i) for i in range(3)]
     df = spark.createDataFrame(rows, "k string, v int")
-    r = key_skew_profile(df, "k").collect()[0]
+    r = key_distribution_profile(df, "k").collect()[0]
     assert r.n_rows == 100 and r.n_keys == 4
     assert r.top_share == 0.97
     # exact gini for counts [1,1,1,97] ascending:
@@ -41,7 +41,7 @@ def test_key_skew_null_keys_excluded(spark):
     df = spark.createDataFrame(
         [("a", 1), (None, 2), ("a", 3)], "k string, v int"
     )
-    r = key_skew_profile(df, "k").collect()[0]
+    r = key_distribution_profile(df, "k").collect()[0]
     assert r.n_rows == 2 and r.n_keys == 1
 
 
@@ -50,7 +50,7 @@ def test_key_skew_composite_key(spark):
         [("a", 1, 1), ("a", 1, 2), ("a", 2, 3), ("b", 1, 4)],
         "k1 string, k2 int, v int",
     )
-    r = key_skew_profile(df, ["k1", "k2"]).collect()[0]
+    r = key_distribution_profile(df, ["k1", "k2"]).collect()[0]
     assert r.n_keys == 3 and r.max_count == 2
 
 
