@@ -3259,6 +3259,38 @@ def q_route_quarantine_docs(spark, sf_dir):
     )
 
 
+def q_missingness_events(spark, sf_dir):
+    # Null-co-occurrence profile (operators/profiling.py
+    # missingness_matrix).  The synthetic feed has no NULLs, so the query
+    # models structured missingness deterministically: value drops on every
+    # 13th event, props on every 26th (a strict SUBSET of the value drops —
+    # positive phi), event_type on every 17th (near-independent).
+    from json_schema_rs_spark.operators.profiling import missingness_matrix
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+                F.col("value")
+            ),
+        )
+        .withColumn(
+            "props",
+            F.when(F.col("event_id") % 26 == 0, F.lit(None)).otherwise(
+                F.col("props")
+            ),
+        )
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 17 == 0, F.lit(None)).otherwise(
+                F.col("event_type")
+            ),
+        )
+    )
+    return missingness_matrix(ev, ["value", "props", "event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3460,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_docs": q_containment_pairs_docs,
         "unicode_nfc_docs": q_unicode_nfc_docs,
         "route_quarantine_docs": q_route_quarantine_docs,
+        "missingness_events": q_missingness_events,
     }
 
 
@@ -7003,5 +7036,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN nv > 0 THEN nv ELSE 0 END) AS BIGINT)
                      AS n_reasons
             FROM f GROUP BY lang
+        """,
+        "missingness_events": """
+            WITH p AS (
+                SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+                            ELSE value END AS value,
+                       CASE WHEN event_id % 26 = 0 THEN NULL
+                            ELSE props END AS props,
+                       CASE WHEN event_id % 17 = 0 THEN NULL
+                            ELSE event_type END AS event_type
+                FROM events),
+            a AS (SELECT
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+                CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+                CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+                CAST(sum(CASE WHEN value IS NULL AND props IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b12,
+                CAST(sum(CASE WHEN value IS NULL AND event_type IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b13,
+                CAST(sum(CASE WHEN props IS NULL AND event_type IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b23
+              FROM p),
+            pairs(col_x, col_y, nx, ny, n11) AS (
+                SELECT 'value', 'props', m1, m2, b12 FROM a
+                UNION ALL SELECT 'value', 'event_type', m1, m3, b13 FROM a
+                UNION ALL SELECT 'props', 'event_type', m2, m3, b23 FROM a
+            )
+            SELECT col_x, col_y, (SELECT n FROM a) AS n,
+                   nx AS null_x, ny AS null_y, n11 AS both_null,
+                   CASE WHEN nx::DOUBLE * ((SELECT n FROM a) - nx)
+                             * ny * ((SELECT n FROM a) - ny) > 0
+                        THEN round(((SELECT n FROM a) * n11 - nx::DOUBLE * ny)
+                                   / sqrt(nx::DOUBLE * ((SELECT n FROM a) - nx)
+                                          * ny * ((SELECT n FROM a) - ny)), 6)
+                   END AS phi
+            FROM pairs
         """,
     }

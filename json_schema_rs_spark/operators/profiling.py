@@ -220,3 +220,66 @@ def correlation_matrix(
         for x, y in pairs
     ]
     return agg.select(F.explode(F.array(*rows)).alias("__r")).select("__r.*")
+
+
+def missingness_matrix(
+    df: DataFrame,
+    cols: list[str],
+    out_round: int = 6,
+) -> DataFrame:
+    """Pairwise null-co-occurrence profile — does missingness in one column
+    PREDICT missingness in another?  (Structured missingness means an
+    upstream join or parser drops field groups together; independent
+    missingness means ordinary sparse data.  The distinction decides whether
+    a not-null repair can backfill from sibling fields.)
+
+    One aggregate pass over null indicators (all integer sums — exact under
+    any partitioning) yields, per unordered column pair:
+
+      ``(col_x, col_y, n, null_x, null_y, both_null, phi)``
+
+    ``phi`` is the phi coefficient (Pearson on the 0/1 indicators):
+    ``(n·n11 − nx·ny) / sqrt(nx·(n−nx)·ny·(n−ny))``, NULL when either
+    column is never or always null (no variance).  Rounded to
+    ``out_round``; everything else is exact counts.
+    """
+    if len(cols) < 2:
+        raise ValueError("missingness_matrix: need at least two columns")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"__m_{c}")
+        )
+    pairs = list(combinations(cols, 2))
+    for x, y in pairs:
+        aggs.append(
+            F.sum((F.col(x).isNull() & F.col(y).isNull()).cast("long"))
+            .cast("long")
+            .alias(f"__b_{x}_{y}")
+        )
+    agg = df.agg(*aggs)
+
+    n = F.col("__n").cast("double")
+
+    def _phi(x: str, y: str):
+        nx = F.col(f"__m_{x}").cast("double")
+        ny = F.col(f"__m_{y}").cast("double")
+        n11 = F.col(f"__b_{x}_{y}").cast("double")
+        denom = nx * (n - nx) * ny * (n - ny)
+        return F.when(
+            denom > 0, F.round((n * n11 - nx * ny) / F.sqrt(denom), out_round)
+        )
+
+    rows = [
+        F.struct(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.col("__n").alias("n"),
+            F.col(f"__m_{x}").alias("null_x"),
+            F.col(f"__m_{y}").alias("null_y"),
+            F.col(f"__b_{x}_{y}").alias("both_null"),
+            _phi(x, y).alias("phi"),
+        )
+        for x, y in pairs
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("__r")).select("__r.*")

@@ -88,3 +88,44 @@ def test_correlation_matrix_needs_two_cols(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError):
         correlation_matrix(df, ["x"])
+
+
+def test_missingness_structured_vs_independent(spark):
+    from json_schema_rs_spark.operators.profiling import missingness_matrix
+
+    # y null EXACTLY when x null (phi 1); z never null together with x
+    rows = []
+    for i in range(20):
+        x = None if i % 4 == 0 else float(i)
+        y = None if i % 4 == 0 else float(i * 2)
+        z = None if i % 4 == 1 else float(i * 3)
+        rows.append((x, y, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r.col_x, r.col_y): r for r in missingness_matrix(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")].phi == 1.0
+    assert got[("x", "y")].both_null == 5
+    assert got[("x", "z")].both_null == 0
+    assert got[("x", "z")].phi < 0  # mutually exclusive -> negative
+
+
+def test_missingness_no_variance_null_phi(spark):
+    from json_schema_rs_spark.operators.profiling import missingness_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "x double, y double"
+    )
+    r = missingness_matrix(df, ["x", "y"]).collect()[0]
+    assert r.null_x == 0 and r.null_y == 2
+    assert r.phi is None  # x never null, y always null: no variance
+
+
+def test_missingness_single_agg_plan(spark):
+    from json_schema_rs_spark.operators.profiling import missingness_matrix
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    plan = (
+        missingness_matrix(df, ["x", "y"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1
+    assert "BatchEvalPython" not in plan
