@@ -3291,6 +3291,84 @@ def q_missingness_events(spark, sf_dir):
     return missingness_matrix(ev, ["value", "props", "event_type"])
 
 
+def q_target_encode_docs(spark, sf_dir):
+    # Smoothed target-encoder table (operators/encoding.py
+    # target_encode_table): per-source empirical-Bayes mean of n_chars,
+    # shrunk toward the global mean with strength 20.
+    from json_schema_rs_spark.operators.encoding import target_encode_table
+
+    return target_encode_table(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", smoothing=20.0
+    ).select(
+        "source",
+        F.col("__n_cat").alias("n_cat"),
+        F.col("__te").alias("te"),
+        "global_mean",
+    )
+
+
+def q_loo_encode_events(spark, sf_dir):
+    # Leave-one-out encoding (operators/encoding.py loo_encode): each
+    # event's type encoded by the mean `value` of its type EXCLUDING the
+    # row itself — the self-leakage guard.
+    from json_schema_rs_spark.operators.encoding import loo_encode
+
+    return loo_encode(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    ).select("event_id", "event_type", "value", "event_type_loo")
+
+
+def q_kappa_events(spark, sf_dir):
+    # Cohen's kappa (operators/encoding.py cohens_kappa): rater B agrees
+    # with rater A (= event_type) except every 11th event, which B calls
+    # 'error' — the chance-corrected agreement must price in the real
+    # marginal distributions, not just the 10/11 raw agreement.
+    from json_schema_rs_spark.operators.encoding import cohens_kappa
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    labeled = ev.select(
+        F.col("event_type").alias("rater_a"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("error"))
+        .otherwise(F.col("event_type"))
+        .alias("rater_b"),
+    )
+    return cohens_kappa(labeled, "rater_a", "rater_b")
+
+
+def q_session_paths_events(spark, sf_dir):
+    # Top navigation paths (composition: operators/temporal.py sessionize →
+    # ordered per-session path string → path frequency).  The per-session
+    # collect is bounded by session length; ordering is (micros, event_id)
+    # so tied timestamps cannot flap the path string across engines.
+    from json_schema_rs_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev)
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            tsu.alias("t"),
+                            F.col("event_id").alias("i"),
+                            F.col("event_type").alias("e"),
+                        )
+                    )
+                ),
+                lambda x: x["e"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3493,6 +3571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc_docs": q_unicode_nfc_docs,
         "route_quarantine_docs": q_route_quarantine_docs,
         "missingness_events": q_missingness_events,
+        "target_encode_docs": q_target_encode_docs,
+        "loo_encode_events": q_loo_encode_events,
+        "kappa_events": q_kappa_events,
+        "session_paths_events": q_session_paths_events,
     }
 
 
@@ -7072,5 +7154,75 @@ def oracle_sql() -> dict[str, str]:
                                           * ny * ((SELECT n FROM a) - ny)), 6)
                    END AS phi
             FROM pairs
+        """,
+        "target_encode_docs": """
+            WITH b AS (SELECT source, n_chars::DOUBLE AS t FROM documents
+                       WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+            pc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_cat,
+                          SUM(CAST(t AS DECIMAL(38,6))) AS s_cat
+                   FROM b GROUP BY source),
+            tot AS (SELECT SUM(CAST(t AS DECIMAL(38,6))) AS s_all,
+                           CAST(count(*) AS BIGINT) AS n_all FROM b)
+            SELECT source, n_cat,
+                   round((CAST(s_cat AS DOUBLE)
+                          + 20.0 * (CAST(s_all AS DOUBLE) / n_all))
+                         / (CAST(n_cat AS DOUBLE) + 20.0), 6) AS te,
+                   round(CAST(s_all AS DOUBLE) / n_all, 6) AS global_mean
+            FROM pc, tot
+        """,
+        "loo_encode_events": """
+            WITH pc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cat,
+                               SUM(CAST(value::DOUBLE AS DECIMAL(38,6))) AS s_cat
+                        FROM events
+                        WHERE event_type IS NOT NULL AND value IS NOT NULL
+                        GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN n_cat > 1 AND e.value IS NOT NULL
+                        THEN round((CAST(s_cat AS DOUBLE) - e.value)
+                                   / CAST(n_cat - 1 AS DOUBLE), 6)
+                   END AS event_type_loo
+            FROM events e LEFT JOIN pc USING (event_type)
+        """,
+        "kappa_events": """
+            WITH p AS (SELECT event_type AS a,
+                              CASE WHEN event_id % 11 = 0 THEN 'error'
+                                   ELSE event_type END AS b
+                       FROM events WHERE event_type IS NOT NULL),
+            cont AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+                     FROM p GROUP BY a, b),
+            ma AS (SELECT a AS l, SUM(c) AS ca FROM cont GROUP BY a),
+            mb AS (SELECT b AS l, SUM(c) AS cb FROM cont GROUP BY b),
+            pe AS (SELECT SUM(ca * cb) AS pe_num FROM ma JOIN mb USING (l)),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END)
+                                AS BIGINT) AS n_agree
+                    FROM cont)
+            SELECT n, n_agree,
+                   round(n_agree / n::DOUBLE, 9) AS p_observed,
+                   round(CAST(pe_num AS DOUBLE) / (n::DOUBLE * n), 9)
+                     AS p_expected,
+                   CASE WHEN CAST(pe_num AS DOUBLE) / (n::DOUBLE * n) < 1.0
+                        THEN round((n_agree / n::DOUBLE
+                                    - CAST(pe_num AS DOUBLE) / (n::DOUBLE * n))
+                                   / (1.0 - CAST(pe_num AS DOUBLE)
+                                            / (n::DOUBLE * n)), 9)
+                   END AS kappa
+            FROM tot, pe
+        """,
+        "session_paths_events": """
+            WITH e AS (SELECT user_id, event_id, event_type, ts,
+                              epoch_us(ts) AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+                                      OR tsu - lag(tsu) OVER w > 1800000000
+                                 THEN 1 ELSE 0 END AS ns
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM g),
+            p AS (SELECT user_id, session_id,
+                         string_agg(event_type, '>' ORDER BY tsu, event_id) AS path
+                  FROM s GROUP BY user_id, session_id)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path HAVING count(*) >= 5
         """,
     }

@@ -264,6 +264,10 @@ def bench_queries(spark) -> dict[str, float]:
         "unicode_nfc_docs",
         "route_quarantine_docs",
         "missingness_events",
+        "target_encode_docs",
+        "loo_encode_events",
+        "kappa_events",
+        "session_paths_events",
     ]
     qs = entrymod.queries()
 

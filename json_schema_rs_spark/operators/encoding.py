@@ -1,0 +1,192 @@
+"""Supervised categorical encodings for training-data preparation: smoothed
+target encoding and leave-one-out encoding, plus Cohen's kappa for label
+agreement.
+
+No reference counterpart (`/root/reference` validates single documents);
+these are the feature-engineering / label-quality steps between validation
+and training:
+
+* ``target_encode``       — replace a categorical key with the smoothed
+  per-category mean of a target column (the classic high-cardinality
+  encoder).  One map-side-combined aggregate over the category + one
+  broadcast join back; the category table is |categories| rows.
+* ``loo_encode``          — leave-one-out variant: each row's own target is
+  excluded from its category mean ((Σ_g − y_i)/(n_g − 1)), the standard
+  leakage guard when the encoder is fit on the training split itself.
+  Same plan shape; the subtraction is a pure projection.
+* ``cohens_kappa``        — chance-corrected agreement between two label
+  columns (annotator vs annotator, model vs gold): one contingency
+  aggregate, κ = (p_o − p_e)/(1 − p_e) from exact integer counts.
+
+Exactness: all cross-partition sums are exact decimals/integers
+(operators/stats.py convention); only final derived doubles are rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUM_TYPE = "decimal(38,6)"
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    out_col: str | None = None,
+    out_round: int = 6,
+) -> DataFrame:
+    """Smoothed target encoding: append ``out_col`` (default
+    ``<cat_col>_te``) =
+
+        (Σ_g target + smoothing·global_mean) / (n_g + smoothing)
+
+    — the empirical-Bayes shrinkage toward the global mean that keeps rare
+    categories from memorizing their few labels.  NULL categories and NULL
+    targets contribute nothing and encode to the global mean.
+
+    Plan: one category aggregate (decimal sums) + ONE broadcast row for the
+    global mean + a broadcast join of the |categories|-row encoder table.
+    The encoder table itself is also returned by the closure-free contract:
+    call ``target_encode_table`` when only the mapping is needed.
+    """
+    enc = target_encode_table(df, cat_col, target_col, smoothing, out_round)
+    out = out_col or f"{cat_col}_te"
+    gm = enc.agg(F.first("global_mean").alias("global_mean"))
+    return (
+        df.join(F.broadcast(enc.drop("global_mean")), [cat_col], "left")
+        .crossJoin(F.broadcast(gm))
+        .withColumn(out, F.coalesce(F.col("__te"), F.col("global_mean")))
+        .drop("__te", "__n_cat", "global_mean")
+    )
+
+
+def target_encode_table(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    out_round: int = 6,
+) -> DataFrame:
+    """The encoder mapping itself: ``(cat, __n_cat, __te, global_mean)``
+    with ``__te`` rounded.  Exact decimal sums; the global mean rides along
+    as a column (constant) so a caller can persist one self-contained
+    artifact."""
+    t = F.col(target_col).cast("double")
+    base = df.filter(F.col(cat_col).isNotNull() & t.isNotNull())
+    per_cat = base.groupBy(cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_cat"),
+        F.sum(t.cast(_SUM_TYPE)).alias("__s_cat"),
+    )
+    totals = base.agg(
+        F.sum(t.cast(_SUM_TYPE)).alias("__s_all"),
+        F.count(F.lit(1)).cast("long").alias("__n_all"),
+    )
+    s = float(smoothing)
+    gmean = F.col("__s_all").cast("double") / F.col("__n_all").cast("double")
+    return (
+        per_cat.crossJoin(F.broadcast(totals))
+        .select(
+            cat_col,
+            "__n_cat",
+            F.round(
+                (F.col("__s_cat").cast("double") + F.lit(s) * gmean)
+                / (F.col("__n_cat").cast("double") + F.lit(s)),
+                out_round,
+            ).alias("__te"),
+            F.round(gmean, out_round).alias("global_mean"),
+        )
+    )
+
+
+def loo_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    out_col: str | None = None,
+    out_round: int = 6,
+) -> DataFrame:
+    """Leave-one-out target encoding: each row gets its category's target
+    mean EXCLUDING its own target — ``(Σ_g − y_i)/(n_g − 1)`` — the standard
+    guard against self-leakage when encoding the training split.  Singleton
+    categories (n_g = 1) and NULL category/target rows encode NULL (no
+    information without leaking; impute downstream with the global mean).
+
+    Plan: the same one-aggregate + broadcast-join shape as target_encode;
+    the per-row exclusion is a projection, not a window.
+    """
+    out = out_col or f"{cat_col}_loo"
+    t = F.col(target_col).cast("double")
+    base = df.filter(F.col(cat_col).isNotNull() & t.isNotNull())
+    per_cat = base.groupBy(cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_cat"),
+        F.sum(t.cast(_SUM_TYPE)).alias("__s_cat"),
+    )
+    joined = df.join(F.broadcast(per_cat), [cat_col], "left")
+    loo = F.when(
+        (F.col("__n_cat") > 1) & t.isNotNull(),
+        F.round(
+            (F.col("__s_cat").cast("double") - t)
+            / (F.col("__n_cat") - 1).cast("double"),
+            out_round,
+        ),
+    )
+    return joined.withColumn(out, loo).drop("__n_cat", "__s_cat")
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    out_round: int = 9,
+) -> DataFrame:
+    """Cohen's kappa between two label columns, one row out:
+
+      ``(n, n_agree, p_observed, p_expected, kappa)``
+
+    κ = (p_o − p_e)/(1 − p_e) with p_e = Σ_label p_a(label)·p_b(label).
+    Rows where either label is NULL are excluded (no judgment was made).
+    κ is NULL when p_e = 1 (both raters constant — agreement is undefined,
+    not perfect).
+
+    Plan: ONE (a, b) contingency aggregate (map-side combined; the frame is
+    |labels|² rows), then marginals via two tiny re-aggregations of that
+    frame — the raw data is scanned once.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cont = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    # marginal products: Σ_l (Σ_b c[l,·]) · (Σ_a c[·,l]) — join the two
+    # marginal frames (each ≤ |labels| rows) on the label
+    ma = cont.groupBy(F.col("__a").alias("__l")).agg(F.sum("__c").alias("__ca"))
+    mb = cont.groupBy(F.col("__b").alias("__l")).agg(F.sum("__c").alias("__cb"))
+    pe_num = (
+        ma.join(mb, "__l")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__pe_num"))
+    )
+    tot = cont.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    n = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / n
+    pe = F.col("__pe_num").cast("double") / (n * n)
+    return (
+        tot.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n",
+            "n_agree",
+            F.round(po, out_round).alias("p_observed"),
+            F.round(pe, out_round).alias("p_expected"),
+            F.round(
+                F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), out_round
+            ).alias("kappa"),
+        )
+    )

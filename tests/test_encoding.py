@@ -1,0 +1,61 @@
+"""Supervised categorical encodings + label agreement
+(operators/encoding.py)."""
+
+import pytest
+
+from json_schema_rs_spark.operators.encoding import (
+    cohens_kappa,
+    loo_encode,
+    target_encode,
+    target_encode_table,
+)
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    # cat 'a': 100 rows of target 1.0; cat 'b': 1 row of target 0.0
+    rows = [("a", 1.0)] * 100 + [("b", 0.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    enc = {r.cat: r for r in target_encode_table(df, "cat", "y", smoothing=20.0).collect()}
+    gm = 100.0 / 101.0
+    # 'a' barely moves; 'b' lands near the global mean, not at its own 0.0
+    assert enc["a"]["__te"] == pytest.approx((100 + 20 * gm) / 120, abs=1e-6)
+    assert enc["b"]["__te"] == pytest.approx((0 + 20 * gm) / 21, abs=1e-6)
+    assert enc["b"]["__te"] > 0.9
+
+
+def test_target_encode_appends_column(spark):
+    rows = [("a", 1.0), ("a", 3.0), (None, 5.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    got = target_encode(df, "cat", "y", smoothing=0.0).collect()
+    by_cat = {r.cat: r.cat_te for r in got}
+    assert by_cat["a"] == 2.0
+    assert by_cat[None] == 2.0  # NULL category falls back to global mean
+
+
+def test_loo_excludes_own_row(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 6.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    got = {(r.cat, r.y): r.cat_loo for r in loo_encode(df, "cat", "y").collect()}
+    assert got[("a", 1.0)] == 4.0     # (2+6)/2
+    assert got[("a", 2.0)] == 3.5     # (1+6)/2
+    assert got[("b", 5.0)] is None    # singleton: no info without leaking
+
+
+def test_kappa_textbook(spark):
+    # classic 2x2: raters agree 20 yes + 15 no of 50; marginals 25/25, 30/20
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.n == 50 and r.n_agree == 35
+    po, pe = 0.7, (25 * 30 + 25 * 20) / 2500.0
+    assert r.p_observed == pytest.approx(po, abs=1e-9)
+    assert r.p_expected == pytest.approx(pe, abs=1e-9)
+    assert r.kappa == pytest.approx((po - pe) / (1 - pe), abs=1e-9)
+
+
+def test_kappa_constant_raters_null(spark):
+    df = spark.createDataFrame([("x", "x"), ("x", "x")], "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.kappa is None  # p_e = 1: undefined, not perfect
