@@ -3369,6 +3369,18 @@ def q_session_paths_events(spark, sf_dir):
     )
 
 
+def q_violation_hotspots_docs(spark, sf_dir):
+    # Violation hotspot triage (operators/hotspots.py): per (lang / source,
+    # constraint) violation rates with lift over the corpus base rate —
+    # one scan of the annotated frame, everything downstream
+    # segment-cardinality-sized.
+    from json_schema_rs_spark.operators.hotspots import violation_hotspots
+
+    docs = _t(spark, sf_dir, "documents")
+    ann = _doc_engine().annotate(docs)
+    return violation_hotspots(ann, ["lang", "source"], min_viol=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3575,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loo_encode_events": q_loo_encode_events,
         "kappa_events": q_kappa_events,
         "session_paths_events": q_session_paths_events,
+        "violation_hotspots_docs": q_violation_hotspots_docs,
     }
 
 
@@ -7224,5 +7237,48 @@ def oracle_sql() -> dict[str, str]:
                   FROM s GROUP BY user_id, session_id)
             SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
             FROM p GROUP BY path HAVING count(*) >= 5
+        """,
+        "violation_hotspots_docs": """
+            WITH v AS (
+                SELECT doc_id, 'required:text' AS constraint_id
+                  FROM documents WHERE text IS NULL
+                UNION ALL SELECT doc_id, 'min_length:text'
+                  FROM documents WHERE text IS NOT NULL AND strlen(text) < 1
+                UNION ALL SELECT doc_id, 'max_length:text'
+                  FROM documents WHERE text IS NOT NULL AND strlen(text) > 2000
+                UNION ALL SELECT doc_id, 'enum:lang'
+                  FROM documents WHERE lang IS NOT NULL
+                   AND lang NOT IN ('en','de','fr')
+                UNION ALL SELECT doc_id, 'required:source'
+                  FROM documents WHERE source IS NULL
+                UNION ALL SELECT doc_id, 'pattern:source'
+                  FROM documents WHERE source IS NOT NULL
+                   AND NOT regexp_matches(source, '^src[0-9]+$')
+                UNION ALL SELECT doc_id, 'number_range:n_chars'
+                  FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars > 50)
+                UNION ALL SELECT doc_id, 'number_range:n_chars'
+                  FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars < 500)
+            ),
+            seg AS (SELECT 'lang' AS seg_col, lang AS seg_val, doc_id
+                    FROM documents
+                    UNION ALL SELECT 'source', source, doc_id FROM documents),
+            rps AS (SELECT seg_col, seg_val, CAST(count(*) AS BIGINT)
+                             AS n_rows_seg
+                    FROM seg GROUP BY seg_col, seg_val),
+            vv AS (SELECT seg_col, seg_val, constraint_id,
+                          CAST(count(*) AS BIGINT) AS n_viol
+                   FROM seg JOIN v USING (doc_id)
+                   GROUP BY seg_col, seg_val, constraint_id),
+            g AS (SELECT constraint_id, CAST(count(*) AS BIGINT) AS n_viol_g
+                  FROM v GROUP BY constraint_id),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+            SELECT seg_col, seg_val, constraint_id, n_rows_seg, n_viol,
+                   round(n_viol / n_rows_seg::DOUBLE, 6) AS rate,
+                   round(n_viol_g / n_total::DOUBLE, 6) AS global_rate,
+                   round((n_viol / n_rows_seg::DOUBLE)
+                         / (n_viol_g / n_total::DOUBLE), 6) AS lift
+            FROM vv JOIN rps USING (seg_col, seg_val)
+                    JOIN g USING (constraint_id), t
+            WHERE n_viol >= 2
         """,
     }

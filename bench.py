@@ -268,6 +268,7 @@ def bench_queries(spark) -> dict[str, float]:
         "loo_encode_events",
         "kappa_events",
         "session_paths_events",
+        "violation_hotspots_docs",
     ]
     qs = entrymod.queries()
 

@@ -1,0 +1,106 @@
+"""Violation hotspot analysis: which data segments drive which constraint
+failures, and by how much over the corpus base rate.
+
+No reference counterpart (`/root/reference` reports per-document errors
+with no aggregation); this is the triage layer a validation run needs at
+10^12 files — nobody reads a billion violation rows, they ask "which
+(source, lang, repo...) slice broke, on which constraint, how far above
+normal?".  The lift ranking localizes an upstream regression (a crawler,
+a parser version, one repo) in one report.
+
+Plan shape (one scan of the annotated frame):
+
+  1. each row fans out to |segment_cols| (seg_col, seg_val) tags — a
+     bounded explode;
+  2. segment row counts: one map-side-combined aggregate;
+  3. violating rows only (size(violations) > 0 pre-filter, the engine's
+     explode discipline) fan out violations → one (segment, constraint)
+     aggregate;
+  4. global per-constraint rates come from a tiny re-aggregation of (3)'s
+     result [not a second scan], joined back broadcast.
+
+Everything after the two aggregates is segment-cardinality-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def violation_hotspots(
+    annotated: DataFrame,
+    segment_cols: list[str],
+    min_viol: int = 1,
+    out_round: int = 6,
+) -> DataFrame:
+    """Per (segment column, segment value, constraint) violation report:
+
+      ``(seg_col, seg_val, constraint_id, n_rows_seg, n_viol, rate,
+        global_rate, lift)``
+
+    * ``rate``        — violations per row inside the segment;
+    * ``global_rate`` — the same constraint's violations per row corpus-wide;
+    * ``lift``        — rate / global_rate (1.0 = the segment is ordinary;
+      10 = the problem concentrates here).
+
+    ``annotated`` is the engine's annotate() output (any frame with a
+    ``violations`` array column works).  NULL segment values form their own
+    segment — an unexpectedly violating NULL slice is itself a finding.
+    ``min_viol`` suppresses noise segments below that violation count.
+    """
+    if not segment_cols:
+        raise ValueError("violation_hotspots: need at least one segment column")
+    tags = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("seg_col"), F.col(c).cast("string").alias("seg_val")
+            )
+            for c in segment_cols
+        ]
+    )
+    base = annotated.select(F.explode(tags).alias("__s"), "violations")
+
+    rows_per_seg = base.groupBy(
+        F.col("__s.seg_col").alias("seg_col"), F.col("__s.seg_val").alias("seg_val")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows_seg"))
+
+    seg_viol = (
+        base.filter(F.size("violations") > 0)
+        .select("__s.seg_col", "__s.seg_val", F.explode("violations").alias("v"))
+        .groupBy("seg_col", "seg_val", F.col("v.constraint_id").alias("constraint_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_viol"))
+    )
+
+    # global rates from the per-segment result: every violation appears once
+    # per segment COLUMN there, so divide by the column fan-out via any one
+    # column's slice — cheapest exact form: re-aggregate one designated
+    # seg_col (they all contain every violation exactly once)
+    first_col = segment_cols[0]
+    global_viol = (
+        seg_viol.filter(F.col("seg_col") == first_col)
+        .groupBy("constraint_id")
+        .agg(F.sum("n_viol").cast("long").alias("n_viol_global"))
+    )
+    total_rows = rows_per_seg.filter(F.col("seg_col") == first_col).agg(
+        F.sum("n_rows_seg").cast("long").alias("n_total")
+    )
+
+    rate = F.col("n_viol").cast("double") / F.col("n_rows_seg").cast("double")
+    grate = F.col("n_viol_global").cast("double") / F.col("n_total").cast("double")
+    return (
+        seg_viol.join(rows_per_seg, ["seg_col", "seg_val"])
+        .join(F.broadcast(global_viol), "constraint_id")
+        .crossJoin(F.broadcast(total_rows))
+        .filter(F.col("n_viol") >= int(min_viol))
+        .select(
+            "seg_col",
+            "seg_val",
+            "constraint_id",
+            "n_rows_seg",
+            "n_viol",
+            F.round(rate, out_round).alias("rate"),
+            F.round(grate, out_round).alias("global_rate"),
+            F.round(rate / grate, out_round).alias("lift"),
+        )
+    )

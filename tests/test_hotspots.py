@@ -1,0 +1,57 @@
+"""Violation hotspot analysis (operators/hotspots.py)."""
+
+import pytest
+
+from json_schema_rs_spark import ValidationEngine
+from json_schema_rs_spark.operators.hotspots import violation_hotspots
+from json_schema_rs_spark.spec import TableSpec, string_field
+
+
+def _annotated(spark):
+    spec = TableSpec()
+    spec.add_field(string_field("name", required=True))
+    eng = ValidationEngine(spec, key_cols=["id"])
+    # segment 'bad' has 2/2 rows violating; 'good' has 0/4 -> all lift in bad
+    rows = [
+        (1, None, "bad"), (2, None, "bad"),
+        (3, "x", "good"), (4, "y", "good"), (5, "z", "good"), (6, "w", "good"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, src string")
+    return eng.annotate(df)
+
+
+def test_hotspot_lift_concentrates(spark):
+    got = violation_hotspots(_annotated(spark), ["src"]).collect()
+    by_seg = {r.seg_val: r for r in got}
+    assert set(by_seg) == {"bad"}          # 'good' has no violations
+    r = by_seg["bad"]
+    assert r.constraint_id == "required:name"
+    assert r.n_rows_seg == 2 and r.n_viol == 2
+    assert r.rate == 1.0
+    assert r.global_rate == pytest.approx(2 / 6, abs=1e-6)
+    assert r.lift == pytest.approx(3.0, abs=1e-6)
+
+
+def test_hotspot_multi_segment_columns(spark):
+    ann = _annotated(spark).withColumn("region", ann_region())
+    got = violation_hotspots(ann, ["src", "region"]).collect()
+    cols = {r.seg_col for r in got}
+    assert cols == {"src", "region"}
+    # global rate identical regardless of which segment column a row is under
+    assert len({r.global_rate for r in got}) == 1
+
+
+def ann_region():
+    from pyspark.sql import functions as F
+
+    return F.when(F.col("id") % 2 == 0, "eu").otherwise("us")
+
+
+def test_hotspot_min_viol_filter(spark):
+    got = violation_hotspots(_annotated(spark), ["src"], min_viol=3).collect()
+    assert got == []
+
+
+def test_hotspot_requires_segments(spark):
+    with pytest.raises(ValueError):
+        violation_hotspots(_annotated(spark), [])

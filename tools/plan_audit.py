@@ -88,7 +88,13 @@ BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact"
            # HLL overlap: the group-domain pair expansion crossJoins two
            # DISTINCT-group frames (|groups|² rows, corpus-size-independent
            # — all inputs are register aggregates)
-           "hll_overlap_event_types"}
+           "hll_overlap_event_types",
+           # target encoding: the global-mean totals frame is ONE broadcast
+           # row crossJoined onto the |categories| encoder table
+           "target_encode_docs",
+           # Cohen's kappa: the expected-agreement numerator is ONE
+           # broadcast row crossJoined onto the one-row totals aggregate
+           "kappa_events"}
 #: queries whose joins are big-×-big on purpose (no broadcast expectation)
 SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
@@ -105,6 +111,15 @@ SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           # two lineitem-derived relations — both fact-sized at scale, SMJ
           # on the orderkey is the intended plan
           "q21_waiting_suppliers",
+          # containment join: candidate generation pairs the A-prefix and
+          # B-full inverted-index relations — both corpus-sized, SMJ on
+          # (token, scope) is the intended exact-set-join plan (same class
+          # as dedup_jaccard_pairs / setsim_ppjoin)
+          "containment_pairs_docs",
+          # routing report: the valid/quarantine per-lang aggregates meet
+          # in a FULL-OUTER join (broadcast-hash impossible in Spark) over
+          # two ≤|langs|-row frames sharing one shuffle partitioning
+          "route_quarantine_docs",
           # the per-group median/MAD frames join back without a broadcast
           # HINT (forced broadcast would be unbounded at high group
           # cardinality); the initial plan is SMJ and AQE converts it to a
