@@ -3381,6 +3381,32 @@ def q_violation_hotspots_docs(spark, sf_dir):
     return violation_hotspots(ann, ["lang", "source"], min_viol=2)
 
 
+def q_generate_docs(spark, sf_dir):
+    # Spec-driven conforming-data generation (generate.py): 2000 synthetic
+    # rows drawn from the documents spec via portable md5 uniforms, then
+    # run through the REAL compiled validator — the oracle regenerates the
+    # identical data in SQL and recomputes the verdicts, so both the
+    # generator's determinism and the engine's all-pass verdict are
+    # hash-checked (property-testing source for pipeline smoke tests).
+    from json_schema_rs_spark.generate import generate_conforming
+
+    gen = generate_conforming(
+        spark,
+        _doc_spec(),
+        2000,
+        seed="gen",
+        overrides={
+            # pattern field: generator refuses to synthesize regexes — the
+            # caller supplies a conforming shape
+            "source": F.concat(F.lit("src"), (F.col("id") % 37).cast("string"))
+        },
+    )
+    ann = ValidationEngine(_doc_spec(), key_cols=["id"], group_col="lang").annotate(
+        gen
+    )
+    return ann.select("id", "text", "lang", "source", "n_chars", "passed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3588,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_events": q_kappa_events,
         "session_paths_events": q_session_paths_events,
         "violation_hotspots_docs": q_violation_hotspots_docs,
+        "generate_docs": q_generate_docs,
     }
 
 
@@ -7280,5 +7307,34 @@ def oracle_sql() -> dict[str, str]:
             FROM vv JOIN rps USING (seg_col, seg_val)
                     JOIN g USING (constraint_id), t
             WHERE n_viol >= 2
+        """,
+        "generate_docs": """
+            WITH g AS (
+                SELECT range AS id,
+                       1 + ('0x' || substr(md5('gen:text.len:' || range), 1, 13))::BIGINT
+                           % 2000 AS ln,
+                       md5('gen:text:payload:' || range) AS ph,
+                       ('0x' || substr(md5('gen:lang:' || range), 1, 13))::BIGINT
+                           % 3 AS lp,
+                       'src' || (range % 37) AS source,
+                       CAST(51 + ('0x' || substr(md5('gen:n_chars:' || range), 1, 13))::BIGINT
+                                 % 449 AS DOUBLE) AS n_chars
+                FROM range(2000)),
+            r AS (SELECT id,
+                         substr(repeat(ph, CAST(floor(ln / 32) + 1 AS INT)),
+                                1, CAST(ln AS INT)) AS text,
+                         CASE lp WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                                 ELSE 'fr' END AS lang,
+                         source, n_chars
+                  FROM g)
+            SELECT id, text, lang, source, n_chars,
+                   (text IS NOT NULL AND strlen(text) >= 1
+                    AND strlen(text) <= 2000
+                    AND (lang IS NULL OR lang IN ('en','de','fr'))
+                    AND source IS NOT NULL
+                    AND regexp_matches(source, '^src[0-9]+$')
+                    AND (n_chars IS NULL
+                         OR (n_chars > 50 AND n_chars < 500))) AS passed
+            FROM r
         """,
     }

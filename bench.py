@@ -269,6 +269,7 @@ def bench_queries(spark) -> dict[str, float]:
         "kappa_events",
         "session_paths_events",
         "violation_hotspots_docs",
+        "generate_docs",
     ]
     qs = entrymod.queries()
 

@@ -1,0 +1,133 @@
+"""Spec-driven conforming-data generation — the INVERSE of validation:
+given a TableSpec, synthesize a deterministic DataFrame every row of which
+passes the compiled constraints.
+
+No reference counterpart (`/root/reference` only checks documents); this is
+the property-testing / pipeline-smoke-test source a validation engine wants
+to ship with: generate a conforming corpus at any scale, run any pipeline
+over it, validate the output — regressions surface as violations on data
+whose clean verdict is known by construction.  It also yields load-test
+input shaped exactly like production (same lengths, enums, ranges).
+
+Everything is pure Column expressions over ``spark.range(n)`` — JVM-side,
+shuffle-free, linearly scalable — and every random draw is an md5-uniform
+of (seed, field, row id), the engine's portable-determinism idiom
+(cf. operators/sampling.py): the same (spec, seed, n) yields bit-identical
+data on every engine, so a DuckDB oracle can regenerate and cross-check.
+
+Coverage: enum → member pick; string length bounds → deterministic
+hex-repeat payload of an in-range length; numeric bounds → in-range draw
+honoring the spec's exclusivity mode (reference-parity: a value EQUAL to a
+bound FAILS, number.rs:42-62 — the generator always draws strictly
+inside); integer/boolean → direct draws.  ``pattern`` and ``format`` are
+NOT synthesized from the regex (general regex generation is a different
+project); fields carrying them must be given an ``overrides`` Column that
+produces conforming values — the generator raises otherwise rather than
+emit violating data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.spec import FieldSpec, TableSpec
+
+
+def _uniform(seed: str, field: str, m: Column | int) -> Column:
+    """Deterministic uniform in [0, m) from md5(seed:field:id) — 52-bit
+    prefix, the portable idiom shared with the sampling/sketch oracles."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:{field}:"), F.col("id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % m
+
+
+def _gen_string(f: FieldSpec, seed: str) -> Column:
+    lo = f.min_length if f.min_length is not None else 1
+    hi = f.max_length if f.max_length is not None else max(lo, 32)
+    if hi < lo:
+        raise ValueError(f"{f.name}: max_length < min_length")
+    # length uniform in [lo, hi]; payload = md5 hex repeated then cut —
+    # ASCII, so byte length == char length (the spec's byte-length
+    # semantics, string.rs:71, hold trivially)
+    ln = (F.lit(lo) + _uniform(seed, f.name + ".len", hi - lo + 1)).cast("int")
+    payload = F.repeat(
+        F.md5(F.concat(F.lit(f"{seed}:{f.name}:payload:"), F.col("id").cast("string"))),
+        (F.floor(ln / 32) + 1).cast("int"),
+    )
+    return F.when(ln > 0, payload.substr(F.lit(1), ln)).otherwise(F.lit(""))
+
+
+def _gen_number(f: FieldSpec, seed: str, integer: bool) -> Column:
+    lo = f.minimum if f.minimum is not None else 0.0
+    hi = f.maximum if f.maximum is not None else lo + 1000.0
+    # reference-parity inverted exclusivity: boundary values FAIL unless the
+    # exclusive_* flag is set (number.rs:42-62) — drawing STRICTLY inside
+    # (lo, hi) conforms under BOTH parity and strict semantics, so the
+    # generator always does.  Integer draw in [floor(lo)+1, ceil(hi)-1].
+    import math
+
+    ilo = int(math.floor(lo)) + 1
+    ihi = int(math.ceil(hi)) - 1
+    if ihi < ilo:
+        raise ValueError(f"{f.name}: range ({lo}, {hi}) has no interior integer")
+    v = F.lit(ilo) + _uniform(seed, f.name, ihi - ilo + 1)
+    return v.cast("long") if integer else v.cast("double")
+
+
+def generate_conforming(
+    spark: SparkSession,
+    spec: TableSpec,
+    n: int,
+    seed: str = "gen",
+    overrides: dict[str, Column] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """A DataFrame of ``n`` rows conforming to ``spec`` (row-level
+    constraints; uniqueness of an ``id``-based key holds because ``id`` is
+    ``spark.range``'s distinct sequence).  ``overrides`` maps field name →
+    Column expression (evaluated over the ``id`` column) for fields the
+    generator cannot synthesize (pattern/format) or that need realistic
+    shapes; override columns are used verbatim.
+    """
+    overrides = overrides or {}
+    base = spark.range(int(n))  # column "id"
+    cols: list[Column] = [F.col("id").alias(id_col)]
+    for f in spec.fields.values():
+        if f.name in overrides:
+            cols.append(overrides[f.name].alias(f.name))
+            continue
+        if f.enum:
+            members = list(f.enum)
+            pick = _uniform(seed, f.name, len(members))
+            expr = F.element_at(
+                F.array(*[F.lit(m) for m in members]), (pick + 1).cast("int")
+            )
+        elif f.pattern is not None or f.format is not None:
+            raise ValueError(
+                f"field {f.name!r} carries pattern/format — pass an overrides "
+                "Column producing conforming values (regex synthesis is out "
+                "of scope)"
+            )
+        elif f.type in ("string", None):
+            expr = _gen_string(f, seed)
+        elif f.type == "number":
+            expr = _gen_number(f, seed, integer=False)
+        elif f.type == "integer":
+            expr = _gen_number(f, seed, integer=True)
+        elif f.type == "boolean":
+            expr = (_uniform(seed, f.name, 2) == 1)
+        else:
+            raise ValueError(
+                f"field {f.name!r}: no generator for type {f.type!r} "
+                "(arrays/objects: pass an overrides Column)"
+            )
+        cols.append(expr.alias(f.name))
+    return base.select(*cols)

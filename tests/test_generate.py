@@ -1,0 +1,80 @@
+"""Spec-driven conforming-data generation (generate.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import ValidationEngine
+from json_schema_rs_spark.generate import generate_conforming
+from json_schema_rs_spark.spec import (
+    TableSpec,
+    boolean_field,
+    integer_field,
+    number_field,
+    string_field,
+)
+
+
+def _spec():
+    spec = TableSpec()
+    spec.add_field(string_field("name", required=True).with_length(3, 10))
+    spec.add_field(string_field("kind").with_enum(["a", "b", "c"]))
+    spec.add_field(number_field("score").with_range(0.0, 100.0))
+    spec.add_field(integer_field("level"))
+    spec.add_field(boolean_field("flag"))
+    return spec
+
+
+def test_generated_rows_all_validate_clean(spark):
+    spec = _spec()
+    gen = generate_conforming(spark, spec, 500)
+    res = ValidationEngine(spec, key_cols=["id"]).validate(gen)
+    assert res.violations.count() == 0
+    assert gen.count() == 500
+
+
+def test_generation_is_deterministic(spark):
+    spec = _spec()
+    a = generate_conforming(spark, spec, 50, seed="s1").collect()
+    b = generate_conforming(spark, spec, 50, seed="s1").collect()
+    c = generate_conforming(spark, spec, 50, seed="s2").collect()
+    assert a == b
+    assert a != c
+
+
+def test_bounds_respected_strictly_inside(spark):
+    spec = _spec()
+    rows = generate_conforming(spark, spec, 300).collect()
+    for r in rows:
+        assert 3 <= len(r.name) <= 10
+        assert r.kind in ("a", "b", "c")
+        assert 0.0 < r.score < 100.0   # parity semantics: boundaries FAIL
+        assert isinstance(r.flag, bool)
+
+
+def test_pattern_requires_override(spark):
+    spec = TableSpec()
+    spec.add_field(string_field("code").with_pattern("^c[0-9]+$"))
+    with pytest.raises(ValueError, match="pattern/format"):
+        generate_conforming(spark, spec, 10)
+    gen = generate_conforming(
+        spark,
+        spec,
+        10,
+        overrides={"code": F.concat(F.lit("c"), F.col("id").cast("string"))},
+    )
+    res = ValidationEngine(spec, key_cols=["id"]).validate(gen)
+    assert res.violations.count() == 0
+
+
+def test_empty_range_rejected(spark):
+    spec = TableSpec()
+    spec.add_field(number_field("x").with_range(1.0, 2.0))  # no interior int
+    with pytest.raises(ValueError, match="interior"):
+        generate_conforming(spark, spec, 5).collect()
+
+
+def test_plan_is_pure_projection(spark):
+    gen = generate_conforming(spark, _spec(), 100)
+    plan = gen._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan      # shuffle-free source
+    assert "BatchEvalPython" not in plan
