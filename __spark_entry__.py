@@ -3407,6 +3407,32 @@ def q_generate_docs(spark, sf_dir):
     return ann.select("id", "text", "lang", "source", "n_chars", "passed")
 
 
+def q_profile_diff_docs(spark, sf_dir):
+    # Snapshot profile diff (operators/stats.py profile_diff): the new
+    # snapshot perturbs n_chars (+100 on every 3rd doc — a ~12% mean shift,
+    # above the 10% threshold), adds n_chars2 and drops doc_id — the report
+    # must classify added/removed/common and flag the drift.  Inputs are
+    # |columns|-row profiles; the diff rescans nothing.
+    from json_schema_rs_spark.operators.stats import column_profile, profile_diff
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _rounded(prof):
+        return prof.withColumn("mean", F.round("mean", 6)).withColumn(
+            "stddev", F.round("stddev", 6)
+        )
+
+    old = _rounded(column_profile(docs, ["doc_id", "n_chars"]))
+    new_docs = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars") + 100).otherwise(
+            F.col("n_chars")
+        ),
+    ).withColumn("n_chars2", F.col("n_chars") * 2)
+    new = _rounded(column_profile(new_docs, ["n_chars", "n_chars2"]))
+    return profile_diff(old, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3615,6 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths_events": q_session_paths_events,
         "violation_hotspots_docs": q_violation_hotspots_docs,
         "generate_docs": q_generate_docs,
+        "profile_diff_docs": q_profile_diff_docs,
     }
 
 
@@ -7336,5 +7363,49 @@ def oracle_sql() -> dict[str, str]:
                     AND (n_chars IS NULL
                          OR (n_chars > 50 AND n_chars < 500))) AS passed
             FROM r
+        """,
+        "profile_diff_docs": f"""
+            WITH oldp AS ({profile_oracle_sql("documents", ["doc_id", "n_chars"])}),
+            newsrc AS (
+                SELECT CASE WHEN doc_id % 3 = 0 THEN n_chars + 100
+                            ELSE n_chars END AS n_chars,
+                       (CASE WHEN doc_id % 3 = 0 THEN n_chars + 100
+                             ELSE n_chars END) * 2 AS n_chars2
+                FROM documents),
+            newp AS ({profile_oracle_sql("newsrc", ["n_chars", "n_chars2"])}),
+            o AS (SELECT col_name, n_rows AS n_o, n_nulls AS nulls_o,
+                         min_val AS min_o, max_val AS max_o,
+                         mean AS mean_o, stddev AS std_o FROM oldp),
+            nn AS (SELECT col_name, n_rows AS n_n, n_nulls AS nulls_n,
+                          min_val AS min_n, max_val AS max_n,
+                          mean AS mean_n, stddev AS std_n FROM newp),
+            j AS (SELECT coalesce(o.col_name, nn.col_name) AS col_name,
+                         n_o, nulls_o, min_o, max_o, mean_o, std_o,
+                         n_n, nulls_n, min_n, max_n, mean_n, std_n
+                  FROM o FULL OUTER JOIN nn ON o.col_name = nn.col_name),
+            d AS (SELECT *,
+                    CASE WHEN n_o IS NULL THEN 'added'
+                         WHEN n_n IS NULL THEN 'removed'
+                         ELSE 'common' END AS status,
+                    nulls_o / CAST(n_o AS DOUBLE) AS nr_o,
+                    nulls_n / CAST(n_n AS DOUBLE) AS nr_n,
+                    abs(mean_n - mean_o)
+                      / greatest(abs(mean_o), 1e-12) AS shift,
+                    (min_n < min_o OR max_n > max_o) AS widened
+                  FROM j)
+            SELECT col_name, status,
+                   CAST(n_o AS BIGINT) AS n_old, CAST(n_n AS BIGINT) AS n_new,
+                   round(nr_o, 6) AS null_rate_old,
+                   round(nr_n, 6) AS null_rate_new,
+                   round(nr_n - nr_o, 6) AS null_rate_delta,
+                   mean_o AS mean_old, mean_n AS mean_new,
+                   round(shift, 6) AS mean_rel_shift,
+                   round(CASE WHEN std_o > 0 THEN std_n / std_o END, 6)
+                     AS stddev_ratio,
+                   widened AS range_widened,
+                   (status <> 'common' OR shift >= 0.1
+                    OR abs(nr_n - nr_o) >= 0.05
+                    OR coalesce(widened, FALSE)) AS drifted
+            FROM d
         """,
     }

@@ -270,6 +270,7 @@ def bench_queries(spark) -> dict[str, float]:
         "session_paths_events",
         "violation_hotspots_docs",
         "generate_docs",
+        "profile_diff_docs",
     ]
     qs = entrymod.queries()
 

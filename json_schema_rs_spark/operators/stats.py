@@ -378,3 +378,84 @@ def categorical_association(
             F.round(F.col("__mi").cast("double"), out_round).alias("mutual_info"),
         )
     )
+
+
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    rel_shift_threshold: float = 0.1,
+    null_delta_threshold: float = 0.05,
+    out_round: int = 6,
+) -> DataFrame:
+    """Schema-level drift report between two column profiles (the
+    :func:`column_profile` outputs of two snapshots): one row per column
+    seen in either profile,
+
+      ``(col_name, status, n_old, n_new, null_rate_old, null_rate_new,
+        null_rate_delta, mean_old, mean_new, mean_rel_shift, stddev_ratio,
+        range_widened, drifted)``
+
+    * ``status``       — 'added' / 'removed' / 'common';
+    * ``mean_rel_shift`` — |Δmean| / max(|mean_old|, 1e-12);
+    * ``stddev_ratio`` — new σ / old σ (NULL when old σ = 0);
+    * ``range_widened`` — the new snapshot saw values outside the old
+      [min, max] (a constraint inferred from the old snapshot would fire);
+    * ``drifted``      — added/removed, or mean shift ≥
+      ``rel_shift_threshold``, or |null-rate delta| ≥
+      ``null_delta_threshold``, or range widened.
+
+    This is the between-snapshots complement of the value-level drift
+    operators (operators/drift.py KS/PSI): those compare distributions of
+    ONE column; this audits the whole profile table-wide.  Cost: the two
+    inputs are already |columns|-row aggregates — the diff is a tiny
+    full-outer join, nothing rescans data.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            "col_name",
+            F.col("n_rows").alias(f"__n_{tag}"),
+            F.col("n_nulls").alias(f"__nulls_{tag}"),
+            F.col("min_val").alias(f"__min_{tag}"),
+            F.col("max_val").alias(f"__max_{tag}"),
+            F.col("mean").alias(f"__mean_{tag}"),
+            F.col("stddev").alias(f"__std_{tag}"),
+        )
+
+    j = side(old, "o").join(side(new, "n"), "col_name", "full_outer")
+    status = (
+        F.when(F.col("__n_o").isNull(), F.lit("added"))
+        .when(F.col("__n_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    nr_o = F.col("__nulls_o").cast("double") / F.col("__n_o").cast("double")
+    nr_n = F.col("__nulls_n").cast("double") / F.col("__n_n").cast("double")
+    shift = F.abs(F.col("__mean_n") - F.col("__mean_o")) / F.greatest(
+        F.abs(F.col("__mean_o")), F.lit(1e-12)
+    )
+    widened = (F.col("__min_n") < F.col("__min_o")) | (
+        F.col("__max_n") > F.col("__max_o")
+    )
+    drifted = (
+        (status != "common")
+        | (shift >= F.lit(float(rel_shift_threshold)))
+        | (F.abs(nr_n - nr_o) >= F.lit(float(null_delta_threshold)))
+        | F.coalesce(widened, F.lit(False))
+    )
+    return j.select(
+        "col_name",
+        status.alias("status"),
+        F.col("__n_o").alias("n_old"),
+        F.col("__n_n").alias("n_new"),
+        F.round(nr_o, out_round).alias("null_rate_old"),
+        F.round(nr_n, out_round).alias("null_rate_new"),
+        F.round(nr_n - nr_o, out_round).alias("null_rate_delta"),
+        F.col("__mean_o").alias("mean_old"),
+        F.col("__mean_n").alias("mean_new"),
+        F.round(shift, out_round).alias("mean_rel_shift"),
+        F.round(
+            F.when(F.col("__std_o") > 0, F.col("__std_n") / F.col("__std_o")),
+            out_round,
+        ).alias("stddev_ratio"),
+        widened.alias("range_widened"),
+        drifted.alias("drifted"),
+    )

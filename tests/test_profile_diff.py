@@ -1,0 +1,45 @@
+"""Snapshot profile diff (operators/stats.py profile_diff)."""
+
+import pytest
+
+from json_schema_rs_spark.operators.stats import column_profile, profile_diff
+
+
+def test_added_removed_common_and_drift(spark):
+    old_df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "a int, b double"
+    )
+    new_df = spark.createDataFrame(
+        [(1, 100.0, 1.0), (2, 200.0, 2.0), (3, 300.0, None)],
+        "a int, b double, c double",
+    )
+    old = column_profile(old_df, ["a", "b"])
+    new = column_profile(new_df, ["b", "c"])
+    got = {r.col_name: r for r in profile_diff(old, new).collect()}
+    assert got["a"].status == "removed" and got["a"].drifted is True
+    assert got["c"].status == "added" and got["c"].drifted is True
+    b = got["b"]
+    assert b.status == "common"
+    assert b.mean_rel_shift == pytest.approx(9.0, abs=1e-6)  # 20 -> 200
+    assert b.range_widened is True
+    assert b.drifted is True
+
+
+def test_identical_snapshots_quiet(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "a int, b double")
+    prof = column_profile(df, ["a", "b"])
+    got = profile_diff(prof, prof).collect()
+    assert all(r.status == "common" and r.drifted is False for r in got)
+    assert all(r.mean_rel_shift == 0.0 and r.stddev_ratio == 1.0 for r in got)
+
+
+def test_null_rate_trigger(spark):
+    old_df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "x double")
+    new_df = spark.createDataFrame([(1.0,), (None,), (3.0,), (None,)], "x double")
+    got = profile_diff(
+        column_profile(old_df, ["x"]),
+        column_profile(new_df, ["x"]),
+        rel_shift_threshold=10.0,  # mute the mean trigger
+    ).collect()[0]
+    assert got.null_rate_delta == 0.5
+    assert got.drifted is True
