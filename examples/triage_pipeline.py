@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Ingest-triage pipeline (runnable demo): the round-2 operator families
+wired end-to-end.
+
+    python examples/triage_pipeline.py [n_rows]
+
+1. GENERATE a conforming corpus from the spec (generate.py) — the known-
+   clean baseline — then deterministically corrupt a slice of it the way a
+   broken upstream would (one source starts shipping over-long text and
+   out-of-range sizes);
+2. ROUTE the corpus in one fused constraint pass (engine.route): clean rows
+   to the main sink, violating rows (with their violations payload) to the
+   quarantine sink;
+3. TRIAGE the quarantine with violation hotspots (operators/hotspots.py):
+   which (source) slice concentrates which constraint, vs the corpus base
+   rate — the report localizes the corrupted source at lift >> 1;
+4. MONITOR the per-hour quarantine rate with a control chart
+   (operators/monitoring.py): limits trained on the clean period flag the
+   corruption window as beyond-limit points.
+
+Everything is deterministic (md5 draws), so this doubles as an integration
+check: the planted source must be the ONLY hotspot and the corruption hours
+the ONLY out-of-control points.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import ValidationEngine, get_spark
+from json_schema_rs_spark.generate import generate_conforming
+from json_schema_rs_spark.operators.hotspots import violation_hotspots
+from json_schema_rs_spark.operators.monitoring import control_chart
+from json_schema_rs_spark.spec import TableSpec, number_field, string_field
+
+
+def build_spec() -> TableSpec:
+    spec = TableSpec()
+    spec.add_field(string_field("text", required=True).with_length(1, 500))
+    spec.add_field(number_field("size").with_range(0.0, 1000.0))
+    spec.add_field(string_field("source", required=True).with_pattern("^src[0-9]+$"))
+    return spec
+
+
+def main(n_rows: int = 20_000) -> int:
+    spark = get_spark(app_name="triage-pipeline", master="local[4]",
+                      shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    spec = build_spec()
+
+    # 1. conforming corpus + a synthetic timeline (one row per ~second,
+    # so ~5.5 hours of feed) + planted corruption: src7 goes bad in the
+    # LAST hour (over-long text via repeat, size pushed out of range)
+    gen = generate_conforming(
+        spark, spec, n_rows,
+        overrides={"source": F.concat(F.lit("src"), (F.col("id") % 10).cast("string"))},
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")))
+    last_hour = n_rows - 3600
+    corrupted = gen.withColumn(
+        "text",
+        F.when(
+            (F.col("source") == "src7") & (F.col("id") >= last_hour),
+            F.rpad(F.col("text"), 600, "x"),          # > max_length 500
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "size",
+        F.when(
+            (F.col("source") == "src7") & (F.col("id") >= last_hour),
+            F.lit(5000.0),                            # > maximum 1000
+        ).otherwise(F.col("size")),
+    )
+
+    # 2. one fused pass → two sinks
+    eng = ValidationEngine(spec, key_cols=["id"], group_col="source")
+    valid, quarantined = eng.route(corrupted)
+    n_valid, n_quar = valid.count(), quarantined.count()
+    print(f"routed: {n_valid} clean, {n_quar} quarantined")
+
+    # 3. hotspot triage on the SAME annotated pass
+    ann = eng.annotate(corrupted)
+    hot = violation_hotspots(ann, ["source"], min_viol=5)
+    top = hot.orderBy(F.desc("lift")).limit(5)
+    top.show(truncate=False)
+    top_seg = [r.seg_val for r in top.collect()]
+    assert top_seg and all(s == "src7" for s in top_seg), top_seg
+
+    # 4. control chart over the hourly quarantine rate
+    hourly = (
+        ann.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.avg((~F.col("passed")).cast("double")).alias("fail_rate"))
+        .withColumn("feed", F.lit("corpus"))
+    )
+    chart = control_chart(
+        hourly, "feed", "hour_ts", "fail_rate",
+        baseline_before=str(
+            ann.agg(F.date_trunc("hour", F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.lit(last_hour)))).collect()[0][0]
+        ),
+    )
+    alerts = chart.filter(F.col("beyond_limit")).collect()
+    print(f"out-of-control hours: {[str(r.hour_ts) for r in alerts]}")
+    assert alerts, "corruption window must trip the chart"
+
+    spark.stop()
+    print("triage pipeline OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 20_000))

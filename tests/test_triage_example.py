@@ -1,0 +1,17 @@
+"""The triage example (generate → route → hotspots → control chart) is an
+integration check: its asserts pin that the planted bad source is the ONLY
+hotspot and the corruption window trips the chart."""
+
+import subprocess
+import sys
+
+
+def test_triage_pipeline_example():
+    out = subprocess.run(
+        [sys.executable, "examples/triage_pipeline.py", "8000"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "triage pipeline OK" in out.stdout
