@@ -94,7 +94,10 @@ BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact"
            "target_encode_docs",
            # Cohen's kappa: the expected-agreement numerator is ONE
            # broadcast row crossJoined onto the one-row totals aggregate
-           "kappa_events"}
+           "kappa_events",
+           # hotspots: the corpus total-rows frame is ONE broadcast row
+           # crossJoined onto the segment-cardinality result
+           "violation_hotspots_docs"}
 #: queries whose joins are big-×-big on purpose (no broadcast expectation)
 SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
@@ -120,6 +123,9 @@ SMJ_OK = {"window_top3_orders", "sessionize_events", "asof_join_events",
           # in a FULL-OUTER join (broadcast-hash impossible in Spark) over
           # two ≤|langs|-row frames sharing one shuffle partitioning
           "route_quarantine_docs",
+          # profile diff: FULL-OUTER join (broadcast-hash impossible) of
+          # two |columns|-row profile aggregates — corpus-size-independent
+          "profile_diff_docs",
           # the per-group median/MAD frames join back without a broadcast
           # HINT (forced broadcast would be unbounded at high group
           # cardinality); the initial plan is SMJ and AQE converts it to a
