@@ -3433,6 +3433,31 @@ def q_profile_diff_docs(spark, sf_dir):
     return profile_diff(old, new)
 
 
+def q_cusum_events(spark, sf_dir):
+    # Two-sided CUSUM change-point detection (operators/monitoring.py
+    # cusum_changepoints): hourly per-type counts, baseline = first three
+    # weeks, k=0.5 h=5.  The per-group recurrence runs in an Arrow-batched
+    # applyInPandas loop; the oracle replays it with a recursive CTE —
+    # every step identical IEEE arithmetic in the same association order.
+    from json_schema_rs_spark.operators.monitoring import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cusum_changepoints(
+        hourly,
+        "event_type",
+        "hour_ts",
+        "n",
+        baseline_before="2024-01-22 00:00:00",
+        k=0.5,
+        h=5.0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3642,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_hotspots_docs": q_violation_hotspots_docs,
         "generate_docs": q_generate_docs,
         "profile_diff_docs": q_profile_diff_docs,
+        "cusum_events": q_cusum_events,
     }
 
 
@@ -7407,5 +7433,45 @@ def oracle_sql() -> dict[str, str]:
                     OR abs(nr_n - nr_o) >= 0.05
                     OR coalesce(widened, FALSE)) AS drifted
             FROM d
+        """,
+        "cusum_events": """
+            WITH RECURSIVE h AS (
+                SELECT event_type, date_trunc('hour', ts) AS ts,
+                       CAST(count(*) AS DOUBLE) AS v
+                FROM events WHERE ts IS NOT NULL
+                GROUP BY event_type, date_trunc('hour', ts)),
+            b AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS bn,
+                       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS bs,
+                       CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS bss
+                FROM h WHERE ts < TIMESTAMP '2024-01-22 00:00:00'
+                GROUP BY event_type),
+            lim AS (
+                SELECT event_type, round(bs / bn, 9) AS center,
+                       round(sqrt(greatest(0.0,
+                             bss / bn - (bs / bn) * (bs / bn))), 9) AS sigma_hat
+                FROM b),
+            pts AS (
+                SELECT h.event_type AS grp, ts, v,
+                       row_number() OVER (PARTITION BY h.event_type
+                                          ORDER BY epoch(ts), v) AS rn,
+                       (v - center) / sigma_hat AS z
+                FROM h JOIN lim USING (event_type)
+                WHERE center IS NOT NULL AND sigma_hat > 0),
+            c AS (
+                SELECT grp, rn, ts, v, z,
+                       greatest(0.0, 0.0 + z - 0.5) AS sp,
+                       greatest(0.0, 0.0 - z - 0.5) AS sn
+                FROM pts WHERE rn = 1
+                UNION ALL
+                SELECT p.grp, p.rn, p.ts, p.v, p.z,
+                       greatest(0.0, c.sp + p.z - 0.5),
+                       greatest(0.0, c.sn - p.z - 0.5)
+                FROM c JOIN pts p ON p.grp = c.grp AND p.rn = c.rn + 1)
+            SELECT grp AS event_type, ts, v AS value,
+                   round(sp, 9) AS s_pos, round(sn, 9) AS s_neg,
+                   round(sp, 9) > 5.0 AS alarm_pos,
+                   round(sn, 9) > 5.0 AS alarm_neg
+            FROM c
         """,
     }

@@ -271,6 +271,7 @@ def bench_queries(spark) -> dict[str, float]:
         "violation_hotspots_docs",
         "generate_docs",
         "profile_diff_docs",
+        "cusum_events",
     ]
     qs = entrymod.queries()
 

@@ -148,3 +148,140 @@ def control_chart(
             (F.col("__side") != 0) & (run_len >= int(run_length)),
         ).alias("run_violation"),
     )
+
+
+def _baseline_limits(
+    metrics: DataFrame,
+    groups: list[str],
+    ts_col: str,
+    value_col: str,
+    baseline_before: str,
+    out_round: int = 9,
+) -> DataFrame:
+    """Per-group (center, sigma_hat) from the training window — the shared
+    baseline aggregate behind control_chart and cusum_changepoints (exact
+    decimal moments, population σ, rounded for the cross-engine boundary)."""
+    ts = F.col(ts_col).cast("timestamp")
+    v = F.col(value_col).cast("double")
+    cutoff = F.lit(baseline_before).cast("timestamp")
+    base = (
+        metrics.filter(ts < cutoff)
+        .filter(v.isNotNull())
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__bn"),
+            F.sum(v.cast(_SUM_TYPE)).alias("__bs"),
+            F.sum((v * v).cast(_SUMSQ_TYPE)).alias("__bss"),
+        )
+    )
+    bn = F.col("__bn").cast("double")
+    bs = F.col("__bs").cast("double")
+    bss = F.col("__bss").cast("double")
+    center = bs / bn
+    var = F.greatest(F.lit(0.0), bss / bn - (bs / bn) * (bs / bn))
+    return base.select(
+        *groups,
+        F.round(center, out_round).alias("center"),
+        F.round(F.sqrt(var), out_round).alias("sigma_hat"),
+    )
+
+
+def cusum_changepoints(
+    metrics: DataFrame,
+    group_cols: list[str] | str,
+    ts_col: str,
+    value_col: str,
+    baseline_before: str,
+    k: float = 0.5,
+    h: float = 5.0,
+    out_round: int = 9,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection over a per-group metric
+    series — the sequential complement of control_chart: a Shewhart chart
+    needs one big excursion, CUSUM accumulates many SMALL ones, so a
+    persistent half-σ drift that never crosses 3σ still alarms within a few
+    points (Page 1954's classic sequential test).
+
+    With per-group baseline (μ, σ) from ``ts < baseline_before`` and
+    standardized z = (x − μ)/σ:
+
+      S⁺(t) = max(0, S⁺(t−1) + z(t) − k)      alarm⁺ when S⁺ > h
+      S⁻(t) = max(0, S⁻(t−1) − z(t) − k)      alarm⁻ when S⁻ > h
+
+    Returns every scored point: ``(group..., ts, value, s_pos, s_neg,
+    alarm_pos, alarm_neg)``; groups absent from the baseline (or with
+    σ = 0) score NULL.
+
+    The recurrence is inherently sequential per group, so this is the
+    engine's textbook ``applyInPandas`` case (cf. SURVEY §2.9 packing):
+    one shuffle on the group key, then an Arrow-batched numpy loop over
+    each group's (ts, value)-sorted series; every arithmetic step is plain
+    IEEE double in the same association order as the recursive-CTE oracle,
+    so results are bit-reproducible.  State is O(1) per group — a 100 TB
+    metric history streams through without materializing more than one
+    group partition.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col).cast("double")
+    limits = _baseline_limits(
+        metrics, groups, ts_col, value_col, baseline_before, out_round
+    )
+    joined = metrics.filter(v.isNotNull()).select(
+        *groups,
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        v.alias("value"),
+    ).join(F.broadcast(limits), groups, "left")
+
+    scored_schema = ", ".join(
+        [f"`{g}` string" for g in groups]
+        + [
+            "ts timestamp",
+            "value double",
+            "s_pos double",
+            "s_neg double",
+            "alarm_pos boolean",
+            "alarm_neg boolean",
+        ]
+    )
+    kf, hf = float(k), float(h)
+
+    def _cusum(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
+        center = float(pdf["center"].iloc[0])
+        sigma = float(pdf["sigma_hat"].iloc[0])
+        sp, sn = 0.0, 0.0
+        s_pos, s_neg = [], []
+        for x in pdf["value"]:
+            z = (float(x) - center) / sigma
+            sp = max(0.0, sp + z - kf)
+            sn = max(0.0, sn - z - kf)
+            s_pos.append(round(sp, out_round))
+            s_neg.append(round(sn, out_round))
+        out = pdf[groups + ["ts", "value"]].copy()
+        out["s_pos"] = s_pos
+        out["s_neg"] = s_neg
+        out["alarm_pos"] = pd.Series(s_pos, index=out.index) > hf
+        out["alarm_neg"] = pd.Series(s_neg, index=out.index) > hf
+        return out
+
+    have = joined.filter(F.col("center").isNotNull() & (F.col("sigma_hat") > 0))
+    have_groups_str = have.select(
+        *[F.col(g).cast("string").alias(g) for g in groups],
+        "ts", "value", "center", "sigma_hat",
+    )
+    scored = have_groups_str.groupBy(*groups).applyInPandas(_cusum, scored_schema)
+    missing = (
+        joined.filter(F.col("center").isNull() | ~(F.col("sigma_hat") > 0))
+        .select(
+            *[F.col(g).cast("string").alias(g) for g in groups],
+            "ts",
+            "value",
+            F.lit(None).cast("double").alias("s_pos"),
+            F.lit(None).cast("double").alias("s_neg"),
+            F.lit(None).cast("boolean").alias("alarm_pos"),
+            F.lit(None).cast("boolean").alias("alarm_neg"),
+        )
+    )
+    return scored.unionByName(missing)

@@ -2,6 +2,8 @@
 
 from datetime import datetime, timedelta
 
+import pytest
+
 from json_schema_rs_spark.operators.monitoring import control_chart
 
 
@@ -89,4 +91,71 @@ def test_single_exchange_chain(spark):
     # counting must NOT add a third exchange; limits join is broadcast
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cusum_detects_small_persistent_shift(spark):
+    from json_schema_rs_spark.operators.monitoring import cusum_changepoints
+
+    # baseline: alternating 9/11 (center 10, sigma 1).  Then 20 points at
+    # 11 — a 1-sigma persistent shift.  Shewhart 3-sigma never fires;
+    # CUSUM accumulates (z - k) = 0.5 per point: the last baseline point
+    # (11.0) leaves a 0.5 carryover, so hour 29 reaches 5.5 > h = 5.
+    rows = [("a", _ts(i), 9.0 if i % 2 == 0 else 11.0) for i in range(20)]
+    rows += [("a", _ts(20 + j), 11.0) for j in range(20)]
+    df = _series(spark, rows)
+    got = {
+        r.ts: r
+        for r in cusum_changepoints(
+            df, "grp", "ts", "v", baseline_before=str(_ts(20))
+        ).collect()
+    }
+    alarms = sorted(ts for ts, r in got.items() if r.alarm_pos)
+    assert alarms and alarms[0] == _ts(29)
+    assert got[_ts(29)].s_pos == pytest.approx(5.5, abs=1e-9)
+    assert not any(r.alarm_neg for r in got.values())
+
+
+def test_cusum_resets_after_excursion(spark):
+    from json_schema_rs_spark.operators.monitoring import cusum_changepoints
+
+    # one isolated spike then back to center: s_pos decays back to 0
+    rows = [("a", _ts(i), 9.0 if i % 2 == 0 else 11.0) for i in range(20)]
+    rows += [("a", _ts(20), 13.0)]     # z = 3 -> s_pos 0.5 + 2.5 = 3.0
+    rows += [("a", _ts(21 + j), 10.0) for j in range(6)]  # z=0: -0.5/step
+    df = _series(spark, rows)
+    got = {
+        r.ts: r
+        for r in cusum_changepoints(
+            df, "grp", "ts", "v", baseline_before=str(_ts(20))
+        ).collect()
+    }
+    assert got[_ts(20)].s_pos == pytest.approx(3.0, abs=1e-9)
+    assert got[_ts(26)].s_pos == 0.0            # fully decayed
+    assert not any(r.alarm_pos for r in got.values())
+
+
+def test_cusum_unseen_group_nulls(spark):
+    from json_schema_rs_spark.operators.monitoring import cusum_changepoints
+
+    rows = [("a", _ts(i), 10.0 + (i % 2)) for i in range(5)]
+    rows += [("new", _ts(6), 10.0)]
+    df = _series(spark, rows)
+    got = {r.grp: r for r in cusum_changepoints(
+        df, "grp", "ts", "v", baseline_before=str(_ts(5))
+    ).collect() if r.grp == "new"}
+    r = got["new"]
+    assert r.s_pos is None and r.alarm_pos is None
+
+
+def test_cusum_arrow_not_row_python(spark):
+    from json_schema_rs_spark.operators.monitoring import cusum_changepoints
+
+    rows = [("a", _ts(i), 10.0 + (i % 2)) for i in range(5)]
+    df = _series(spark, rows)
+    plan = (
+        cusum_changepoints(df, "grp", "ts", "v", baseline_before=str(_ts(4)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
