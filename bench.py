@@ -1,18 +1,30 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line:
+"""Benchmark harness — ALWAYS prints ONE JSON line:
 
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "rows_per_sec": {...},
-   "scaling": {...}}
+   "scaling": {...}, "budget": {...}}
 
-Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS].  The `scaling` block evidences the north rule's
-two-cluster-size criterion with the sandbox proxy (BASELINE.md): the SAME
-corpus-validation job at local[N] and local[4N] (default N=1 — see
-SCALE_PAIR for why both legs must sit inside this VM's linear region) on
-identical input, reporting rows/sec at both and efficiency =
-(throughput@4N / throughput@N) / 4.  Results are also written to
-BENCH/BASELINE.md.
+The whole run fits inside a HARD wall-clock budget
+(``SPARK_GRAFT_BENCH_BUDGET_S``, default 480 s — round 1's successful
+driver run was 549 s; round 2's 40-minute run was killed rc=124 with no
+artifact, which proves a smaller-but-parsable bench beats a bigger-but-dead
+one).  Every phase is budget-aware and the JSON line is emitted even when a
+phase is truncated or the process receives SIGTERM: partial results > no
+results.
+
+Phases, in order (cold-start ordering — scaling first, see bench_scaling):
+  1. synthesize the scaling corpus once at local[32] → /tmp parquet;
+  2. scaling block: the SAME corpus-validation job at local[N] and
+     local[4N] (default N=1) on identical input — the sandbox proxy for the
+     north rule's N-vs-4N-executor criterion — reporting rows/sec at both
+     plus efficiency = (throughput@4N / throughput@N) / 4;
+  3. flagship validate_corpus throughput at local[32] (8M rows, best-of-2);
+  4. per-query timings at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
+     a fixed HEADLINE set every round (best-of-2), then a ROTATING subset of
+     the remaining registry (single rep) until the budget floor — the
+     rotation cursor persists in BENCH/rotation.txt so successive rounds
+     cover the whole registry.
 
 Set SPARK_GRAFT_SKIP_SCALING=1 to skip the scaling block (fast iteration).
 """
@@ -21,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -29,13 +42,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_CORPUS_ROWS", "8000000"))
-# scaling legs use 24M rows — measured sweet spot on this VM: at 16M the
-# job's ~0.5 s scheduling constant plus sub-12 s samples leave the 4N leg
-# noise-hostage (median efficiency 0.71); at 32M the N=2 leg's cached input
-# (~16 GB raw) starts paying GC/memory pressure (906k rows/s vs 1.08M at
-# 16M).  24M keeps both legs in their flat-throughput regime with samples
-# long enough to average over co-tenant stalls.
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "24000000"))
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+#: 12M scaling rows: large enough that the local[4] leg's sample (~5-6 s)
+#: dwarfs the ~0.3 s per-job scheduling constant (which biases efficiency
+#: DOWN, never up), small enough that the local[1] leg (~20 s) leaves room
+#: for 3 interleaved pairs inside the budget.  (Round 2 used 24M with 7
+#: pairs × 3 reps and per-sample plan REBUILDS at ~35 s each on the 1-core
+#: JVM — a ~45-minute block that got the whole bench killed.)
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "12000000"))
+SCALE_CORPUS_PATH = os.environ.get(
+    "SPARK_GRAFT_SCALE_CORPUS", "/tmp/spark_graft_scale_corpus"
+)
+
+_T0 = time.perf_counter()
+
+
+class _BudgetExceeded(Exception):
+    pass
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _remaining() -> float:
+    return BUDGET_S - _elapsed()
+
+
+def _install_signal_handlers() -> None:
+    """SIGTERM/SIGINT (e.g. the driver's `timeout`) raise in the main thread
+    so main() can still emit the JSON artifact before dying."""
+
+    def _h(signum, frame):
+        raise _BudgetExceeded(f"signal {signum}")
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(s, _h)
+        except (ValueError, OSError):
+            pass
 
 
 def _sf() -> float:
@@ -125,13 +170,14 @@ def _build_corpus_outputs(spark, corpus):
     """Construct the flagship job's three output plans ONCE and force all
     driver-side work — Catalyst analysis, optimization, codegen — to happen
     HERE, returning the executed-plan InternalRow RDD handles.  Counting
-    those RDDs then runs exactly the cluster work (every stage, JVM-side)
-    with ~0.2-0.6 s of residual scheduling overhead, vs ~3.4 s when planning
-    rides inside the timed region (measured on this VM, see BENCH/BASELINE.md).
+    those RDDs then runs exactly the cluster work (every stage, JVM-side).
 
-    Callers MUST build fresh handles per timed sample: re-counting the SAME
-    RDD skips already-materialized shuffle map stages (Spark reuses shuffle
-    files per-RDD), silently timing only the reduce side."""
+    Planning this job costs ~6 s on a 32-core JVM and ~35 s on the scaling
+    block's 1-core JVM (Janino codegen misses its cache on every rebuild
+    because fresh expression ids change the generated source).  So the
+    scaling legs build ONCE and force full re-execution per sample with
+    :func:`_force_reexecution` instead of rebuilding (round 2 rebuilt per
+    sample, which alone grew the block past the driver's kill budget)."""
     from pyspark.sql import functions as F
 
     from json_schema_rs_spark import ValidationEngine
@@ -152,16 +198,34 @@ def _build_corpus_outputs(spark, corpus):
     ds, _ = eng.dataset_violations(corpus)
     # Wrap each output in the SAME count aggregate df.count() plans, so the
     # executed work is identical to _validate_corpus_job's (count pruning
-    # included) — counting the raw outputs' RDDs instead would materialize
-    # every output row, a different (heavier) workload.  The three counts are
-    # UNIONED into one action: their subtrees are independent, so the
-    # DAGScheduler runs their stages concurrently — three sequential jobs pay
-    # ~9 stage-boundary latencies back-to-back and idle cores at every
-    # barrier, a serial floor that caps the 4N leg (Amdahl).  toRdd: the
-    # executed plan as RDD[InternalRow] — planning happens at this access;
-    # with AQE disabled no stage runs until .count().
+    # included).  The three counts are UNIONED into one action: their
+    # subtrees are independent, so the DAGScheduler runs their stages
+    # concurrently — three sequential jobs pay ~9 stage-boundary latencies
+    # back-to-back and idle cores at every barrier, a serial floor that caps
+    # the 4N leg (Amdahl).  toRdd: the executed plan as RDD[InternalRow] —
+    # planning happens at this access; with AQE disabled no stage runs until
+    # .count().
     a, b, c = (d.agg(F.count(F.lit(1)).alias("n")) for d in (viol, summary, ds))
     return [a.unionAll(b).unionAll(c)._jdf.queryExecution().toRdd()]
+
+
+def _force_reexecution(spark) -> int:
+    """Unregister every shuffle's map outputs so the NEXT action on an
+    already-built RDD re-runs all map stages (exactly what fetch-failure
+    recovery does) instead of reusing shuffle files.  This keeps the
+    one-time Janino-compiled plan while re-executing the full cluster work
+    per sample.  Broadcast exchanges (the 100-row repos dim) are the one
+    piece reused across samples — negligible and identical on both legs."""
+    tracker = spark.sparkContext._jsc.sc().env().mapOutputTracker()
+    n = 0
+    for sid in range(256):
+        try:
+            if tracker.containsShuffle(sid):
+                tracker.unregisterAllMapAndMergeOutput(sid)
+                n += 1
+        except Exception:
+            break
+    return n
 
 
 def _timed(fn, *args) -> tuple[float, object]:
@@ -170,114 +234,141 @@ def _timed(fn, *args) -> tuple[float, object]:
     return time.perf_counter() - t0, out
 
 
-def bench_queries(spark) -> dict[str, float]:
+#: measured every round, best-of-2 — the cross-round comparable core.
+HEADLINE_QUERIES = [
+    "doc_validate_summary",
+    "doc_violations",
+    "q1_pricing_summary",
+    "q5_region_volume",
+    "window_top3_orders",
+    "dedup_minhash_pairs_fast",
+    "dedup_simhash",
+    "knn_join",
+    "asof_join_events",
+    "sessionize_events",
+    "text_quality",
+    "topk_tokens",
+]
+
+#: rotating pool: everything else worth timing (single rep per round; the
+#: cursor in BENCH/rotation.txt advances so ~4 rounds cover the pool).
+ROTATION_QUERIES = [
+    "q3_top_revenue",
+    "events_hourly",
+    "ann_ivf",
+    "distinct_users_by_type",
+    "q10_returned_revenue",
+    "range_join_ship_windows",
+    "reconcile_orders_lineitem",
+    "outliers_events_value",
+    "fd_lineitem_returnflag",
+    "drift_psi_windows",
+    "kmeans_step_embeddings",
+    "semantic_dedup_keep",
+    "temperature_mix_docs",
+    "token_budget_docs",
+    "volume_windows_events",
+    "dedup_spans",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "sketch_mincount_users",
+    "sketch_hll_users",
+    "code_secret_scan",
+    "code_quality_docs",
+    "code_license_scan",
+    "repair_revalidate_docs",
+    "quantile_sketch_events",
+    "distinct_windows_events",
+    "interval_join_orders",
+    "lineage_manifest_docs",
+    "bucket_delta_docs",
+    "delta_validate_docs",
+    "fk_discovery",
+    "bm25_docs",
+    "weighted_sample_docs",
+    "edit_distance_parts",
+    "pagerank_nations",
+    "surprisal_docs",
+    "winsorize_events",
+    "funnel_events",
+    "rolling_window_events",
+    "event_cadence",
+    "scd2_customers",
+    "cdc_chunks_docs",
+    # winnow_fp_docs (not winnow_pairs_docs): the pair set grows with
+    # near-dup density² on this templated corpus — fingerprinting is the
+    # corpus-sized stage worth timing; the pair join is candidate-sized
+    "winnow_fp_docs",
+    "centroid_outliers_emb",
+    "split_leakage_docs",
+    "auc_doclen_en",
+    "trend_events_type",
+    "code_clone_classes",
+    "tfidf_keywords_docs",
+    "record_linkage_customers",
+    "cohort_retention_events",
+    "setsim_ppjoin_docs",
+    "pmi_collocations_docs",
+    "decayed_event_counts",
+    "zonemap_prune_profile",
+    "join_size_estimate",
+    "triangles_nations",
+    "kcore_trade",
+    "strip_boilerplate_docs",
+    "complexity_docs",
+    "calibration_events",
+    "phash_near_pairs",
+    "hll_overlap_event_types",
+    "fd_discovery_lineitem",
+    "out_of_order_events",
+    "time_gaps_events",
+    "transition_violations_events",
+    "key_skew_lineitem",
+    "corr_matrix_lineitem",
+    "control_chart_events",
+    "km_retention_events",
+    "containment_pairs_docs",
+    "unicode_nfc_docs",
+    "route_quarantine_docs",
+    "missingness_events",
+    "target_encode_docs",
+    "loo_encode_events",
+    "kappa_events",
+    "session_paths_events",
+    "violation_hotspots_docs",
+    "generate_docs",
+    "profile_diff_docs",
+    "cusum_events",
+]
+
+_ROTATION_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "rotation.txt"
+)
+
+
+def _read_rotation_cursor() -> int:
+    try:
+        with open(_ROTATION_FILE) as f:
+            return int(f.read().strip()) % len(ROTATION_QUERIES)
+    except (OSError, ValueError):
+        return 0
+
+
+def _write_rotation_cursor(cursor: int) -> None:
+    try:
+        os.makedirs(os.path.dirname(_ROTATION_FILE), exist_ok=True)
+        with open(_ROTATION_FILE, "w") as f:
+            f.write(str(cursor % len(ROTATION_QUERIES)))
+    except OSError:
+        pass
+
+
+def _query_callables(spark):
     import __spark_entry__ as entrymod
 
-    names = [
-        "doc_validate_summary",
-        "doc_violations",
-        "q1_pricing_summary",
-        "q3_top_revenue",
-        "q5_region_volume",
-        "window_top3_orders",
-        "events_hourly",
-        "dedup_minhash_pairs_fast",
-        "dedup_simhash",
-        "knn_join",
-        "ann_ivf",
-        "asof_join_events",
-        "sessionize_events",
-        "text_quality",
-        "topk_tokens",
-        "distinct_users_by_type",
-        "q10_returned_revenue",
-        "range_join_ship_windows",
-        "reconcile_orders_lineitem",
-        "outliers_events_value",
-        "fd_lineitem_returnflag",
-        "drift_psi_windows",
-        "kmeans_step_embeddings",
-        "semantic_dedup_keep",
-        "temperature_mix_docs",
-        "token_budget_docs",
-        "volume_windows_events",
-        "dedup_spans",
-        "q9_product_profit",
-        "q21_waiting_suppliers",
-        "sketch_mincount_users",
-        "sketch_hll_users",
-        "code_secret_scan",
-        "code_quality_docs",
-        "code_license_scan",
-        "repair_revalidate_docs",
-        "quantile_sketch_events",
-        "distinct_windows_events",
-        "interval_join_orders",
-        "lineage_manifest_docs",
-        "bucket_delta_docs",
-        "delta_validate_docs",
-        "fk_discovery",
-        "bm25_docs",
-        "weighted_sample_docs",
-        "edit_distance_parts",
-        "pagerank_nations",
-        "surprisal_docs",
-        "winsorize_events",
-        "funnel_events",
-        "rolling_window_events",
-        "event_cadence",
-        "scd2_customers",
-        "cdc_chunks_docs",
-        # winnow_fp_docs (not winnow_pairs_docs): the pair set grows with
-        # near-dup density² on this templated corpus — fingerprinting is the
-        # corpus-sized stage worth timing; the pair join is candidate-sized
-        "winnow_fp_docs",
-        "centroid_outliers_emb",
-        "split_leakage_docs",
-        "auc_doclen_en",
-        "trend_events_type",
-        "code_clone_classes",
-        "tfidf_keywords_docs",
-        "record_linkage_customers",
-        "cohort_retention_events",
-        "setsim_ppjoin_docs",
-        "pmi_collocations_docs",
-        "decayed_event_counts",
-        "zonemap_prune_profile",
-        "join_size_estimate",
-        "triangles_nations",
-        "kcore_trade",
-        "strip_boilerplate_docs",
-        "complexity_docs",
-        "calibration_events",
-        "phash_near_pairs",
-        "hll_overlap_event_types",
-        "fd_discovery_lineitem",
-        "out_of_order_events",
-        "time_gaps_events",
-        "transition_violations_events",
-        "key_skew_lineitem",
-        "corr_matrix_lineitem",
-        "control_chart_events",
-        "km_retention_events",
-        "containment_pairs_docs",
-        "unicode_nfc_docs",
-        "route_quarantine_docs",
-        "missingness_events",
-        "target_encode_docs",
-        "loo_encode_events",
-        "kappa_events",
-        "session_paths_events",
-        "violation_hotspots_docs",
-        "generate_docs",
-        "profile_diff_docs",
-        "cusum_events",
-    ]
     qs = entrymod.queries()
 
     def dedup_fast(spark, sf_dir):
-        from pyspark.sql import functions as F
-
         from json_schema_rs_spark.operators.dedup import minhash_lsh_candidates
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -286,14 +377,45 @@ def bench_queries(spark) -> dict[str, float]:
         )
 
     qs["dedup_minhash_pairs_fast"] = dedup_fast
+    return qs
 
+
+def bench_queries(spark, floor_s: float) -> tuple[dict[str, float], dict]:
+    """Headline set best-of-2, then the rotating pool single-rep, stopping
+    when the remaining budget dips under ``floor_s``.  Returns (times, meta
+    about rotation coverage)."""
+    qs = _query_callables(spark)
     times: dict[str, float] = {}
-    for name in names:
+
+    for name in HEADLINE_QUERIES:
+        if _remaining() < floor_s:
+            break
         # best of 2: the shared VM shows multi-× swings from co-tenant load;
         # the second run also excludes one-time plan-codegen cost
-        sec = min(_timed(lambda: qs[name](spark, SF_DIR).collect())[0] for _ in range(2))
+        sec = min(
+            _timed(lambda: qs[name](spark, SF_DIR).collect())[0] for _ in range(2)
+        )
         times[name] = round(sec, 3)
-    return times
+
+    cursor = _read_rotation_cursor()
+    measured_rotation = 0
+    for i in range(len(ROTATION_QUERIES)):
+        if _remaining() < floor_s:
+            break
+        name = ROTATION_QUERIES[(cursor + i) % len(ROTATION_QUERIES)]
+        sec = _timed(lambda: qs[name](spark, SF_DIR).collect())[0]
+        times[name] = round(sec, 3)
+        measured_rotation += 1
+    new_cursor = (cursor + measured_rotation) % len(ROTATION_QUERIES)
+    _write_rotation_cursor(new_cursor)
+    meta = {
+        "headline_reps": 2,
+        "rotation_reps": 1,
+        "rotation_pool": len(ROTATION_QUERIES),
+        "rotation_measured": measured_rotation,
+        "rotation_cursor_next": new_cursor,
+    }
+    return times, meta
 
 
 #: N and 4N parallelism levels for the scaling proxy.  Two constraints pick
@@ -397,7 +519,29 @@ class _Ballast:
                 p.terminate()
 
 
-def bench_scaling() -> dict:
+def _synthesize_scale_corpus(rows: int) -> float:
+    """Write the scaling input ONCE at local[32] (fast, 32-way parallel) so
+    neither leg pays synthesis on its own cores — both legs then read the
+    IDENTICAL parquet files.  Round 2 synthesized inside each leg; on the
+    1-core leg that alone cost ~90 s of setup."""
+    import shutil
+
+    t0 = time.perf_counter()
+    spark = _fresh_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        from json_schema_rs_spark.sources.corpus import synthesize_corpus
+
+        shutil.rmtree(SCALE_CORPUS_PATH, ignore_errors=True)
+        synthesize_corpus(spark, rows, partitions=2 * CPUS).write.mode(
+            "overwrite"
+        ).parquet(SCALE_CORPUS_PATH)
+    finally:
+        spark.stop()
+    return time.perf_counter() - t0
+
+
+def bench_scaling(sub_budget_s: float) -> dict:
     """Same corpus-validation job at local[N] vs local[4N] — the sandbox
     proxy for the N-vs-4N-executor criterion (BASELINE.md).
 
@@ -405,14 +549,13 @@ def bench_scaling() -> dict:
     * each leg's JVM is taskset-confined to N cores (GC included) so a leg
       is a true N-core machine — unconfined, GC threads sized for 32 cores
       subsidize the small leg and understate efficiency;
-    * the timed region is EXECUTED CLUSTER WORK: driver-side planning
-      (~3.4 s single-threaded Catalyst analysis/codegen, identical at any
-      parallelism, measured on a 50k corpus where the job is pure overhead)
-      is rebuilt fresh per sample but untimed — at 10^12 files it amortizes
-      to ~0, while inside an 8 s leg it is ~40% and measures the driver,
-      not the cluster.  AQE is off in the legs only, because AQE
-      materializes shuffle stages DURING plan finalization, which would
-      smuggle cluster work into the untimed build;
+    * the timed region is EXECUTED CLUSTER WORK: the plan is built (Janino
+      codegen included) ONCE per leg during setup, and each sample forces
+      full re-execution of every stage via _force_reexecution — per-sample
+      plan REBUILDS (~35 s on the 1-core JVM, round 2's approach) measure
+      the driver, not the cluster, and blew the bench budget.  AQE is off
+      in the legs only, because AQE materializes shuffle stages DURING plan
+      finalization, which would smuggle cluster work into the untimed build;
     * both legs are PERSISTENT worker processes on DISJOINT core sets
       (lo on cores [0, N), hi on [N, N+4N)), and timed samples STRICTLY
       ALTERNATE lo/hi — a pair's two samples run seconds apart, so the
@@ -421,31 +564,30 @@ def bench_scaling() -> dict:
       pairing cancels the common mode, minute-scale "rounds" do not);
     * efficiency is computed per pair, and the MEDIAN pair is the headline
       (no best-of stacking — round-1 advice; every pair is listed);
-    * the N-leg samples run with BALLAST spinners on 4N-N disjoint cores so
-      BOTH legs execute with the same number of busy cores.  Measured on
-      this VM: identical fixed pure-Python work (no memory traffic, no JVM)
-      runs 12-18% slower per core with 8 cores busy than with 2 — chip/
-      hypervisor-level frequency + contention state, not anything in the
-      measured job.  With ballast equalizing the active-core count the same
-      probe reads 0.98-1.01.  On a real N→4N cluster the added executors
-      are separate machines, so per-core capacity does not degrade with
-      cluster size — equal-load legs are the faithful proxy, and the
-      ballast cores are DISJOINT from both legs (they never steal leg
-      cycles; they only pin the chip into the 8-busy state)."""
+    * the N-leg samples run with BALLAST spinners on disjoint cores so BOTH
+      legs execute with the same number of busy cores (chip frequency /
+      hypervisor contention state — measured 12-18% per-core penalty at 8
+      busy cores vs 2; a real N→4N cluster adds MACHINES, so equal-load
+      legs are the faithful proxy);
+    * the pair loop is BUDGET-ADAPTIVE: it stops adding pairs when the next
+      pair wouldn't fit in ``sub_budget_s`` (minimum 2, target
+      SPARK_GRAFT_SCALE_PAIRS=3, max 5) — a truncated scaling block with a
+      real median beats a dead bench with none."""
     import multiprocessing as mp
 
     lo, hi = SCALE_PAIR
-    # 7 pairs × 3 reps ≈ 12 min of samples: reps (per-leg min) absorb
-    # transient one-leg stalls; PAIRS spread the measurement across wall
-    # clock so a multi-minute co-tenant load (which taxes the 4N leg's
-    # bandwidth harder and biases efficiency DOWN, never up) can't cover
-    # the whole run — the median then lands on clean pairs.  An inter-pair
-    # pause further decorrelates pairs from a single load window.
-    pairs_n = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "7"))
-    reps_n = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-    pause_s = float(os.environ.get("SPARK_GRAFT_SCALE_PAUSE", "20"))
+    pairs_target = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+    pairs_max = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS_MAX", "5"))
+    reps_n = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    pause_s = float(os.environ.get("SPARK_GRAFT_SCALE_PAUSE", "8"))
+    settle_s = float(os.environ.get("SPARK_GRAFT_SCALE_SETTLE", "30"))
     assert hi == 4 * lo, "scaling pair must be N and 4N"
+    t_block0 = time.perf_counter()
     out: dict = {"job": "validate_corpus", "rows": SCALING_ROWS, "pair": [lo, hi]}
+
+    synth_s = _synthesize_scale_corpus(SCALING_ROWS)
+    out["input"] = "parquet (synthesized once at local[32]), persisted per leg"
+    out["synth_s"] = round(synth_s, 1)
 
     ctx = mp.get_context("spawn")
     workers = {}
@@ -454,35 +596,55 @@ def bench_scaling() -> dict:
     ballast = (
         _Ballast(ctx, ballast_cores) if n_cpus >= lo + hi + (hi - lo) else None
     )
+    pair_stats: list[dict] = []
+    confined = False
     try:
         for cpus, start in ((lo, 0), (hi, lo)):
             parent, child = ctx.Pipe()
-            p = ctx.Process(target=_scale_worker, args=(child, cpus, start, SCALING_ROWS))
+            p = ctx.Process(
+                target=_scale_worker, args=(child, cpus, start, SCALE_CORPUS_PATH)
+            )
             p.start()
             workers[cpus] = (parent, p)
-        # drain BOTH ready messages before any timed sample: all() over a
-        # generator would short-circuit on the first "unconfined", leaving
-        # the other worker's status queued and shifting every later recv()
-        statuses = [workers[c][0].recv() for c in (lo, hi)]
+        # drain BOTH ready messages (with a budget-derived timeout) before
+        # any timed sample; a worker that can't set up in time aborts the
+        # block — the bench still emits whatever else it measured.
+        setup_deadline = time.perf_counter() + max(
+            60.0, sub_budget_s - (time.perf_counter() - t_block0) - 90.0
+        )
+        statuses = []
+        for c in (lo, hi):
+            left = setup_deadline - time.perf_counter()
+            if left <= 0 or not workers[c][0].poll(left):
+                out["error"] = f"leg local[{c}] setup timed out"
+                return out
+            statuses.append(workers[c][0].recv())
         confined = all(s == "ready" for s in statuses)
 
-        # settle: the two 24M-row materializations + warmups that just ran
-        # are a burst of all-core load; sampling immediately after reads the
-        # chip in that state (the round-2 (2,8) run's first two pairs read
-        # 0.703/0.702 vs 0.78+ once settled).  A fixed post-setup pause
-        # applies to every run identically — it is warm-up, not selection.
-        time.sleep(float(os.environ.get("SPARK_GRAFT_SCALE_SETTLE", "60")))
+        # settle: worker setup (scan+persist+plan build+warm exec) is a burst
+        # of load; sampling immediately after reads the chip in that state.
+        # A fixed post-setup pause applies to every run identically — it is
+        # warm-up, not selection.
+        time.sleep(min(settle_s, max(0.0, sub_budget_s - (time.perf_counter() - t_block0))))
 
-        pair_stats = []
-        for pair_i in range(pairs_n):
-            if pair_i and pause_s:
+        setup_s = time.perf_counter() - t_block0
+        for pair_i in range(pairs_max):
+            block_elapsed = time.perf_counter() - t_block0
+            done = len(pair_stats)
+            per_pair = (block_elapsed - setup_s) / done if done else 0.0
+            if done >= 2:
+                fits = block_elapsed + per_pair + pause_s <= sub_budget_s
+                # run to the target; beyond it only with 2×-pair headroom
+                extra_ok = block_elapsed + 2 * (per_pair + pause_s) <= sub_budget_s
+                if not fits or (done >= pairs_target and not extra_ok):
+                    break
+            if pair_i:
                 time.sleep(pause_s)
-            # per-leg best-of-`reps_n` INSIDE the pair, still strictly
-            # alternating (lo,hi,lo,hi): a transient co-tenant stall hits one
-            # sub-round's one leg, not both — the per-leg min drops it
-            # SYMMETRICALLY (both legs get the same treatment, unlike a
-            # best-pair-of-rounds max, which the round-1 advice flagged).
-            # The cross-pair statistic stays the MEDIAN.
+            # per-leg best-of-`reps_n` INSIDE the pair, strictly alternating
+            # (lo,hi,lo,hi): a transient co-tenant stall hits one sub-round's
+            # one leg, not both — the per-leg min drops it SYMMETRICALLY
+            # (both legs get the same treatment).  Cross-pair statistic stays
+            # the MEDIAN.
             sample = {lo: [], hi: []}
             for _rep in range(reps_n):
                 for cpus in (lo, hi):      # strictly alternating, never concurrent
@@ -507,10 +669,13 @@ def bench_scaling() -> dict:
                 conn.send("stop")
             except Exception:
                 pass
-            p.join(timeout=60)
+            p.join(timeout=30)
             if p.is_alive():
                 p.terminate()
 
+    if not pair_stats:
+        out["error"] = out.get("error", "no pairs completed")
+        return out
     ordered = sorted(pair_stats, key=lambda r: r["efficiency"])
     median = ordered[(len(ordered) - 1) // 2]
     for cpus in (lo, hi):
@@ -520,18 +685,27 @@ def bench_scaling() -> dict:
     out["pairs"] = [r["efficiency"] for r in pair_stats]
     out["best_pair_efficiency"] = ordered[-1]["efficiency"]
     out["pairing"] = "interleaved dual-JVM, disjoint cores, exec-only timing"
+    out["timed_region"] = (
+        "full re-execution of the prebuilt plan (shuffle map outputs "
+        "unregistered per sample); plan build + Janino codegen once per leg, "
+        "untimed"
+    )
     out["jvm_confined_to_n_cores"] = confined
-    out["equal_load_ballast"] = bool(ballast) and f"cores {ballast_cores[0]}-{ballast_cores[-1]} during N-leg samples"
+    out["equal_load_ballast"] = bool(ballast) and (
+        f"cores {ballast_cores[0]}-{ballast_cores[-1]} during N-leg samples"
+    )
     out["reps_per_leg_per_pair"] = reps_n
+    out["block_s"] = round(time.perf_counter() - t_block0, 1)
     out["target"] = 0.8
     return out
 
 
-def _scale_worker(conn, cpus: int, core_start: int, rows: int) -> None:
+def _scale_worker(conn, cpus: int, core_start: int, parquet_path: str) -> None:
     """One scaling leg: a persistent local[cpus] session confined to cores
-    [core_start, core_start+cpus).  Replies to each "go" with the wall
-    seconds of ONE full exec-only run of the corpus job (fresh plan handles
-    per sample — see _build_corpus_outputs — so every stage re-executes)."""
+    [core_start, core_start+cpus).  Setup: scan+persist the shared parquet
+    corpus, build the flagship plan ONCE (Janino codegen paid here, untimed),
+    one warm full execution.  Each "go" forces full re-execution of every
+    stage (_force_reexecution) and replies with the wall seconds."""
     # shuffle partitions ∝ cores (4 waves per reduce stage on BOTH legs):
     # a fixed count makes the 4N leg's reduce stages single-wave and
     # straggler-hostage while the N leg self-balances over multiple waves —
@@ -541,15 +715,13 @@ def _scale_worker(conn, cpus: int, core_start: int, rows: int) -> None:
                          shuffle_partitions=4 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
     ok = _confine_jvm(cpus, core_start)
-    warm = _corpus_input(spark, 50_000)          # JIT + codegen caches
-    _validate_corpus_job(spark, warm)
-    warm.unpersist()
-    corpus = _corpus_input(spark, rows)
-    rdds = _build_corpus_outputs(spark, corpus)  # one untimed full-size exec
-    sum(r.count() for r in rdds)
+    corpus = spark.read.parquet(parquet_path).persist()
+    corpus.count()
+    rdds = _build_corpus_outputs(spark, corpus)   # plan+codegen, once, untimed
+    sum(r.count() for r in rdds)                  # warm full exec
     conn.send("ready" if ok else "unconfined")
     while conn.recv() != "stop":
-        rdds = _build_corpus_outputs(spark, corpus)
+        _force_reexecution(spark)
         conn.send(_timed(lambda: sum(r.count() for r in rdds))[0])
     spark.stop()
     conn.close()
@@ -562,21 +734,29 @@ def write_baseline_md(result: dict) -> None:
         return
     os.makedirs("BENCH", exist_ok=True)
     sc = result.get("scaling") or {}
+    vc = result["rows_per_sec"].get("validate_corpus")
     lines = [
         "# BENCH/BASELINE.md — measured numbers (this engine)",
         "",
-        f"Scale factor: sf={result['sf']}  (dir: {SF_DIR}); corpus rows: {CORPUS_ROWS:,}",
+        f"Scale factor: sf={result['sf']}  (dir: {SF_DIR}); corpus rows: "
+        f"{result.get('corpus_rows', CORPUS_ROWS):,}; bench budget: "
+        f"{BUDGET_S:.0f} s (run took {result['value']} s)",
         "",
         "## Flagship throughput (full corpus validation: row-level single pass",
         "+ salted unique-key agg + broadcast anti-join RI, violations counted)",
         "",
-        f"- local[{CPUS}]: {result['rows_per_sec']['validate_corpus']:,} rows/sec"
-        f" ({result['queries'].get('validate_corpus', '?')} s for {CORPUS_ROWS:,} rows)",
+        (
+            f"- local[{CPUS}]: {vc:,} rows/sec"
+            f" ({result['queries'].get('validate_corpus', '?')} s for "
+            f"{result.get('corpus_rows', CORPUS_ROWS):,} rows)"
+            if vc
+            else "- not measured this run (budget)"
+        ),
         "",
         "## Two-cluster-size scaling proxy (north rule: efficiency ≥ 0.8 from N to 4N)",
         "",
     ]
-    if sc:
+    if sc.get("scaling_efficiency") is not None:
         lo, hi = sc["pair"]
         lines += [
             f"- same job ({sc['job']}, {sc['rows']:,} rows), identical input, N={lo} vs 4N={hi} cores:",
@@ -595,22 +775,21 @@ def write_baseline_md(result: dict) -> None:
             f"{sc.get('jvm_confined_to_n_cores')}",
             f"  - equal-load legs: {sc.get('equal_load_ballast')} — ballast spinners on",
             "    cores DISJOINT from both legs keep the chip in the same",
-            "    busy-core state for every sample.  Measured: identical fixed",
-            "    pure-Python work (no memory traffic, no JVM) runs 12-18% slower",
-            "    per core at 8 busy cores than at 2 on this VM (frequency /",
-            "    hypervisor state) and 0.98-1.01 with the ballast equalizing the",
-            "    count; real N→4N clusters add MACHINES, not busy cores on one",
-            "    chip, so equal-load legs are the faithful proxy.",
+            "    busy-core state for every sample (measured: 12-18% per-core",
+            "    penalty at 8 busy cores vs 2 on this VM; 0.98-1.01 with",
+            "    ballast; real N→4N clusters add MACHINES, not busy cores on",
+            "    one chip, so equal-load legs are the faithful proxy).",
             f"  - per-leg best-of-{sc.get('reps_per_leg_per_pair')} inside each pair (symmetric one-sided-stall",
             "    suppression); the cross-pair headline remains the MEDIAN.",
-            "  - timed region = executed cluster work (count-aggregate plans,",
-            "    identical work to df.count()); driver-side Catalyst planning",
-            "    (~3.4 s, single-threaded, constant across parallelism) is rebuilt",
-            "    fresh per sample but untimed — at 10^12 files it amortizes to ~0,",
-            "    while inside an 8 s leg it is ~40% and measures the driver, not",
-            "    the cluster.  AQE off in the legs only (it materializes shuffle",
-            "    stages during plan finalization, which would move cluster work",
-            "    into the untimed build); headline bench and production keep AQE on.",
+            "  - timed region = full re-execution of the ONCE-built plan (shuffle",
+            "    map outputs unregistered per sample, so every map+reduce stage",
+            "    re-runs); plan build + Janino codegen happen once per leg during",
+            "    setup, untimed — ~35 s per rebuild on the 1-core JVM, i.e. pure",
+            "    driver cost that at 10^12 files amortizes to ~0 and inside a",
+            "    20 s leg would measure the driver, not the cluster.  AQE off in",
+            "    the legs only (it materializes shuffle stages during plan",
+            "    finalization); headline bench and production keep AQE on.",
+            f"  - input: {sc.get('input')}; scaling block wall time: {sc.get('block_s')} s",
             "",
             "Methodology notes (all measured on this VM, see git history for the",
             "experiments):",
@@ -635,11 +814,19 @@ def write_baseline_md(result: dict) -> None:
             "  memory controller, GC, and page cache, so the confined-threads",
             "  proxy is the conservative analogue.",
         ]
+    elif sc.get("error"):
+        lines.append(f"- aborted this run: {sc['error']}")
     else:
-        lines.append("- skipped this run (SPARK_GRAFT_SKIP_SCALING=1)")
+        lines.append("- skipped this run (SPARK_GRAFT_SKIP_SCALING=1 or budget)")
+    qmeta = result.get("query_meta") or {}
     lines += [
         "",
-        "## Per-query seconds at sf=" + str(result["sf"]),
+        f"## Per-query seconds at sf={result['sf']}",
+        "",
+        f"Headline set: best-of-2 every round.  Rotating pool: single rep, "
+        f"{qmeta.get('rotation_measured', '?')}/{qmeta.get('rotation_pool', '?')}"
+        f" measured this round (cursor → {qmeta.get('rotation_cursor_next', '?')};"
+        " successive rounds cover the pool).",
         "",
     ]
     for name, sec in result["queries"].items():
@@ -655,7 +842,7 @@ def write_baseline_md(result: dict) -> None:
         f.write("\n".join(lines) + "\n")
 
 
-def _wait_quiet(max_wait: float = 180.0, thresh: float = 1.5) -> None:
+def _wait_quiet(max_wait: float, thresh: float = 1.5) -> None:
     """Hold the scaling measurement until the box's 1-min load settles.
 
     The driver may invoke bench right after a test suite (or we may follow a
@@ -666,51 +853,77 @@ def _wait_quiet(max_wait: float = 180.0, thresh: float = 1.5) -> None:
     while time.time() - t0 < max_wait:
         if os.getloadavg()[0] < thresh:
             return
-        time.sleep(10)
+        time.sleep(5)
 
 
 def main() -> None:
-    total0 = time.perf_counter()
-
-    # Scaling legs FIRST, on a thermally/contention-neutral machine.
-    # Measured: the identical scaling block records 0.86-0.99 efficiency
-    # when run fresh but 0.66-0.77 immediately after ~35 min of sustained
-    # 32-core query benching (chip/hypervisor frequency + contention state
-    # the 4N leg pays for disproportionately).  A real N-vs-4N cluster
-    # comparison starts from idle machines, so cold-start ordering is the
-    # faithful proxy — and the queries below don't care about ordering.
-    scaling = None
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        _wait_quiet()
-        scaling = bench_scaling()
-
-    spark = _fresh_spark(CPUS)
-    spark.sparkContext.setLogLevel("ERROR")
+    _install_signal_handlers()
+    result: dict = {
+        "metric": "corpus validation rows/sec + per-query seconds at sf0.1",
+        "unit": "sec",
+        "queries": {},
+        "sf": _sf(),
+        "rows_per_sec": {},
+        "scaling": None,
+        "budget": {"budget_s": BUDGET_S, "partial": False},
+    }
+    spark = None
     try:
+        # Scaling first, on a thermally/contention-neutral machine.
+        # Measured: the identical scaling block records 0.86-0.99 efficiency
+        # when run fresh but 0.66-0.77 immediately after ~35 min of sustained
+        # 32-core query benching (chip/hypervisor frequency + contention
+        # state the 4N leg pays for disproportionately).  A real N-vs-4N
+        # cluster comparison starts from idle machines, so cold-start
+        # ordering is the faithful proxy.
+        if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+            _wait_quiet(max_wait=min(40.0, 0.08 * BUDGET_S))
+            # scaling gets ~2/3 of the budget; the rest covers flagship +
+            # rotating queries + JSON emission
+            result["scaling"] = bench_scaling(sub_budget_s=0.67 * BUDGET_S)
+
+        spark = _fresh_spark(CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+
+        # flagship throughput: shrink the corpus if the budget is tight
+        corpus_rows = CORPUS_ROWS
+        if _remaining() < 90:
+            corpus_rows = min(CORPUS_ROWS, 2_000_000)
+        result["corpus_rows"] = corpus_rows
         warm = _corpus_input(spark, 50_000)   # warm-up: JIT + codegen caches
         _validate_corpus_job(spark, warm)
         warm.unpersist()
-        corpus = _corpus_input(spark, CORPUS_ROWS)
-        # best-of-3: identical warm runs swing multi-× on this co-tenant VM
-        # (measured 54.6 / 12.8 / 5.9 / 20.2 s back-to-back)
-        corpus_sec = min(_timed(_validate_corpus_job, spark, corpus)[0] for _ in range(3))
+        corpus = _corpus_input(spark, corpus_rows)
+        reps = 2 if _remaining() > 60 else 1
+        corpus_sec = min(
+            _timed(_validate_corpus_job, spark, corpus)[0] for _ in range(reps)
+        )
         corpus.unpersist()
-        times = bench_queries(spark)
-    finally:
-        spark.stop()
-    times["validate_corpus"] = round(corpus_sec, 3)
+        result["queries"]["validate_corpus"] = round(corpus_sec, 3)
+        result["rows_per_sec"]["validate_corpus"] = round(corpus_rows / corpus_sec)
 
-    result = {
-        "metric": "corpus validation rows/sec + per-query seconds at sf0.1",
-        "value": round(time.perf_counter() - total0, 3),
-        "unit": "sec",
-        "queries": times,
-        "sf": _sf(),
-        "rows_per_sec": {"validate_corpus": round(CORPUS_ROWS / corpus_sec)},
-        "scaling": scaling,
-    }
-    write_baseline_md(result)
-    print(json.dumps(result))
+        times, qmeta = bench_queries(spark, floor_s=20.0)
+        result["queries"].update(times)
+        result["query_meta"] = qmeta
+    except _BudgetExceeded as e:
+        result["budget"]["partial"] = True
+        result["budget"]["reason"] = str(e)
+    except Exception as e:  # noqa: BLE001 — partial artifact beats a dead bench
+        result["budget"]["partial"] = True
+        result["budget"]["reason"] = f"{type(e).__name__}: {e}"
+    finally:
+        if spark is not None:
+            try:
+                spark.stop()
+            except Exception:
+                pass
+        result["value"] = round(_elapsed(), 3)
+        try:
+            write_baseline_md(result)
+        except Exception:
+            pass
+        print(json.dumps(result))
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":
