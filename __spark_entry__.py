@@ -18,7 +18,10 @@ from json_schema_rs_spark.operators.integrity import orphan_rows
 from json_schema_rs_spark.operators.graph import k_core_oracle_sql, pagerank_oracle_sql
 from json_schema_rs_spark.operators.sampling import weighted_sample_oracle_sql
 from json_schema_rs_spark.operators.search import bm25_oracle_sql
-from json_schema_rs_spark.operators.stats import profile_oracle_sql
+from json_schema_rs_spark.operators.stats import (
+    profile_exact_oracle_sql,
+    profile_oracle_sql,
+)
 from json_schema_rs_spark.operators.uniqueness import duplicate_keys, unique_key_violations
 from json_schema_rs_spark.spec import UniqueKeySpec, number_field, string_field
 
@@ -521,20 +524,15 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 def q_column_profile(spark, sf_dir):
     # two-level (tree) global aggregation — the north rule's "two-level
-    # treeAggregate for stats" expressed as DataFrame ops; every accumulator
-    # is merge-associative and bit-reproducible (decimal sums), so the result
-    # is identical at ANY partitioning and matches DuckDB exactly
-    from json_schema_rs_spark.operators.stats import column_profile
+    # treeAggregate for stats" expressed as DataFrame ops.  The EXACT variant:
+    # every accumulator is an int64 and mean/stddev derive from those ints in
+    # a fixed IEEE operation order, so the doubles are bit-identical across
+    # engines UNROUNDED (the old decimal→double + round(,6) contract was
+    # ulp-sensitive at round-half boundaries — round-2 driver hash mismatch)
+    from json_schema_rs_spark.operators.stats import column_profile_exact
 
     li = _t(spark, sf_dir, "lineitem")
-    prof = column_profile(li, _PROFILE_COLS, tree_width=16)
-    # counts/min/max/decimal-sum are bit-exact cross-engine; the two derived
-    # doubles go through a decimal(38,*)→double cast whose final ulp differs
-    # between Java BigDecimal and DuckDB int128/10^s conversion — round those
-    # (and only those) for the oracle compare
-    return prof.withColumn("mean", F.round("mean", 6)).withColumn(
-        "stddev", F.round("stddev", 6)
-    )
+    return column_profile_exact(li, _PROFILE_COLS, quantize=100, tree_width=16)
 
 
 def q_dedup_keep_first(spark, sf_dir):
@@ -3946,15 +3944,18 @@ def _record_linkage_oracle() -> str:
                 FROM customer)),
         j AS (
           SELECT l.id_a, r.id_b,
-                 round(0.0
+                 -- CAST each weight literal to DOUBLE: a bare decimal repr
+                 -- would make the sum (and score) DECIMAL, and the addition
+                 -- must be IEEE double to replay Spark bit-for-bit
+                 round(CAST(0.0 AS DOUBLE)
                    + CASE WHEN l.c_mktsegment IS NOT NULL AND r.c_mktsegment IS NOT NULL
-                               AND l.c_mktsegment = r.c_mktsegment THEN {wa1!r}
+                               AND l.c_mktsegment = r.c_mktsegment THEN CAST({wa1!r} AS DOUBLE)
                           WHEN l.c_mktsegment IS NOT NULL AND r.c_mktsegment IS NOT NULL
-                               THEN {wd1!r} ELSE 0.0 END
+                               THEN CAST({wd1!r} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
                    + CASE WHEN l.bal_bucket IS NOT NULL AND r.bal_bucket IS NOT NULL
-                               AND l.bal_bucket = r.bal_bucket THEN {wa2!r}
+                               AND l.bal_bucket = r.bal_bucket THEN CAST({wa2!r} AS DOUBLE)
                           WHEN l.bal_bucket IS NOT NULL AND r.bal_bucket IS NOT NULL
-                               THEN {wd2!r} ELSE 0.0 END, 6) AS score
+                               THEN CAST({wd2!r} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 6) AS score
           FROM l JOIN r ON l.c_nationkey = r.c_nationkey)
         SELECT id_a, id_b, score, score >= 3.0 AS is_match
         FROM j WHERE score >= 0 OR score >= 3.0
@@ -4667,7 +4668,11 @@ def oracle_sql() -> dict[str, str]:
               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (
               SELECT user_id, tsu,
-                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+                     -- CAST: DuckDB windowed sum over integers returns HUGEINT,
+                     -- which non-native fetch paths (Arrow/pandas) coerce to
+                     -- double — 1.0 vs Spark's 1 in a value hash (the round-1/2
+                     -- driver-only mismatch; tools/type_audit.py now gates this)
+                     CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM g)
             SELECT user_id, session_id, count(*) AS n_events,
                    max(tsu) - min(tsu) AS duration_us
@@ -4699,7 +4704,9 @@ def oracle_sql() -> dict[str, str]:
                    round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
             FROM lineitem GROUP BY l_returnflag
         """,
-        "column_profile_lineitem": profile_oracle_sql("lineitem", _PROFILE_COLS),
+        "column_profile_lineitem": profile_exact_oracle_sql(
+            "lineitem", _PROFILE_COLS, quantize=100
+        ),
         "dedup_keep_first": """
             SELECT doc_id FROM (
               SELECT doc_id, row_number() OVER (
@@ -5065,8 +5072,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE text IS NOT NULL),
             s AS (
               SELECT doc_id, lang, tok,
-                     COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+                     -- CAST: windowed SUM yields HUGEINT (type_audit rule)
+                     CAST(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
               FROM toks)
             SELECT doc_id, lang, CAST(tok AS INT) AS tok,
                    st // 512 AS chunk_id,
@@ -5112,8 +5120,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_priority_lines": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -5452,9 +5460,9 @@ def oracle_sql() -> dict[str, str]:
                      o_custkey IN (SELECT c_custkey FROM keys) AS actual
               FROM probe)
             SELECT count(*) AS n_probed,
-                   sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS n_pass,
-                   sum(CASE WHEN actual THEN 1 ELSE 0 END) AS n_true,
-                   sum(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END) AS n_false_pos
+                   CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+                   CAST(sum(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
             FROM flags
         """,
         "distinct_users_by_type": """
@@ -6554,14 +6562,19 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(CASE WHEN l_extendedprice BETWEEN 30000 AND 40000 THEN 1 ELSE 0 END) AS BIGINT) AS m1
               FROM lineitem GROUP BY 1),
             arms AS (
-              SELECT 'insertion' AS layout, 1000.0 AS pred_lo, 5000.0 AS pred_hi,
+              -- CAST: bare 1000.0 literals are DECIMAL in DuckDB (type_audit)
+              SELECT 'insertion' AS layout, CAST(1000.0 AS DOUBLE) AS pred_lo,
+                     CAST(5000.0 AS DOUBLE) AS pred_hi,
                      z.zmin, z.zmax, z.c, z.m0 AS m FROM zi z
               UNION ALL
-              SELECT 'insertion', 30000.0, 40000.0, z.zmin, z.zmax, z.c, z.m1 FROM zi z
+              SELECT 'insertion', CAST(30000.0 AS DOUBLE), CAST(40000.0 AS DOUBLE),
+                     z.zmin, z.zmax, z.c, z.m1 FROM zi z
               UNION ALL
-              SELECT 'clustered', 1000.0, 5000.0, z.zmin, z.zmax, z.c, z.m0 FROM zc z
+              SELECT 'clustered', CAST(1000.0 AS DOUBLE), CAST(5000.0 AS DOUBLE),
+                     z.zmin, z.zmax, z.c, z.m0 FROM zc z
               UNION ALL
-              SELECT 'clustered', 30000.0, 40000.0, z.zmin, z.zmax, z.c, z.m1 FROM zc z)
+              SELECT 'clustered', CAST(30000.0 AS DOUBLE), CAST(40000.0 AS DOUBLE),
+                     z.zmin, z.zmax, z.c, z.m1 FROM zc z)
             SELECT layout, pred_lo, pred_hi,
                    CAST(count(*) AS BIGINT) AS n_zones,
                    CAST(sum(CASE WHEN zmax < pred_lo OR zmin > pred_hi THEN 1 ELSE 0 END) AS BIGINT) AS zones_pruned,
@@ -6845,10 +6858,11 @@ def oracle_sql() -> dict[str, str]:
                        CAST(n_neg + 1 AS DOUBLE) / CAST(tn + nb AS DOUBLE) AS ns
                 FROM per_bin CROSS JOIN tot)
             SELECT CAST(bin AS INTEGER) AS bin,
-                   CASE bin WHEN 0 THEN 0.0 WHEN 1 THEN 5.0
-                            WHEN 2 THEN 25.0 ELSE 100.0 END AS lo,
-                   CASE bin WHEN 0 THEN 5.0 WHEN 1 THEN 25.0
-                            WHEN 2 THEN 100.0 ELSE 500.0 END AS hi,
+                   -- CAST: bare decimal literals in CASE make lo/hi DECIMAL
+                   CAST(CASE bin WHEN 0 THEN 0.0 WHEN 1 THEN 5.0
+                            WHEN 2 THEN 25.0 ELSE 100.0 END AS DOUBLE) AS lo,
+                   CAST(CASE bin WHEN 0 THEN 5.0 WHEN 1 THEN 25.0
+                            WHEN 2 THEN 100.0 ELSE 500.0 END AS DOUBLE) AS hi,
                    n_pos, n_neg,
                    ROUND(LN(ps / ns), 9) AS woe,
                    ROUND((ps - ns) * ROUND(LN(ps / ns), 9), 9) AS iv_term

@@ -189,7 +189,7 @@ def profile_oracle_sql(table: str, columns: list[str], include_sumsq: bool = Fal
         branches.append(f"""
 SELECT '{c}' AS col_name,
        count(*) AS n_rows,
-       coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS n_nulls,
+       CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
        min(CAST({c} AS double)) AS min_val,
        max(CAST({c} AS double)) AS max_val,
        CAST(sum(CAST(CAST({c} AS double) AS {_SUM_TYPE})) AS {_SUM_TYPE}) AS sum_dec,{sumsq_line.format(c=c)}
@@ -205,6 +205,141 @@ SELECT '{c}' AS col_name,
            * (CAST(sum(CAST(CAST({c} AS double) AS {_SUM_TYPE})) AS double)
               / CAST(count({c}) AS double)))), 6) END AS stddev
 FROM {table}""")
+    return "\nUNION ALL\n".join(branches)
+
+
+def column_profile_exact(
+    df: DataFrame,
+    columns: list[str],
+    quantize: int = 100,
+    tree_width: int = 32,
+) -> DataFrame:
+    """Bit-reproducible column profile: same two-level tree shape as
+    :func:`column_profile`, but every accumulator is an exact int64 and the
+    derived ``mean``/``stddev`` doubles are computed from those integers with
+    a FIXED IEEE operation order — so any engine that implements IEEE-754
+    (Spark's JVM, DuckDB, …) produces BIT-IDENTICAL doubles, no rounding
+    contract needed.  This closes the round-2 driver hash mismatch on
+    ``column_profile_lineitem`` structurally: the decimal(38,*)→double cast
+    (rounded differently by Java BigDecimal vs DuckDB's int128/10^scale
+    path) never happens, because no decimal enters the derivation.
+
+    Mechanics (per column ``x``, ``q = quantize``):
+      * ``x2 = CAST(round(x*q) AS BIGINT)`` — exact when ``x`` carries at
+        most ``log10(q)`` fractional digits (money/quantity columns);
+      * ``Σx2`` fits int64 up to ~10^6× the test scale; ``Σx2²`` would NOT,
+        so it is carried as the exact int64 PAIR ``(Σ(x2² >> 20),
+        Σ(x2² mod 2^20))`` — recombined as ``double(hi)*2^20 + double(lo)``,
+        which is exact-then-one-correctly-rounded-add on both engines while
+        ``Σ(x2² >> 20) < 2^53`` (≈10^9 lineitem rows at q=100);
+      * mean = ``double(Σx2) / q / nn``; var/stddev likewise — division,
+        multiply, subtract, ``sqrt`` are all correctly rounded IEEE ops, so
+        identical inputs + identical order ⇒ identical bits.
+
+    Production profiling of unbounded-magnitude data should keep
+    :func:`column_profile` (decimal accumulators, no magnitude envelope);
+    this variant is the cross-engine-attestable contract.  Mirrored by
+    :func:`profile_exact_oracle_sql`.
+    """
+    if not columns:
+        raise ValueError("column_profile_exact: need at least one column")
+    qd = float(quantize)
+    qsq = float(quantize * quantize)
+
+    def partials(c: str) -> list:
+        col = F.col(c)
+        d = col.cast("double")
+        x2 = F.round(d * F.lit(qd)).cast("long")
+        sq = x2 * x2
+        return [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+            F.sum(x2).alias(f"{c}__s"),
+            F.sum(F.shiftright(sq, 20)).alias(f"{c}__hi"),
+            F.sum(sq % F.lit(1048576)).alias(f"{c}__lo"),
+        ]
+
+    def merges(c: str) -> list:
+        return [
+            F.sum(f"{c}__n").alias(f"{c}__n"),
+            F.sum(f"{c}__nulls").alias(f"{c}__nulls"),
+            F.min(f"{c}__min").alias(f"{c}__min"),
+            F.max(f"{c}__max").alias(f"{c}__max"),
+            F.sum(f"{c}__s").alias(f"{c}__s"),
+            F.sum(f"{c}__hi").alias(f"{c}__hi"),
+            F.sum(f"{c}__lo").alias(f"{c}__lo"),
+        ]
+
+    level1 = (
+        df.select(*[F.col(c) for c in columns])
+        .withColumn("__t", F.pmod(F.spark_partition_id(), F.lit(tree_width)))
+        .groupBy("__t")
+        .agg(*[e for c in columns for e in partials(c)])
+    )
+    merged = level1.agg(*[e for c in columns for e in merges(c)])
+
+    def row_struct(c: str):
+        n = F.col(f"{c}__n").cast("long")
+        nulls = F.col(f"{c}__nulls").cast("long")
+        nn = n - nulls
+        nn_d = nn.cast("double")
+        s_e = F.coalesce(F.col(f"{c}__s"), F.lit(0)).cast("long")
+        hi_d = F.coalesce(F.col(f"{c}__hi"), F.lit(0)).cast("long").cast("double")
+        lo_d = F.coalesce(F.col(f"{c}__lo"), F.lit(0)).cast("long").cast("double")
+        # FIXED operation order, mirrored verbatim in the oracle SQL:
+        mean = s_e.cast("double") / F.lit(qd) / nn_d
+        ex2 = (hi_d * F.lit(1048576.0) + lo_d) / F.lit(qsq) / nn_d
+        var = F.greatest(F.lit(0.0), ex2 - mean * mean)
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            n.alias("n_rows"),
+            nulls.alias("n_nulls"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            s_e.alias("sum_e"),
+            F.when(nn > 0, mean).alias("mean"),
+            F.when(nn > 0, F.sqrt(var)).alias("stddev"),
+        )
+
+    exploded = merged.select(
+        F.explode(F.array(*[row_struct(c) for c in columns])).alias("p")
+    )
+    return exploded.select("p.*")
+
+
+def profile_exact_oracle_sql(
+    table: str, columns: list[str], quantize: int = 100
+) -> str:
+    """DuckDB oracle for :func:`column_profile_exact` — every accumulator an
+    explicit BIGINT (never HUGEINT: type_audit rule), every derived double
+    mirroring the Spark expression's IEEE operation order verbatim."""
+    qd = repr(float(quantize))
+    qsq = repr(float(quantize * quantize))
+    branches = []
+    for c in columns:
+        branches.append(f"""
+SELECT col_name, n_rows, n_nulls, min_val, max_val, sum_e,
+       CASE WHEN nn > 0 THEN CAST(sum_e AS DOUBLE) / {qd} / CAST(nn AS DOUBLE) END AS mean,
+       CASE WHEN nn > 0 THEN sqrt(greatest(0.0,
+            (CAST(hi AS DOUBLE) * 1048576.0 + CAST(lo AS DOUBLE)) / {qsq} / CAST(nn AS DOUBLE)
+            - (CAST(sum_e AS DOUBLE) / {qd} / CAST(nn AS DOUBLE))
+              * (CAST(sum_e AS DOUBLE) / {qd} / CAST(nn AS DOUBLE)))) END AS stddev
+FROM (
+  SELECT '{c}' AS col_name,
+         count(*) AS n_rows,
+         CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+         count({c}) AS nn,
+         min(CAST({c} AS DOUBLE)) AS min_val,
+         max(CAST({c} AS DOUBLE)) AS max_val,
+         CAST(coalesce(sum(x2), 0) AS BIGINT) AS sum_e,
+         CAST(coalesce(sum((x2 * x2) // 1048576), 0) AS BIGINT) AS hi,
+         CAST(coalesce(sum((x2 * x2) % 1048576), 0) AS BIGINT) AS lo
+  FROM (SELECT {c},
+               CAST(round(CAST({c} AS DOUBLE) * {qd}) AS BIGINT) AS x2
+        FROM {table}) q_{c}
+) a_{c}""")
     return "\nUNION ALL\n".join(branches)
 
 

@@ -80,6 +80,74 @@ def test_profile_oracle_matches_duckdb(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# column_profile_exact — the bit-reproducible (no rounding contract) variant
+# ---------------------------------------------------------------------------
+
+
+def _exact_map(df, cols, **kw):
+    from json_schema_rs_spark.operators.stats import column_profile_exact
+
+    return {
+        r["col_name"]: r.asDict()
+        for r in column_profile_exact(df, cols, **kw).collect()
+    }
+
+
+def test_profile_exact_basic_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1.25, 10.0), (2.5, None), (3.75, 30.0), (4.0, None)], "a double, b double"
+    )
+    p = _exact_map(df, ["a", "b"], quantize=100)
+    assert p["a"]["n_rows"] == 4 and p["a"]["n_nulls"] == 0
+    assert p["a"]["sum_e"] == 1150  # Σ(x*100) exactly
+    assert p["a"]["mean"] == pytest.approx(2.875)
+    assert p["b"]["n_nulls"] == 2 and p["b"]["mean"] == pytest.approx(20.0)
+    allnull = spark.createDataFrame([(None,), (None,)], "a double")
+    q = _exact_map(allnull, ["a"], quantize=100)
+    assert q["a"]["mean"] is None and q["a"]["stddev"] is None
+    assert q["a"]["sum_e"] == 0
+
+
+def test_profile_exact_partitioning_invariant(spark):
+    # int64 accumulators are merge-associative, so the derived doubles are
+    # BIT-identical at any partitioning / tree width (no approx here)
+    rows = [(float(i % 997) * 0.01,) for i in range(1, 3001)]
+    df = spark.createDataFrame(rows, "x double")
+    baseline = None
+    for parts, width in ((1, 1), (7, 4), (64, 32)):
+        p = _exact_map(df.repartition(parts), ["x"], tree_width=width)["x"]
+        key = (p["n_rows"], p["sum_e"], p["mean"].hex(), p["stddev"].hex())
+        baseline = baseline or key
+        assert key == baseline
+
+
+def test_profile_exact_oracle_bit_identical(spark, tmp_path):
+    # the whole point of the exact variant: the UNROUNDED doubles match
+    # DuckDB bit-for-bit (compare via float.hex, stricter than repr)
+    duckdb = pytest.importorskip("duckdb")
+    from json_schema_rs_spark.operators.stats import profile_exact_oracle_sql
+
+    df = spark.createDataFrame(
+        [(float(i % 17) + 0.25, float(i % 89) * 0.01 if i % 5 else None)
+         for i in range(500)],
+        "a double, b double",
+    )
+    path = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = {r[0]: r for r in
+            con.sql(profile_exact_oracle_sql("t", ["a", "b"])).fetchall()}
+    got = _exact_map(df, ["a", "b"], quantize=100)
+    for c in ("a", "b"):
+        o, g = want[c], got[c]
+        assert (g["n_rows"], g["n_nulls"], g["sum_e"]) == (o[1], o[2], o[5])
+        assert g["min_val"] == o[3] and g["max_val"] == o[4]
+        assert g["mean"].hex() == o[6].hex()
+        assert g["stddev"].hex() == o[7].hex()
+
+
+# ---------------------------------------------------------------------------
 # key_skew_profile / partition_load_profile
 # ---------------------------------------------------------------------------
 

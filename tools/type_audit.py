@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Cross-engine TYPE audit of every oracle pair: compare the Spark query's
+schema (analysis only — no execution) with the DuckDB oracle's result types
+(DESCRIBE — no execution) and flag any column whose type mapping is
+AMBIGUOUS under a non-native fetch path.
+
+Why: the driver's correctness gate hashes VALUES after fetching both result
+sets.  duckdb's native ``fetchall`` returns Python ints for HUGEINT, but an
+Arrow/pandas fetch coerces HUGEINT (the DuckDB result type of ``sum`` over
+any integer column, plain or windowed) to double — so a Spark BIGINT ``1``
+hashes as ``1`` while the oracle's HUGEINT ``1`` hashes as ``1.0``.  That is
+exactly the failure mode behind the round-1/round-2 ``sessionize_events``
+driver-only hash mismatch (bit-exact under fetchall, red at the driver).
+
+Flag rules (column-by-column, matched by name):
+  * DuckDB HUGEINT/UHUGEINT anywhere            → FLAG (cast to BIGINT)
+  * DuckDB DECIMAL vs Spark non-decimal         → FLAG (cast to match)
+  * DuckDB DECIMAL(p,s) vs Spark decimal(p',s') with s != s' → FLAG
+  * integer-width family vs double family mismatch → FLAG
+  * everything else (string/bool/date/timestamp/int-width diffs) → OK
+
+Usage: python tools/type_audit.py [query_name ...]
+Exit 1 if any flag.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from json_schema_rs_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+_INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+               "USMALLINT", "UINTEGER", "UBIGINT"}
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _family(duck: str) -> str:
+    d = duck.upper()
+    if d in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if d in _INT_FAMILY:
+        return "int"
+    if d.startswith("DECIMAL"):
+        return "decimal" + d[d.index("(") :] if "(" in d else "decimal"
+    if d in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if d in ("VARCHAR", "TEXT"):
+        return "string"
+    if d == "BOOLEAN":
+        return "bool"
+    if d.startswith("TIMESTAMP"):
+        return "timestamp"
+    if d == "DATE":
+        return "date"
+    if d.startswith("STRUCT") or d.endswith("[]"):
+        return "nested"
+    return d.lower()
+
+
+def _spark_family(t: str) -> str:
+    t = t.lower()
+    if t in _SPARK_INT:
+        return "int"
+    if t.startswith("decimal"):
+        return "decimal" + t[t.index("(") :] if "(" in t else "decimal"
+    if t in ("double", "float"):
+        return "float"
+    if t == "string":
+        return "string"
+    if t == "boolean":
+        return "bool"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t.startswith(("array", "struct", "map")):
+        return "nested"
+    return t
+
+
+def audit_one(name: str, spark_dtypes: list[tuple[str, str]],
+              duck_cols: list[tuple[str, str]]) -> list[str]:
+    flags = []
+    dmap = {c: t for c, t in duck_cols}
+    smap = {c: t for c, t in spark_dtypes}
+    for col in sorted(set(dmap) | set(smap)):
+        if col not in dmap or col not in smap:
+            flags.append(f"{col}: only on one side (spark={smap.get(col)}, duck={dmap.get(col)})")
+            continue
+        df, sf = _family(dmap[col]), _spark_family(smap[col])
+        if df == "hugeint":
+            flags.append(f"{col}: DuckDB HUGEINT (spark {smap[col]}) — cast oracle to BIGINT")
+        elif df.startswith("decimal") or sf.startswith("decimal"):
+            # exact scale match required for a decimal↔decimal pair; any
+            # decimal↔non-decimal pair is a coercion hazard
+            ds = re.search(r",\s*(\d+)\)", df or "")
+            ss = re.search(r",\s*(\d+)\)", sf or "")
+            if not (df.startswith("decimal") and sf.startswith("decimal")
+                    and ds and ss and ds.group(1) == ss.group(1)):
+                flags.append(f"{col}: decimal mapping spark={smap[col]} duck={dmap[col]}")
+        elif {df, sf} == {"int", "float"}:
+            flags.append(f"{col}: int-vs-float spark={smap[col]} duck={dmap[col]}")
+        elif df != sf:
+            flags.append(f"{col}: family mismatch spark={smap[col]} duck={dmap[col]}")
+    return flags
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark = get_spark(app_name="type-audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    n_flagged = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        try:
+            sdt = fn(spark, SF_DIR).dtypes
+        except Exception as e:
+            print(f"  {name:34s} SPARK-ERROR {e}")
+            n_flagged += 1
+            continue
+        try:
+            desc = con.sql(f"DESCRIBE {oracles[name]}").fetchall()
+            ddt = [(r[0], r[1]) for r in desc]
+        except Exception as e:
+            print(f"  {name:34s} DUCK-ERROR {e}")
+            n_flagged += 1
+            continue
+        flags = audit_one(name, sdt, ddt)
+        if flags:
+            n_flagged += 1
+            print(f"  {name:34s} FLAG")
+            for f in flags:
+                print(f"      {f}")
+    spark.stop()
+    if n_flagged:
+        print(f"\n{n_flagged} queries flagged")
+        return 1
+    print("\nno type ambiguities")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
