@@ -367,7 +367,10 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_candidates(
-        docs, "doc_id", k=5, num_hashes=8, bands=4, portable=True, max_bucket=10**9
+        docs, "doc_id", k=5, num_hashes=8, bands=4, portable=True
+        # bounded max_bucket default (1000) attested: documents has 500 rows
+        # at sf0.01, so the guard provably drops nothing and the exhaustive
+        # oracle still matches — while the production default stays bounded
     )
 
 
@@ -376,7 +379,10 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(
-        docs, "doc_id", k=5, num_hashes=8, bands=4, portable=True, max_bucket=10**9
+        docs, "doc_id", k=5, num_hashes=8, bands=4, portable=True
+        # bounded max_bucket default (1000) attested: documents has 500 rows
+        # at sf0.01, so the guard provably drops nothing and the exhaustive
+        # oracle still matches — while the production default stays bounded
     )
     verified = jaccard_verify(docs, pairs, "doc_id", k=5, threshold=0.3)
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -787,7 +793,10 @@ def _verified_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(
-        docs, "doc_id", k=5, num_hashes=8, bands=4, portable=True, max_bucket=10**9
+        docs, "doc_id", k=5, num_hashes=8, bands=4, portable=True
+        # bounded max_bucket default (1000) attested: documents has 500 rows
+        # at sf0.01, so the guard provably drops nothing and the exhaustive
+        # oracle still matches — while the production default stays bounded
     )
     return docs, jaccard_verify(docs, pairs, "doc_id", k=5, threshold=0.3)
 

@@ -117,7 +117,7 @@ def split_leakage(
     bands: int = 4,
     jaccard_threshold: float = 0.3,
     portable: bool = False,
-    max_bucket: int = 10**9,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Cross-split near-duplicate leakage audit: assign every doc its stable
     ``hash_split`` label, find near-dup candidate pairs with MinHash-LSH,
@@ -140,9 +140,12 @@ def split_leakage(
     this is the knob that keeps the candidate join sub-quadratic: with few
     rows per band (r = num_hashes/bands small) template text lands whole
     document families in one bucket, and Σ|bucket|² is the join's output
-    size.  Default keeps the audit exhaustive; production audits should set
-    it (the dropped buckets ARE the boilerplate clusters, catchable by the
-    exact n-gram decontamination pass instead).
+    size.  The default is BOUNDED (1000 — at 100 TB an unbounded default is
+    the one remaining scale-killer in the dedup family); pass ``None`` to
+    opt into the exhaustive audit.  The cap is not silent: quantify what a
+    threshold drops with :func:`~.dedup.minhash_lsh_bucket_stats` (the
+    dropped buckets ARE the boilerplate clusters, catchable by the exact
+    n-gram decontamination pass instead).
     """
     from .dedup import jaccard_verify, minhash_lsh_candidates
     from .sampling import hash_split

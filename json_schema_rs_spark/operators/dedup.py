@@ -117,14 +117,20 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     portable: bool = False,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     repartition: int | None = None,
     cache_candidates: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(id_a, id_b)`` with id_a < id_b.
 
     Docs sharing ANY band bucket become candidates (union over bands,
-    distinct).  Buckets above ``max_bucket`` are dropped (boilerplate guard).
+    distinct).  Buckets above ``max_bucket`` are dropped (boilerplate guard —
+    Σ|bucket|² is the candidate join's output size, and on templated corpora
+    one hot bucket is the single remaining scale-killer); ``max_bucket=None``
+    opts into the exhaustive join.  The cap is NOT silent: audit what a given
+    threshold drops with :func:`minhash_lsh_bucket_stats` before/alongside a
+    production run (the dropped buckets are boilerplate families — the exact
+    n-gram decontamination pass catches those by content instead).
 
     ``repartition`` spreads the (CPU-heavy) shingling/hashing projection —
     needed when the source is a few big files read as few partitions; at
@@ -157,8 +163,11 @@ def minhash_lsh_candidates(
     if cache_candidates:
         keyed = keyed.cache()
     # boilerplate guard: drop pathologically hot buckets
-    sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
-    keyed = keyed.join(F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), "bucket", "left_anti")
+    if max_bucket is not None:
+        sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+        keyed = keyed.join(
+            F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), "bucket", "left_anti"
+        )
     a = keyed.alias("a")
     b = keyed.alias("b")
     pairs = (
@@ -167,6 +176,57 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def minhash_lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+    max_bucket: int = 1000,
+    repartition: int | None = None,
+) -> DataFrame:
+    """The no-silent-caps accounting for the hot-bucket guard: ONE row of
+    ``(n_buckets, n_dropped_buckets, n_dropped_doc_slots,
+    kept_pair_bound, dropped_pair_bound)`` for the SAME banding that
+    :func:`minhash_lsh_candidates` would use with this ``max_bucket``.
+
+    ``*_pair_bound`` is Σ sz·(sz−1)/2 over kept/dropped buckets — the upper
+    bound on candidate pairs each side of the cap contributes (the quantity
+    whose blow-up on templated corpora the cap exists to stop).  Run this
+    before (or alongside) a capped production dedup so the cap's cost is a
+    recorded number, not a silent truncation."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    narrow = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+    if repartition:
+        narrow = narrow.repartition(repartition)
+    shingled = narrow.select("doc", char_shingles(F.col("__text"), k).alias("__sh"))
+    with_sig = shingled.select(
+        "doc", minhash_signature(F.col("__sh"), num_hashes, portable).alias("__sig")
+    )
+    keyed = with_sig.select(
+        "doc", F.explode(lsh_band_keys(F.col("__sig"), bands, r)).alias("bucket")
+    )
+    sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    dropped = F.col("bsz") > max_bucket
+    pair_bound = (F.col("bsz") * (F.col("bsz") - 1) / 2).cast("long")
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("n_dropped_buckets"),
+        F.sum(F.when(dropped, F.col("bsz")).otherwise(0)).cast("long").alias(
+            "n_dropped_doc_slots"
+        ),
+        F.sum(F.when(dropped, 0).otherwise(pair_bound)).cast("long").alias(
+            "kept_pair_bound"
+        ),
+        F.sum(F.when(dropped, pair_bound).otherwise(0)).cast("long").alias(
+            "dropped_pair_bound"
+        ),
+    )
 
 
 def jaccard_verify(

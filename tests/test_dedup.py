@@ -88,6 +88,36 @@ def test_max_bucket_guard_drops_hot_buckets(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = minhash_lsh_candidates(df, "doc_id", max_bucket=10)
     assert pairs.count() == 0
+    # max_bucket=None opts back into the exhaustive join: all C(50,2) pairs
+    exhaustive = minhash_lsh_candidates(df, "doc_id", max_bucket=None)
+    assert exhaustive.count() == 50 * 49 // 2
+
+
+def test_lsh_bucket_stats_accounts_for_the_cap(spark):
+    # no-silent-caps: the accounting row must quantify exactly what a
+    # bounded max_bucket drops.  50 identical docs + 2 unique ones, 4 bands:
+    # the identical docs fill one 50-doc bucket per band.
+    from json_schema_rs_spark.operators.dedup import minhash_lsh_bucket_stats
+
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(50)]
+    rows += [(100, "genuinely unique content alpha zebra"),
+             (101, "another distinct document entirely unlike the rest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st = minhash_lsh_bucket_stats(
+        df, "doc_id", num_hashes=16, bands=4, max_bucket=10
+    ).collect()[0]
+    assert st["n_dropped_buckets"] == 4                 # one hot bucket per band
+    assert st["n_dropped_doc_slots"] == 4 * 50
+    assert st["dropped_pair_bound"] == 4 * (50 * 49 // 2)
+    # the unique docs' singleton buckets survive and contribute no pairs
+    assert st["kept_pair_bound"] == 0
+    assert st["n_buckets"] == st["n_dropped_buckets"] + 2 * 4
+    # and with the cap above every bucket, nothing is dropped
+    st2 = minhash_lsh_bucket_stats(
+        df, "doc_id", num_hashes=16, bands=4, max_bucket=1000
+    ).collect()[0]
+    assert st2["n_dropped_buckets"] == 0 and st2["dropped_pair_bound"] == 0
+    assert st2["kept_pair_bound"] == 4 * (50 * 49 // 2)
 
 
 def test_simhash_properties(spark):
