@@ -7308,7 +7308,9 @@ def oracle_sql() -> dict[str, str]:
                      FROM p GROUP BY a, b),
             ma AS (SELECT a AS l, SUM(c) AS ca FROM cont GROUP BY a),
             mb AS (SELECT b AS l, SUM(c) AS cb FROM cont GROUP BY b),
-            pe AS (SELECT SUM(ca * cb) AS pe_num FROM ma JOIN mb USING (l)),
+            -- coalesce mirrors the operator: disjoint label sets ⇒ p_e = 0
+            pe AS (SELECT COALESCE(SUM(ca * cb), 0) AS pe_num
+                   FROM ma JOIN mb USING (l)),
             tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
                            CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END)
                                 AS BIGINT) AS n_agree
@@ -7362,9 +7364,13 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT doc_id, 'number_range:n_chars'
                   FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars < 500)
             ),
-            seg AS (SELECT 'lang' AS seg_col, lang AS seg_val, doc_id
+            -- coalesce mirrors the operator's '<NULL>' sentinel (NULL seg
+            -- values must survive the vv⋈rps equi-join as their own segment)
+            seg AS (SELECT 'lang' AS seg_col, coalesce(lang, '<NULL>') AS seg_val,
+                           doc_id
                     FROM documents
-                    UNION ALL SELECT 'source', source, doc_id FROM documents),
+                    UNION ALL SELECT 'source', coalesce(source, '<NULL>'), doc_id
+                    FROM documents),
             rps AS (SELECT seg_col, seg_val, CAST(count(*) AS BIGINT)
                              AS n_rows_seg
                     FROM seg GROUP BY seg_col, seg_val),
@@ -7496,5 +7502,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sp, 9) > 5.0 AS alarm_pos,
                    round(sn, 9) > 5.0 AS alarm_neg
             FROM c
+            UNION ALL
+            -- mirror the operator's unionByName(missing): groups absent from
+            -- the baseline window (or with sigma = 0) are EMITTED with NULL
+            -- scores, not dropped (same LEFT JOIN shape as control_chart)
+            SELECT h.event_type, h.ts, h.v AS value,
+                   CAST(NULL AS DOUBLE) AS s_pos, CAST(NULL AS DOUBLE) AS s_neg,
+                   CAST(NULL AS BOOLEAN) AS alarm_pos,
+                   CAST(NULL AS BOOLEAN) AS alarm_neg
+            FROM h LEFT JOIN lim USING (event_type)
+            WHERE center IS NULL OR NOT (sigma_hat > 0)
         """,
     }

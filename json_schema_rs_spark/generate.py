@@ -50,7 +50,14 @@ def _uniform(seed: str, field: str, m: Column | int) -> Column:
 
 
 def _gen_string(f: FieldSpec, seed: str) -> Column:
-    lo = f.min_length if f.min_length is not None else 1
+    # derive the unset bound from the one that is present: a fixed default
+    # of 1 would reject satisfiable specs (max_length=0 admits "")
+    if f.min_length is not None:
+        lo = f.min_length
+    elif f.max_length is not None:
+        lo = min(1, f.max_length)
+    else:
+        lo = 1
     hi = f.max_length if f.max_length is not None else max(lo, 32)
     if hi < lo:
         raise ValueError(f"{f.name}: max_length < min_length")
@@ -66,7 +73,15 @@ def _gen_string(f: FieldSpec, seed: str) -> Column:
 
 
 def _gen_number(f: FieldSpec, seed: str, integer: bool) -> Column:
-    lo = f.minimum if f.minimum is not None else 0.0
+    # derive the unset bound from the present one: anchoring lo at 0.0 when
+    # only `maximum` is set would reject satisfiable specs (maximum=0.5
+    # admits every value below it)
+    if f.minimum is not None:
+        lo = f.minimum
+    elif f.maximum is not None:
+        lo = f.maximum - 1000.0
+    else:
+        lo = 0.0
     hi = f.maximum if f.maximum is not None else lo + 1000.0
     # reference-parity inverted exclusivity: boundary values FAIL unless the
     # exclusive_* flag is set (number.rs:42-62) — drawing STRICTLY inside

@@ -165,9 +165,12 @@ def cohens_kappa(
     # marginal frames (each ≤ |labels| rows) on the label
     ma = cont.groupBy(F.col("__a").alias("__l")).agg(F.sum("__c").alias("__ca"))
     mb = cont.groupBy(F.col("__b").alias("__l")).agg(F.sum("__c").alias("__cb"))
+    # coalesce: with DISJOINT label sets the join is empty and sum() yields
+    # NULL — but the mathematically correct p_e is 0 (no label both raters
+    # use ⇒ zero chance agreement), giving κ = p_observed = 0, not NULL
     pe_num = (
         ma.join(mb, "__l")
-        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__pe_num"))
+        .agg(F.coalesce(F.sum(F.col("__ca") * F.col("__cb")), F.lit(0)).alias("__pe_num"))
     )
     tot = cont.agg(
         F.sum("__c").cast("long").alias("n"),

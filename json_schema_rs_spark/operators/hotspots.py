@@ -46,7 +46,11 @@ def violation_hotspots(
 
     ``annotated`` is the engine's annotate() output (any frame with a
     ``violations`` array column works).  NULL segment values form their own
-    segment — an unexpectedly violating NULL slice is itself a finding.
+    segment — an unexpectedly violating NULL slice is itself a finding — so
+    ``seg_val`` is coalesced to the sentinel ``'<NULL>'`` at tag time: left
+    raw, the NULL keys would silently vanish in the equi-join between the
+    violation and row-count aggregates (NULL never equals NULL), discarding
+    exactly the suspicious slice this operator exists to surface.
     ``min_viol`` suppresses noise segments below that violation count.
     """
     if not segment_cols:
@@ -54,7 +58,8 @@ def violation_hotspots(
     tags = F.array(
         *[
             F.struct(
-                F.lit(c).alias("seg_col"), F.col(c).cast("string").alias("seg_val")
+                F.lit(c).alias("seg_col"),
+                F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")).alias("seg_val"),
             )
             for c in segment_cols
         ]

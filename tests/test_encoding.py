@@ -59,3 +59,15 @@ def test_kappa_constant_raters_null(spark):
     df = spark.createDataFrame([("x", "x"), ("x", "x")], "a string, b string")
     r = cohens_kappa(df, "a", "b").collect()[0]
     assert r.kappa is None  # p_e = 1: undefined, not perfect
+
+
+def test_kappa_disjoint_label_sets(spark):
+    # raters never use a common label: p_e = 0 (not NULL) and kappa equals
+    # p_observed (= 0, since disjoint labels can never agree)
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x")], "a string, b string"
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.p_expected == 0.0
+    assert r.p_observed == 0.0
+    assert r.kappa == 0.0

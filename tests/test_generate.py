@@ -78,3 +78,27 @@ def test_plan_is_pure_projection(spark):
     plan = gen._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan      # shuffle-free source
     assert "BatchEvalPython" not in plan
+
+
+def test_one_sided_bounds_satisfiable(spark):
+    # only `maximum` set: the unset lower bound must derive from it (a fixed
+    # lo=0.0 anchor would falsely reject maximum <= 1 as empty-range)
+    spec = TableSpec()
+    spec.add_field(number_field("x").with_range(None, 0.5))
+    got = generate_conforming(spark, spec, 50)
+    vals = [r.x for r in got.collect()]
+    assert all(v < 0.5 for v in vals)
+    res = ValidationEngine(spec, key_cols=["id"]).validate(got)
+    assert res.violations.count() == 0
+
+
+def test_max_length_zero_generates_empty_string(spark):
+    # max_length=0 with min unset: "" conforms — must not raise
+    spec = TableSpec()
+    f = string_field("s", required=True)
+    f.max_length = 0
+    spec.add_field(f)
+    got = generate_conforming(spark, spec, 10)
+    assert [r.s for r in got.collect()] == [""] * 10
+    res = ValidationEngine(spec, key_cols=["id"]).validate(got)
+    assert res.violations.count() == 0

@@ -55,3 +55,21 @@ def test_hotspot_min_viol_filter(spark):
 def test_hotspot_requires_segments(spark):
     with pytest.raises(ValueError):
         violation_hotspots(_annotated(spark), [])
+
+
+def test_hotspot_null_segment_forms_its_own_slice(spark):
+    # the suspicious slice IS the NULL one: every violating row has src=NULL.
+    # A raw equi-join would drop NULL keys and return an empty report.
+    spec = TableSpec()
+    spec.add_field(string_field("name", required=True))
+    eng = ValidationEngine(spec, key_cols=["id"])
+    rows = [
+        (1, None, None), (2, None, None),            # violations, NULL segment
+        (3, "x", "good"), (4, "y", "good"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, src string")
+    got = violation_hotspots(eng.annotate(df), ["src"]).collect()
+    by_seg = {r.seg_val: r for r in got}
+    assert set(by_seg) == {"<NULL>"}
+    r = by_seg["<NULL>"]
+    assert r.n_rows_seg == 2 and r.n_viol == 2 and r.rate == 1.0
