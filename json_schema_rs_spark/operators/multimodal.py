@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The decode step itself is STUBBED (this container ships no image/audio
-libraries): ``decode_image``/``decode_audio`` raise ``NotImplementedError``
-unless a decoder is injected, and ``fake_feature_extractor`` provides a
-deterministic stand-in so the Spark-side plumbing — schema, batch iteration,
-partition-preserving shape, output arity — is real and tested end-to-end.
+Decoders: ``decode_image`` (PPM P6/P3, uncompressed 24/32-bit BMP) and
+``decode_audio`` (PCM WAV) are REAL stdlib-only kernels — no external
+library needed — feeding ``image_feature_extractor`` / ``image_grid_hex``
+through the same ``decoder=`` injection seam.  Formats beyond that subset
+(JPEG/PNG/MP3/...) raise ``NotImplementedError`` with the injection point
+named (this container ships no media libraries); ``fake_feature_extractor``
+remains the deterministic stand-in for oracle-checkable pipelines, since a
+hash-derived payload is not a valid image.
 
 Scale notes: media blobs dominate row size, so the mapInPandas stages select
 ONLY (id, blob) before the UDF (column pruning keeps metadata out of the
@@ -17,7 +20,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Callable, Iterator
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -57,19 +60,188 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires PIL/opencv, absent in this container."""
+class DecodedImage(NamedTuple):
+    """Row-major RGB decode result; ``pixels`` is ``3*width*height`` bytes."""
+
+    width: int
+    height: int
+    pixels: bytes
+
+
+class DecodedAudio(NamedTuple):
+    """PCM decode result; ``samples`` are interleaved signed ints."""
+
+    sample_rate: int
+    n_channels: int
+    samples: list
+
+
+def _ppm_tokens(payload: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII ints from ``payload`` starting at
+    ``start``, skipping ``#`` comments (the PPM header micro-grammar)."""
+    out: list[int] = []
+    i = start
+    while len(out) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        out.append(int(payload[i:j]))
+        i = j
+    return out, i
+
+
+def decode_image(payload: bytes) -> DecodedImage:
+    """REAL stdlib-only image decode for the formats a pure-Python engine can
+    own: binary/ASCII PPM (P6/P3) and uncompressed 24/32-bit BMP.  Other
+    formats (JPEG/PNG/...) still raise ``NotImplementedError`` — inject a
+    library-backed decoder via ``extract_features(decoder=...)`` for those
+    (pillow, if present, drops in as
+    ``lambda b: Image.open(io.BytesIO(b))``-based features).
+
+    Was a pure stub through round 2 (container has no media libraries); the
+    PPM/BMP subset needs none, so the decode kernel now exists in-repo and
+    is exercised end-to-end through mapInPandas in tests.
+    """
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    magic = payload[:2]
+    if magic in (b"P6", b"P3"):
+        (w, h, maxval), pos = _ppm_tokens(payload, 3, 2)
+        if maxval <= 0 or maxval > 255:
+            raise NotImplementedError("PPM maxval > 255 not supported")
+        n = 3 * w * h
+        if magic == b"P6":
+            pos += 1  # exactly one whitespace byte after maxval
+            raw = payload[pos : pos + n]
+            if len(raw) != n:
+                raise ValueError("truncated P6 pixel data")
+        else:
+            vals, _ = _ppm_tokens(payload, n, pos)
+            raw = bytes(vals)
+        if maxval != 255:
+            raw = bytes(v * 255 // maxval for v in raw)
+        return DecodedImage(w, h, raw)
+    if magic == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError("only uncompressed 24/32-bit BMP")
+        bottom_up, h = h > 0, abs(h)
+        step = bpp // 8
+        stride = (w * step + 3) & ~3
+        out = bytearray(3 * w * h)
+        for row in range(h):
+            src = data_off + (h - 1 - row if bottom_up else row) * stride
+            for col in range(w):
+                b, g, r = payload[src + col * step : src + col * step + 3]
+                out[3 * (row * w + col) : 3 * (row * w + col) + 3] = (r, g, b)
+        return DecodedImage(w, h, bytes(out))
     raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "environment; inject a decoder via extract_features(decoder=...)"
+        "unsupported image format (stdlib decoders cover PPM P6/P3 and "
+        "uncompressed 24/32-bit BMP); inject a decoder via "
+        "extract_features(decoder=...)"
     )
 
 
-def decode_audio(payload: bytes) -> "object":
-    raise NotImplementedError(
-        "audio decoding requires an audio library not present in this "
-        "environment; inject a decoder via extract_features(decoder=...)"
+def decode_audio(payload: bytes) -> DecodedAudio:
+    """REAL stdlib-only audio decode: PCM WAV via the ``wave`` module
+    (8/16/32-bit).  Compressed codecs raise ``NotImplementedError`` —
+    inject a library-backed decoder for those."""
+    import io
+    import wave
+
+    if payload is None or payload[:4] != b"RIFF":
+        raise NotImplementedError(
+            "unsupported audio format (stdlib decoder covers PCM WAV); "
+            "inject a decoder via extract_features(decoder=...)"
+        )
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            nch, width = wf.getnchannels(), wf.getsampwidth()
+            rate, n = wf.getframerate(), wf.getnframes()
+            raw = wf.readframes(n)
+    except (wave.Error, EOFError) as e:  # compressed / truncated WAV
+        raise NotImplementedError(f"non-PCM WAV: {e}") from e
+    if width == 1:  # unsigned 8-bit → signed
+        samples = [b - 128 for b in raw]
+    elif width in (2, 4):
+        samples = [
+            int.from_bytes(raw[i : i + width], "little", signed=True)
+            for i in range(0, len(raw), width)
+        ]
+    else:
+        raise NotImplementedError(f"{8 * width}-bit WAV not supported")
+    return DecodedAudio(rate, nch, samples)
+
+
+def image_feature_extractor(payload: bytes) -> list[float]:
+    """Decode (PPM/BMP) → FEATURE_DIM floats: mean R, G, B, mean luma, then
+    a 12-bin luma histogram (shares).  Deterministic, pure stdlib; the
+    library-backed equivalent drops in through the same ``decoder=`` seam.
+    Per-pixel Python is fine HERE because the decode itself is per-payload
+    Python already — a production deployment injects a vectorized decoder
+    and this function never runs."""
+    img = decode_image(payload)
+    n = img.width * img.height
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    sr = sg = sb = 0
+    hist = [0] * (FEATURE_DIM - 4)
+    px = img.pixels
+    for i in range(0, 3 * n, 3):
+        r, g, b = px[i], px[i + 1], px[i + 2]
+        sr += r
+        sg += g
+        sb += b
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+        hist[min(luma * len(hist) // 256, len(hist) - 1)] += 1
+    return (
+        [sr / n / 255.0, sg / n / 255.0, sb / n / 255.0,
+         (299 * sr + 587 * sg + 114 * sb) / 1000 / n / 255.0]
+        + [c / n for c in hist]
     )
+
+
+def image_grid_hex(payload: bytes) -> str:
+    """Decode → area-averaged ``PHASH_ROWS×PHASH_COLS`` grayscale grid as 144
+    hex chars — the REAL-decode producer for the dHash contract that
+    ``phash_grid_hex`` fakes deterministically (same 144-hex shape, so the
+    banding/verify pipeline downstream is unchanged)."""
+    img = decode_image(payload)
+    cells = []
+    for gr in range(PHASH_ROWS):
+        y0, y1 = gr * img.height // PHASH_ROWS, (gr + 1) * img.height // PHASH_ROWS
+        for gc in range(PHASH_COLS):
+            x0, x1 = gc * img.width // PHASH_COLS, (gc + 1) * img.width // PHASH_COLS
+            tot = cnt = 0
+            for y in range(y0, max(y1, y0 + 1)):
+                base = 3 * y * img.width
+                for x in range(x0, max(x1, x0 + 1)):
+                    r, g, b = img.pixels[base + 3 * x : base + 3 * x + 3]
+                    tot += (299 * r + 587 * g + 114 * b) // 1000
+                    cnt += 1
+            cells.append(tot // cnt if cnt else 0)
+    return "".join(f"{c:02x}" for c in cells)
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal P6 writer (test fixtures / round-trips)."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixel buffer size mismatch")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
 def fake_feature_extractor(payload: bytes) -> list[float]:

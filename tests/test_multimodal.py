@@ -14,11 +14,114 @@ from json_schema_rs_spark.operators.multimodal import (
 )
 
 
-def test_decode_stubs_raise():
+def test_decode_unsupported_formats_raise():
+    # formats OUTSIDE the stdlib subset still raise with the injection point
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+        decode_audio(b"RIFF")      # truncated/non-PCM
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfb\x90")  # mp3 frame header
+
+
+def _checker_ppm(w=18, h=16, a=(250, 10, 10), b=(10, 10, 250), cell=2):
+    from json_schema_rs_spark.operators.multimodal import encode_ppm
+
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(a if ((x // cell) + (y // cell)) % 2 == 0 else b)
+    return encode_ppm(w, h, bytes(px))
+
+
+def test_decode_ppm_p6_and_p3_roundtrip():
+    payload = _checker_ppm()
+    img = decode_image(payload)
+    assert (img.width, img.height) == (18, 16)
+    assert img.pixels[:3] == bytes((250, 10, 10))
+    # same image as ASCII P3 (with a comment line) decodes identically
+    vals = " ".join(str(v) for v in img.pixels)
+    p3 = f"P3\n# comment\n18 16\n255\n{vals}\n".encode()
+    assert decode_image(p3).pixels == img.pixels
+
+
+def test_decode_bmp_bottom_up_matches_ppm():
+    img = decode_image(_checker_ppm())
+    w, h = img.width, img.height
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up, BGR, padded rows
+        for x in range(w):
+            r, g, b = img.pixels[3 * (y * w + x) : 3 * (y * w + x) + 3]
+            rows += bytes((b, g, r))
+        rows += b"\x00" * (stride - 3 * w)
+    header = (
+        b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + b"\x00" * 24
+    )
+    got = decode_image(header + bytes(rows))
+    assert (got.width, got.height) == (w, h)
+    assert got.pixels == img.pixels  # BMP and PPM decode to identical RGB
+
+
+def test_decode_wav_pcm16():
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        samples = [int(10000 * math.sin(2 * math.pi * 440 * t / 8000)) for t in range(80)]
+        wf.writeframes(struct.pack("<80h", *samples))
+    got = decode_audio(buf.getvalue())
+    assert (got.sample_rate, got.n_channels) == (8000, 1)
+    assert got.samples == samples
+
+
+def test_image_features_real_decode_through_spark(spark):
+    # the verdict item-8 gate: extract_features runs a REAL decode (not the
+    # hash stand-in) inside mapInPandas over a synthesized PPM fixture
+    from json_schema_rs_spark.operators.multimodal import image_feature_extractor
+
+    red = _checker_ppm(a=(255, 0, 0), b=(255, 0, 0))     # solid red
+    blue = _checker_ppm(a=(0, 0, 255), b=(0, 0, 255))    # solid blue
+    df = spark.createDataFrame(
+        [(1, bytearray(red)), (2, bytearray(blue))], "media_id long, payload binary"
+    )
+    got = {r.media_id: r for r in
+           extract_features(df, decoder=image_feature_extractor).collect()}
+    assert got[1].features[0] == pytest.approx(1.0)   # mean R
+    assert got[1].features[2] == pytest.approx(0.0)   # mean B
+    assert got[2].features[0] == pytest.approx(0.0)
+    assert got[2].features[2] == pytest.approx(1.0)
+    assert len(got[1].features) == FEATURE_DIM
+    # local call agrees with the distributed path bit-for-bit
+    assert [pytest.approx(v) for v in image_feature_extractor(red)] == list(got[1].features)
+
+
+def test_image_grid_hex_contract_and_similarity():
+    from json_schema_rs_spark.operators.multimodal import (
+        PHASH_COLS,
+        PHASH_ROWS,
+        image_grid_hex,
+    )
+
+    g1 = image_grid_hex(_checker_ppm())
+    assert len(g1) == 2 * PHASH_ROWS * PHASH_COLS  # the 144-hex dHash contract
+    # one corner cell changed → most grid cells identical, some differ
+    near = bytearray(_checker_ppm())
+    near[-6:] = bytes((0, 255, 0)) * 2
+    g2 = image_grid_hex(bytes(near))
+    cells1 = [g1[i : i + 2] for i in range(0, len(g1), 2)]
+    cells2 = [g2[i : i + 2] for i in range(0, len(g2), 2)]
+    ndiff = sum(a != b for a, b in zip(cells1, cells2))
+    assert 0 < ndiff <= 4
 
 
 def test_fake_extractor_deterministic():
