@@ -43,13 +43,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_CORPUS_ROWS", "8000000"))
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
-#: 12M scaling rows: large enough that the local[4] leg's sample (~5-6 s)
-#: dwarfs the ~0.3 s per-job scheduling constant (which biases efficiency
-#: DOWN, never up), small enough that the local[1] leg (~20 s) leaves room
-#: for 3 interleaved pairs inside the budget.  (Round 2 used 24M with 7
-#: pairs × 3 reps and per-sample plan REBUILDS at ~35 s each on the 1-core
-#: JVM — a ~45-minute block that got the whole bench killed.)
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "12000000"))
+#: 8M scaling rows: the local[1] leg samples ~13 s and sets up (persist ~50 s
+#: + plan build + warm exec) comfortably inside the block budget; the
+#: local[4] leg's ~4 s samples carry the ~0.3 s per-job scheduling constant
+#: as a ~7% systematic UNDERSTATEMENT of efficiency (the constant never
+#: flatters the ratio), accepted in exchange for 3 full pairs per run.
+#: (Round 2 used 24M with 7 pairs × 3 reps and per-sample plan REBUILDS at
+#: ~35 s each on the 1-core JVM — a ~45-minute block that got the whole
+#: bench killed.)
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
 SCALE_CORPUS_PATH = os.environ.get(
     "SPARK_GRAFT_SCALE_CORPUS", "/tmp/spark_graft_scale_corpus"
 )
@@ -101,12 +103,16 @@ def _fresh_spark(cpus: int, aqe: bool = True, size_jvm_to_cpus: bool = False,
         # timed region impossible to delimit.  Production defaults keep AQE on.
         conf["spark.sql.adaptive.enabled"] = "false"
     if size_jvm_to_cpus:
-        # scaling legs: the JVM must BELIEVE it has N cores, not just be
-        # confined to them — otherwise ParallelGC/JIT pools are sized for the
-        # 32-core machine (~23 GC threads) and thrash inside the taskset,
-        # taxing the allocation-heavy leg.  On a real N-executor cluster each
-        # executor JVM sizes itself to its own cores; this reproduces that.
-        opts = f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}"
+        # scaling legs: GC worker count must match the leg's cores, not the
+        # 32-core machine — otherwise ~23 ParallelGC threads thrash inside a
+        # 1-core taskset, taxing the allocation-heavy leg.  Pin GC threads
+        # EXPLICITLY rather than via ActiveProcessorCount: APC=1 also
+        # throttles the JIT compiler pool, which tripled the one-time Janino
+        # plan-build in setup (~32 s vs ~12 s) and slowed every warm-up.  On
+        # a real N-executor cluster each executor JVM sizes its GC to its
+        # own cores; this reproduces exactly that without crippling the
+        # (untimed, driver-side) compile phases.
+        opts = f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cpus, 1)}"
         conf["spark.driver.extraJavaOptions"] = opts
         conf["spark.executor.extraJavaOptions"] = opts
     return get_spark(app_name=f"bench-{cpus}", master=f"local[{cpus}]",
@@ -161,7 +167,9 @@ def _validate_corpus_job(spark, corpus) -> int:
         ann, extra_aggs={"sha_bytes": F.sum(F.length("content_sha256"))}
     )
     n += summary.count()
-    ds, _ = eng.dataset_violations(corpus)
+    # with_stats=False: the drift histogram scan compiles INTO this plan and
+    # executes here, inside the timed job, instead of eagerly at call time
+    ds, _ = eng.dataset_violations(corpus, with_stats=False)
     n += ds.count()
     return n
 
@@ -195,7 +203,12 @@ def _build_corpus_outputs(spark, corpus):
     summary = eng.summarize(
         ann, extra_aggs={"sha_bytes": F.sum(F.length("content_sha256"))}
     )
-    ds, _ = eng.dataset_violations(corpus)
+    # with_stats=False — CRITICAL for the scaling methodology: the eager
+    # drift path runs its full-corpus histogram DURING plan construction,
+    # which both blew the 1-core leg's setup budget and let real cluster
+    # work escape the timed region.  Lazy, the scan is a fourth concurrent
+    # subtree of the timed union.
+    ds, _ = eng.dataset_violations(corpus, with_stats=False)
     # Wrap each output in the SAME count aggregate df.count() plans, so the
     # executed work is identical to _validate_corpus_job's (count pruning
     # included).  The three counts are UNIONED into one action: their
@@ -533,6 +546,9 @@ def _synthesize_scale_corpus(rows: int) -> float:
         from json_schema_rs_spark.sources.corpus import synthesize_corpus
 
         shutil.rmtree(SCALE_CORPUS_PATH, ignore_errors=True)
+        # snappy (default): measured 1.1 GB vs 7.0 GB uncompressed for 12M
+        # rows — the content column is high-entropy hex, and the 1-core
+        # leg's setup scan is IO+decode bound, where the smaller file wins
         synthesize_corpus(spark, rows, partitions=2 * CPUS).write.mode(
             "overwrite"
         ).parquet(SCALE_CORPUS_PATH)
@@ -586,7 +602,10 @@ def bench_scaling(sub_budget_s: float) -> dict:
     out: dict = {"job": "validate_corpus", "rows": SCALING_ROWS, "pair": [lo, hi]}
 
     synth_s = _synthesize_scale_corpus(SCALING_ROWS)
-    out["input"] = "parquet (synthesized once at local[32]), persisted per leg"
+    out["input"] = (
+        "parquet (synthesized once at local[32], uncompressed), "
+        "scanned+persisted per leg during setup"
+    )
     out["synth_s"] = round(synth_s, 1)
 
     ctx = mp.get_context("spawn")
@@ -608,17 +627,21 @@ def bench_scaling(sub_budget_s: float) -> dict:
             workers[cpus] = (parent, p)
         # drain BOTH ready messages (with a budget-derived timeout) before
         # any timed sample; a worker that can't set up in time aborts the
-        # block — the bench still emits whatever else it measured.
-        setup_deadline = time.perf_counter() + max(
-            60.0, sub_budget_s - (time.perf_counter() - t_block0) - 90.0
-        )
+        # block — the bench still emits whatever else it measured.  Workers
+        # set up in PARALLEL, so one absolute deadline covers both: up to
+        # 75% of the block budget — a slow setup squeezes the pair count
+        # (the adaptive loop spends whatever remains, minimum 2 pairs)
+        # rather than aborting the block.
+        setup_deadline = t_block0 + max(90.0, 0.75 * sub_budget_s)
         statuses = []
         for c in (lo, hi):
             left = setup_deadline - time.perf_counter()
             if left <= 0 or not workers[c][0].poll(left):
                 out["error"] = f"leg local[{c}] setup timed out"
                 return out
-            statuses.append(workers[c][0].recv())
+            status, setup = workers[c][0].recv()
+            statuses.append(status)
+            out[f"setup_local{c}"] = setup
         confined = all(s == "ready" for s in statuses)
 
         # settle: worker setup (scan+persist+plan build+warm exec) is a burst
@@ -703,9 +726,18 @@ def bench_scaling(sub_budget_s: float) -> dict:
 def _scale_worker(conn, cpus: int, core_start: int, parquet_path: str) -> None:
     """One scaling leg: a persistent local[cpus] session confined to cores
     [core_start, core_start+cpus).  Setup: scan+persist the shared parquet
-    corpus, build the flagship plan ONCE (Janino codegen paid here, untimed),
-    one warm full execution.  Each "go" forces full re-execution of every
-    stage (_force_reexecution) and replies with the wall seconds."""
+    corpus (identical input both legs), build the flagship plan ONCE
+    (Janino codegen paid here, untimed — ~35 s on the 1-core JVM), one warm
+    full execution.  The input IS persisted: a measured A/B showed the
+    re-scan-per-sample variant reads 0.66-0.71 efficiency vs 0.875 with
+    persist for the identical job — this VM's page-cache read+decode path
+    scales poorly with cores, and an unpersisted plan also re-scans the
+    input once per output subtree (3×), so the non-scaling component
+    dominates the 4N leg.  A real cluster's scan bandwidth scales WITH the
+    executors (each brings disks/NICs), so the persisted form is the
+    faithful proxy and the validation compute is the measured quantity.
+    Each "go" forces full re-execution of every stage (_force_reexecution)
+    and replies with the wall seconds."""
     # shuffle partitions ∝ cores (4 waves per reduce stage on BOTH legs):
     # a fixed count makes the 4N leg's reduce stages single-wave and
     # straggler-hostage while the N leg self-balances over multiple waves —
@@ -714,12 +746,27 @@ def _scale_worker(conn, cpus: int, core_start: int, parquet_path: str) -> None:
     spark = _fresh_spark(cpus, aqe=False, size_jvm_to_cpus=True,
                          shuffle_partitions=4 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    ok = _confine_jvm(cpus, core_start)
+    # setup runs UNCONFINED (wide taskset): nothing is timed yet, and with
+    # the JVM pinned to one core its GC/JIT threads share that core with the
+    # single task thread — measured 111 s to persist 12M rows confined vs
+    # roughly a third unconfined.  Only the timed samples need the leg to be
+    # a true N-core machine, so confinement is applied AFTER setup.
+    n_cores = os.cpu_count() or (cpus + 1)
+    _confine_jvm(n_cores, 0)
+    t0 = time.perf_counter()
     corpus = spark.read.parquet(parquet_path).persist()
     corpus.count()
+    t_persist = time.perf_counter()
     rdds = _build_corpus_outputs(spark, corpus)   # plan+codegen, once, untimed
-    sum(r.count() for r in rdds)                  # warm full exec
-    conn.send("ready" if ok else "unconfined")
+    t_build = time.perf_counter()
+    ok = _confine_jvm(cpus, core_start)           # now become an N-core box
+    sum(r.count() for r in rdds)                  # one confined warm exec
+    setup = {
+        "persist_s": round(t_persist - t0, 1),
+        "build_s": round(t_build - t_persist, 1),
+        "confined_warm_s": round(time.perf_counter() - t_build, 1),
+    }
+    conn.send(("ready" if ok else "unconfined", setup))
     while conn.recv() != "stop":
         _force_reexecution(spark)
         conn.send(_timed(lambda: sum(r.count() for r in rdds))[0])
@@ -878,9 +925,9 @@ def main() -> None:
         # ordering is the faithful proxy.
         if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
             _wait_quiet(max_wait=min(40.0, 0.08 * BUDGET_S))
-            # scaling gets ~2/3 of the budget; the rest covers flagship +
+            # scaling gets ~70% of the budget; the rest covers flagship +
             # rotating queries + JSON emission
-            result["scaling"] = bench_scaling(sub_budget_s=0.67 * BUDGET_S)
+            result["scaling"] = bench_scaling(sub_budget_s=0.70 * BUDGET_S)
 
         spark = _fresh_spark(CPUS)
         spark.sparkContext.setLogLevel("ERROR")

@@ -36,7 +36,11 @@ from json_schema_rs_spark.compile import (
     compile_dependent_required,
     compile_table,
 )
-from json_schema_rs_spark.operators.drift import drift_stats, drift_violations
+from json_schema_rs_spark.operators.drift import (
+    drift_stats,
+    drift_violations,
+    drift_violations_lazy,
+)
 from json_schema_rs_spark.operators.integrity import referential_violations
 from json_schema_rs_spark.operators.uniqueness import unique_key_violations
 from json_schema_rs_spark.spec import TableSpec
@@ -124,7 +128,20 @@ class ValidationEngine:
 
     # -- dataset-level constraints ---------------------------------------------
 
-    def dataset_violations(self, df: DataFrame) -> tuple[Optional[DataFrame], list[dict]]:
+    def dataset_violations(
+        self, df: DataFrame, with_stats: bool = True
+    ) -> tuple[Optional[DataFrame], list[dict]]:
+        """Dataset-level violations (uniqueness, referential, drift, quality)
+        as one unioned DataFrame, plus (optionally) the eager drift stats.
+
+        ``with_stats=False`` keeps the whole result LAZY: the drift check
+        compiles into the returned plan (:func:`drift_violations_lazy`)
+        instead of running its histogram scan at call time, and the stats
+        list comes back empty.  Use it when composing the violations frame
+        into a larger job (bench, checkpointed runs) so no cluster-sized
+        scan hides inside plan construction; the default keeps the
+        stats-reporting behavior of ``validate``.
+        """
         spark = df.sparkSession
         parts: list[DataFrame] = []
         for uk in self.spec.unique_keys:
@@ -136,8 +153,11 @@ class ValidationEngine:
             parts.append(referential_violations(df, ri, dim, self.key_cols))
         stats: list[dict] = []
         for dr in self.spec.drift:
-            stats.append({**drift_stats(df, dr), "column": dr.column})
-            parts.append(drift_violations(spark, df, dr))
+            if with_stats:
+                stats.append({**drift_stats(df, dr), "column": dr.column})
+                parts.append(drift_violations(spark, df, dr))
+            else:
+                parts.append(drift_violations_lazy(df, dr))
         if self.spec.quality:
             from json_schema_rs_spark.operators.quality import quality_violations
 

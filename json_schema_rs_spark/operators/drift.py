@@ -108,3 +108,74 @@ def drift_violations(spark: SparkSession, df: DataFrame, spec: DriftSpec) -> Dat
     if stats["drifted"]:
         rows.append((spec.column, cid, f"psi={stats['psi']:.6f},ks={stats['ks']:.6f}"))
     return spark.createDataFrame(rows, "row_key string, constraint_id string, observed_value string")
+
+
+_VIOLATION_SCHEMA = "row_key string, constraint_id string, observed_value string"
+
+
+def drift_violations_lazy(df: DataFrame, spec: DriftSpec) -> DataFrame:
+    """Plan-only drift check: the histogram aggregate, the PSI/KS arithmetic
+    over the B bucket rows, and the threshold test are ALL part of one lazy
+    DataFrame plan — no driver-side ``collect()`` at construction time.
+
+    Why this exists alongside :func:`drift_violations`: the eager form runs
+    the full-column histogram scan WHEN THE PLAN IS BUILT (it needs the
+    numbers driver-side to also hand back the stats dict).  Inside a
+    composed validation job that means a real cluster-sized aggregation
+    hides in what looks like plan construction — it made the bench's
+    "untimed plan build" silently contain two corpus scans, and in any
+    checkpoint/retry flow the scan re-runs on every plan rebuild.  The lazy
+    form keeps the scan where the work is: in the job's own execution,
+    scheduled concurrently with the other output subtrees.  Semantics match
+    the eager path (same epsilon floors, same thresholds, same
+    ``psi=...,ks=...`` message to 6 decimals); with no frozen baseline the
+    eager path bootstraps observed-as-baseline ⇒ psi=ks=0 ⇒ never drifted,
+    so the lazy form returns an empty relation outright.
+
+    The windowed PSI/KS arithmetic runs over ≤ B+1 rows collapsed into one
+    partition — constant-size work at any corpus scale.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cid = f"{spec.constraint_id}:{spec.column}"
+    base = spec.baseline
+    if base is None:
+        return spark.createDataFrame([], _VIOLATION_SCHEMA)
+    n_buckets = len(spec.bucket_edges) + 1
+    if len(base) != n_buckets:
+        raise ValueError(f"baseline has {len(base)} buckets, expected {n_buckets}")
+
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    hist = histogram(df, spec.column, spec.bucket_edges)
+    full = buckets.join(hist, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("cnt"), F.lit(0)).cast("double").alias("cnt")
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("bucket")
+    total = F.greatest(F.sum("cnt").over(w_all), F.lit(1.0))
+    base_arr = F.array(*[F.lit(float(b)) for b in base])
+    op = F.col("cnt") / total                                   # observed share
+    bp = F.element_at(base_arr, F.col("bucket") + 1)            # baseline share
+    p = F.greatest(op, F.lit(_EPS))
+    q = F.greatest(bp, F.lit(_EPS))
+    terms = full.select(
+        "bucket",
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+        op.alias("op"),
+        bp.alias("bp"),
+    )
+    scored = terms.select(
+        F.sum("psi_term").over(w_all).alias("psi"),
+        F.abs(F.sum("op").over(w_cum) - F.sum("bp").over(w_cum)).alias("cdf_gap"),
+    ).agg(F.max("psi").alias("psi"), F.max("cdf_gap").alias("ks"))
+    return scored.filter(
+        (F.col("psi") > F.lit(spec.psi_threshold))
+        | (F.col("ks") > F.lit(spec.ks_threshold))
+    ).select(
+        F.lit(spec.column).alias("row_key"),
+        F.lit(cid).alias("constraint_id"),
+        F.format_string("psi=%.6f,ks=%.6f", F.col("psi"), F.col("ks")).alias(
+            "observed_value"
+        ),
+    )

@@ -176,3 +176,58 @@ def test_inclusion_profile_rejects_empty_pairs():
 
     with _pytest.raises(ValueError):
         inclusion_profile([])
+
+
+def test_drift_violations_lazy_matches_eager(spark):
+    from json_schema_rs_spark.operators.drift import (
+        drift_violations,
+        drift_violations_lazy,
+    )
+
+    edges = [25.0, 50.0, 75.0, 100.0]
+    base_spec = DriftSpec(column="v", bucket_edges=edges,
+                          baseline=[0.25, 0.25, 0.25, 0.25, 0.0])
+    same = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(0, 1000).select(((F.col("id") % 100) * 2.0).alias("v"))
+
+    for df in (same, shifted):
+        eager = drift_violations(spark, df, base_spec).collect()
+        lazy = drift_violations_lazy(df, base_spec).collect()
+        assert [tuple(r) for r in eager] == [tuple(r) for r in lazy]
+    assert drift_violations_lazy(shifted, base_spec).count() == 1  # drifted
+
+    # bootstrap (no frozen baseline): eager bootstraps observed-as-baseline
+    # => never drifted; lazy returns an empty relation with the same schema
+    boot = DriftSpec(column="v", bucket_edges=edges, baseline=None)
+    lz = drift_violations_lazy(shifted, boot)
+    assert lz.count() == 0
+    assert lz.columns == ["row_key", "constraint_id", "observed_value"]
+
+    # the lazy form must not run ANY job at construction time
+    sc = spark.sparkContext
+    before = sc._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    _ = drift_violations_lazy(shifted, base_spec)
+    after = sc._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    assert len(before) == len(after)
+
+
+def test_dataset_violations_with_stats_false_is_lazy_and_equal(spark):
+    from json_schema_rs_spark import ValidationEngine
+    from json_schema_rs_spark.sources.corpus import (
+        corpus_table_spec,
+        repos_dimension,
+        synthesize_corpus,
+    )
+
+    spec = corpus_table_spec()
+    spec.add_drift("content_len", [64.0, 128.0, 256.0, 512.0],
+                   baseline=[0.2, 0.2, 0.2, 0.2, 0.2])
+    corpus = synthesize_corpus(spark, 5000).withColumn(
+        "content_len", F.length("content").cast("double")
+    )
+    eng = ValidationEngine(spec, key_cols=["repo", "path", "commit"],
+                           dims={"repos": repos_dimension(spark, 100)})
+    eager, stats = eng.dataset_violations(corpus)
+    lazy, no_stats = eng.dataset_violations(corpus, with_stats=False)
+    assert stats and no_stats == []
+    assert sorted(map(tuple, eager.collect())) == sorted(map(tuple, lazy.collect()))
