@@ -953,7 +953,7 @@ def main() -> None:
         # cluster comparison starts from idle machines, so cold-start
         # ordering is the faithful proxy.
         if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-            _wait_quiet(max_wait=min(40.0, 0.08 * BUDGET_S))
+            _wait_quiet(max_wait=min(75.0, 0.15 * BUDGET_S))
             # scaling gets ~75% of the budget (it is the north rule's
             # headline); the rest covers flagship + headline queries +
             # whatever rotation fits + JSON emission

@@ -179,3 +179,98 @@ def drift_violations_lazy(df: DataFrame, spec: DriftSpec) -> DataFrame:
             "observed_value"
         ),
     )
+
+
+def categorical_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    out_round: int = 9,
+) -> DataFrame:
+    """Category-distribution drift between two frames (snapshots, splits,
+    pipeline versions) of the same column — the categorical complement of
+    the numeric-histogram PSI/KS checks above: ``lang`` shares shifting,
+    a crawler suddenly over-producing one ``source``, a label class
+    vanishing.
+
+    ONE row out:
+
+      ``(n_old, n_new, n_categories, psi, chi2, tv_dist, top_mover,
+        top_mover_delta)``
+
+    * ``psi``       — Σ (p_new − p_old)·ln(p_new/p_old), ε-floored shares
+      (same floors as the numeric PSI);
+    * ``chi2``      — Pearson Σ (obs_new − exp)²/exp with exp =
+      p_old·n_new (ε-floored), the classic two-sample test statistic;
+    * ``tv_dist``   — total-variation distance ½·Σ|p_new − p_old| (bounded
+      [0,1], the honest "how much mass moved" number);
+    * ``top_mover`` — the category with the largest |share change|
+      (ties broken by category string, so the answer is deterministic and
+      cross-engine reproducible), with its signed share change.
+
+    Plan shape: the two frames UNION with a side tag into ONE
+    map-side-combined conditional-count aggregate — no join anywhere (a
+    full-outer join of the two count frames would compile to a sort-merge
+    join; harmless on |categories| rows but a needless shuffle pair), then
+    windowed share arithmetic over the tiny (≤ |categories|) result.  NULL
+    categories are excluded (a NULL-rate check is
+    :func:`~.profiling.missingness`'s job).  At 100 TB the cost is one
+    tagged scan of each side feeding one aggregate.
+    """
+    from pyspark.sql import Window
+
+    tagged = old.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("cat"), F.lit(1).alias("__is_old")
+    ).unionByName(
+        new.filter(F.col(col).isNotNull()).select(
+            F.col(col).cast("string").alias("cat"), F.lit(0).alias("__is_old")
+        )
+    )
+    both = tagged.groupBy("cat").agg(
+        F.sum(F.col("__is_old")).cast("long").alias("c_old"),
+        F.sum(F.lit(1) - F.col("__is_old")).cast("long").alias("c_new"),
+    )
+    w = Window.partitionBy()
+    n_old = F.sum("c_old").over(w)
+    n_new = F.sum("c_new").over(w)
+    po = F.col("c_old").cast("double") / F.greatest(n_old.cast("double"), F.lit(1.0))
+    pn = F.col("c_new").cast("double") / F.greatest(n_new.cast("double"), F.lit(1.0))
+    pof = F.greatest(po, F.lit(_EPS))
+    pnf = F.greatest(pn, F.lit(_EPS))
+    delta = pn - po
+    exp = pof * n_new.cast("double")
+    # per-term round BEFORE the sum (the engine-wide oracle convention for
+    # ln/ratio terms): the term doubles are bit-identical cross-engine, but
+    # the SUM's association order is not — rounding each term first makes
+    # the small sums agree exactly
+    terms = both.select(
+        "cat",
+        n_old.alias("n_old"),
+        n_new.alias("n_new"),
+        F.round((pnf - pof) * F.log(pnf / pof), out_round).alias("psi_term"),
+        F.round(
+            (F.col("c_new").cast("double") - exp)
+            * (F.col("c_new").cast("double") - exp)
+            / exp,
+            out_round,
+        ).alias("chi2_term"),
+        F.round(F.abs(delta), out_round).alias("abs_delta"),
+        F.round(delta, out_round).alias("delta_r"),
+    )
+    top = F.max(
+        F.struct(
+            F.round(F.col("abs_delta"), out_round).alias("d"),
+            F.col("cat").alias("cat"),
+            F.col("delta_r").alias("delta"),
+        )
+    )
+    return terms.agg(
+        F.max("n_old").cast("long").alias("n_old"),
+        F.max("n_new").cast("long").alias("n_new"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.round(F.sum("psi_term"), out_round).alias("psi"),
+        F.round(F.sum("chi2_term"), out_round).alias("chi2"),
+        F.round(F.sum("abs_delta") / 2.0, out_round).alias("tv_dist"),
+        top.getField("cat").alias("top_mover"),
+        top.getField("delta").alias("top_mover_delta"),
+    )

@@ -103,3 +103,71 @@ def referential_violations(
         F.lit(cid).alias("constraint_id"),
         F.col(spec.column).cast("string").alias("observed_value"),
     )
+
+
+def unique_key_discovery(
+    df: DataFrame, candidates: list[list[str]]
+) -> DataFrame:
+    """Unique-column-combination (UCC) discovery: for each candidate column
+    set, is it a key?  The uniqueness-side complement of
+    :func:`inclusion_profile` (which discovers FKs) — together they recover
+    a relational schema's constraints from the data, the first step before
+    enforcing them with ``unique_key_violations`` / ``orphan_rows``.
+
+    One row per candidate:
+
+      ``(candidate, n_rows, n_distinct, n_dup_keys, dup_rows, max_dup,
+        is_key)``
+
+    * ``candidate``  — ``",".join(cols)``;
+    * ``dup_rows``   — rows participating in any duplicated key (the rows a
+      dedup pass would have to adjudicate);
+    * ``is_key``     — ``n_distinct == n_rows``.  NULLs are treated as a
+      distinct sentinel value (SQL-92 UNIQUE would instead skip them; the
+      sentinel convention matches ``unique_key_violations``, where a
+      NULL-keyed duplicate is still a duplicate).
+
+    Plan shape — ONE pass whatever the candidate count: each row fans out
+    to |candidates| ``(candidate, key)`` tags (a bounded explode, same
+    device as violation_hotspots), then ONE (candidate, key) count
+    aggregate (map-side combined) and ONE |candidates|-sized rollup.
+    Evaluating candidates one-by-one would scan the corpus |candidates|
+    times; at 100 TB the single fan-out scan wins as long as
+    |candidates| × row stays comfortably under the shuffle budget — tags
+    are (short string, hashed-key) pairs, not full rows.
+    """
+    if not candidates or any(not c for c in candidates):
+        raise ValueError("unique_key_discovery: need non-empty candidate lists")
+
+    def key_expr(cols: list[str]):
+        # sentinel per NULL column value, unit-separator joined — collision-
+        # safe for real data, mirrored verbatim in the DuckDB oracle
+        return F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols],
+        )
+
+    tags = F.array(
+        *[
+            F.struct(
+                F.lit(",".join(c)).alias("candidate"), key_expr(c).alias("key")
+            )
+            for c in candidates
+        ]
+    )
+    keyed = df.select(F.explode(tags).alias("__t")).select(
+        F.col("__t.candidate").alias("candidate"), F.col("__t.key").alias("key")
+    )
+    per_key = keyed.groupBy("candidate", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return per_key.groupBy("candidate").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long").alias("n_dup_keys"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("dup_rows"),
+        F.max("cnt").cast("long").alias("max_dup"),
+        (F.count(F.lit(1)) == F.sum("cnt")).alias("is_key"),
+    )

@@ -285,3 +285,77 @@ def cusum_changepoints(
         )
     )
     return scored.unionByName(missing)
+
+
+_SEASONS = {
+    "hour_of_day": lambda ts: F.hour(ts),
+    "day_of_week": lambda ts: F.dayofweek(ts),  # 1=Sunday..7 (Spark); mirror in SQL
+}
+
+
+def seasonal_residuals(
+    metrics: DataFrame,
+    group_cols: list[str] | str,
+    ts_col: str,
+    value_col: str,
+    baseline_before: str,
+    season: str = "hour_of_day",
+    z_thresh: float = 3.0,
+    out_round: int = 9,
+) -> DataFrame:
+    """Seasonal-naive anomaly detection: a Shewhart-style z-score whose
+    baseline (center, σ) is learned PER (group, season slot) — hour-of-day
+    or day-of-week — so a metric with a strong daily/weekly shape does not
+    false-alarm every peak the way a constant-center chart does (and a
+    collapsed peak, invisible to a global σ, alarms immediately against its
+    own slot's history).  The standard companion to :func:`control_chart`
+    for volume/violation-rate series; same conventions: exact decimal
+    baseline moments, population σ, ``round(·, out_round)`` at the
+    cross-engine boundary.
+
+    Rows with ``ts < baseline_before`` train one (center, σ̂) per
+    (group, slot); EVERY row is then scored against its own slot:
+
+      ``(group..., ts, value, season_slot, center, sigma_hat, zscore,
+        anomalous)``
+
+    (group, slot) pairs absent from the baseline score NULL (surfaced, not
+    silently passed — same policy as control_chart); a degenerate slot
+    (σ̂ = 0) flags any departure from its center.
+
+    Scale shape: metrics is already a per-window series, so the baseline
+    aggregate and the broadcast limits join are |groups|×|slots|-sized —
+    the corpus-sized work happened upstream.
+    """
+    if season not in _SEASONS:
+        raise ValueError(f"season must be one of {sorted(_SEASONS)}")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    ts = F.col(ts_col).cast("timestamp")
+    v = F.col(value_col).cast("double")
+    slot = _SEASONS[season](ts).cast("int")
+
+    tagged = metrics.filter(v.isNotNull()).withColumn("season_slot", slot)
+    limits = _baseline_limits(
+        tagged, groups + ["season_slot"], ts_col, value_col, baseline_before,
+        out_round,
+    )
+    scored = tagged.join(F.broadcast(limits), groups + ["season_slot"], "left")
+    z = F.when(
+        F.col("sigma_hat") > 0, (v - F.col("center")) / F.col("sigma_hat")
+    )
+    anomalous = F.when(
+        F.col("center").isNotNull(),
+        F.when(
+            F.col("sigma_hat") > 0, F.abs(z) > F.lit(float(z_thresh))
+        ).otherwise(v != F.col("center")),
+    )
+    return scored.select(
+        *groups,
+        F.col(ts_col),
+        v.alias("value"),
+        "season_slot",
+        "center",
+        "sigma_hat",
+        F.round(z, out_round).alias("zscore"),
+        anomalous.alias("anomalous"),
+    )

@@ -231,3 +231,41 @@ def test_dataset_violations_with_stats_false_is_lazy_and_equal(spark):
     lazy, no_stats = eng.dataset_violations(corpus, with_stats=False)
     assert stats and no_stats == []
     assert sorted(map(tuple, eager.collect())) == sorted(map(tuple, lazy.collect()))
+
+
+def test_categorical_drift_stats(spark):
+    from json_schema_rs_spark.operators.drift import categorical_drift
+
+    old = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "c string")
+    new = spark.createDataFrame([("a",)] * 80 + [("b",)] * 10 + [("z",)] * 10,
+                                "c string")
+    r = categorical_drift(old, new, "c").collect()[0]
+    assert (r["n_old"], r["n_new"], r["n_categories"]) == (100, 100, 3)
+    # shares: a .5→.8 (+.3), b .5→.1 (−.4), z 0→.1 — top mover is b
+    assert r["top_mover"] == "b" and r["top_mover_delta"] == -0.4
+    assert r["tv_dist"] == 0.4          # (0.3+0.4+0.1)/2
+    assert r["psi"] > 0.5               # big shift
+    assert r["chi2"] > 30
+    same = categorical_drift(old, old, "c").collect()[0]
+    assert same["psi"] == 0.0 and same["tv_dist"] == 0.0 and same["chi2"] == 0.0
+
+
+def test_unique_key_discovery(spark):
+    from json_schema_rs_spark.operators.integrity import unique_key_discovery
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", "p"), (3, "y", "p"), (4, "y", None)],
+        "id long, grp string, tag string",
+    )
+    got = {r["candidate"]: r for r in unique_key_discovery(
+        df, [["id"], ["grp"], ["grp", "tag"], ["tag"]]
+    ).collect()}
+    assert got["id"]["is_key"] is True and got["id"]["n_distinct"] == 4
+    assert got["grp"]["is_key"] is False
+    assert got["grp"]["n_dup_keys"] == 2 and got["grp"]["dup_rows"] == 4
+    assert got["grp,tag"]["is_key"] is True     # composite unique
+    # NULLs act as a distinct sentinel value: the two NULL tags collide
+    assert got["tag"]["is_key"] is False and got["tag"]["max_dup"] == 2
+    import pytest as _p
+    with _p.raises(ValueError):
+        unique_key_discovery(df, [])

@@ -159,3 +159,43 @@ def test_cusum_arrow_not_row_python(spark):
     )
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_seasonal_residuals_respects_slot_baselines(spark):
+    from json_schema_rs_spark.operators.monitoring import seasonal_residuals
+
+    # two slots with different centers: hour 0 ≈ 100, hour 12 ≈ 10 over 10
+    # baseline days; day 11 has a NORMAL peak (100 @ h0) and a COLLAPSED
+    # peak (10 @ h0 — anomalous vs its slot) plus an inflated trough
+    rows = []
+    for day in range(1, 11):
+        rows.append((f"2024-01-{day:02d} 00:00:00", "g", 100.0 + (day % 3)))
+        rows.append((f"2024-01-{day:02d} 12:00:00", "g", 10.0 + (day % 2)))
+    rows.append(("2024-01-11 00:00:00", "g", 101.0))   # normal for its slot
+    rows.append(("2024-01-12 00:00:00", "g", 10.0))    # collapsed peak
+    rows.append(("2024-01-11 12:00:00", "g", 100.0))   # inflated trough
+    df = spark.createDataFrame(rows, "ts string, grp string, v double")
+    got = {(r["ts"][:13], r["season_slot"]): r
+           for r in seasonal_residuals(
+               df, "grp", "ts", "v", baseline_before="2024-01-11 00:00:00"
+           ).collect()}
+    assert got[("2024-01-11 00", 0)]["anomalous"] is False
+    assert got[("2024-01-12 00", 0)]["anomalous"] is True    # 10 vs slot-0 ~101
+    assert got[("2024-01-11 12", 12)]["anomalous"] is True   # 100 vs slot-12 ~10
+    # a constant-center chart would have called the normal peak anomalous
+    # against the pooled mean ≈ 55 — that is exactly the false alarm the
+    # seasonal baseline removes
+
+
+def test_seasonal_residuals_unseen_slot_nulls(spark):
+    from json_schema_rs_spark.operators.monitoring import seasonal_residuals
+
+    rows = [("2024-01-01 00:00:00", "g", 5.0), ("2024-01-02 03:00:00", "g", 9.0)]
+    df = spark.createDataFrame(rows, "ts string, grp string, v double")
+    got = {r["season_slot"]: r for r in seasonal_residuals(
+        df, "grp", "ts", "v", baseline_before="2024-01-02 00:00:00"
+    ).collect()}
+    assert got[3]["anomalous"] is None and got[3]["center"] is None
+    import pytest as _p
+    with _p.raises(ValueError):
+        seasonal_residuals(df, "grp", "ts", "v", "2024-01-02", season="phase_of_moon")
