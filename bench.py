@@ -352,6 +352,10 @@ ROTATION_QUERIES = [
     "generate_docs",
     "profile_diff_docs",
     "cusum_events",
+    "seasonal_residuals_events",
+    "categorical_drift_docs",
+    "ucc_discovery_orders",
+    "label_agreement_events",
 ]
 
 _ROTATION_FILE = os.path.join(

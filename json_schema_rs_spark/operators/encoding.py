@@ -193,3 +193,78 @@ def cohens_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def label_agreement(
+    df: DataFrame,
+    ref_col: str,
+    pred_col: str,
+    out_round: int = 9,
+) -> DataFrame:
+    """Per-label agreement between a reference and a candidate labeling —
+    the class-level complement of :func:`cohens_kappa`'s single number:
+    kappa says HOW MUCH the raters disagree, this says WHERE.
+
+    One row per label (union of both sides' label sets):
+
+      ``(label, n_ref, n_pred, n_match, precision, recall, f1)``
+
+    * ``precision`` = n_match / n_pred (NULL when the candidate never uses
+      the label), ``recall`` = n_match / n_ref (NULL when the reference
+      never does), ``f1`` their harmonic mean (NULL when undefined, 0.0
+      when defined but there are no matches);
+    * rows where either side is NULL are excluded (no judgment was made) —
+      same policy as kappa.
+
+    Plan shape: ONE (ref, pred) contingency aggregate over the data (the
+    only corpus-sized step), then each contingency cell fans out to its ≤ 3
+    per-label contributions (ref-marginal, pred-marginal, diagonal) via a
+    bounded explode and ONE |labels|-sized rollup — no joins (three
+    marginal frames full-outer-joined would compile to sort-merge joins;
+    the tag-union is join-free, same device as categorical_drift).
+    """
+    a, b = F.col(ref_col), F.col(pred_col)
+    cont = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(
+            a.cast("string").alias("__r"), b.cast("string").alias("__p")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    c = F.col("__c")
+    zero = F.lit(0).cast("long")
+    tags = F.array(
+        F.struct(F.col("__r").alias("label"), c.alias("n_ref"), zero.alias("n_pred"),
+                 F.when(F.col("__r") == F.col("__p"), c).otherwise(zero).alias("n_match")),
+        F.struct(F.col("__p").alias("label"), zero.alias("n_ref"), c.alias("n_pred"),
+                 zero.alias("n_match")),
+    )
+    per_label = (
+        cont.select(F.explode(tags).alias("__t"))
+        .select("__t.label", "__t.n_ref", "__t.n_pred", "__t.n_match")
+        .groupBy("label")
+        .agg(
+            F.sum("n_ref").cast("long").alias("n_ref"),
+            F.sum("n_pred").cast("long").alias("n_pred"),
+            F.sum("n_match").cast("long").alias("n_match"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0,
+                  F.col("n_match").cast("double") / F.col("n_pred").cast("double"))
+    rec = F.when(F.col("n_ref") > 0,
+                 F.col("n_match").cast("double") / F.col("n_ref").cast("double"))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2.0 * prec * rec / (prec + rec),
+    ).otherwise(
+        F.when(prec.isNotNull() & rec.isNotNull(), F.lit(0.0))
+    )
+    return per_label.select(
+        "label",
+        "n_ref",
+        "n_pred",
+        "n_match",
+        F.round(prec, out_round).alias("precision"),
+        F.round(rec, out_round).alias("recall"),
+        F.round(f1, out_round).alias("f1"),
+    )

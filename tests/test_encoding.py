@@ -71,3 +71,28 @@ def test_kappa_disjoint_label_sets(spark):
     assert r.p_expected == 0.0
     assert r.p_observed == 0.0
     assert r.kappa == 0.0
+
+
+def test_label_agreement_per_label(spark):
+    from json_schema_rs_spark.operators.encoding import label_agreement
+
+    rows = (
+        [("a", "a")] * 8 + [("a", "b")] * 2      # a: ref 10, matched 8
+        + [("b", "b")] * 5 + [("b", "c")] * 5    # b: ref 10, matched 5
+        + [("c", "a")] * 2                       # c: never predicted right
+    )
+    df = spark.createDataFrame(rows, "ref string, pred string")
+    got = {r["label"]: r for r in label_agreement(df, "ref", "pred").collect()}
+    a = got["a"]
+    assert (a["n_ref"], a["n_pred"], a["n_match"]) == (10, 10, 8)
+    assert a["precision"] == 0.8 and a["recall"] == 0.8 and a["f1"] == 0.8
+    b = got["b"]
+    assert (b["n_ref"], b["n_pred"], b["n_match"]) == (10, 7, 5)
+    c = got["c"]
+    assert c["n_match"] == 0 and c["recall"] == 0.0
+    assert c["f1"] == 0.0        # defined (both sides used it), no matches
+    # a label only ever PREDICTED: recall NULL, f1 NULL
+    d = spark.createDataFrame([("x", "y")], "ref string, pred string")
+    got2 = {r["label"]: r for r in label_agreement(d, "ref", "pred").collect()}
+    assert got2["y"]["recall"] is None and got2["y"]["f1"] is None
+    assert got2["x"]["precision"] is None
