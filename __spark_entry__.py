@@ -3574,6 +3574,34 @@ def q_label_agreement_events(spark, sf_dir):
     return label_agreement(labeled, "ref", "pred")
 
 
+
+def q_seasonal_windows_events(spark, sf_dir):
+    # Streaming seasonal monitor's exact plan on the batch path (stream==
+    # batch parity pinned in tests/test_seasonal_stream.py): per-(type,
+    # hour-of-day) limits learned from history baked in as literal maps,
+    # then ONE windowed count + scoring projection.
+    from json_schema_rs_spark.streaming.seasonal_stream import (
+        seasonal_limits,
+        windowed_seasonal,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    lim = seasonal_limits(ev, "ts", "event_type", 6 * 3600)
+    out = windowed_seasonal(
+        ev, "ts", lim, window="6 hours", group_col="event_type", z_thresh=2.0
+    )
+    return out.select(
+        F.unix_timestamp("win_start").alias("win_start_s"),
+        "event_type",
+        "season_slot",
+        "n",
+        "center",
+        "sigma_hat",
+        "zscore",
+        "anomalous",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3788,6 +3816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift_docs": q_categorical_drift_docs,
         "ucc_discovery_orders": q_ucc_discovery_orders,
         "label_agreement_events": q_label_agreement_events,
+        "seasonal_windows_events": q_seasonal_windows_events,
     }
     # The driver's correctness gate samples the FIRST ~50 entries of this
     # dict (observed in CORRECTNESS_r01/r02: sample positions 0..49), so the
@@ -7768,5 +7797,33 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0.0 END
                    END AS f1
             FROM st
+        """,
+        "seasonal_windows_events": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS ws,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            sl AS (SELECT *, CAST((ws % 86400) / 3600 AS INTEGER) AS slot FROM c),
+            b AS (
+                SELECT event_type, slot, CAST(count(*) AS BIGINT) AS bn,
+                       CAST(SUM(CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS bs,
+                       CAST(SUM(CAST(n * n AS DECIMAL(38,12))) AS DOUBLE) AS bss
+                FROM sl GROUP BY 1, 2),
+            lim AS (
+                SELECT event_type, slot, round(bs / bn, 9) AS center,
+                       round(sqrt(greatest(0.0,
+                             bss / bn - (bs / bn) * (bs / bn))), 9) AS sigma_hat
+                FROM b)
+            SELECT sl.ws AS win_start_s, sl.event_type, sl.slot AS season_slot,
+                   sl.n, lim.center, lim.sigma_hat,
+                   CASE WHEN lim.sigma_hat > 0
+                        THEN round((sl.n - lim.center) / lim.sigma_hat, 9) END AS zscore,
+                   CASE WHEN lim.center IS NOT NULL THEN
+                        CASE WHEN lim.sigma_hat > 0
+                             THEN abs((sl.n - lim.center) / lim.sigma_hat) > 2.0
+                             ELSE sl.n != lim.center END
+                   END AS anomalous
+            FROM sl LEFT JOIN lim USING (event_type, slot)
         """,
     }

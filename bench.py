@@ -356,6 +356,7 @@ ROTATION_QUERIES = [
     "categorical_drift_docs",
     "ucc_discovery_orders",
     "label_agreement_events",
+    "seasonal_windows_events",
 ]
 
 _ROTATION_FILE = os.path.join(

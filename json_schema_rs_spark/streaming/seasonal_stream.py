@@ -1,0 +1,133 @@
+"""Streaming seasonal volume monitor: per-window counts scored against a
+batch-learned per-(group, season-slot) baseline — the streaming counterpart
+of ``operators/monitoring.seasonal_residuals``, closing the seasonal family
+the way ``volume_stream`` closes the robust-median family.
+
+A daily-shaped stream (nightly batch loads, business-hours traffic) makes a
+single-center monitor alarm every peak and sleep through a collapsed peak;
+scoring each window against ITS OWN hour-of-day / day-of-week slot fixes
+both.
+
+Design for unbounded input (same contract as volume_stream/drift_stream):
+
+* the baseline is a tiny ``{(group, slot): (center, sigma)}`` dict computed
+  by :func:`seasonal_limits` on the historical table — exact-decimal mean/σ
+  per slot (the ``monitoring._baseline_limits`` aggregate over ALL history)
+  — and baked into the streaming plan as literal maps: no join, no lookup
+  state;
+* the stream side is ONE watermarked window+group count; state per
+  (window, group) is one long, bounded regardless of row volume;
+* z-score and the anomaly flag are a projection over the aggregated row;
+  (group, slot) pairs absent from the baseline score NULL (surfaced, not
+  silently passed), σ = 0 slots flag any departure from their center —
+  the exact :func:`~..operators.monitoring.seasonal_residuals` semantics.
+
+The same function runs on a batch frame unchanged (parity pinned in
+tests/test_seasonal_stream.py); total silence cannot be flagged from inside
+the query (Structured Streaming fires on data) — see volume_stream's note.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.monitoring import _baseline_limits
+
+_SLOT_FNS = {
+    "hour_of_day": lambda c: F.hour(c),
+    "day_of_week": lambda c: F.dayofweek(c),
+}
+
+
+def seasonal_limits(
+    history: DataFrame,
+    ts_col: str,
+    group_col: str,
+    grain_seconds: int = 3600,
+    season: str = "hour_of_day",
+) -> dict:
+    """Per-(group, season-slot) ``(center, sigma)`` from a HISTORICAL batch
+    table's per-grain row counts — ``{(group_value, slot): (center, σ)}``.
+    Driver-side result is ≤ |groups|×|slots| tuples — the model, never the
+    data.  Counts use the same grain the live windows will use."""
+    if season not in _SLOT_FNS:
+        raise ValueError(f"season must be one of {sorted(_SLOT_FNS)}")
+    grain = int(grain_seconds)
+    bucket_start = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / grain) * grain
+    )
+    counts = (
+        history.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), bucket_start.alias("bts"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .withColumn("slot", _SLOT_FNS[season](F.col("bts")).cast("int"))
+    )
+    limits = _baseline_limits(
+        counts, ["g", "slot"], "bts", "n", baseline_before="9999-01-01 00:00:00"
+    ).collect()
+    return {(r["g"], r["slot"]): (float(r["center"]), float(r["sigma_hat"])) for r in limits}
+
+
+def windowed_seasonal(
+    stream_df: DataFrame,
+    ts_col: str,
+    limits: dict,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str = "event_type",
+    season: str = "hour_of_day",
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Per-tumbling-window row counts scored against ``limits`` (from
+    :func:`seasonal_limits` at the SAME grain as ``window``).
+
+    Output per (window, group): ``win_start, win_end, group, season_slot,
+    n, center, sigma_hat, zscore, anomalous``.  Runs identically on a batch
+    frame (no watermark applied) — parity tests run both paths.
+    """
+    if season not in _SLOT_FNS:
+        raise ValueError(f"season must be one of {sorted(_SLOT_FNS)}")
+    src = stream_df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "__ts", F.col(ts_col).cast("timestamp")
+    )
+    if stream_df.isStreaming:
+        src = src.withWatermark("__ts", watermark)
+
+    counts = src.groupBy(
+        F.window(F.col("__ts"), window).alias("win"), F.col(group_col)
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    slot = _SLOT_FNS[season](F.col("win.start")).cast("int")
+
+    # literal lookup maps keyed on "group\x1fslot" — no join, no state
+    def _k(g, s):
+        return F.concat_ws("\x1f", F.lit(str(g)), F.lit(str(s)))
+
+    key = F.concat_ws(
+        "\x1f", F.col(group_col).cast("string"), slot.cast("string")
+    )
+    center_map = F.create_map(
+        *[x for (g, s), (c, _sg) in limits.items() for x in (_k(g, s), F.lit(c))]
+    )
+    sigma_map = F.create_map(
+        *[x for (g, s), (_c, sg) in limits.items() for x in (_k(g, s), F.lit(sg))]
+    )
+    center, sigma = center_map[key], sigma_map[key]
+    z = F.when(sigma > 0, (F.col("n") - center) / sigma)
+    anomalous = F.when(
+        center.isNotNull(),
+        F.when(sigma > 0, F.abs(z) > F.lit(float(z_thresh))).otherwise(
+            F.col("n") != center
+        ),
+    )
+    return counts.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        F.col(group_col),
+        slot.alias("season_slot"),
+        "n",
+        center.alias("center"),
+        sigma.alias("sigma_hat"),
+        F.round(z, 9).alias("zscore"),
+        anomalous.alias("anomalous"),
+    )

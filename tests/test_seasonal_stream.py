@@ -1,0 +1,78 @@
+"""Streaming seasonal volume monitor — baseline math, slot semantics,
+stream==batch parity."""
+
+import datetime as dt
+import shutil
+
+from json_schema_rs_spark.streaming.seasonal_stream import (
+    seasonal_limits,
+    windowed_seasonal,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _history(spark):
+    # 10 days, two slots: hour 0 runs ~100 rows, hour 12 runs ~10
+    rows = []
+    for day in range(1, 11):
+        base = dt.datetime(2024, 1, day)
+        rows += [("g", base + dt.timedelta(seconds=i)) for i in range(100 + day % 3)]
+        rows += [("g", base + dt.timedelta(hours=12, seconds=i)) for i in range(10 + day % 2)]
+    return spark.createDataFrame(rows, "g string, ts timestamp")
+
+
+def test_seasonal_limits_per_slot(spark):
+    lim = seasonal_limits(_history(spark), "ts", "g", 3600)
+    assert set(lim) == {("g", 0), ("g", 12)}
+    c0, s0 = lim[("g", 0)]
+    c12, _ = lim[("g", 12)]
+    assert 100 <= c0 <= 103 and 10 <= c12 <= 12
+    assert s0 > 0
+    import pytest
+    with pytest.raises(ValueError):
+        seasonal_limits(_history(spark), "ts", "g", season="lunar")
+
+
+def test_windowed_seasonal_batch_slot_semantics(spark):
+    lim = seasonal_limits(_history(spark), "ts", "g", 3600)
+    live = spark.createDataFrame(
+        # normal peak (h0 ~101), collapsed peak (h0 = 10), unseen slot (h3)
+        [("g", dt.datetime(2024, 2, 1) + dt.timedelta(seconds=i)) for i in range(101)]
+        + [("g", dt.datetime(2024, 2, 2) + dt.timedelta(seconds=i)) for i in range(10)]
+        + [("g", dt.datetime(2024, 2, 1, 3) + dt.timedelta(seconds=i)) for i in range(5)],
+        "g string, ts timestamp",
+    )
+    got = {(r["win_start"].day, r["season_slot"]): r
+           for r in windowed_seasonal(live, "ts", lim, "1 hour", group_col="g").collect()}
+    assert got[(1, 0)]["anomalous"] is False          # normal for its slot
+    assert got[(2, 0)]["anomalous"] is True           # collapsed peak
+    assert got[(1, 3)]["anomalous"] is None           # unseen slot → surfaced
+    assert got[(1, 3)]["center"] is None
+
+
+def test_windowed_seasonal_stream_matches_batch(spark, tmp_path):
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    batch = spark.read.parquet(str(src_dir))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+
+    lim = seasonal_limits(batch, "ts", "event_type", 6 * 3600)
+    kwargs = dict(
+        ts_col="ts", limits=lim, window="6 hours", watermark="12 hours",
+        group_col="event_type", z_thresh=2.0,
+    )
+    q = (
+        windowed_seasonal(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName("seasonal_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(spark.sql("SELECT * FROM seasonal_stream").collect())
+    want = sorted(windowed_seasonal(batch, **kwargs).collect())
+    assert len(got) == len(want) > 5
+    assert got == want
