@@ -264,13 +264,17 @@ def categorical_drift(
             F.col("delta_r").alias("delta"),
         )
     )
+    # coalesce the empty-input degenerate case (both frames all-NULL or
+    # empty → zero category rows) to explicit zeros, not NULLs
     return terms.agg(
-        F.max("n_old").cast("long").alias("n_old"),
-        F.max("n_new").cast("long").alias("n_new"),
+        F.coalesce(F.max("n_old"), F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce(F.max("n_new"), F.lit(0)).cast("long").alias("n_new"),
         F.count(F.lit(1)).cast("long").alias("n_categories"),
-        F.round(F.sum("psi_term"), out_round).alias("psi"),
-        F.round(F.sum("chi2_term"), out_round).alias("chi2"),
-        F.round(F.sum("abs_delta") / 2.0, out_round).alias("tv_dist"),
+        F.round(F.coalesce(F.sum("psi_term"), F.lit(0.0)), out_round).alias("psi"),
+        F.round(F.coalesce(F.sum("chi2_term"), F.lit(0.0)), out_round).alias("chi2"),
+        F.round(F.coalesce(F.sum("abs_delta"), F.lit(0.0)) / 2.0, out_round).alias(
+            "tv_dist"
+        ),
         top.getField("cat").alias("top_mover"),
         top.getField("delta").alias("top_mover_delta"),
     )

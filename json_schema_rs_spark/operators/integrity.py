@@ -138,6 +138,11 @@ def unique_key_discovery(
     """
     if not candidates or any(not c for c in candidates):
         raise ValueError("unique_key_discovery: need non-empty candidate lists")
+    names = [",".join(c) for c in candidates]
+    if len(set(names)) != len(names):
+        # duplicate candidates would double their tags per row and corrupt
+        # every count in the shared rollup — reject loudly
+        raise ValueError(f"unique_key_discovery: duplicate candidates in {names}")
 
     def key_expr(cols: list[str]):
         # sentinel per NULL column value, unit-separator joined — collision-

@@ -106,13 +106,17 @@ def windowed_seasonal(
     key = F.concat_ws(
         "\x1f", F.col(group_col).cast("string"), slot.cast("string")
     )
-    center_map = F.create_map(
-        *[x for (g, s), (c, _sg) in limits.items() for x in (_k(g, s), F.lit(c))]
-    )
-    sigma_map = F.create_map(
-        *[x for (g, s), (_c, sg) in limits.items() for x in (_k(g, s), F.lit(sg))]
-    )
-    center, sigma = center_map[key], sigma_map[key]
+    if limits:
+        center_map = F.create_map(
+            *[x for (g, s), (c, _sg) in limits.items() for x in (_k(g, s), F.lit(c))]
+        )
+        sigma_map = F.create_map(
+            *[x for (g, s), (_c, sg) in limits.items() for x in (_k(g, s), F.lit(sg))]
+        )
+        center, sigma = center_map[key], sigma_map[key]
+    else:  # no baseline at all — every window surfaces as unscoreable
+        center = F.lit(None).cast("double")
+        sigma = F.lit(None).cast("double")
     z = F.when(sigma > 0, (F.col("n") - center) / sigma)
     anomalous = F.when(
         center.isNotNull(),

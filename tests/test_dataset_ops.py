@@ -269,3 +269,22 @@ def test_unique_key_discovery(spark):
     import pytest as _p
     with _p.raises(ValueError):
         unique_key_discovery(df, [])
+
+
+def test_categorical_drift_empty_inputs_zero_not_null(spark):
+    from json_schema_rs_spark.operators.drift import categorical_drift
+
+    empty = spark.createDataFrame([], "c string")
+    r = categorical_drift(empty, empty, "c").collect()[0]
+    assert (r["n_old"], r["n_new"], r["n_categories"]) == (0, 0, 0)
+    assert r["psi"] == 0.0 and r["chi2"] == 0.0 and r["tv_dist"] == 0.0
+    assert r["top_mover"] is None
+
+
+def test_unique_key_discovery_rejects_duplicate_candidates(spark):
+    from json_schema_rs_spark.operators.integrity import unique_key_discovery
+
+    df = spark.createDataFrame([(1,)], "id long")
+    import pytest as _p
+    with _p.raises(ValueError, match="duplicate"):
+        unique_key_discovery(df, [["id"], ["id"]])

@@ -76,3 +76,12 @@ def test_windowed_seasonal_stream_matches_batch(spark, tmp_path):
     want = sorted(windowed_seasonal(batch, **kwargs).collect())
     assert len(got) == len(want) > 5
     assert got == want
+
+
+def test_windowed_seasonal_empty_limits(spark):
+    live = spark.createDataFrame(
+        [("g", dt.datetime(2024, 2, 1, 0, 0, 1))], "g string, ts timestamp"
+    )
+    got = windowed_seasonal(live, "ts", {}, "1 hour", group_col="g").collect()
+    assert len(got) == 1
+    assert got[0]["center"] is None and got[0]["anomalous"] is None
