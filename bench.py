@@ -812,7 +812,8 @@ def write_baseline_md(result: dict) -> None:
     # not clobber the recorded full-methodology baseline artifact
     if os.environ.get("SPARK_GRAFT_WRITE_BASELINE", "1") == "0":
         return
-    os.makedirs("BENCH", exist_ok=True)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
     sc = result.get("scaling") or {}
     vc = result["rows_per_sec"].get("validate_corpus")
     lines = [
@@ -919,7 +920,7 @@ def write_baseline_md(result: dict) -> None:
         "canada.json. Our north metric is validated rows/sec with scaling "
         "efficiency ≥ 0.8 (BASELINE.json).",
     ]
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
