@@ -2205,14 +2205,21 @@ def q_profile_merge_lineitem(spark, sf_dir):
             column_profile(odd, _PROFILE_COLS, tree_width=8, include_sumsq=True),
         ]
     )
-    # sumsq_dec is dropped from the COMPARE (not the merge): the per-row
-    # double->decimal(38,12) cast rounds differently in Java BigDecimal vs
-    # DuckDB (same soft spot the module docstring documents for the reverse
-    # cast), so the raw accumulator is engine-local; everything derived from
-    # it (stddev) matches after the standard 6-dp round, and the merge law
-    # itself is pinned bit-for-bit Spark-side in test_stats.
-    return merged.drop("sumsq_dec").withColumn("mean", F.round("mean", 6)).withColumn(
-        "stddev", F.round("stddev", 6)
+    # BOTH decimal accumulators are dropped from the COMPARE (not the merge).
+    # sumsq_dec: the per-row double->decimal(38,12) cast rounds differently
+    # in Java BigDecimal vs DuckDB.  sum_dec: bit-exact in both engines, but
+    # the driver's Arrow/pandas fetch coerces DuckDB DECIMAL output to float
+    # while Spark's Decimal stays exact — the r3 driver-only hash mismatch
+    # (CORRECTNESS_r03: rows/schema green, hash red; bit-exact under native
+    # fetchall).  tools/type_audit.py now flags ANY decimal-typed compared
+    # column for exactly this reason.  The raw accumulators stay engine-local;
+    # everything derived from them (mean, stddev) matches after the standard
+    # 6-dp round, and the merge law itself is pinned bit-for-bit Spark-side
+    # in test_stats.
+    return (
+        merged.drop("sumsq_dec", "sum_dec")
+        .withColumn("mean", F.round("mean", 6))
+        .withColumn("stddev", F.round("stddev", 6))
     )
 
 
@@ -6169,7 +6176,13 @@ def oracle_sql() -> dict[str, str]:
               AND levenshtein(a.s, b.s) <= 2
         """,
         "pagerank_nations": pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iterations=3),
-        "profile_merge_lineitem": profile_oracle_sql("lineitem", _PROFILE_COLS),
+        # sum_dec excluded from the compare: DECIMAL output columns coerce to
+        # float on the driver's Arrow fetch path (r3 red cell) — see
+        # q_profile_merge_lineitem and tools/type_audit.py's decimal rule.
+        "profile_merge_lineitem": f"""
+            SELECT col_name, n_rows, n_nulls, min_val, max_val, mean, stddev
+            FROM ({profile_oracle_sql("lineitem", _PROFILE_COLS)})
+        """,
         "winsorize_events": """
             WITH b AS (SELECT quantile_cont(value, 0.01) AS lo,
                               quantile_cont(value, 0.99) AS hi FROM events)

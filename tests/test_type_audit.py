@@ -1,0 +1,51 @@
+"""Unit tests for tools/type_audit.py's flag rules — in particular the
+round-4 rule that ANY decimal-typed column in a compared output is flagged
+(the r3 ``profile_merge_lineitem`` driver-only hash red: bit-exact
+DECIMAL(38,6) on both engines, but the driver's Arrow fetch floats only the
+DuckDB side).  These run the pure ``audit_one`` function — no Spark, no
+DuckDB connection."""
+
+import importlib.util
+import pathlib
+
+_spec = importlib.util.spec_from_file_location(
+    "type_audit", pathlib.Path(__file__).parent.parent / "tools" / "type_audit.py"
+)
+type_audit = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(type_audit)
+
+
+def _flags(spark_dtypes, duck_cols):
+    return type_audit.audit_one("seeded", spark_dtypes, duck_cols)
+
+
+def test_matched_scale_decimal_pair_is_flagged():
+    # exactly the r3 red-cell shape: decimal(38,6) on BOTH sides, same scale
+    flags = _flags(
+        [("col_name", "string"), ("sum_dec", "decimal(38,6)")],
+        [("col_name", "VARCHAR"), ("sum_dec", "DECIMAL(38,6)")],
+    )
+    assert any("sum_dec" in f and "decimal" in f for f in flags)
+
+
+def test_decimal_on_either_side_alone_is_flagged():
+    assert _flags([("x", "decimal(10,2)")], [("x", "DOUBLE")])
+    assert _flags([("x", "double")], [("x", "DECIMAL(10,2)")])
+
+
+def test_hugeint_is_flagged():
+    flags = _flags([("n", "bigint")], [("n", "HUGEINT")])
+    assert any("HUGEINT" in f for f in flags)
+
+
+def test_clean_schema_passes():
+    flags = _flags(
+        [("k", "string"), ("n", "bigint"), ("v", "double"), ("ok", "boolean")],
+        [("k", "VARCHAR"), ("n", "BIGINT"), ("v", "DOUBLE"), ("ok", "BOOLEAN")],
+    )
+    assert flags == []
+
+
+def test_int_width_difference_is_ok_but_int_vs_float_is_not():
+    assert _flags([("n", "int")], [("n", "BIGINT")]) == []
+    assert _flags([("n", "bigint")], [("n", "DOUBLE")])

@@ -14,8 +14,12 @@ driver-only hash mismatch (bit-exact under fetchall, red at the driver).
 
 Flag rules (column-by-column, matched by name):
   * DuckDB HUGEINT/UHUGEINT anywhere            → FLAG (cast to BIGINT)
-  * DuckDB DECIMAL vs Spark non-decimal         → FLAG (cast to match)
-  * DuckDB DECIMAL(p,s) vs Spark decimal(p',s') with s != s' → FLAG
+  * DECIMAL type on EITHER side                 → FLAG (drop from the
+    compare, or cast both sides to double / canonical string).  Rule added
+    after round 3: ``profile_merge_lineitem`` emitted a bit-exact
+    DECIMAL(38,6) ``sum_dec`` on both engines, yet the driver's Arrow/pandas
+    fetch coerced only the DuckDB side to float → driver-only hash red.  A
+    matched-scale decimal↔decimal pair is therefore NOT safe.
   * integer-width family vs double family mismatch → FLAG
   * everything else (string/bool/date/timestamp/int-width diffs) → OK
 
@@ -25,7 +29,6 @@ Exit 1 if any flag.
 
 from __future__ import annotations
 
-import re
 import sys
 
 import duckdb
@@ -100,13 +103,15 @@ def audit_one(name: str, spark_dtypes: list[tuple[str, str]],
         if df == "hugeint":
             flags.append(f"{col}: DuckDB HUGEINT (spark {smap[col]}) — cast oracle to BIGINT")
         elif df.startswith("decimal") or sf.startswith("decimal"):
-            # exact scale match required for a decimal↔decimal pair; any
-            # decimal↔non-decimal pair is a coercion hazard
-            ds = re.search(r",\s*(\d+)\)", df or "")
-            ss = re.search(r",\s*(\d+)\)", sf or "")
-            if not (df.startswith("decimal") and sf.startswith("decimal")
-                    and ds and ss and ds.group(1) == ss.group(1)):
-                flags.append(f"{col}: decimal mapping spark={smap[col]} duck={dmap[col]}")
+            # ANY decimal in a compared output is a fetch-coercion hazard:
+            # the driver's Arrow fetch floats DuckDB decimals while Spark's
+            # stay exact (r3 profile_merge_lineitem red cell) — even a
+            # bit-exact matched-scale pair hashes differently.
+            flags.append(
+                f"{col}: decimal-typed compare column "
+                f"(spark={smap[col]} duck={dmap[col]}) — drop it or cast "
+                f"both sides to double/string"
+            )
         elif {df, sf} == {"int", "float"}:
             flags.append(f"{col}: int-vs-float spark={smap[col]} duck={dmap[col]}")
         elif df != sf:
