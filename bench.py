@@ -41,15 +41,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_CORPUS_ROWS", "8000000"))
+#: PINNED at 2M rows as of round 4 (was 8M with a budget-shrink fallback to
+#: 2M): round 1 timed 8M, round 3's budget mode timed 2M, so flagship rows/s
+#: was never comparable across rounds.  One fixed size ends that; 2M keeps
+#: the flagship ~8 s so the rotation pool actually gets measured.
+CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_CORPUS_ROWS", "2000000"))
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
-#: 12M scaling rows: the local[1] leg samples ~19 s; the local[4] leg's
-#: ~5.5 s samples carry the ~0.3 s per-job scheduling constant as a ~5%
-#: systematic UNDERSTATEMENT of efficiency (the constant never flatters the
-#: ratio) — accepted; bigger rows would cost pairs.  (Round 2 used 24M with
-#: 7 pairs × 3 reps and per-sample plan REBUILDS at ~35 s each on the
-#: 1-core JVM — a ~45-minute block that got the whole bench killed.)
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "12000000"))
+#: 8M scaling rows (was 12M through round 3): the local[1] leg samples
+#: ~17 s — still ≫ the ~0.3 s per-job scheduling constant (which only ever
+#: UNDERSTATES efficiency) — while leg setup (persist+build+warm on the
+#: 1-core JVM) drops by ~a third, which is what lets the round-4 scaling
+#: block fit ~55% of the budget and leave the query rotation measured
+#: (round 3: scaling alone ate 357 s of 480 and the rotation measured 0).
+#: (Round 2 used 24M with 7 pairs × 3 reps and per-sample plan REBUILDS at
+#: ~35 s each on the 1-core JVM — a ~45-minute block that got the whole
+#: bench killed.)
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
 SCALE_CORPUS_PATH = os.environ.get(
     "SPARK_GRAFT_SCALE_CORPUS", "/tmp/spark_graft_scale_corpus"
 )
@@ -605,8 +612,11 @@ def bench_scaling(sub_budget_s: float) -> dict:
     import multiprocessing as mp
 
     lo, hi = SCALE_PAIR
-    pairs_target = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "5"))
-    pairs_max = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS_MAX", "6"))
+    # 2-pair target as of round 4 (was 5): both r3 pairs exceeded 1.0, so
+    # extra pairs buy little evidence while starving the query rotation —
+    # the adaptive loop still adds a 3rd pair when it fits with headroom
+    pairs_target = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
+    pairs_max = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS_MAX", "3"))
     # one rep per leg per pair: the cross-pair MEDIAN is the statistic (a
     # stall skews one pair, the median ignores it) — per-leg best-of-N
     # inside a pair bought little once pairs are adjacent-in-time
@@ -649,7 +659,7 @@ def bench_scaling(sub_budget_s: float) -> dict:
         # (the adaptive loop spends whatever remains, minimum 2 pairs)
         # rather than aborting the block.
         setup_deadline = min(
-            t_block0 + max(90.0, sub_budget_s - 60.0),
+            t_block0 + max(90.0, sub_budget_s - 40.0),
             _T0 + BUDGET_S - 75.0,      # global: leave one pair + emission
         )
         # SEQUENTIAL setup, long pole (lo) first: measured, the two legs
@@ -938,6 +948,41 @@ def _wait_quiet(max_wait: float, thresh: float = 1.5) -> None:
         time.sleep(5)
 
 
+def _attest_rotation_disclosure() -> dict:
+    """Publish the correctness-sample rotation IN the artifact (round-3
+    advice): `__spark_entry__.queries()` is deliberately ordered so the
+    external driver's first-~50 correctness sample rotates across rounds —
+    changed queries first, then never-yet-attested families.  Every query
+    passes the full 213-entry local oracle gate every round regardless of
+    order; this block lets a reader of CORRECTNESS_r{N}.json see that its
+    sample is a deliberate rotation, not an independent draw."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    first50 = names[:50]
+    attested: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            attested.update(json.load(open(path)))
+        except Exception:
+            continue
+    return {
+        "policy": (
+            "queries() order is a DISCLOSED attestation rotation: the "
+            "driver samples the first ~50 entries; changed queries lead, "
+            "then never-attested families; full local oracle gate covers "
+            "all queries every round (tools/check_oracle.py)"
+        ),
+        "total_queries": len(names),
+        "first50_never_driver_attested": sum(1 for q in first50 if q not in attested),
+        "driver_attested_before_this_round": len(attested & set(names)),
+        "first50": first50,
+    }
+
+
 def main() -> None:
     _install_signal_handlers()
     result: dict = {
@@ -949,6 +994,10 @@ def main() -> None:
         "scaling": None,
         "budget": {"budget_s": BUDGET_S, "partial": False},
     }
+    try:
+        result["attest_rotation"] = _attest_rotation_disclosure()
+    except Exception:
+        pass
     spark = None
     try:
         # Scaling first, on a thermally/contention-neutral machine.
@@ -960,18 +1009,19 @@ def main() -> None:
         # ordering is the faithful proxy.
         if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
             _wait_quiet(max_wait=min(75.0, 0.15 * BUDGET_S))
-            # scaling gets ~75% of the budget (it is the north rule's
-            # headline); the rest covers flagship + headline queries +
-            # whatever rotation fits + JSON emission
-            result["scaling"] = bench_scaling(sub_budget_s=0.78 * BUDGET_S)
+            # scaling gets ~55% of the budget as of round 4 (was 78%, which
+            # left the r3 rotation at 0/88 measured — a bench that proves
+            # scaling but times nothing else hides per-query regressions);
+            # 2 pairs at 8M rows fit this cap, and the reclaimed time goes
+            # to flagship + headline + the rotating query pool
+            result["scaling"] = bench_scaling(sub_budget_s=0.55 * BUDGET_S)
 
         spark = _fresh_spark(CPUS)
         spark.sparkContext.setLogLevel("ERROR")
 
-        # flagship throughput: shrink the corpus if the budget is tight
+        # flagship throughput: corpus size PINNED (see CORPUS_ROWS) so the
+        # rows/s number is directly comparable round-over-round
         corpus_rows = CORPUS_ROWS
-        if _remaining() < 90:
-            corpus_rows = min(CORPUS_ROWS, 2_000_000)
         result["corpus_rows"] = corpus_rows
         warm = _corpus_input(spark, 50_000)   # warm-up: JIT + codegen caches
         _validate_corpus_job(spark, warm)

@@ -117,7 +117,7 @@ def split_leakage(
     bands: int = 4,
     jaccard_threshold: float = 0.3,
     portable: bool = False,
-    max_bucket: int | None = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-split near-duplicate leakage audit: assign every doc its stable
     ``hash_split`` label, find near-dup candidate pairs with MinHash-LSH,
@@ -136,16 +136,17 @@ def split_leakage(
     re-shuffled for labeling.
 
     ``max_bucket`` forwards to the hot-bucket guard (drop LSH buckets with
-    more than this many docs before pairing).  On boilerplate-heavy corpora
-    this is the knob that keeps the candidate join sub-quadratic: with few
-    rows per band (r = num_hashes/bands small) template text lands whole
-    document families in one bucket, and Σ|bucket|² is the join's output
-    size.  The default is BOUNDED (1000 — at 100 TB an unbounded default is
-    the one remaining scale-killer in the dedup family); pass ``None`` to
-    opt into the exhaustive audit.  The cap is not silent: quantify what a
-    threshold drops with :func:`~.dedup.minhash_lsh_bucket_stats` (the
-    dropped buckets ARE the boilerplate clusters, catchable by the exact
-    n-gram decontamination pass instead).
+    more than this many docs before pairing).  The default here is ``None``
+    — the audit is EXHAUSTIVE.  This deliberately differs from the dedup
+    primitive's bounded default (``minhash_lsh_candidates`` caps at 1000):
+    a dedup pass that skips a boilerplate bucket merely keeps extra
+    near-dups, but a LEAKAGE AUDIT that skips the hottest buckets is blind
+    exactly where dense duplicated (possibly leaked) document families
+    live.  On boilerplate-heavy corpora where Σ|bucket|² makes the
+    exhaustive audit infeasible, pass a bound explicitly AND account for it
+    with :func:`~.dedup.minhash_lsh_bucket_stats` (the dropped buckets ARE
+    the boilerplate clusters, catchable by the exact n-gram decontamination
+    pass instead) — the no-silent-caps rule.
     """
     from .dedup import jaccard_verify, minhash_lsh_candidates
     from .sampling import hash_split

@@ -213,7 +213,11 @@ def minhash_lsh_bucket_stats(
     )
     sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
     dropped = F.col("bsz") > max_bucket
-    pair_bound = (F.col("bsz") * (F.col("bsz") - 1) / 2).cast("long")
+    # pure integer arithmetic: bsz*(bsz-1) is exact in int64 up to ~3e9-row
+    # buckets and always even, so DIV 2 is lossless — the double-division
+    # form loses integer precision past 2^53 (~1e8-row buckets), exactly the
+    # scale the cap accounting targets
+    pair_bound = F.expr("CAST((bsz * (bsz - 1)) DIV 2 AS BIGINT)")
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("n_dropped_buckets"),

@@ -99,9 +99,15 @@ def windowed_seasonal(
     ).agg(F.count(F.lit(1)).cast("double").alias("n"))
     slot = _SLOT_FNS[season](F.col("win.start")).cast("int")
 
-    # literal lookup maps keyed on "group\x1fslot" — no join, no state
+    # literal lookup maps keyed on "group\x1fslot" — no join, no state.
+    # CRITICAL: the baseline side must render each collected group value
+    # through Spark's OWN cast-to-string (F.lit(g).cast) — Python str(g)
+    # renders booleans ("True" vs "true"), timestamps and decimals
+    # differently from the probe key's cast('string'), so every lookup
+    # would miss and all windows would score center=NULL, silently
+    # disabling anomaly detection for non-string group columns.
     def _k(g, s):
-        return F.concat_ws("\x1f", F.lit(str(g)), F.lit(str(s)))
+        return F.concat_ws("\x1f", F.lit(g).cast("string"), F.lit(int(s)).cast("string"))
 
     key = F.concat_ws(
         "\x1f", F.col(group_col).cast("string"), slot.cast("string")

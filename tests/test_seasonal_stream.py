@@ -85,3 +85,30 @@ def test_windowed_seasonal_empty_limits(spark):
     got = windowed_seasonal(live, "ts", {}, "1 hour", group_col="g").collect()
     assert len(got) == 1
     assert got[0]["center"] is None and got[0]["anomalous"] is None
+
+
+def test_windowed_seasonal_non_string_group_keys_match(spark):
+    # Regression: baseline map keys were rendered with Python str(g) while
+    # the probe key used Spark cast('string'); for BOOLEAN groups the
+    # renderings differ ("True" vs "true") so every lookup missed and all
+    # windows scored center=NULL.  The map keys now render through
+    # F.lit(g).cast('string') — the same Spark rendering as the probe.
+    rows = []
+    for day in range(1, 8):
+        base = dt.datetime(2024, 3, day)
+        rows += [(True, base + dt.timedelta(seconds=i)) for i in range(50)]
+        rows += [(False, base + dt.timedelta(seconds=i)) for i in range(20)]
+    hist = spark.createDataFrame(rows, "flag boolean, ts timestamp")
+    lim = seasonal_limits(hist, "ts", "flag", 3600)
+    assert set(lim) == {(True, 0), (False, 0)}
+
+    live = spark.createDataFrame(
+        [(True, dt.datetime(2024, 4, 1) + dt.timedelta(seconds=i)) for i in range(50)],
+        "flag boolean, ts timestamp",
+    )
+    out = windowed_seasonal(live, "ts", lim, "1 hour", group_col="flag").collect()
+    assert len(out) == 1
+    # the baseline lookup must HIT: center is the learned ~50, not NULL
+    assert out[0]["center"] is not None
+    assert abs(out[0]["center"] - 50.0) < 1.0
+    assert out[0]["anomalous"] is False
