@@ -15,9 +15,19 @@ from json_schema_rs_spark.operators.multimodal import (
 
 
 def test_decode_unsupported_formats_raise():
-    # formats OUTSIDE the stdlib subset still raise with the injection point
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+    # entropy-coded formats OUTSIDE the stdlib subset raise with the
+    # injection point when Pillow is absent (and decode fine when present)
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n")  # PNG sig with no chunks
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")      # truncated/non-PCM
     with pytest.raises(NotImplementedError):
@@ -215,3 +225,130 @@ def test_phash_candidates_pigeonhole_and_verify(spark):
     import pytest
     with pytest.raises(ValueError):
         phash_candidates(df, max_hamming=5)
+
+
+# ---------------------------------------------------------------------------
+# PNG: the stdlib compressed-decode path (round-4 verdict item 6)
+# ---------------------------------------------------------------------------
+
+def _png_chunks(ihdr_fields, scanlines, plte=None):
+    """Handcraft a PNG from raw (filter_byte + scanline) rows."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(b"".join(scanlines))) + chunk(b"IEND", b"")
+
+
+def _gradient_rgb(w=9, h=7):
+    px = bytearray()
+    for r in range(h):
+        for c in range(w):
+            px += bytes(((r * 31 + c * 7) % 256, (r * 13) % 256, (c * 29) % 256))
+    return bytes(px)
+
+
+def test_png_roundtrip_filter0():
+    from json_schema_rs_spark.operators.multimodal import DecodedImage, encode_png
+
+    img = DecodedImage(9, 7, _gradient_rgb())
+    got = decode_image(encode_png(img))
+    assert (got.width, got.height) == (9, 7)
+    assert got.pixels == img.pixels
+
+
+def test_png_all_filter_types_unfilter_correctly():
+    # forward-filter each row with types 1..4 (Sub/Up/Average/Paeth) by hand,
+    # then check the decoder reconstructs the original pixels bit-for-bit
+    from json_schema_rs_spark.operators.multimodal import _paeth
+
+    w, h, bpp = 9, 8, 3
+    px = _gradient_rgb(w, h)
+    stride = w * bpp
+    rows = [px[r * stride:(r + 1) * stride] for r in range(h)]
+    scanlines, prev = [], bytes(stride)
+    for r, row in enumerate(rows):
+        ftype = (r % 4) + 1
+        enc = bytearray()
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            pred = {1: left, 2: up, 3: (left + up) // 2, 4: _paeth(left, up, ul)}[ftype]
+            enc.append((row[i] - pred) & 0xFF)
+        scanlines.append(bytes([ftype]) + bytes(enc))
+        prev = row
+    payload = _png_chunks((w, h, 8, 2, 0, 0, 0), scanlines)
+    got = decode_image(payload)
+    assert got.pixels == px
+
+
+def test_png_color_types_gray_rgba_palette():
+    w, h = 4, 2
+    # gray (ctype 0): value replicated to RGB
+    gray = bytes(range(10, 10 + w * h))
+    lines = [b"\x00" + gray[r * w:(r + 1) * w] for r in range(h)]
+    g = decode_image(_png_chunks((w, h, 8, 0, 0, 0, 0), lines))
+    assert g.pixels[:6] == bytes((10, 10, 10, 11, 11, 11))
+    # RGBA (ctype 6): alpha dropped
+    rgba = b"".join(bytes((i, 2 * i, 3 * i, 255)) for i in range(w * h))
+    lines = [b"\x00" + rgba[r * 4 * w:(r + 1) * 4 * w] for r in range(h)]
+    a = decode_image(_png_chunks((w, h, 8, 6, 0, 0, 0), lines))
+    assert a.pixels[:6] == bytes((0, 0, 0, 1, 2, 3))
+    # palette (ctype 3)
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
+    idx = bytes((0, 1, 2, 0, 2, 1, 0, 0))
+    lines = [b"\x00" + idx[r * w:(r + 1) * w] for r in range(h)]
+    p = decode_image(_png_chunks((w, h, 8, 3, 0, 0, 0), lines, plte=plte))
+    assert p.pixels[:9] == bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
+
+
+def test_png_unsupported_profiles_raise():
+    # 16-bit depth and interlace stay NotImplementedError (inject a decoder)
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_image(_png_chunks((2, 2, 16, 2, 0, 0, 0), [b"\x00" + b"\x00" * 12]))
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_image(_png_chunks((2, 2, 8, 2, 0, 0, 1), [b"\x00" + b"\x00" * 6]))
+
+
+def test_png_features_through_spark(spark):
+    # the compressed fixture decodes end-to-end through mapInPandas: PNG and
+    # PPM encodings of the SAME pixels must produce identical features
+    from json_schema_rs_spark.operators.multimodal import (
+        DecodedImage,
+        encode_png,
+        encode_ppm,
+        extract_features,
+        image_feature_extractor,
+    )
+
+    img = DecodedImage(9, 7, _gradient_rgb())
+    rows = [(1, "image", encode_png(img), None), (2, "image", encode_ppm(*img), None)]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    ).drop("meta")
+    feats = {r["media_id"]: r["features"]
+             for r in extract_features(df, decoder=image_feature_extractor).collect()}
+    assert feats[1] == feats[2]
+    assert len(feats[1]) == FEATURE_DIM
+
+
+def test_jpeg_decodes_when_pillow_present():
+    # Pillow-if-present gate: runs only where the optional lib exists;
+    # skips cleanly otherwise (this container ships no media libraries)
+    Image = pytest.importorskip("PIL.Image", reason="Pillow not installed")
+    import io
+
+    im = Image.new("RGB", (8, 6), (200, 30, 40))
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG")
+    got = decode_image(buf.getvalue())
+    assert (got.width, got.height) == (8, 6)
+    # JPEG is lossy: constant-color image should survive within tolerance
+    assert abs(got.pixels[0] - 200) < 12 and abs(got.pixels[1] - 30) < 12

