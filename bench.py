@@ -364,6 +364,7 @@ ROTATION_QUERIES = [
     "ucc_discovery_orders",
     "label_agreement_events",
     "seasonal_windows_events",
+    "dedup_incremental",
 ]
 
 _ROTATION_FILE = os.path.join(

@@ -233,6 +233,102 @@ def minhash_lsh_bucket_stats(
     )
 
 
+def banded_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """The ``(doc, bucket)`` LSH relation — shingle → signature → band keys
+    exploded, one row per (doc, band).  This is the MAINTAINED-TABLE unit of
+    the incremental dedup path: persist it (partitioned/bucketed by
+    ``bucket``) once for the corpus, append each increment's rows, and
+    :func:`minhash_lsh_incremental` joins deltas against it without ever
+    rescanning corpus text."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    narrow = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+    shingled = narrow.select("doc", char_shingles(F.col("__text"), k).alias("__sh"))
+    with_sig = shingled.select(
+        "doc", minhash_signature(F.col("__sh"), num_hashes, portable).alias("__sig")
+    )
+    return with_sig.select(
+        "doc", F.explode(lsh_band_keys(F.col("__sig"), bands, r)).alias("bucket")
+    )
+
+
+def minhash_lsh_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+    max_bucket: int | None = 1000,
+    old_is_banded: bool = False,
+) -> DataFrame:
+    """Incremental near-dup candidates for a DELTA against an existing
+    corpus: ``(id_new, id_other, vs)`` where a new doc shares an LSH band
+    bucket with a corpus doc (``vs='old'``) or with another new doc
+    (``vs='new'``, each such pair once, id_new < id_other).  This is the
+    snapshot-delta member of the dedup family: a 10^12-file corpus ingesting
+    a daily increment must answer "which NEW docs duplicate anything
+    already kept" without re-pairing the corpus against itself —
+    old×old pairs are exactly the work this operator never does.
+
+    Scale path: pass ``old_is_banded=True`` and give ``old_docs`` a
+    maintained ``(doc, bucket)`` relation (:func:`banded_buckets`, persisted
+    and appended per increment) — then the corpus TEXT is never rescanned;
+    only the delta is shingled/hashed, and the join runs delta-bands ×
+    stored-bands on the bucket key.  The hot-bucket guard counts OLD-side
+    bucket sizes (boilerplate families live in the corpus; a cap keyed on
+    combined sizes would let a big increment silently re-drop corpus
+    buckets) — account for what a cap drops with
+    :func:`minhash_lsh_bucket_stats` over the corpus, same as the batch
+    primitive.
+    """
+    kwargs = dict(text_col=text_col, k=k, num_hashes=num_hashes, bands=bands,
+                  portable=portable)
+    old_b = (
+        old_docs.select(F.col("doc"), F.col("bucket"))
+        if old_is_banded
+        else banded_buckets(old_docs, id_col, **kwargs)
+    )
+    new_b = banded_buckets(new_docs, id_col, **kwargs)
+    if max_bucket is not None:
+        sizes = old_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+        hot = sizes.filter(F.col("bsz") > max_bucket)
+        old_b = old_b.join(F.broadcast(hot), "bucket", "left_anti")
+        new_b = new_b.join(F.broadcast(hot), "bucket", "left_anti")
+    a = new_b.alias("a")
+    vs_old = (
+        a.join(old_b.alias("o"), F.col("a.bucket") == F.col("o.bucket"))
+        .select(
+            F.col("a.doc").alias("id_new"),
+            F.col("o.doc").alias("id_other"),
+            F.lit("old").alias("vs"),
+        )
+    )
+    vs_new = (
+        a.join(
+            new_b.alias("n"),
+            (F.col("a.bucket") == F.col("n.bucket"))
+            & (F.col("a.doc") < F.col("n.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_new"),
+            F.col("n.doc").alias("id_other"),
+            F.lit("new").alias("vs"),
+        )
+    )
+    return vs_old.unionByName(vs_new).distinct()
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,

@@ -275,3 +275,61 @@ def test_strip_boilerplate_lines(spark):
     import pytest
     with pytest.raises(ValueError):
         strip_boilerplate_lines(df, "doc_id", min_docs=1)
+
+
+def test_minhash_incremental_partitions_pair_space(spark):
+    # corpus: A,B near-identical; delta: A',C (A' ~ A, C unique).
+    # Expected: (A',A) and (A',B) as vs=old; no old×old (A,B) pair; no
+    # new×new (A',C) pair (C shares nothing).
+    from json_schema_rs_spark.operators.dedup import (
+        banded_buckets,
+        minhash_lsh_candidates,
+        minhash_lsh_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    old = spark.createDataFrame(
+        [(1, base + "alpha"), (2, base + "beta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, base + "gamma"), (11, "completely unrelated text payload xyzzy")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_new"], r["id_other"], r["vs"])
+           for r in minhash_lsh_incremental(old, new, "doc_id").collect()}
+    assert (10, 1, "old") in got and (10, 2, "old") in got
+    assert all(vs == "old" or id_new == 10 for id_new, _, vs in got)
+    assert not any({a, b} == {1, 2} for a, b, _ in got)  # old×old never paired
+
+    # the maintained-table path (old_is_banded) is bit-identical to rescanning
+    banded = banded_buckets(old, "doc_id")
+    again = {(r["id_new"], r["id_other"], r["vs"])
+             for r in minhash_lsh_incremental(
+                 banded, new, "doc_id", old_is_banded=True).collect()}
+    assert again == got
+
+    # sanity vs the batch primitive: every incremental new×old pair is also a
+    # batch candidate pair over the union
+    batch = {tuple(sorted((r["id_a"], r["id_b"])))
+             for r in minhash_lsh_candidates(old.unionByName(new), "doc_id").collect()}
+    assert all(tuple(sorted((a, b))) in batch for a, b, vs in got)
+
+
+def test_minhash_incremental_hot_bucket_guard(spark):
+    # 60 identical corpus docs form a hot bucket; max_bucket=10 must drop it
+    # on BOTH sides, so the matching new doc reports nothing — and the
+    # accounting for what a cap drops stays available via bucket stats
+    from json_schema_rs_spark.operators.dedup import minhash_lsh_incremental
+
+    old = spark.createDataFrame(
+        [(i, "boilerplate template text body repeated " * 4) for i in range(60)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "boilerplate template text body repeated " * 4)],
+        "doc_id long, text string",
+    )
+    capped = minhash_lsh_incremental(old, new, "doc_id", max_bucket=10)
+    assert capped.count() == 0
+    exhaustive = minhash_lsh_incremental(old, new, "doc_id", max_bucket=None)
+    assert exhaustive.count() == 60
