@@ -473,6 +473,22 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, qvec, cents, n_probe=4, k=10)
 
 
+def q_ivf_knn_join(spark, sf_dir):
+    # IVF-partitioned kNN join (operators/similarity.py ivf_knn_join): the
+    # large-query-side ANN join — every 50th vector plays a query, probes
+    # its 4 nearest of 16 cells, and scores ONLY those cells' corpus rows.
+    # knn_join's broadcast contract (small query side) is lifted: both
+    # sides shuffle on the cell key and nothing is broadcast.
+    from json_schema_rs_spark.operators.similarity import ivf_centroids, ivf_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cents = ivf_centroids(64, n_centroids=16, seed=7)
+    return ivf_knn_join(queries, emb, cents, n_probe=4, k=3)
+
+
 def q_ivf_cell_sizes(spark, sf_dir):
     # the IVF partitioning itself: cell → population (skew visibility)
     from json_schema_rs_spark.operators.similarity import ivf_assign, ivf_centroids
@@ -3665,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_ivf": q_ann_ivf,
         "ivf_cell_sizes": q_ivf_cell_sizes,
+        "ivf_knn_join": q_ivf_knn_join,
         "asof_join_events": q_asof_join_events,
         "sessionize_events": q_sessionize_events,
         "cube_events": q_cube_events,
@@ -3872,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_merge_lineitem",   # r3 red cell: decimal compare column
         "split_leakage_docs",       # audit default now exhaustive (advice)
         "dedup_incremental",        # new: delta-vs-corpus near-dup path
+        "ivf_knn_join",             # new: large-query-side ANN join
         # core engine surface — keep continuously attested
         "doc_validate_summary", "doc_violations",
         # never driver-attested (round-4 rotation): verdict-named families
@@ -4891,6 +4909,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup_lsh": _lsh_near_dup_oracle(),
         "ann_ivf": _ivf_topk_oracle(),
+        "ivf_knn_join": _ivf_assign_cte() + """
+            , q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                    FROM embeddings WHERE vec_id % 50 = 0),
+            qprobes AS (
+              SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id
+                ORDER BY round(list_dot_product(q.qe, c.c), 6) DESC, c.cid) AS prn
+              FROM q CROSS JOIN cents c),
+            scored AS (
+              SELECT q.q_id, v.vec_id,
+                     round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe), 6) AS cos
+              FROM q
+              JOIN qprobes p ON p.q_id = q.q_id AND p.prn <= 4
+              JOIN cells v ON v.cell = p.cid)
+            SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT q_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 3
+        """,
         "ivf_cell_sizes": _ivf_assign_cte() + """
             SELECT cell, count(*) AS n FROM cells GROUP BY cell
         """,

@@ -365,6 +365,7 @@ ROTATION_QUERIES = [
     "label_agreement_events",
     "seasonal_windows_events",
     "dedup_incremental",
+    "ivf_knn_join",
 ]
 
 _ROTATION_FILE = os.path.join(

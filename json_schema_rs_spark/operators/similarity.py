@@ -315,6 +315,72 @@ def ivf_topk(
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 4,
+    k: int = 3,
+    q_id: str = "q_id",
+    q_emb: str = "q_emb",
+    c_id: str = "vec_id",
+    c_emb: str = "embedding",
+    round_to: int = 6,
+    corpus_is_assigned: bool = False,
+) -> DataFrame:
+    """k approximate nearest corpus vectors for EVERY query — the
+    large-query-side companion to :func:`knn_join`, which broadcasts the
+    query side and is correct only when that side is small.  Here BOTH
+    sides scale: each query probes its ``n_probe`` nearest IVF cells
+    (same rounded-argmax scoring as :func:`ivf_probe_cells`, but as a
+    distributed projection over the query rows), and the join runs
+    query-probes × corpus on the cell key — per query, only ~``n_probe /
+    n_centroids`` of the corpus is scored instead of all of it.
+
+    Scale path: pass ``corpus_is_assigned=True`` with a corpus already
+    carrying its ``cell`` column (:func:`ivf_assign`, stored partitioned by
+    cell) — then the scan prunes to probed cells and the corpus is never
+    re-assigned per query batch.  Hot cells skew the join; AQE skew-join
+    splitting handles it (cells are many and the assignment is
+    data-independent, so pre-salting buys little).
+
+    Output: ``(q_id, c_id, cos, rank)``, rank 1..k per query.  Recall is
+    the IVF contract: a true neighbor in an unprobed cell is missed —
+    tune ``n_probe``; exactness within probed cells is bit-stable
+    (rounded cosine, id tiebreak)."""
+    assigned = (
+        corpus
+        if corpus_is_assigned
+        else ivf_assign(corpus, centroids, c_id, c_emb)
+    )
+    qe = F.col(q_emb).cast("array<double>")
+    scored_cells = F.array(*[
+        F.struct(
+            F.round(dot(qe, _lit_vec(c)), 6).alias("d"),
+            F.lit(-cid).alias("negcid"),
+        )
+        for cid, c in enumerate(centroids)
+    ])
+    # top-n_probe cells: struct sort is (d, negcid) ascending; reversed =
+    # dot desc, cid asc on ties — bit-identical to ivf_probe_cells
+    probes = F.slice(F.reverse(F.array_sort(scored_cells)), 1, n_probe)
+    qcells = queries.select(
+        F.col(q_id), F.col(q_emb), F.explode(probes).alias("__p")
+    ).select(F.col(q_id), F.col(q_emb), (-F.col("__p.negcid")).alias("cell"))
+    joined = qcells.join(assigned, "cell").select(
+        F.col(q_id),
+        F.col(c_id),
+        F.round(
+            cosine(F.col(c_emb).cast("array<double>"), F.col(q_emb).cast("array<double>")),
+            round_to,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id))
+    return joined.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding compression (storage-scale path: 4x-16x smaller vectors)
 # ---------------------------------------------------------------------------

@@ -155,3 +155,66 @@ def test_group_centroids_exact_means(spark):
     assert out[1] == out[2] == 0.707107
     assert out[3] == 1.0
     assert 4 not in out
+
+
+def test_ivf_knn_join_self_match_and_assigned_path(spark):
+    from json_schema_rs_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_knn_join,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(64, n_centroids=16, seed=7)
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ivf_knn_join(queries, emb, cents, n_probe=4, k=3).collect()
+    nq = queries.count()
+    assert nq > 3
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    # every query's own cell is its top probe, so rank 1 is the self match
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == q and rows[0]["cos"] == 1.0
+        assert len(rows) <= 3 and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(by_q) == nq
+
+    # pre-assigned corpus (the partitioned-storage path) is bit-identical
+    assigned = ivf_assign(emb, cents)
+    again = ivf_knn_join(
+        queries, assigned, cents, n_probe=4, k=3, corpus_is_assigned=True
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_ivf_knn_join_probes_match_driver_side(spark):
+    # the distributed probe projection must pick exactly ivf_probe_cells'
+    # cells (same rounded dot, same tiebreak) for every query vector
+    from json_schema_rs_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+    from json_schema_rs_spark.operators.similarity import _lit_vec, dot
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(64, n_centroids=16, seed=7)
+    qe = F.col("embedding").cast("array<double>")
+    scored = F.array(*[
+        F.struct(F.round(dot(qe, _lit_vec(c)), 6).alias("d"),
+                 F.lit(-cid).alias("negcid"))
+        for cid, c in enumerate(cents)
+    ])
+    probes = F.slice(F.reverse(F.array_sort(scored)), 1, 4)
+    got = emb.limit(20).select(
+        "vec_id",
+        F.transform(probes, lambda p: -p.getField("negcid")).alias("cells"),
+        "embedding",
+    ).collect()
+    for r in got:
+        want = ivf_probe_cells([float(x) for x in r["embedding"]], cents, 4)
+        assert list(r["cells"]) == want
