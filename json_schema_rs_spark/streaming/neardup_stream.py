@@ -1,0 +1,109 @@
+"""Streaming near-duplicate detection against a static corpus: MinHash-LSH
+band buckets computed on the stream (a pure projection — streaming-legal),
+stream-static joined against the corpus's maintained ``(doc, bucket)``
+relation (:func:`~..operators.dedup.banded_buckets`).
+
+No reference counterpart (the reference is strictly batch, SURVEY §2.9);
+this closes the dedup family's streaming corner: exact dedup already
+streams cross-batch (``stateful_dedup``), batch near-dup has full and
+incremental forms (``minhash_lsh_candidates`` / ``minhash_lsh_incremental``)
+— this is the incremental form for an UNBOUNDED increment.
+
+Plan shape and the 100 TB contract:
+
+* the stream side is never buffered into join state: shingle → signature →
+  band keys is a stateless projection, and a stream-static inner join keeps
+  no state store;
+* the static side is the SAME ``banded_buckets`` table the batch
+  incremental path maintains — store it partitioned/bucketed by ``bucket``
+  so each micro-batch's join prunes to the buckets its documents actually
+  hit instead of re-scanning the corpus relation;
+* the hot-bucket guard is applied to the CORPUS side before the join
+  (boilerplate families live in the corpus); it is evaluated on the static
+  frame, not per stream row, and the cap's cost stays accountable via
+  ``minhash_lsh_bucket_stats`` — the no-silent-caps rule;
+* a doc colliding with the same corpus doc in several bands emits several
+  rows; pass ``ts_col`` (+ ``watermark``) to collapse them with
+  ``dropDuplicatesWithinWatermark`` — BOUNDED state, expiring with the
+  watermark.  Without a ts column the per-band rows are returned as-is
+  (documented, state-free) — downstream aggregation or the batch
+  reconciler dedups them.
+
+The same function runs on a batch frame unchanged, where duplicates are
+always dropped — parity against ``minhash_lsh_incremental``'s ``vs='old'``
+pair set is pinned in tests/test_neardup_stream.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.dedup import (
+    char_shingles,
+    lsh_band_keys,
+    minhash_signature,
+)
+
+
+def near_dup_stream(
+    stream_docs: DataFrame,
+    corpus_banded: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+    max_bucket: int | None = 1000,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Match feed ``(id_new, id_other)`` — one row per (stream doc, corpus
+    doc) sharing an LSH band bucket (one row per matching band on a raw
+    stream; collapsed to one per pair when ``ts_col`` is given or the input
+    is a batch frame, making the batch path set-equal to
+    ``minhash_lsh_incremental``'s ``vs='old'`` pairs).  ``corpus_banded``
+    is a :func:`~..operators.dedup.banded_buckets` relation built with the
+    SAME (k, num_hashes, bands, portable) parameters."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+
+    static = corpus_banded.select(
+        F.col("doc").alias("__c_doc"), F.col("bucket").alias("__c_bucket")
+    )
+    if max_bucket is not None:
+        sizes = static.groupBy("__c_bucket").agg(F.count(F.lit(1)).alias("bsz"))
+        hot = sizes.filter(F.col("bsz") > max_bucket).select("__c_bucket")
+        static = static.join(F.broadcast(hot), "__c_bucket", "left_anti")
+
+    ts = [F.col(ts_col).alias("__ts")] if ts_col else []
+    narrow = stream_docs.select(F.col(id_col).alias("doc"), *ts, F.col(text_col))
+    if stream_docs.isStreaming and ts_col:
+        narrow = narrow.withWatermark("__ts", watermark)
+    keyed = (
+        narrow.select(
+            "doc", *(["__ts"] if ts_col else []),
+            char_shingles(F.col(text_col), k).alias("__sh"),
+        )
+        .select(
+            "doc", *(["__ts"] if ts_col else []),
+            minhash_signature(F.col("__sh"), num_hashes, portable).alias("__sig"),
+        )
+        .select(
+            "doc", *(["__ts"] if ts_col else []),
+            F.explode(lsh_band_keys(F.col("__sig"), bands, r)).alias("bucket"),
+        )
+    )
+    matches = keyed.join(static, keyed["bucket"] == static["__c_bucket"]).select(
+        F.col("doc").alias("id_new"),
+        F.col("__c_doc").alias("id_other"),
+        *(["__ts"] if ts_col else []),
+    )
+    if not matches.isStreaming:
+        return matches.select("id_new", "id_other").dropDuplicates()
+    if ts_col:
+        return matches.dropDuplicatesWithinWatermark(["id_new", "id_other"]).select(
+            "id_new", "id_other"
+        )
+    return matches.select("id_new", "id_other")

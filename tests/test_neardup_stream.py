@@ -1,0 +1,118 @@
+"""Streaming near-dup vs static corpus — stream==batch parity with the
+batch incremental operator, watermark dedup, hot-bucket guard."""
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.dedup import (
+    banded_buckets,
+    minhash_lsh_incremental,
+)
+from json_schema_rs_spark.streaming.neardup_stream import near_dup_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus_and_delta(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    return corpus, delta
+
+
+def test_batch_path_matches_incremental_operator(spark):
+    corpus, delta = _corpus_and_delta(spark)
+    banded = banded_buckets(corpus, "doc_id")
+    got = {(r["id_new"], r["id_other"])
+           for r in near_dup_stream(delta, banded).collect()}
+    want = {(r["id_new"], r["id_other"])
+            for r in minhash_lsh_incremental(corpus, delta, "doc_id").collect()
+            if r["vs"] == "old"}
+    assert got == want and got
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    corpus, delta = _corpus_and_delta(spark)
+    banded = banded_buckets(corpus, "doc_id").persist()
+    banded.count()
+
+    src = tmp_path / "delta"
+    src.mkdir()
+    rows = delta.select("doc_id", "text").collect()
+    half = len(rows) // 2
+    for name, chunk in (("b1.json", rows[:half]), ("b2.json", rows[half:])):
+        with open(src / name, "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"],
+                                    "ts": "2024-01-01T00:00:00"}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = near_dup_stream(stream, banded, ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["id_new"], r["id_other"])
+           for r in spark.sql("SELECT * FROM neardup_t").collect()}
+    want = {(r["id_new"], r["id_other"])
+            for r in near_dup_stream(delta, banded).collect()}
+    assert got == want and got
+    banded.unpersist()
+
+
+def test_hot_bucket_guard_on_corpus_side(spark):
+    # 40 identical corpus docs -> one hot bucket; the matching delta doc
+    # reports nothing under max_bucket=10, everything exhaustively
+    corpus = spark.createDataFrame(
+        [(i, "template body boilerplate repeated " * 4) for i in range(40)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, "template body boilerplate repeated " * 4)],
+        "doc_id long, text string",
+    )
+    banded = banded_buckets(corpus, "doc_id")
+    assert near_dup_stream(delta, banded, max_bucket=10).count() == 0
+    assert near_dup_stream(delta, banded, max_bucket=None).count() == 40
+
+
+def test_raw_stream_without_ts_emits_per_band(spark, tmp_path):
+    # without a ts column the stream path is state-free: per-band rows
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 3)],
+        "doc_id long, text string",
+    )
+    banded = banded_buckets(corpus, "doc_id").persist()
+    banded.count()
+    src = tmp_path / "raw"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 9,
+                            "text": "the quick brown fox jumps over the lazy dog " * 3}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(str(src))
+    )
+    out = near_dup_stream(stream, banded)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_raw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM neardup_raw").collect()
+    # identical text -> all 4 bands collide: 4 per-band rows for the 1 pair
+    assert len(got) == 4
+    assert {(r["id_new"], r["id_other"]) for r in got} == {(9, 1)}
+    banded.unpersist()
