@@ -366,6 +366,7 @@ ROTATION_QUERIES = [
     "seasonal_windows_events",
     "dedup_incremental",
     "ivf_knn_join",
+    "dedup_incremental_fast",
 ]
 
 _ROTATION_FILE = os.path.join(
@@ -404,6 +405,25 @@ def _query_callables(spark):
         )
 
     qs["dedup_minhash_pairs_fast"] = dedup_fast
+
+    def dedup_incremental_fast(spark, sf_dir):
+        # production mode (xxhash64 JVM hashing) — the registered
+        # dedup_incremental query keeps portable=True because its md5 mode
+        # replays in DuckDB; the kernels are otherwise identical
+        from pyspark.sql import functions as F
+
+        from json_schema_rs_spark.operators.dedup import minhash_lsh_incremental
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_incremental(
+            docs.filter(F.col("doc_id") % 5 != 0),
+            docs.filter(F.col("doc_id") % 5 == 0),
+            # production config: selective r=4 banding, JVM xxhash64, and
+            # repartition to spread the shingle stage off the one-file scan
+            "doc_id", k=5, num_hashes=16, bands=4, repartition=CPUS,
+        )
+
+    qs["dedup_incremental_fast"] = dedup_incremental_fast
     return qs
 
 
