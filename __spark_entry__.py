@@ -2828,6 +2828,9 @@ def q_split_leakage_docs(spark, sf_dir):
         # dominated the bench (17 s); guarded it is the sub-quadratic shape.
         # 48 binds at sf0.01 too, so the correctness gate exercises it.
         max_bucket=48,
+        # spread the shingle/md5 projection off the one-file scan (plan-
+        # shape only — results are partitioning-invariant)
+        repartition=32,
     )
 
 

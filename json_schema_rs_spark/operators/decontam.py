@@ -118,6 +118,7 @@ def split_leakage(
     jaccard_threshold: float = 0.3,
     portable: bool = False,
     max_bucket: int | None = None,
+    repartition: int | None = None,
 ) -> DataFrame:
     """Cross-split near-duplicate leakage audit: assign every doc its stable
     ``hash_split`` label, find near-dup candidate pairs with MinHash-LSH,
@@ -147,13 +148,17 @@ def split_leakage(
     with :func:`~.dedup.minhash_lsh_bucket_stats` (the dropped buckets ARE
     the boilerplate clusters, catchable by the exact n-gram decontamination
     pass instead) — the no-silent-caps rule.
+
+    ``repartition`` forwards to the LSH candidate stage (shingling is the
+    CPU-heavy projection; a few-big-files source starves it — same knob as
+    ``minhash_lsh_candidates``).
     """
     from .dedup import jaccard_verify, minhash_lsh_candidates
     from .sampling import hash_split
 
     pairs = minhash_lsh_candidates(
         df, id_col, text_col=text_col, k=k, num_hashes=num_hashes, bands=bands,
-        portable=portable, max_bucket=max_bucket,
+        portable=portable, max_bucket=max_bucket, repartition=repartition,
     )
     verified = jaccard_verify(df, pairs, id_col, text_col=text_col, k=k,
                               threshold=jaccard_threshold)

@@ -352,3 +352,33 @@ def test_jpeg_decodes_when_pillow_present():
     assert (got.width, got.height) == (8, 6)
     # JPEG is lossy: constant-color image should survive within tolerance
     assert abs(got.pixels[0] - 200) < 12 and abs(got.pixels[1] - 30) < 12
+
+
+def test_png_roundtrip_property():
+    # hypothesis: any 8-bit RGB image round-trips encode_png -> decode_image
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_schema_rs_spark.operators.multimodal import DecodedImage, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=12),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=3 * w * h,
+                    max_size=3 * w * h,
+                )
+            )
+        )
+        img = DecodedImage(w, h, px)
+        got = decode_image(encode_png(img))
+        assert (got.width, got.height, got.pixels) == (w, h, px)
+
+    check()
