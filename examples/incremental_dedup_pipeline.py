@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Day-2 incremental DEDUP loop (runnable demo):
+
+    python examples/incremental_dedup_pipeline.py [n_corpus]
+
+The companion to examples/incremental_pipeline.py (which re-validates only
+churned rows): here the maintained state is the corpus's LSH
+``banded_buckets`` relation, and each day's increment dedups against the
+whole corpus WITHOUT the corpus ever being re-paired or its text rescanned.
+
+Day 0: shingle/hash the corpus ONCE → write the ``(doc, bucket)`` relation
+       to storage (at scale: partitioned/bucketed by ``bucket``).
+Day 1: an increment arrives with some documents duplicating corpus content
+       → ``minhash_lsh_incremental(old_is_banded=True)`` joins the
+       increment's bands against the STORED relation (new×old + new×new
+       pairs only), exact-Jaccard verifies, and the clean survivors'
+       band rows are APPENDED to the stored relation.
+Day 2: a second increment dedups against corpus ∪ day-1 survivors — the
+       appended rows make yesterday's keeps first-class corpus members.
+
+Deterministic planting (closed-form, asserted in
+tests/test_incremental_dedup_example.py):
+  corpus    — doc_id 0..n-1, text family ``body <doc_id>`` (all unique);
+  day 1     — D1_N docs, ids 10_000_000+i; every i % 3 == 0 duplicates
+              corpus doc (i * 7) % n, the rest are new unique bodies;
+  day 2     — D2_N docs, ids 20_000_000+i; every i % 4 == 1 duplicates a
+              DAY-1 SURVIVOR's body (a kept unique doc), every i % 4 == 3
+              duplicates corpus doc (i * 11) % n.
+
+The day-2 matches against day-1 bodies exist ONLY because the append step
+ran — they are the proof the maintained-table lifecycle works.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import get_spark
+from json_schema_rs_spark.operators.dedup import (
+    banded_buckets,
+    jaccard_verify,
+    minhash_lsh_incremental,
+)
+
+D1_N, D2_N = 600, 400
+LSH = dict(k=5, num_hashes=16, bands=4)
+
+
+def _body(tag):
+    # the tag dominates the shingle set (repeated through the body), so
+    # distinct documents share almost no shingles while duplicates share
+    # all of them — without this, a common template would make every band
+    # bucket globally hot and the candidate set corpus-wide, which is the
+    # boilerplate pathology the hot-bucket guard exists for, not the
+    # clean-lifecycle story this example demonstrates
+    return F.repeat(F.concat(F.lit("seg<"), tag, F.lit("> ")), 12)
+
+
+def _corpus(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), _body(F.col("id").cast("string")).alias("text")
+    )
+
+
+def _day1(spark, n_corpus):
+    i = F.col("id")
+    dup_of = (i * 7) % n_corpus
+    text = F.when(i % 3 == 0, _body(dup_of.cast("string"))).otherwise(
+        _body(F.concat(F.lit("day1-"), i.cast("string")))
+    )
+    return spark.range(D1_N).select((i + 10_000_000).alias("doc_id"), text.alias("text"))
+
+
+def _day2(spark, n_corpus):
+    i = F.col("id")
+    # i%4==1 → duplicates a day-1 UNIQUE body (day-1 ids with i%3!=0);
+    # pick day1 index j = (i*5) % D1_N forced onto a non-dup slot
+    j = ((i * 5) % D1_N)
+    j = j + F.when(j % 3 == 0, 1).otherwise(0)  # avoid day-1 dup slots
+    text = (
+        F.when(i % 4 == 1, _body(F.concat(F.lit("day1-"), j.cast("string"))))
+        .when(i % 4 == 3, _body(((i * 11) % n_corpus).cast("string")))
+        .otherwise(_body(F.concat(F.lit("day2-"), i.cast("string"))))
+    )
+    return spark.range(D2_N).select((i + 20_000_000).alias("doc_id"), text.alias("text"))
+
+
+def _dedup_increment(spark, table_path, increment, all_docs):
+    """One day's loop: match increment vs stored bands, verify exactly,
+    keep the clean docs, append their band rows to the stored relation.
+    ``all_docs`` supplies text for the exact-Jaccard verify join only (at
+    scale: the increment + matched corpus rows by id — never a full scan)."""
+    stored = spark.read.parquet(table_path)
+    pairs = minhash_lsh_incremental(
+        stored, increment, "doc_id", old_is_banded=True, **LSH
+    )
+    verified = jaccard_verify(
+        all_docs, pairs.select(F.col("id_new").alias("id_a"), F.col("id_other").alias("id_b")),
+        "doc_id", threshold=0.95,
+    )
+    dup_ids = verified.select(F.col("id_a").alias("doc_id")).distinct()
+    kept = increment.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+    banded_buckets(kept, "doc_id", **LSH).write.mode("append").parquet(table_path)
+    return {
+        "increment_rows": increment.count(),
+        "candidate_pairs": pairs.count(),
+        "verified_dups": dup_ids.count(),
+        "kept": kept.count(),
+    }
+
+
+def run(spark, n_corpus: int = 2_000) -> dict:
+    corpus = _corpus(spark, n_corpus)
+    workdir = tempfile.mkdtemp(prefix="incdedup_")
+    table_path = os.path.join(workdir, "banded_buckets")
+
+    # Day 0: the ONLY full-corpus text scan in the whole lifecycle
+    banded_buckets(corpus, "doc_id", **LSH).write.mode("overwrite").parquet(table_path)
+
+    day1 = _day1(spark, n_corpus)
+    r1 = _dedup_increment(spark, table_path, day1, corpus.unionByName(day1))
+
+    day2 = _day2(spark, n_corpus)
+    all_docs = corpus.unionByName(day1).unionByName(day2)
+    r2 = _dedup_increment(spark, table_path, day2, all_docs)
+
+    return {"corpus_rows": n_corpus, "day1": r1, "day2": r2, "table_path": table_path}
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        report = run(spark, n)
+        print(report)
+    finally:
+        spark.stop()

@@ -1,0 +1,33 @@
+"""Smoke test for examples/incremental_dedup_pipeline.py — the maintained
+banded_buckets lifecycle: day-1 dups vs the corpus are caught, day-2 dups
+vs DAY-1 SURVIVORS are caught only because the append step ran."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+
+from incremental_dedup_pipeline import D1_N, D2_N, run  # noqa: E402
+
+
+def test_incremental_dedup_lifecycle(spark):
+    report = run(spark, n_corpus=2_000)
+
+    # day 1: exactly the planted corpus-duplicates (i % 3 == 0) are dropped
+    planted_d1 = len([i for i in range(D1_N) if i % 3 == 0])
+    assert report["day1"]["verified_dups"] == planted_d1
+    assert report["day1"]["kept"] == D1_N - planted_d1
+
+    # day 2: planted dups of corpus (i%4==3) AND of day-1 survivors (i%4==1)
+    # are both dropped — the latter is the maintained-table proof: those
+    # bodies exist only in the appended day-1 band rows
+    planted_d2 = len([i for i in range(D2_N) if i % 4 in (1, 3)])
+    assert report["day2"]["verified_dups"] == planted_d2
+    assert report["day2"]["kept"] == D2_N - planted_d2
+
+    # candidate pairs stay increment-sized (tens per new doc — LSH admits
+    # some shared-prefix collisions), never all-pairs: day-2's new×old
+    # all-pairs would be (2000 + day-1 kept) × 400 ≈ 10^6
+    assert report["day1"]["candidate_pairs"] < 50 * D1_N
+    assert report["day2"]["candidate_pairs"] < 50 * D2_N
