@@ -1030,7 +1030,15 @@ def main() -> None:
         # cluster comparison starts from idle machines, so cold-start
         # ordering is the faithful proxy.
         if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-            _wait_quiet(max_wait=min(75.0, 0.15 * BUDGET_S))
+            # up to 25% of the budget for the box to go quiet: a 1-min
+            # loadavg decays from 32 to <1.5 in ~3 min after a full-core
+            # test sweep, and a hot chip/hypervisor costs the 4N leg
+            # disproportionately — measured 0.63 efficiency started hot
+            # vs 0.875 on the same tree started quiet.  Waiting is cheap
+            # insurance: the pair loop and query rotation are both
+            # budget-adaptive, so a long wait shrinks coverage, while a
+            # hot start corrupts the headline scaling number itself.
+            _wait_quiet(max_wait=0.25 * BUDGET_S)
             # scaling gets ~55% of the budget as of round 4 (was 78%, which
             # left the r3 rotation at 0/88 measured — a bench that proves
             # scaling but times nothing else hides per-query regressions);
