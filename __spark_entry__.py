@@ -2068,6 +2068,18 @@ def q_fd_discovery_lineitem(spark, sf_dir):
     return fd_discovery(li, ["l_returnflag", "l_linestatus", "l_tax"])
 
 
+def q_conditional_fd_lineitem(spark, sf_dir):
+    # Conditional FD grading (operators/reconcile.py conditional_fd): does
+    # l_partkey → l_suppkey hold WITHIN each l_linestatus value?  The
+    # per-condition violating share is the evidence that turns "almost an
+    # FD" into an enforceable per-partition CHECK; three shrinking hash
+    # aggregates, no distinct-count Expand.
+    from json_schema_rs_spark.operators.reconcile import conditional_fd
+
+    li = _t(spark, sf_dir, "lineitem")
+    return conditional_fd(li, "l_linestatus", "l_partkey", "l_suppkey")
+
+
 def q_attribution_join_events(spark, sf_dir):
     # Click->purchase attribution within 30 minutes per user — the batch
     # face of streaming/stream_join.windowed_stream_join (watermarks are a
@@ -3866,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_agreement_events": q_label_agreement_events,
         "seasonal_windows_events": q_seasonal_windows_events,
         "dedup_incremental": q_dedup_incremental,
+        "conditional_fd_lineitem": q_conditional_fd_lineitem,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -6005,6 +6018,26 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                          / count(*), 6) + 0.0 AS violating_share
             FROM pd GROUP BY det, dep
+        """,
+        "conditional_fd_lineitem": """
+            WITH triples AS (
+              SELECT CAST(l_linestatus AS VARCHAR) AS cv,
+                     CAST(l_partkey AS VARCHAR) AS dv,
+                     CAST(l_suppkey AS VARCHAR) AS pv,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1, 2, 3),
+            per_det AS (
+              SELECT cv, dv, count(*) AS ndep, sum(n) AS nrows
+              FROM triples GROUP BY cv, dv)
+            SELECT cv AS cond_value,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violating_groups,
+                   round(CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) + 0.0 AS violating_share,
+                   sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+                   CAST(sum(nrows) AS BIGINT) AS n_rows
+            FROM per_det GROUP BY cv
         """,
         "fd_lineitem_returnflag": """
             SELECT l_orderkey, count(*) AS n_rows,

@@ -367,6 +367,7 @@ ROTATION_QUERIES = [
     "dedup_incremental",
     "ivf_knn_join",
     "dedup_incremental_fast",
+    "conditional_fd_lineitem",
 ]
 
 _ROTATION_FILE = os.path.join(

@@ -381,3 +381,61 @@ def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
             ).alias("violating_share"),
         )
     )
+
+
+def conditional_fd(
+    df: DataFrame, cond_col: str, det_col: str, dep_col: str
+) -> DataFrame:
+    """Conditional functional dependency grading: does ``det → dep`` hold
+    WITHIN each value of ``cond_col``?  One row per condition value —
+
+      ``(cond_value, n_groups, n_violating_groups, violating_share,
+      holds, n_rows)``
+
+    The classic data-quality refinement of :func:`fd_discovery`: a global
+    FD that fails may still hold on the partitions that matter (per
+    status, per tenant, per language), and the per-condition violating
+    share is exactly the evidence needed to turn "almost an FD" into an
+    enforceable per-partition CHECK.  NULLs are values (fd_violations
+    convention); the condition value is rendered cast-to-string with
+    NULLs kept as their own group.
+
+    Plan (no distinct-count Expand): map-side dedup on the (cond, det,
+    dep) value triple bounds the first shuffle by DISTINCT triples, a
+    per-(cond, det) count collapses to determinant groups, and the final
+    agg is condition-domain sized — three cheap hash aggregates, each
+    strictly smaller than the last, scan never repeated."""
+    base = df.select(
+        F.col(cond_col).cast("string").alias("cv"),
+        F.col(det_col).cast("string").alias("dv"),
+        F.col(dep_col).cast("string").alias("pv"),
+    )
+    triples = base.groupBy("cv", "dv", "pv").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per_det = triples.groupBy("cv", "dv").agg(
+        F.count(F.lit(1)).alias("__ndep"), F.sum("__n").alias("__rows")
+    )
+    return (
+        per_det.groupBy("cv")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum((F.col("__ndep") > 1).cast("long")).alias("n_violating_groups"),
+            F.sum("__rows").cast("long").alias("n_rows"),
+        )
+        .select(
+            F.col("cv").alias("cond_value"),
+            "n_groups",
+            "n_violating_groups",
+            (
+                F.round(
+                    F.col("n_violating_groups").cast("double")
+                    / F.col("n_groups"),
+                    6,
+                )
+                + 0.0
+            ).alias("violating_share"),
+            (F.col("n_violating_groups") == 0).alias("holds"),
+            "n_rows",
+        )
+    )

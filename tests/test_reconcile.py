@@ -259,3 +259,26 @@ def test_fd_discovery_pairwise(spark):
     r2 = out[("tag", "code")]
     assert r2.holds is False and r2.n_det_values == 4   # x, y, z, NULL
     assert r2.violating_share == 0.25
+
+
+def test_conditional_fd(spark):
+    from json_schema_rs_spark.operators.reconcile import conditional_fd
+
+    df = spark.createDataFrame(
+        [
+            # cond A: k1 -> one dep value, k2 -> two (violates)
+            ("A", "k1", "x"), ("A", "k1", "x"), ("A", "k2", "x"), ("A", "k2", "y"),
+            # cond B: FD holds everywhere
+            ("B", "k1", "x"), ("B", "k3", "z"),
+            # cond NULL: its own group, with a NULL dep counted as a value
+            (None, "k1", "x"), (None, "k1", None),
+        ],
+        "c string, d string, p string",
+    )
+    got = {r["cond_value"]: r for r in conditional_fd(df, "c", "d", "p").collect()}
+    assert got["A"]["n_groups"] == 2 and got["A"]["n_violating_groups"] == 1
+    assert got["A"]["violating_share"] == 0.5 and got["A"]["holds"] is False
+    assert got["A"]["n_rows"] == 4
+    assert got["B"]["holds"] is True and got["B"]["n_violating_groups"] == 0
+    # NULL condition forms a group; k1 maps to {x, NULL} -> violates
+    assert got[None]["n_violating_groups"] == 1 and got[None]["holds"] is False
