@@ -2068,6 +2068,18 @@ def q_fd_discovery_lineitem(spark, sf_dir):
     return fd_discovery(li, ["l_returnflag", "l_linestatus", "l_tax"])
 
 
+def q_order_dependency_orders(spark, sf_dir):
+    # Order dependency o_orderkey ↦ o_orderdate (operators/ordering.py
+    # order_dependency): does the surrogate key preserve event-time order?
+    # Distributed monotonicity — key-domain agg, range-partitioned local
+    # sorts, ≤32-row boundary pass; never a global single-task sort.
+    from json_schema_rs_spark.operators.ordering import order_dependency
+
+    return order_dependency(
+        _t(spark, sf_dir, "orders"), "o_orderkey", "o_orderdate"
+    )
+
+
 def q_conditional_fd_lineitem(spark, sf_dir):
     # Conditional FD grading (operators/reconcile.py conditional_fd): does
     # l_partkey → l_suppkey hold WITHIN each l_linestatus value?  The
@@ -3879,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_windows_events": q_seasonal_windows_events,
         "dedup_incremental": q_dedup_incremental,
         "conditional_fd_lineitem": q_conditional_fd_lineitem,
+        "order_dependency_orders": q_order_dependency_orders,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -6018,6 +6031,21 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                          / count(*), 6) + 0.0 AS violating_share
             FROM pd GROUP BY det, dep
+        """,
+        "order_dependency_orders": """
+            WITH iv AS (
+              SELECT o_orderkey AS a, min(o_orderdate) AS minb,
+                     max(o_orderdate) AS maxb
+              FROM orders
+              WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL
+              GROUP BY 1),
+            w AS (SELECT minb, lag(maxb) OVER (ORDER BY a) AS pm FROM iv)
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(coalesce(sum(CASE WHEN pm > minb THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_violations,
+                   coalesce(sum(CASE WHEN pm > minb THEN 1 ELSE 0 END), 0) = 0
+                     AS holds
+            FROM w
         """,
         "conditional_fd_lineitem": """
             WITH triples AS (

@@ -368,6 +368,7 @@ ROTATION_QUERIES = [
     "ivf_knn_join",
     "dedup_incremental_fast",
     "conditional_fd_lineitem",
+    "order_dependency_orders",
 ]
 
 _ROTATION_FILE = os.path.join(

@@ -193,3 +193,84 @@ def transition_violations(
     return pairs.filter(keep).select(
         key_col, id_col, "from_type", "to_type", cid.alias("constraint_id")
     )
+
+
+def order_dependency(
+    df: DataFrame, a_col: str, b_col: str, num_partitions: int = 32
+) -> DataFrame:
+    """Order-dependency check ``a ↦ b``: does ordering the data by ``a``
+    imply ``b`` is non-decreasing?  One summary row —
+
+      ``(n_keys, n_violations, holds)``
+
+    — where keys are the distinct non-NULL ``a`` values, and a violation
+    is an adjacent key pair (in ``a`` order) whose ``b`` intervals
+    overlap backwards (previous key's max ``b`` > next key's min ``b``).
+    The dependency-discovery companion to FD (:func:`~.reconcile.
+    fd_discovery`), conditional FD, UCC and inclusion dependencies: the
+    canonical data-quality question it answers is "does this surrogate
+    key preserve event-time order?" (Szlichta et al.'s OD class,
+    restricted to the single-column ≤/≤ form).
+
+    Distributed-monotonicity plan — NO global single-task sort:
+
+    1. one hash aggregate collapses rows to the key domain
+       ``(a, min_b, max_b)``;
+    2. ``repartitionByRange(a)`` makes partitions CONTIGUOUS, ORDERED key
+       ranges (RangePartitioner assigns ascending ranges to ascending
+       partition ids), so every globally-adjacent key pair is either
+       inside one partition or exactly a partition boundary;
+    3. within-partition adjacent violations come from a window
+       partitioned by ``spark_partition_id()`` (sorts each range
+       locally — never one task for the whole domain);
+    4. boundary violations come from per-partition first/last interval
+       rows (≤ num_partitions rows) windowed over the partition id.
+
+    NULL ``a`` or ``b`` rows are excluded (NULLs have no position —
+    same convention as the stream operators above).  At 10^12-row scale
+    size ``num_partitions`` so each key range fits an executor sort.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    iv = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"))
+        .agg(F.min(b).alias("__minb"), F.max(b).alias("__maxb"))
+    )
+    ranged = iv.repartitionByRange(num_partitions, "__a").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy("__a")
+    inner = ranged.withColumn("__prevmax", F.lag("__maxb").over(w))
+    inner_stats = inner.agg(
+        F.count(F.lit(1)).cast("long").alias("__keys"),
+        F.coalesce(
+            F.sum((F.col("__prevmax") > F.col("__minb")).cast("long")), F.lit(0)
+        ).alias("__viol"),
+    )
+    # per-partition boundary intervals: min_b of the FIRST key, max_b of
+    # the LAST key (≤ num_partitions rows total)
+    bounds = ranged.groupBy("__pid").agg(
+        F.min_by("__minb", "__a").alias("__first_minb"),
+        F.max_by("__maxb", "__a").alias("__last_maxb"),
+    )
+    wb = Window.orderBy("__pid")
+    boundary = bounds.withColumn(
+        "__prevlast", F.lag("__last_maxb").over(wb)
+    ).agg(
+        F.lit(0).cast("long").alias("__keys"),
+        F.coalesce(
+            F.sum((F.col("__prevlast") > F.col("__first_minb")).cast("long")),
+            F.lit(0),
+        ).alias("__viol"),
+    )
+    # combine the two single-row summaries with a union+agg, NOT a join —
+    # a 1×1 crossJoin plans as BroadcastNestedLoopJoin, which the plan
+    # audit rightly treats as a red flag even when it is harmless
+    return (
+        inner_stats.unionByName(boundary)
+        .agg(
+            F.sum("__keys").cast("long").alias("n_keys"),
+            F.sum("__viol").cast("long").alias("n_violations"),
+        )
+        .withColumn("holds", F.col("n_violations") == 0)
+    )

@@ -127,3 +127,42 @@ def test_ordering_single_exchange(spark):
         assert plan.count("Exchange hashpartitioning") <= 1
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_order_dependency_holds_and_violations(spark):
+    from json_schema_rs_spark.operators.ordering import order_dependency
+
+    # perfectly monotone: key order implies value order
+    mono = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "a long, b long"
+    )
+    r = order_dependency(mono, "a", "b", num_partitions=4).collect()[0]
+    assert r["holds"] is True and r["n_violations"] == 0 and r["n_keys"] == 100
+
+    # two planted inversions: keys 10 and 50 carry values from the future
+    rows = [(i, i * 10) for i in range(100)]
+    rows[10] = (10, 995)   # > min_b of key 11 (110)
+    rows[50] = (50, 720)   # > min_b of key 51 (510)
+    bad = spark.createDataFrame(rows, "a long, b long")
+    r = order_dependency(bad, "a", "b", num_partitions=4).collect()[0]
+    assert r["holds"] is False and r["n_violations"] == 2
+
+    # duplicate keys merge to one interval; NULLs are excluded
+    dup = spark.createDataFrame(
+        [(1, 5), (1, 7), (2, 6), (None, 0), (3, None)], "a long, b long"
+    )
+    r = order_dependency(dup, "a", "b", num_partitions=2).collect()[0]
+    # key 1 interval [5,7] overlaps key 2's min 6 -> one violation, 2 keys
+    assert r["n_keys"] == 2 and r["n_violations"] == 1 and r["holds"] is False
+
+
+def test_order_dependency_boundary_pairs_counted(spark):
+    # force a violation to land exactly on a range-partition boundary:
+    # with num_partitions == n_keys the adjacency check is ALL boundaries
+    from json_schema_rs_spark.operators.ordering import order_dependency
+
+    rows = [(1, 10), (2, 5), (3, 20), (4, 15)]  # inversions at 1->2, 3->4
+    df = spark.createDataFrame(rows, "a long, b long")
+    for nparts in (1, 2, 4):
+        r = order_dependency(df, "a", "b", num_partitions=nparts).collect()[0]
+        assert (r["n_keys"], r["n_violations"], r["holds"]) == (4, 2, False), nparts
