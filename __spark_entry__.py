@@ -237,6 +237,16 @@ def q_drift_ks_en(spark, sf_dir):
     return cdf.agg(F.round(F.max(F.abs(F.col("cp") - F.col("cq"))), 6).alias("ks"))
 
 
+def q_drift_w1_en(spark, sf_dir):
+    # Wasserstein-1 drift (operators/drift.py wasserstein): Σ|CDF_p − CDF_q|
+    # over the same bucketed length histograms as KS/PSI — integrates ALL
+    # displaced mass where KS reads only the worst gap (bucket units).
+    props = _nchars_props(_t(spark, sf_dir, "documents"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = props.select(F.sum("p").over(w).alias("cp"), F.sum("q").over(w).alias("cq"))
+    return cdf.agg(F.round(F.sum(F.abs(F.col("cp") - F.col("cq"))), 6).alias("w1"))
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1999-01-01").cast("timestamp"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -3892,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "conditional_fd_lineitem": q_conditional_fd_lineitem,
         "order_dependency_orders": q_order_dependency_orders,
+        "drift_w1_en": q_drift_w1_en,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -4711,6 +4722,11 @@ def oracle_sql() -> dict[str, str]:
             , cdf AS (SELECT sum(p) OVER (ORDER BY bucket) AS cp,
                              sum(q) OVER (ORDER BY bucket) AS cq FROM props)
             SELECT round(max(abs(cp - cq)), 6) AS ks FROM cdf
+        """,
+        "drift_w1_en": _NCHARS_PROPS + """
+            , cdf AS (SELECT sum(p) OVER (ORDER BY bucket) AS cp,
+                             sum(q) OVER (ORDER BY bucket) AS cq FROM props)
+            SELECT round(sum(abs(cp - cq)), 6) AS w1 FROM cdf
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -72,6 +72,25 @@ def ks(observed: list[float], baseline: list[float]) -> float:
     return d
 
 
+def wasserstein(observed: list[float], baseline: list[float]) -> float:
+    """Wasserstein-1 (earth-mover) distance between the bucketed
+    distributions, in BUCKET UNITS: Σ |CDF_p − CDF_q| over buckets
+    (multiply by the bin width for uniform bins to get value units).
+
+    The drift family's third lens: PSI weights proportional shifts
+    (log-ratio — sensitive to rare-bucket churn), KS reads only the single
+    worst CDF gap, W1 integrates ALL the mass displacement — a slow broad
+    shift that KS under-reads and PSI noise-floors shows up here first.
+    Like KS it is bounded and threshold-friendly (≤ n_buckets − 1)."""
+    cp = cq = 0.0
+    out = 0.0
+    for p, q in zip(observed, baseline):
+        cp += p
+        cq += q
+        out += abs(cp - cq)
+    return out
+
+
 def drift_stats(df: DataFrame, spec: DriftSpec) -> dict:
     """Compute PSI + KS of ``spec.column`` vs the frozen baseline proportions.
 
@@ -93,6 +112,7 @@ def drift_stats(df: DataFrame, spec: DriftSpec) -> dict:
     return {
         "psi": s_psi,
         "ks": s_ks,
+        "w1": wasserstein(obs, base),
         "observed": obs,
         "baseline": base,
         "n": int(total),

@@ -288,3 +288,31 @@ def test_unique_key_discovery_rejects_duplicate_candidates(spark):
     import pytest as _p
     with _p.raises(ValueError, match="duplicate"):
         unique_key_discovery(df, [["id"], ["id"]])
+
+
+def test_wasserstein_drift():
+    from json_schema_rs_spark.operators.drift import ks, psi, wasserstein
+
+    # identical distributions: all three zero
+    p = [0.25, 0.25, 0.25, 0.25]
+    assert wasserstein(p, p) == 0.0
+    # one-bucket shift of 10% mass from bucket 0 to 3: KS sees a flat 0.1
+    # plateau (max gap 0.1), W1 integrates it across the 3 interior steps
+    q = [0.15, 0.25, 0.25, 0.35]
+    assert abs(ks(p, q) - 0.1) < 1e-12
+    assert abs(wasserstein(p, q) - 0.3) < 1e-12
+    # full shift to the far bucket: W1 reaches its n_buckets-1 bound
+    assert abs(wasserstein([1, 0, 0, 0], [0, 0, 0, 1]) - 3.0) < 1e-12
+    # slow broad shift where W1 > KS gap reads (the lens difference)
+    broad = [0.20, 0.30, 0.30, 0.20]
+    assert wasserstein(p, broad) > ks(p, broad)
+
+
+def test_drift_stats_includes_w1(spark):
+    from json_schema_rs_spark.operators.drift import DriftSpec, drift_stats
+
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "x double")
+    spec = DriftSpec(column="x", bucket_edges=[25.0, 50.0, 75.0],
+                     baseline=[0.25, 0.25, 0.25, 0.25])
+    stats = drift_stats(df, spec)
+    assert abs(stats["w1"]) < 1e-9  # uniform data vs uniform baseline

@@ -27,7 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 #: queries where a nested-loop join of a BROADCAST side is the intended plan
-BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en", "embedding_near_dup_exact",
+BNLJ_OK = {"knn_join", "drift_psi_en", "drift_ks_en",
+           # W1 drift shares drift_ks_en's exact shape: the histogram
+           # totals are a ONE-ROW broadcast crossJoin (constant cost)
+           "drift_w1_en",
+           "embedding_near_dup_exact",
            "ann_topk", "ann_ivf",
            # ungrouped robust_outliers crossJoins the ONE-ROW global
            # median/MAD frames with an explicit broadcast hint — a BNLJ of
