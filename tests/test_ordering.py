@@ -166,3 +166,39 @@ def test_order_dependency_boundary_pairs_counted(spark):
     for nparts in (1, 2, 4):
         r = order_dependency(df, "a", "b", num_partitions=nparts).collect()[0]
         assert (r["n_keys"], r["n_violations"], r["holds"]) == (4, 2, False), nparts
+
+
+def test_order_dependency_property_vs_python_reference(spark):
+    # hypothesis: for random (a, b) multisets, the distributed check agrees
+    # with a brute-force Python replay at every partition count
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_schema_rs_spark.operators.ordering import order_dependency
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 30)),
+            min_size=1, max_size=40,
+        ),
+        nparts=st.sampled_from([1, 3, 5]),
+    )
+    def check(rows, nparts):
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = order_dependency(df, "a", "b", num_partitions=nparts).collect()[0]
+        # python reference: per-key intervals, adjacent overlap count
+        iv = {}
+        for a, b in rows:
+            lo, hi = iv.get(a, (b, b))
+            iv[a] = (min(lo, b), max(hi, b))
+        keys = sorted(iv)
+        viol = sum(
+            1 for i in range(1, len(keys))
+            if iv[keys[i - 1]][1] > iv[keys[i]][0]
+        )
+        assert got["n_keys"] == len(keys)
+        assert got["n_violations"] == viol
+        assert got["holds"] == (viol == 0)
+
+    check()

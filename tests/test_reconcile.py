@@ -282,3 +282,36 @@ def test_conditional_fd(spark):
     assert got["B"]["holds"] is True and got["B"]["n_violating_groups"] == 0
     # NULL condition forms a group; k1 maps to {x, NULL} -> violates
     assert got[None]["n_violating_groups"] == 1 and got[None]["holds"] is False
+
+
+def test_conditional_fd_property_vs_python_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_schema_rs_spark.operators.reconcile import conditional_fd
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 4), st.integers(0, 3)),
+            min_size=1, max_size=40,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(
+            [(str(c), str(d), str(p)) for c, d, p in rows],
+            "c string, d string, p string",
+        )
+        got = {r["cond_value"]: r for r in conditional_fd(df, "c", "d", "p").collect()}
+        byc = {}
+        for c, d, p in rows:
+            byc.setdefault(str(c), {}).setdefault(str(d), set()).add(str(p))
+        assert set(got) == set(byc)
+        for c, dets in byc.items():
+            nv = sum(1 for deps in dets.values() if len(deps) > 1)
+            assert got[c]["n_groups"] == len(dets)
+            assert got[c]["n_violating_groups"] == nv
+            assert got[c]["holds"] == (nv == 0)
+            assert got[c]["n_rows"] == sum(1 for r in rows if str(r[0]) == c)
+
+    check()
