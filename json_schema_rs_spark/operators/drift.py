@@ -82,6 +82,14 @@ def wasserstein(observed: list[float], baseline: list[float]) -> float:
     worst CDF gap, W1 integrates ALL the mass displacement — a slow broad
     shift that KS under-reads and PSI noise-floors shows up here first.
     Like KS it is bounded and threshold-friendly (≤ n_buckets − 1)."""
+    if len(observed) != len(baseline):
+        # zip() would silently truncate to the shorter vector and return a
+        # plausible-looking but wrong W1 — enforce the DriftSpec invariant
+        # (equal-length proportion vectors) that drift_stats relies on
+        raise ValueError(
+            f"histogram length mismatch: observed has {len(observed)} buckets, "
+            f"baseline has {len(baseline)}"
+        )
     cp = cq = 0.0
     out = 0.0
     for p, q in zip(observed, baseline):

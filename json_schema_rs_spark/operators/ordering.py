@@ -220,11 +220,23 @@ def order_dependency(
        ranges (RangePartitioner assigns ascending ranges to ascending
        partition ids), so every globally-adjacent key pair is either
        inside one partition or exactly a partition boundary;
-    3. within-partition adjacent violations come from a window
-       partitioned by ``spark_partition_id()`` (sorts each range
-       locally — never one task for the whole domain);
-    4. boundary violations come from per-partition first/last interval
-       rows (≤ num_partitions rows) windowed over the partition id.
+    3. ONE pass over the ranged frame — a window partitioned by
+       ``spark_partition_id()`` (sorts each range locally, never one
+       task for the whole domain) feeds a per-partition aggregate that
+       carries BOTH the within-partition violation stats AND the
+       partition's boundary intervals (first key's min ``b``, last
+       key's max ``b``);
+    4. boundary violations come from a lag over the ≤ num_partitions
+       per-partition summary rows.
+
+    The single pass is load-bearing, not a style choice: the ranged
+    frame's partition bounds come from RangePartitioner's nondeterministic
+    sampling jobs, so two subplans each evaluating it (the round-4 shape:
+    inner window + boundary groupBy) agree on ``__pid`` only while
+    ReuseExchange dedupes their identical range exchange — with
+    spark.sql.exchange.reuse off, the branches could sample DIFFERENT
+    bounds and silently miss or double-count boundary pairs.  One subplan
+    means one range exchange can ever exist, under any config.
 
     NULL ``a`` or ``b`` rows are excluded (NULLs have no position —
     same convention as the stream operators above).  At 10^12-row scale
@@ -240,37 +252,37 @@ def order_dependency(
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy("__a")
-    inner = ranged.withColumn("__prevmax", F.lag("__maxb").over(w))
-    inner_stats = inner.agg(
-        F.count(F.lit(1)).cast("long").alias("__keys"),
-        F.coalesce(
-            F.sum((F.col("__prevmax") > F.col("__minb")).cast("long")), F.lit(0)
-        ).alias("__viol"),
+    per_pid = (
+        ranged.withColumn("__prevmax", F.lag("__maxb").over(w))
+        .groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__keys"),
+            F.coalesce(
+                F.sum((F.col("__prevmax") > F.col("__minb")).cast("long")),
+                F.lit(0),
+            ).alias("__viol"),
+            # boundary intervals: min_b of the FIRST key, max_b of the LAST
+            F.min_by("__minb", "__a").alias("__first_minb"),
+            F.max_by("__maxb", "__a").alias("__last_maxb"),
+        )
     )
-    # per-partition boundary intervals: min_b of the FIRST key, max_b of
-    # the LAST key (≤ num_partitions rows total)
-    bounds = ranged.groupBy("__pid").agg(
-        F.min_by("__minb", "__a").alias("__first_minb"),
-        F.max_by("__maxb", "__a").alias("__last_maxb"),
-    )
+    # ≤ num_partitions summary rows: chain the boundary lag (empty ranges
+    # produce no row, so lag crosses them — the previous NON-EMPTY range's
+    # last key is the globally adjacent one) and fold into one summary row
     wb = Window.orderBy("__pid")
-    boundary = bounds.withColumn(
-        "__prevlast", F.lag("__last_maxb").over(wb)
-    ).agg(
-        F.lit(0).cast("long").alias("__keys"),
-        F.coalesce(
-            F.sum((F.col("__prevlast") > F.col("__first_minb")).cast("long")),
-            F.lit(0),
-        ).alias("__viol"),
-    )
-    # combine the two single-row summaries with a union+agg, NOT a join —
-    # a 1×1 crossJoin plans as BroadcastNestedLoopJoin, which the plan
-    # audit rightly treats as a red flag even when it is harmless
     return (
-        inner_stats.unionByName(boundary)
+        per_pid.withColumn("__prevlast", F.lag("__last_maxb").over(wb))
         .agg(
             F.sum("__keys").cast("long").alias("n_keys"),
-            F.sum("__viol").cast("long").alias("n_violations"),
+            (
+                F.sum("__viol")
+                + F.coalesce(
+                    F.sum(
+                        (F.col("__prevlast") > F.col("__first_minb")).cast("long")
+                    ),
+                    F.lit(0),
+                )
+            ).cast("long").alias("n_violations"),
         )
         .withColumn("holds", F.col("n_violations") == 0)
     )

@@ -245,6 +245,15 @@ def embedding_near_dup(
 
 # -- IVF (inverted-file) approximate nearest neighbor --------------------------
 
+#: rounding precision for centroid-assignment dot products.  SHARED by
+#: ivf_assign / ivf_probe_cells / ivf_knn_join's probe scoring: cell
+#: membership and probe selection must round IDENTICALLY or a vector sitting
+#: on a tie boundary lands in one cell at write time and is probed under
+#: another at query time.  Deliberately NOT a per-call parameter — the
+#: ``round_to`` arguments on the query functions shape only the OUTPUT
+#: cosine column, never the assignment precision.
+_ASSIGN_ROUND = 6
+
 
 def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 7) -> list[list[float]]:
     """Deterministic unit-vector centroids (same LCG as the hyperplanes, so
@@ -266,7 +275,7 @@ def ivf_assign(
     e = F.col(emb_col).cast("array<double>")
     scored = F.array(*[
         F.struct(
-            F.round(dot(e, _lit_vec(c)), 6).alias("d"),
+            F.round(dot(e, _lit_vec(c)), _ASSIGN_ROUND).alias("d"),
             F.lit(-cid).alias("negcid"),
         )
         for cid, c in enumerate(centroids)
@@ -285,7 +294,7 @@ def ivf_probe_cells(query_vec: list[float], centroids: list[list[float]], n_prob
         s = 0.0
         for x, y in zip(query_vec, c):
             s += float(x) * y
-        scores.append((round(s, 6), -cid))
+        scores.append((round(s, _ASSIGN_ROUND), -cid))
     scores.sort(reverse=True)
     return [-negcid for _, negcid in scores[:n_probe]]
 
@@ -347,7 +356,11 @@ def ivf_knn_join(
     Output: ``(q_id, c_id, cos, rank)``, rank 1..k per query.  Recall is
     the IVF contract: a true neighbor in an unprobed cell is missed —
     tune ``n_probe``; exactness within probed cells is bit-stable
-    (rounded cosine, id tiebreak)."""
+    (rounded cosine, id tiebreak).
+
+    ``round_to`` shapes the OUTPUT cosine only; probe-cell scoring is
+    pinned at ``_ASSIGN_ROUND`` so probe selection always matches the
+    precision cells were assigned under (see the constant's comment)."""
     assigned = (
         corpus
         if corpus_is_assigned
@@ -356,7 +369,7 @@ def ivf_knn_join(
     qe = F.col(q_emb).cast("array<double>")
     scored_cells = F.array(*[
         F.struct(
-            F.round(dot(qe, _lit_vec(c)), 6).alias("d"),
+            F.round(dot(qe, _lit_vec(c)), _ASSIGN_ROUND).alias("d"),
             F.lit(-cid).alias("negcid"),
         )
         for cid, c in enumerate(centroids)
