@@ -1001,8 +1001,19 @@ def _attest_rotation_disclosure() -> dict:
             "all queries every round (tools/check_oracle.py)"
         ),
         "total_queries": len(names),
-        "first50_never_driver_attested": sum(1 for q in first50 if q not in attested),
+        # two unambiguous fields (round-4 advice: the old single field
+        # `first50_never_driver_attested` conflated these two readings):
+        # how many of this sample would be FIRST-TIME attestations …
+        "first50_first_time_attestations": sum(
+            1 for q in first50 if q not in attested
+        ),
+        # … and how many registry entries remain unattested even after
+        # this round's sample lands green
+        "never_attested_after_this_sample": sum(
+            1 for q in names if q not in attested and q not in first50
+        ),
         "driver_attested_before_this_round": len(attested & set(names)),
+        "ledger_tool": "tools/attested.py (recomputes all counts from CORRECTNESS_r*.json)",
         "first50": first50,
     }
 

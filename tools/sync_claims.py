@@ -146,6 +146,16 @@ def sync(check_only: bool) -> int:
 
     drift += check_paths(["README.md", "COVERAGE.md"])
 
+    # attestation ledger (BENCH/ATTESTATION.md generated block) must match
+    # the CORRECTNESS_r*.json artifacts — tools/attested.py recomputes it
+    led = subprocess.run(
+        [sys.executable, "tools/attested.py",
+         "--check" if check_only else "--write"],
+        capture_output=True, text=True, cwd=HERE,
+    )
+    if led.returncode != 0:
+        drift.append(f"attestation ledger: {led.stdout.strip() or led.stderr.strip()}")
+
     for d in drift:
         print(f"  {d}")
     print(f"tests={n_tests} queries={n_queries} "
