@@ -3683,6 +3683,166 @@ def q_seasonal_windows_events(spark, sf_dir):
     )
 
 
+def q_validate_windowed_events(spark, sf_dir):
+    # Streaming validation's watermarked windowed summary on the batch path
+    # (streaming/validate_stream.py windowed_summary — watermarks are a
+    # no-op on batch frames, so this IS the plan the stream runs; parity
+    # pinned in tests/test_streaming.py).  Same two CHECK constraints as
+    # check_constraints_events, rolled to daily pass/fail/violation counts
+    # per event type.
+    from json_schema_rs_spark.engine import ValidationEngine
+    from json_schema_rs_spark.spec import TableSpec
+    from json_schema_rs_spark.streaming.validate_stream import windowed_summary
+
+    spec = (
+        TableSpec()
+        .add_check("value_nonneg", "value >= 0", observed="value")
+        .add_check("purchase_value_floor", "value > 10",
+                   where="event_type = 'purchase'", observed="value")
+    )
+    eng = ValidationEngine(spec, key_cols=["event_id"], group_col="event_type")
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    out = windowed_summary(ev, eng, "ts", window="1 day", watermark="2 days")
+    return out.select(
+        F.unix_timestamp(F.col("win.start")).alias("win_start_s"),
+        F.unix_timestamp(F.col("win.end")).alias("win_end_s"),
+        "event_type", "n_rows", "n_passed", "n_failed", "n_violations",
+    )
+
+
+def q_ri_stream_events(spark, sf_dir):
+    # Streaming referential integrity's exact stream-static plan on the
+    # batch path (streaming/ri_stream.py ri_violations_stream: broadcast
+    # distinct dim keys, LEFT OUTER + null-probe — identical
+    # BroadcastHashJoin in batch and stream, parity pinned in
+    # tests/test_ri_stream.py).  Dimension restricted to BUILDING-segment
+    # customers (the ri_orders_building convention) so orphans exist.
+    from json_schema_rs_spark.streaming.ri_stream import ri_violations_stream
+
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return ri_violations_stream(ev, "user_id", dim, "c_custkey", key_cols=["event_id"])
+
+
+def q_neardup_stream_docs(spark, sf_dir):
+    # Streaming near-dup vs the static corpus on the batch path
+    # (streaming/neardup_stream.py near_dup_stream): the stream-side
+    # shingle→signature→band projection joined against the MAINTAINED
+    # banded_buckets relation — the batch form is set-equal to
+    # minhash_lsh_incremental's vs='old' pairs (parity pinned in
+    # tests/test_neardup_stream.py), which is exactly what the oracle
+    # replays.  portable=True so the md5 minhash replays in DuckDB;
+    # max_bucket guard provably drops nothing at ≤500 docs.
+    from json_schema_rs_spark.operators.dedup import banded_buckets
+    from json_schema_rs_spark.streaming.neardup_stream import near_dup_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = banded_buckets(
+        docs.filter(F.col("doc_id") % 5 != 0), "doc_id",
+        k=5, num_hashes=8, bands=4, portable=True,
+    )
+    return near_dup_stream(
+        docs.filter(F.col("doc_id") % 5 == 0), corpus, "doc_id", "text",
+        k=5, num_hashes=8, bands=4, portable=True,
+    )
+
+
+def q_stateful_dedup_replay(spark, sf_dir):
+    # Cross-batch stateful streaming dedup (streaming/stateful_dedup.py,
+    # applyInPandasWithState) under the oracle gate: the documents table is
+    # replayed through a REAL streaming query as 4 doc_id-ordered
+    # micro-batches (streaming/replay.py), so the emitted winner per
+    # content hash is the global min doc_id — exactly what the SQL oracle
+    # states.  This cannot run as a batch plan at all; the replay is what
+    # upgrades it from pytest-only parity to rows+schema+hash attestation.
+    from json_schema_rs_spark.streaming.replay import (
+        range_chunks,
+        replay_chunked_stream,
+    )
+    from json_schema_rs_spark.streaming.stateful_dedup import dedup_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunked = range_chunks(docs, "doc_id", 4)
+    return replay_chunked_stream(spark, chunked, "__chunk", 4, dedup_stream,
+                                 name="dedup")
+
+
+def q_sessionize_stream_replay(spark, sf_dir):
+    # Cross-batch streaming sessionization (streaming/sessionize_stream.py,
+    # applyInPandasWithState) under the oracle gate: events replayed in 4
+    # time-ordered micro-batches; every session whose user has a LATER
+    # session is closed (and emitted) by that session's first event, so
+    # the output is "all sessions except each user's last" — the oracle
+    # models exactly that.  Idle timeouts never fire inside the
+    # seconds-long replay, so the open tail sessions stay unemitted.
+    from json_schema_rs_spark.streaming.replay import (
+        range_chunks,
+        replay_chunked_stream,
+    )
+    from json_schema_rs_spark.streaming.sessionize_stream import sessionize_stream
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("__tsu"))
+    )
+    chunked = range_chunks(ev, "__tsu", 4).drop("__tsu")
+    return replay_chunked_stream(
+        spark, chunked, "__chunk", 4,
+        lambda s: sessionize_stream(s, "user_id", "ts", gap_minutes=30.0),
+        name="sess",
+    )
+
+
+def q_multimodal_features_jpeg(spark, sf_dir):
+    # REAL JPEG payloads through the real multimodal pipeline: constant-
+    # color images are encoded in-plan (operators/jpeg.py encode_jpeg,
+    # mapInPandas), then decoded + featurized by extract_features with the
+    # stdlib baseline-JPEG decoder (round-5; was a Pillow-gated seam).
+    # Constant color ⇒ DC-only blocks ⇒ the decode is the closed-form
+    # quantization chain in jpeg.py's docstring, which the oracle replays
+    # exactly (quality 90 ⇒ q00 = 3 for both tables, quality_tables()).
+    import pandas as pd
+
+    from json_schema_rs_spark.operators.jpeg import encode_jpeg
+    from json_schema_rs_spark.operators.multimodal import (
+        extract_features,
+        image_feature_extractor,
+    )
+
+    base = spark.range(64).select(
+        F.col("id").alias("media_id"),
+        ((F.col("id") * 37 + 11) % 256).cast("int").alias("r"),
+        ((F.col("id") * 73 + 29) % 256).cast("int").alias("g"),
+        ((F.col("id") * 151 + 47) % 256).cast("int").alias("b"),
+    )
+
+    def enc(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_jpeg(8, 6, bytes((int(r), int(g), int(b))) * 48,
+                                    quality=90)
+                        for r, g, b in zip(pdf["r"], pdf["g"], pdf["b"])
+                    ],
+                }
+            )
+
+    media = base.mapInPandas(enc, schema="media_id long, payload binary")
+    feats = extract_features(media, decoder=image_feature_extractor)
+    # features[0..2] are mean R/G/B ÷ 255; constant image ⇒ exactly the
+    # decoded channel ÷ 255 (float32 storage ⇒ recover via round)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("features", 1) * 255, 0).cast("long").alias("r_dec"),
+        F.round(F.element_at("features", 2) * 255, 0).cast("long").alias("g_dec"),
+        F.round(F.element_at("features", 3) * 255, 0).cast("long").alias("b_dec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "doc_validate_summary": q_doc_validate_summary,
@@ -3903,6 +4063,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_fd_lineitem": q_conditional_fd_lineitem,
         "order_dependency_orders": q_order_dependency_orders,
         "drift_w1_en": q_drift_w1_en,
+        # round 5: the five streaming operators previously pytest-only are
+        # now under the tabular oracle gate (round-4 verdict #4) — three on
+        # their batch path (identical plan), two via real micro-batch
+        # replay (streaming/replay.py)
+        "validate_windowed_events": q_validate_windowed_events,
+        "ri_stream_events": q_ri_stream_events,
+        "neardup_stream_docs": q_neardup_stream_docs,
+        "stateful_dedup_replay": q_stateful_dedup_replay,
+        "sessionize_stream_replay": q_sessionize_stream_replay,
+        "multimodal_features_jpeg": q_multimodal_features_jpeg,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -8002,5 +8172,95 @@ def oracle_sql() -> dict[str, str]:
                              ELSE sl.n != lim.center END
                    END AS anomalous
             FROM sl LEFT JOIN lim USING (event_type, slot)
+        """,
+        # -- round-5 streaming oracle gate (verdict #4) --------------------
+        "validate_windowed_events": """
+            WITH m AS (
+              SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS ws,
+                     event_type,
+                     (CASE WHEN (value >= 0) = false THEN 1 ELSE 0 END
+                    + CASE WHEN event_type = 'purchase' AND (value > 10) = false
+                           THEN 1 ELSE 0 END) AS v
+              FROM events WHERE ts IS NOT NULL)
+            SELECT ws AS win_start_s, ws + 86400 AS win_end_s, event_type,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+                   CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+                   CAST(sum(v) AS BIGINT) AS n_violations
+            FROM m GROUP BY ws, event_type
+        """,
+        "ri_stream_events": """
+            SELECT event_id, 'referential:user_id' AS constraint_id,
+                   CAST(user_id AS VARCHAR) AS observed_value
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND user_id NOT IN (SELECT c_custkey FROM customer
+                                  WHERE c_mktsegment = 'BUILDING')
+        """,
+        "neardup_stream_docs": _MINHASH_SIG + _MINHASH_BANDS + """
+            SELECT DISTINCT a.doc_id AS id_new, o.doc_id AS id_other
+            FROM bands a JOIN bands o ON a.band = o.band AND a.key = o.key
+            WHERE a.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+        """,
+        "stateful_dedup_replay": """
+            SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha
+            FROM documents WHERE doc_id IS NOT NULL
+            GROUP BY sha256(text)
+        """,
+        "sessionize_stream_replay": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            g AS (
+              SELECT user_id, tsu,
+                     CASE WHEN lag(tsu) OVER w IS NULL
+                               OR tsu - lag(tsu) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+            s AS (
+              SELECT user_id, tsu,
+                     CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsu
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM g),
+            agg AS (
+              SELECT user_id, session_id, min(tsu) AS start_us,
+                     max(tsu) AS end_us, count(*) AS n_events
+              FROM s GROUP BY user_id, session_id),
+            mx AS (SELECT user_id, max(session_id) AS last_sid
+                   FROM agg GROUP BY user_id)
+            SELECT a.user_id, a.session_id, a.start_us, a.end_us, a.n_events,
+                   a.end_us - a.start_us AS duration_us
+            FROM agg a JOIN mx m
+              ON a.user_id = m.user_id AND a.session_id < m.last_sid
+        """,
+        # constant-color JPEG decode chain (jpeg.py docstring contract):
+        # channel quantization half-up, DC quantization half-away with
+        # q00 = 3 (quality 90), float DC-only IDCT, final RGB half-up
+        "multimodal_features_jpeg": """
+            WITH c AS (
+              SELECT range AS media_id,
+                     CAST((range * 37 + 11) % 256 AS DOUBLE) AS r,
+                     CAST((range * 73 + 29) % 256 AS DOUBLE) AS g,
+                     CAST((range * 151 + 47) % 256 AS DOUBLE) AS b
+              FROM range(64)),
+            yc AS (
+              SELECT media_id,
+                least(greatest(floor(0.299*r + 0.587*g + 0.114*b + 0.5), 0), 255) AS y,
+                least(greatest(floor(128 - 0.168736*r - 0.331264*g + 0.5*b + 0.5), 0), 255) AS cb,
+                least(greatest(floor(128 + 0.5*r - 0.418688*g - 0.081312*b + 0.5), 0), 255) AS cr
+              FROM c),
+            rt AS (
+              SELECT media_id,
+                (CASE WHEN y >= 128 THEN floor(8*(y-128)/3.0 + 0.5)
+                      ELSE -floor(8*(128-y)/3.0 + 0.5) END) * 3.0 / 8.0 + 128 AS y2,
+                (CASE WHEN cb >= 128 THEN floor(8*(cb-128)/3.0 + 0.5)
+                      ELSE -floor(8*(128-cb)/3.0 + 0.5) END) * 3.0 / 8.0 + 128 AS cb2,
+                (CASE WHEN cr >= 128 THEN floor(8*(cr-128)/3.0 + 0.5)
+                      ELSE -floor(8*(128-cr)/3.0 + 0.5) END) * 3.0 / 8.0 + 128 AS cr2
+              FROM yc)
+            SELECT media_id,
+              CAST(least(greatest(floor(y2 + 1.402*(cr2-128) + 0.5), 0), 255) AS BIGINT) AS r_dec,
+              CAST(least(greatest(floor(y2 - 0.344136*(cb2-128) - 0.714136*(cr2-128) + 0.5), 0), 255) AS BIGINT) AS g_dec,
+              CAST(least(greatest(floor(y2 + 1.772*(cb2-128) + 0.5), 0), 255) AS BIGINT) AS b_dec
+            FROM rt
         """,
     }

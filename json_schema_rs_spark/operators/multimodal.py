@@ -1,16 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-Decoders: ``decode_image`` (PPM P6/P3, uncompressed 24/32-bit BMP, and
-baseline 8-bit PNG — zlib inflate + scanline unfilter, both stdlib) and
-``decode_audio`` (PCM WAV) are REAL stdlib-only kernels — no external
-library needed — feeding ``image_feature_extractor`` / ``image_grid_hex``
-through the same ``decoder=`` injection seam.  Entropy-coded formats
-(JPEG/WebP/MP3/...) fall through to Pillow when installed and otherwise
-raise ``NotImplementedError`` with the injection point named;
-``fake_feature_extractor`` remains the deterministic stand-in for
-oracle-checkable pipelines, since a hash-derived payload is not a valid
-image.
+Decoders: ``decode_image`` (PPM P6/P3, uncompressed 24/32-bit BMP,
+baseline 8-bit PNG — zlib inflate + scanline unfilter — and baseline
+JPEG: Huffman + IDCT, see :mod:`.jpeg`) and ``decode_audio`` (PCM WAV)
+are REAL stdlib+numpy kernels — no external library needed — feeding
+``image_feature_extractor`` / ``image_grid_hex`` through the same
+``decoder=`` injection seam.  The remaining library-backed tail
+(progressive/arithmetic JPEG, WebP, MP3, ...) falls through to Pillow
+when installed and otherwise raises ``NotImplementedError`` with the
+injection point named; ``fake_feature_extractor`` remains the
+deterministic stand-in for pipelines whose oracle cannot re-encode real
+payloads (the constant-color JPEG chain CAN be oracle-replayed — see
+``multimodal_features_jpeg``).
 
 Scale notes: media blobs dominate row size, so the mapInPandas stages select
 ONLY (id, blob) before the UDF (column pruning keeps metadata out of the
@@ -238,19 +240,34 @@ def _pil_decode(payload: bytes) -> DecodedImage:
 
 def decode_image(payload: bytes) -> DecodedImage:
     """REAL image decode, stdlib-first: binary/ASCII PPM (P6/P3),
-    uncompressed 24/32-bit BMP, and baseline 8-bit PNG (zlib inflate +
-    scanline unfilter — see :func:`_decode_png`) need no external library.
-    Anything else falls through to Pillow WHEN INSTALLED (``_pil_decode``);
-    without it, ``NotImplementedError`` names the
-    ``extract_features(decoder=...)`` injection seam.
+    uncompressed 24/32-bit BMP, baseline 8-bit PNG (zlib inflate +
+    scanline unfilter — see :func:`_decode_png`), and baseline JPEG
+    (Huffman + IDCT, SOF0/SOF1, 4:4:4/4:2:2/4:2:0, restart markers — see
+    :mod:`.jpeg`) need no external library.  Anything else falls through
+    to Pillow WHEN INSTALLED (``_pil_decode``); without it,
+    ``NotImplementedError`` names the ``extract_features(decoder=...)``
+    injection seam.
 
-    Was a pure stub through round 2; PPM/BMP landed in round 3 and the PNG
-    inflate path in round 4, so the one remaining genuinely-stubbed family
-    is entropy-coded codecs (JPEG/MP3), which stay library-backed.
+    Was a pure stub through round 2; PPM/BMP landed in round 3, the PNG
+    inflate path in round 4, and baseline JPEG in round 5 — the remaining
+    library-backed tail is progressive/arithmetic JPEG, WebP and friends.
     """
     if payload is None or len(payload) < 2:
         raise ValueError("empty image payload")
     magic = payload[:2]
+    if magic == b"\xff\xd8":
+        from json_schema_rs_spark.operators.jpeg import decode_jpeg
+
+        try:
+            return DecodedImage(*decode_jpeg(payload))
+        except NotImplementedError as e:
+            # non-baseline profile → Pillow if present, else the seam
+            try:
+                return _pil_decode(payload)
+            except ImportError:
+                raise NotImplementedError(
+                    f"{e}; Pillow not installed either"
+                ) from None
     if magic in (b"P6", b"P3"):
         (w, h, maxval), pos = _ppm_tokens(payload, 3, 2)
         if maxval <= 0 or maxval > 255:

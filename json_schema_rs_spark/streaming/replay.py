@@ -1,0 +1,166 @@
+"""Deterministic micro-batch replay: run a REAL Structured Streaming query
+over a batch table split into ordered chunks, and return the accumulated
+sink output as a batch DataFrame.
+
+Why this exists — the oracle gate for stateful streaming operators
+(round-4 verdict #4): stateless streaming transforms (``windowed_psi``,
+``ri_violations_stream``, ``near_dup_stream``…) run on a batch frame
+unchanged, so their oracle queries simply call them on batch input.  The
+``applyInPandasWithState`` operators (``stateful_dedup.dedup_stream``,
+``sessionize_stream.sessionize_stream``) CANNOT run in batch — their whole
+point is cross-micro-batch state — so their oracle queries replay the
+table through an actual streaming query instead: parquet chunks fed to a
+file source one chunk at a time, a memory sink accumulating the append
+output, and the final table compared against DuckDB SQL like every other
+query.  This upgrades those operators from pytest-only parity to the same
+rows+schema+value-hash gate the batch operators sit under.
+
+Determinism contract (what makes the replayed output oracle-stable):
+
+* the CALLER picks the chunk split; chunks are fed strictly in order —
+  chunk ``i`` runs as its own ``Trigger.AvailableNow`` streaming query
+  before chunk ``i+1``'s files are written, so micro-batch order equals
+  chunk order regardless of file-listing or mod-time races.  State
+  carries across the runs through the SHARED checkpoint — exactly the
+  production restart/upgrade path of a batch-triggered streaming job;
+* a stateful query with registered PROCESSING-TIME timeouts does not
+  self-terminate under AvailableNow (the engine keeps scheduling
+  clock-advancing batches while timeouts are pending), so each run is
+  stopped explicitly once its progress events show the chunk's row count
+  committed — the data batch is committed (sink rows + state + offsets)
+  before it appears in progress, so the stop is clean;
+* one chunk = one micro-batch: no ``maxFilesPerTrigger`` is set, so every
+  file visible at a trigger lands in the same batch — within-chunk
+  ordering must therefore not matter to the operator (both state
+  operators sort within the batch);
+* processing-time timeouts never fire (the replay runs in seconds), so
+  open state at end-of-input is simply not emitted — oracles model that
+  explicitly (e.g. each user's last session is excluded).
+
+Scale note: this is a VERIFICATION harness, not the production topology —
+production is ``readStream`` straight off the ingest log.  The replay
+writes each chunk with Spark (never driver-side rows), so it works at any
+SF the oracle gate runs at.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import shutil
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_COUNTER = itertools.count()
+
+
+def replay_chunked_stream(
+    spark,
+    source_df: DataFrame,
+    chunk_col: str,
+    n_chunks: int,
+    transform: Callable[[DataFrame], DataFrame],
+    name: str = "replay",
+) -> DataFrame:
+    """Feed ``source_df`` (with an int ``chunk_col`` in ``[0, n_chunks)``)
+    through ``transform`` as a real streaming query, one chunk per
+    micro-batch in ascending chunk order.  Returns the memory-sink table
+    (append-mode output accumulated across all batches).
+
+    The chunk column is dropped before the stream sees the rows.
+    """
+    data_cols = [c for c in source_df.columns if c != chunk_col]
+    schema = source_df.select(*data_cols).schema
+    tmp = tempfile.mkdtemp(prefix=f"spark_graft_replay_{name}_")
+    src_dir = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(src_dir)
+    out_dir = os.path.join(tmp, "out")
+    out_schema = None
+    try:
+        for i in range(n_chunks):
+            chunk = source_df.filter(F.col(chunk_col) == i).select(*data_cols)
+            n_rows = chunk.count()
+            chunk.write.mode("append").parquet(src_dir)
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            shaped = transform(stream)
+            out_schema = shaped.schema
+
+            # foreachBatch (not the memory sink, which refuses checkpoint
+            # recovery): append each committed micro-batch to one parquet
+            # dir shared by all runs
+            def sink(batch_df, _batch_id):
+                batch_df.write.mode("append").parquet(out_dir)
+
+            q = (
+                shaped.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_rows_committed(q, n_rows)
+            q.stop()
+            q.awaitTermination()
+        acc = spark.read.schema(out_schema).parquet(out_dir)
+        # materialize into a local relation so the result outlives the
+        # tmp-dir cleanup below (output-sized, bounded — sink rows only)
+        return spark.createDataFrame(acc.collect(), schema=out_schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _await_rows_committed(q, n_rows: int, timeout_s: float = 600.0) -> None:
+    """Block until the running query's progress events account for
+    ``n_rows`` input rows (i.e. the data micro-batch is committed), or the
+    query dies.  See the module docstring for why termination cannot be
+    awaited instead."""
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if q.exception() is not None:
+            raise q.exception()
+        done = 0
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            done += int(d.get("numInputRows", 0))
+        if done >= n_rows:
+            return
+        time.sleep(0.2)
+    raise TimeoutError(
+        f"streaming replay batch did not commit {n_rows} rows in {timeout_s}s"
+    )
+
+
+def range_chunks(df: DataFrame, order_col: str, n_chunks: int) -> DataFrame:
+    """Add a ``__chunk`` column splitting ``df`` into ``n_chunks``
+    equal-width ranges of ``order_col`` (ascending) — the deterministic
+    split both state operators need: all rows of chunk ``i`` precede all
+    rows of chunk ``i+1`` in ``order_col`` order, and a value maps to the
+    same chunk on every run (exact integer µs/key arithmetic, no
+    sampling).  NULL ``order_col`` rows are dropped (they have no
+    position in the replay order).
+
+    The min/max bounds are two scalars — a bounded driver fetch, same
+    class as a broadcast threshold.
+    """
+    o = F.col(order_col)
+    lo, hi = (
+        df.filter(o.isNotNull())
+        .agg(F.min(o).alias("lo"), F.max(o).alias("hi"))
+        .first()
+    )
+    span = max(int(hi) - int(lo) + 1, 1)
+    width = -(-span // n_chunks)  # ceil
+    return df.filter(o.isNotNull()).withColumn(
+        "__chunk",
+        F.least(
+            F.floor((o - F.lit(int(lo))) / F.lit(width)).cast("int"),
+            F.lit(n_chunks - 1),
+        ),
+    )

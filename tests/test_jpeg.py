@@ -1,0 +1,167 @@
+"""Baseline JPEG codec (operators/jpeg.py): round-trips, profile coverage,
+and the portable constant-color arithmetic the oracle replays.
+
+The encoder is the fixture generator (this container ships no media
+libraries), but it is NOT a circular check: the decoder reads Huffman and
+quantization tables from the file's DHT/DQT segments — transcription
+errors in the in-module table constants would corrupt the bitstream in a
+way the round-trip would catch, and `test_pillow_cross_validation` pins
+our bytes against libjpeg wherever Pillow exists.
+"""
+
+import numpy as np
+import pytest
+
+from json_schema_rs_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    quality_tables,
+)
+from json_schema_rs_spark.operators.multimodal import decode_image
+
+
+def _gradient(w, h):
+    return bytes(
+        v % 256
+        for y in range(h)
+        for x in range(w)
+        for v in ((x * 10) % 256, (y * 13) % 256, (x * 5 + y * 3) % 256)
+    )
+
+
+def _err(a: bytes, b: bytes) -> np.ndarray:
+    return np.abs(
+        np.frombuffer(a, dtype=np.uint8).astype(int)
+        - np.frombuffer(b, dtype=np.uint8).astype(int)
+    )
+
+
+@pytest.mark.parametrize("quality,tol", [(95, 6), (90, 8), (75, 12)])
+def test_roundtrip_444(quality, tol):
+    w, h = 23, 17
+    px = _gradient(w, h)
+    out_w, out_h, out = decode_jpeg(encode_jpeg(w, h, px, quality=quality))
+    assert (out_w, out_h) == (w, h)
+    assert _err(px, out).max() <= tol
+
+
+def test_roundtrip_420_subsampled():
+    # chroma is 2x2-pooled then nearest-upsampled: luma stays tight while
+    # chroma smears across the pooling cell — bound both separately
+    w, h = 23, 17
+    px = _gradient(w, h)
+    _, _, out = decode_jpeg(encode_jpeg(w, h, px, quality=90, subsample=True))
+    err = _err(px, out)
+    assert err.max() <= 24
+    assert err.mean() <= 6
+
+
+def test_restart_markers_change_nothing():
+    w, h = 23, 17
+    px = _gradient(w, h)
+    plain = decode_jpeg(encode_jpeg(w, h, px, quality=90))[2]
+    rst = decode_jpeg(encode_jpeg(w, h, px, quality=90, restart_interval=2))[2]
+    assert plain == rst  # resync is lossless: identical coefficients
+
+
+def test_grayscale_single_component():
+    w, h = 11, 9
+    px = bytes((x * 17 + y * 29) % 256 for y in range(h) for x in range(w) for _ in range(3))
+    gw, gh, out = decode_jpeg(
+        encode_jpeg(w, h, px, quality=92, grayscale=True, restart_interval=1)
+    )
+    assert (gw, gh) == (w, h)
+    assert _err(px, out).max() <= 8
+    # single-plane output is replicated to RGB
+    assert out[0] == out[1] == out[2]
+
+
+def test_decode_image_dispatches_jpeg():
+    w, h = 8, 6
+    enc = encode_jpeg(w, h, bytes((200, 30, 40)) * (w * h), quality=90)
+    img = decode_image(enc)
+    assert (img.width, img.height) == (w, h)
+    assert abs(img.pixels[0] - 200) < 4 and abs(img.pixels[1] - 30) < 4
+
+
+def test_truncated_jpeg_raises_value_error():
+    # a real decoder rejects malformed data as ValueError (NotImplementedError
+    # is reserved for honest unsupported-profile seams)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+
+def test_progressive_marker_names_the_seam():
+    # SOF2 (progressive) is the one family still library-backed
+    payload = b"\xff\xd8" + b"\xff\xc2" + (17).to_bytes(2, "big") + bytes(15)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(payload)
+
+
+def _expected_constant_decode(r, g, b, quality):
+    """The oracle's arithmetic chain: constant-color image → DC-only
+    blocks → exact quantization round trip (module docstring contract)."""
+    q_lum, q_chrom = quality_tables(quality)
+    q0l, q0c = float(q_lum[0]), float(q_chrom[0])
+
+    def half_up(x):
+        return int(np.floor(x + 0.5))
+
+    def chan_roundtrip(v, q0):
+        # decode keeps FLOAT precision through the color transform — the
+        # only roundings are the encoder's channel quantization (half-up),
+        # the DC quantization (half-away), and the final RGB half-up
+        dc = 8.0 * (v - 128.0)
+        qdc = half_up(abs(dc) / q0) * (1 if dc >= 0 else -1)
+        return qdc * q0 / 8.0 + 128.0
+
+    y = min(max(half_up(0.299 * r + 0.587 * g + 0.114 * b), 0), 255)
+    cb = min(max(half_up(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0), 255)
+    cr = min(max(half_up(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0), 255)
+    y2 = chan_roundtrip(y, q0l)
+    cb2 = chan_roundtrip(cb, q0c)
+    cr2 = chan_roundtrip(cr, q0c)
+    rr = min(max(half_up(y2 + 1.402 * (cr2 - 128.0)), 0), 255)
+    gg = min(max(half_up(y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0)), 0), 255)
+    bb = min(max(half_up(y2 + 1.772 * (cb2 - 128.0)), 0), 255)
+    return rr, gg, bb
+
+
+def test_constant_color_matches_portable_arithmetic():
+    # hypothesis over colors: the decode of a constant image equals the
+    # closed-form chain the SQL oracle states, bit for bit
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        r=st.integers(0, 255), g=st.integers(0, 255), b=st.integers(0, 255),
+        quality=st.sampled_from([75, 90, 95]),
+    )
+    def check(r, g, b, quality):
+        w, h = 16, 8
+        _, _, out = decode_jpeg(
+            encode_jpeg(w, h, bytes((r, g, b)) * (w * h), quality=quality)
+        )
+        exp = _expected_constant_decode(r, g, b, quality)
+        assert set(
+            tuple(out[i : i + 3]) for i in range(0, len(out), 3)
+        ) == {exp}
+
+    check()
+
+
+def test_pillow_cross_validation():
+    # wherever Pillow exists, libjpeg must agree with our decoder on our
+    # encoder's bytes (skips cleanly in this container)
+    Image = pytest.importorskip("PIL.Image", reason="Pillow not installed")
+    import io
+
+    w, h = 23, 17
+    px = _gradient(w, h)
+    enc = encode_jpeg(w, h, px, quality=90)
+    ours = decode_jpeg(enc)[2]
+    with Image.open(io.BytesIO(enc)) as im:
+        theirs = im.convert("RGB").tobytes()
+    # libjpeg uses an integer IDCT approximation; ±4 covers it
+    assert _err(ours, theirs).max() <= 4

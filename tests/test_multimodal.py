@@ -15,8 +15,11 @@ from json_schema_rs_spark.operators.multimodal import (
 
 
 def test_decode_unsupported_formats_raise():
-    # entropy-coded formats OUTSIDE the stdlib subset raise with the
-    # injection point when Pillow is absent (and decode fine when present)
+    # baseline JPEG is a REAL stdlib decoder as of round 5, so malformed
+    # JPEG is a ValueError; the NotImplementedError seam remains for
+    # profiles the stdlib decoders honestly don't cover
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # truncated JPEG
     try:
         import PIL  # noqa: F401
 
@@ -24,8 +27,10 @@ def test_decode_unsupported_formats_raise():
     except ImportError:
         have_pil = False
     if not have_pil:
+        # progressive JPEG: stdlib raises NotImplementedError, no Pillow
+        sof2 = b"\xff\xd8" + b"\xff\xc2" + (17).to_bytes(2, "big") + bytes(15)
         with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+            decode_image(sof2)
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n")  # PNG sig with no chunks
     with pytest.raises(NotImplementedError):
@@ -339,16 +344,14 @@ def test_png_features_through_spark(spark):
     assert len(feats[1]) == FEATURE_DIM
 
 
-def test_jpeg_decodes_when_pillow_present():
-    # Pillow-if-present gate: runs only where the optional lib exists;
-    # skips cleanly otherwise (this container ships no media libraries)
-    Image = pytest.importorskip("PIL.Image", reason="Pillow not installed")
-    import io
+def test_jpeg_decodes_without_pillow():
+    # was a Pillow-gated skip through round 4; the round-5 stdlib baseline
+    # decoder (operators/jpeg.py) makes it run everywhere — Pillow remains
+    # only as the cross-validation partner (tests/test_jpeg.py)
+    from json_schema_rs_spark.operators.jpeg import encode_jpeg
 
-    im = Image.new("RGB", (8, 6), (200, 30, 40))
-    buf = io.BytesIO()
-    im.save(buf, format="JPEG")
-    got = decode_image(buf.getvalue())
+    payload = encode_jpeg(8, 6, bytes((200, 30, 40)) * 48, quality=90)
+    got = decode_image(payload)
     assert (got.width, got.height) == (8, 6)
     # JPEG is lossy: constant-color image should survive within tolerance
     assert abs(got.pixels[0] - 200) < 12 and abs(got.pixels[1] - 30) < 12
