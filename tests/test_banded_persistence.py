@@ -1,0 +1,74 @@
+"""banded_buckets persisted through sources/layout.py across multiple
+"days" of increments (round-4 verdict #7): the incremental-dedup scale
+path assumes a MAINTAINED bucket-clustered relation on disk — this pins
+the write → append → read-back → join story end-to-end, including the
+layout's pruning contract.
+"""
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.dedup import banded_buckets, minhash_lsh_incremental
+from json_schema_rs_spark.sources.layout import write_clustered
+
+LSH = dict(k=5, num_hashes=16, bands=4)
+
+
+def _docs(spark, ids):
+    # templated texts with planted near-dups: ids sharing id % 4 get near-
+    # identical text, so increments genuinely collide with the corpus
+    rows = [(i, f"the quick brown fox {i % 4} jumps over the lazy dog "
+                f"pattern {i % 4} repeated content block") for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(df):
+    return {(r["id_new"], r["id_other"], r["vs"]) for r in df.collect()}
+
+
+def test_banded_relation_survives_two_days_of_appends(spark, tmp_path):
+    path = str(tmp_path / "banded_buckets")
+
+    # day 0: corpus A -> build banding once, persist bucket-clustered
+    day0 = _docs(spark, range(0, 40))
+    write_clustered(banded_buckets(day0, "doc_id", **LSH), path, ["bucket"])
+
+    # day 1: increment B dedups against the STORED relation (corpus text
+    # never rescanned), and must equal the from-text recompute
+    day1 = _docs(spark, range(40, 60))
+    stored = spark.read.parquet(path)
+    got = minhash_lsh_incremental(stored, day1, "doc_id", old_is_banded=True, **LSH)
+    want = minhash_lsh_incremental(day0, day1, "doc_id", **LSH)
+    assert _pairs(got) == _pairs(want)
+    assert len(_pairs(got)) > 0
+
+    # append day 1's banding (the maintenance step) — append mode keeps
+    # day 0's files; each write's files stay clustered on bucket
+    write_clustered(
+        banded_buckets(day1, "doc_id", **LSH), path, ["bucket"], mode="append"
+    )
+
+    # day 2: increment C vs the APPENDED relation == recompute vs A ∪ B
+    day2 = _docs(spark, range(60, 70))
+    stored2 = spark.read.parquet(path)
+    got2 = minhash_lsh_incremental(stored2, day2, "doc_id", old_is_banded=True, **LSH)
+    want2 = minhash_lsh_incremental(
+        day0.unionByName(day1), day2, "doc_id", **LSH
+    )
+    assert _pairs(got2) == _pairs(want2)
+    # old x old never paired: every id_new is from the increment
+    assert all(n >= 60 for n, _, _ in _pairs(got2))
+
+
+def test_persisted_banding_prunes_on_bucket_predicate(spark, tmp_path):
+    # the reason the relation is stored bucket-clustered: a probe for one
+    # bucket's rows must push the predicate into the parquet scan so row-
+    # group min/max stats (tight, thanks to the clustered layout) prune
+    path = str(tmp_path / "banded")
+    docs = _docs(spark, range(0, 40))
+    write_clustered(banded_buckets(docs, "doc_id", **LSH), path, ["bucket"])
+    stored = spark.read.parquet(path)
+    some_bucket = stored.select("bucket").first()["bucket"]
+    probe = stored.filter(F.col("bucket") == some_bucket)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(bucket), EqualTo(bucket" in plan
+    assert probe.count() > 0
