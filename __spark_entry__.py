@@ -4088,45 +4088,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # history), so a reader of the CORRECTNESS artifact can see that its
     # sample is a deliberate rotation, not an independent draw.
     #
-    # Round-4 composition: queries CHANGED this round first (fixes need a
-    # driver attestation to close red cells), the 2 core-engine queries,
-    # then 46 never-driver-attested queries — the families the round-3
-    # verdict named (checks/quality, reconcile, delta, joins,
-    # streaming-backed), the TPC-H tail, fuzzy/setsim/collocations, and the
-    # remaining curation/clustering tail.
+    # Round-5 composition (final round — the sample is spent ENTIRELY on
+    # never-driver-attested queries): the 6 queries new this round and the
+    # one materially-changed operator lead, then 43 more never-attested
+    # entries.  77 were never attested going in, so 27 stay local-gate-only
+    # forever; the 27 left out are (a) the 9 a judge already re-verified
+    # bit-exact in rounds 3-4 (having_big_customers, topk_tokens,
+    # chunk_docs, event_transitions, time_gaps_events, session_paths_events,
+    # fk_discovery, conditional_fd_lineitem, drift_w1_en) and (b) 18 whose
+    # operator kernel has a driver-attested or in-sample sibling exercising
+    # the same code path (e.g. decontam_keep vs decontam_overlap,
+    # winnow_pairs vs winnow_fp, embedding_cov8 vs embedding_gram_cov).
+    # tools/attested.py prints the authoritative remainder.
     attest_first = [
-        # changed/new this round — attest on arrival
-        "profile_merge_lineitem",   # r3 red cell: decimal compare column
-        "split_leakage_docs",       # audit default now exhaustive (advice)
-        "dedup_incremental",        # new: delta-vs-corpus near-dup path
-        "ivf_knn_join",             # new: large-query-side ANN join
-        # core engine surface — keep continuously attested
-        "doc_validate_summary", "doc_violations",
-        # never driver-attested (round-4 rotation): verdict-named families
-        "seasonal_windows_events", "label_agreement_events",
-        "check_constraints_events", "check_cross_column_lineitem",
-        "quality_report_docs", "quality_report_events",
-        "group_quality_langs", "suggest_constraints_docs",
-        "reconcile_orders_lineitem", "outliers_events_value",
-        "freshness_events", "benford_orders_totalprice",
-        "fd_lineitem_returnflag", "fd_discovery_lineitem",
-        "violation_diff_docs", "snapshot_diff_docs",
-        "delta_validate_docs", "bucket_delta_docs",
-        "range_join_ship_windows", "salted_join_events_segment",
-        "interval_join_orders",
-        "drift_psi_windows", "volume_windows_events",
-        "attribution_join_events", "distinct_windows_events",
-        # TPC-H tail
-        "q9_product_profit", "q11_important_brands", "q13_custdist",
-        "q15_top_supplier", "q18_large_orders", "q19_disjunctive",
-        "q20_promo_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
-        # fuzzy / set-similarity / collocations
-        "edit_distance_parts", "fuzzy_lookup_parts",
-        "setsim_ppjoin_docs", "containment_pairs_docs", "repo_fork_pairs",
-        "pmi_collocations_docs", "assoc_rules_brands",
-        # curation / clustering / survival tail
-        "km_retention_events", "scd2_customers", "kmeans_step_embeddings",
-        "semantic_dedup_keep", "token_budget_docs", "constraint_drift_docs",
+        # new this round — the streaming oracle gate + JPEG pipeline
+        "validate_windowed_events", "ri_stream_events",
+        "neardup_stream_docs", "stateful_dedup_replay",
+        "sessionize_stream_replay", "multimodal_features_jpeg",
+        # materially changed this round (single-pass range-partition plan)
+        "order_dependency_orders",
+        # never driver-attested: dedup / curation families
+        "dedup_clusters", "dedup_keep_docs", "dedup_spans",
+        "semantic_dedup_keep", "winnow_fp_docs", "cdc_chunks_docs",
+        "decontam_overlap", "pii_scrub", "repair_revalidate_docs",
+        "pack_next_fit_bins", "unicode_nfc_docs", "text_normalize_docs",
+        "route_quarantine_docs",
+        # sampling / mixing
+        "temperature_mix_docs", "token_budget_docs", "weighted_sample_docs",
+        "sample_per_lang_docs",
+        # cardinality / stats / profiling
+        "distinct_users_by_type", "key_skew_lineitem", "corr_matrix_lineitem",
+        "skew_profile_events", "missingness_events", "assoc_docs",
+        "embedding_gram_cov",
+        # drift / monitoring / quality screens
+        "constraint_drift_docs", "drift_psi_by_lang", "control_chart_events",
+        "winsorize_events", "out_of_order_events",
+        "transition_violations_events", "char_entropy_docs",
+        "bigram_surprisal_docs", "tfidf_keywords_docs", "code_clone_classes",
+        # retrieval / similarity
+        "bm25_docs", "embedding_compress", "centroid_outliers_emb",
+        # temporal / behavioral analytics
+        "asof_forward_events", "rolling_window_events", "event_cadence",
+        "funnel_windowed_events", "cohort_retention_events",
+        # engine composition keywords
+        "composition_validate",
     ]
     ordered = {n: base[n] for n in attest_first}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)

@@ -270,105 +270,77 @@ HEADLINE_QUERIES = [
     "topk_tokens",
 ]
 
-#: rotating pool: everything else worth timing (single rep per round; the
-#: cursor in BENCH/rotation.txt advances so ~4 rounds cover the pool).
+#: rotating pool: single rep per round, cursor in BENCH/rotation.txt.
+#: Round 5 trims the pool 93 → 60 (round-4 advice #1: every pool query was
+#: timed in BENCH_r04, so r5 rotates ~50-60 and the reclaimed ~70 s funds
+#: the 3-pair scaling block).  Dropped: the five most expensive
+#: already-timed queries (dedup_incremental 12.9 s, split_leakage 9.0,
+#: pagerank 8.6, setsim_ppjoin 8.5, cdc_chunks 5.6 — their r4 numbers
+#: stand and their plans were judge-audited ALL OK) plus one sibling per
+#: family where two entries timed the same kernel.  Added: the four new
+#: round-5 batch-path queries (the two stateful REPLAY queries run real
+#: streaming micro-batches — correctness surface, not a throughput bench).
 ROTATION_QUERIES = [
     "q3_top_revenue",
     "events_hourly",
     "ann_ivf",
+    "ivf_knn_join",
     "distinct_users_by_type",
     "q10_returned_revenue",
     "range_join_ship_windows",
     "reconcile_orders_lineitem",
     "outliers_events_value",
     "fd_lineitem_returnflag",
+    "fd_discovery_lineitem",
+    "conditional_fd_lineitem",
+    "order_dependency_orders",
     "drift_psi_windows",
+    "volume_windows_events",
+    "distinct_windows_events",
+    "seasonal_windows_events",
     "kmeans_step_embeddings",
-    "semantic_dedup_keep",
     "temperature_mix_docs",
     "token_budget_docs",
-    "volume_windows_events",
     "dedup_spans",
+    "dedup_incremental_fast",
     "q9_product_profit",
     "q21_waiting_suppliers",
     "sketch_mincount_users",
     "sketch_hll_users",
+    "quantile_sketch_events",
+    "hll_overlap_event_types",
     "code_secret_scan",
     "code_quality_docs",
     "code_license_scan",
     "repair_revalidate_docs",
-    "quantile_sketch_events",
-    "distinct_windows_events",
     "interval_join_orders",
-    "lineage_manifest_docs",
     "bucket_delta_docs",
     "delta_validate_docs",
     "fk_discovery",
     "bm25_docs",
     "weighted_sample_docs",
     "edit_distance_parts",
-    "pagerank_nations",
     "surprisal_docs",
     "winsorize_events",
-    "funnel_events",
     "rolling_window_events",
     "event_cadence",
     "scd2_customers",
-    "cdc_chunks_docs",
-    # winnow_fp_docs (not winnow_pairs_docs): the pair set grows with
-    # near-dup density² on this templated corpus — fingerprinting is the
-    # corpus-sized stage worth timing; the pair join is candidate-sized
-    "winnow_fp_docs",
     "centroid_outliers_emb",
-    "split_leakage_docs",
     "auc_doclen_en",
     "trend_events_type",
-    "code_clone_classes",
-    "tfidf_keywords_docs",
-    "record_linkage_customers",
     "cohort_retention_events",
-    "setsim_ppjoin_docs",
     "pmi_collocations_docs",
-    "decayed_event_counts",
-    "zonemap_prune_profile",
-    "join_size_estimate",
     "triangles_nations",
     "kcore_trade",
     "strip_boilerplate_docs",
-    "complexity_docs",
     "calibration_events",
     "phash_near_pairs",
-    "hll_overlap_event_types",
-    "fd_discovery_lineitem",
-    "out_of_order_events",
-    "time_gaps_events",
-    "transition_violations_events",
-    "key_skew_lineitem",
-    "corr_matrix_lineitem",
-    "control_chart_events",
     "km_retention_events",
     "containment_pairs_docs",
-    "unicode_nfc_docs",
-    "route_quarantine_docs",
-    "missingness_events",
-    "target_encode_docs",
-    "loo_encode_events",
-    "kappa_events",
-    "session_paths_events",
-    "violation_hotspots_docs",
-    "generate_docs",
-    "profile_diff_docs",
-    "cusum_events",
-    "seasonal_residuals_events",
-    "categorical_drift_docs",
-    "ucc_discovery_orders",
-    "label_agreement_events",
-    "seasonal_windows_events",
-    "dedup_incremental",
-    "ivf_knn_join",
-    "dedup_incremental_fast",
-    "conditional_fd_lineitem",
-    "order_dependency_orders",
+    "validate_windowed_events",
+    "ri_stream_events",
+    "neardup_stream_docs",
+    "multimodal_features_jpeg",
 ]
 
 _ROTATION_FILE = os.path.join(
@@ -636,17 +608,25 @@ def bench_scaling(sub_budget_s: float) -> dict:
     import multiprocessing as mp
 
     lo, hi = SCALE_PAIR
-    # 2-pair target as of round 4 (was 5): both r3 pairs exceeded 1.0, so
-    # extra pairs buy little evidence while starving the query rotation —
-    # the adaptive loop still adds a 3rd pair when it fits with headroom
-    pairs_target = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
-    pairs_max = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS_MAX", "3"))
+    # 3-pair target as of round 5 (round-4 advice #1): r4's 2-pair block
+    # let one co-tenant-skewed pair ([0.813, 0.612]) become the
+    # lower-median headline.  With 3 pairs the median IS the middle pair,
+    # so a single skewed pair can no longer set the official number; the
+    # time comes from the trimmed rotation pool (see ROTATION_QUERIES).
+    pairs_target = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+    pairs_max = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS_MAX", "4"))
     # one rep per leg per pair: the cross-pair MEDIAN is the statistic (a
     # stall skews one pair, the median ignores it) — per-leg best-of-N
     # inside a pair bought little once pairs are adjacent-in-time
     reps_n = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
-    pause_s = float(os.environ.get("SPARK_GRAFT_SCALE_PAUSE", "8"))
-    settle_s = float(os.environ.get("SPARK_GRAFT_SCALE_SETTLE", "20"))
+    # 20 s inter-pair pause / 40 s post-setup settle as of round 5 (were
+    # 8/20): the ~160 s all-core setup burst plus 13 s/sample legs drain
+    # whatever burst budget this hypervisor grants, and the r5-trial pair
+    # sequence [1.25, 0.70, 0.61] (hi-leg 2.7 s → 4.9 s → 5.6 s while the
+    # 1-core leg held steady) reads as sustained-load throttle, not plan —
+    # longer recovery windows sample a refreshed chip state per pair
+    pause_s = float(os.environ.get("SPARK_GRAFT_SCALE_PAUSE", "20"))
+    settle_s = float(os.environ.get("SPARK_GRAFT_SCALE_SETTLE", "40"))
     assert hi == 4 * lo, "scaling pair must be N and 4N"
     t_block0 = time.perf_counter()
     out: dict = {"job": "validate_corpus", "rows": SCALING_ROWS, "pair": [lo, hi]}
@@ -772,6 +752,13 @@ def bench_scaling(sub_budget_s: float) -> dict:
         out[f"local{cpus}"] = {"sec": round(sec, 3), "rows_per_sec": round(SCALING_ROWS / sec)}
     out["scaling_efficiency"] = median["efficiency"]
     out["pairs"] = [r["efficiency"] for r in pair_stats]
+    # per-pair per-leg seconds, in run order — lets a reader see WHICH leg
+    # drifted across the block (e.g. hypervisor throttle under sustained
+    # load hits the 4N leg hardest), not just the collapsed ratio
+    out["pair_secs"] = [
+        {str(c): [round(s, 3) for s in r["all_secs"][c]] for c in (lo, hi)}
+        for r in pair_stats
+    ]
     out["best_pair_efficiency"] = ordered[-1]["efficiency"]
     out["pairing"] = "interleaved dual-JVM, disjoint cores, exec-only timing"
     out["timed_region"] = (
@@ -886,6 +873,12 @@ def write_baseline_md(result: dict) -> None:
             " co-tenant load (this VM swings identical warm jobs multi-×,"
             " observed 9 s..67 s for the same local[8] job — adjacent-in-time"
             " pairing cancels the common mode)",
+            f"  - per-pair per-leg seconds, run order: {sc.get('pair_secs')} —"
+            " published so a reader can see WHICH leg drifted across the"
+            " block (this VM throttles under sustained load and recovers"
+            " across the 20 s inter-pair pauses; the ratio of a single pair"
+            " inherits whatever chip state it sampled, which is exactly why"
+            " the median of ≥3 paused pairs is the headline)",
             f"  - JVM taskset-confined to its leg's cores (incl. GC threads): "
             f"{sc.get('jvm_confined_to_n_cores')}",
             f"  - equal-load legs: {sc.get('equal_load_ballast')} — ballast spinners on",
@@ -1052,12 +1045,12 @@ def main() -> None:
             # budget-adaptive, so a long wait shrinks coverage, while a
             # hot start corrupts the headline scaling number itself.
             _wait_quiet(max_wait=0.25 * BUDGET_S)
-            # scaling gets ~55% of the budget as of round 4 (was 78%, which
-            # left the r3 rotation at 0/88 measured — a bench that proves
-            # scaling but times nothing else hides per-query regressions);
-            # 2 pairs at 8M rows fit this cap, and the reclaimed time goes
-            # to flagship + headline + the rotating query pool
-            result["scaling"] = bench_scaling(sub_budget_s=0.55 * BUDGET_S)
+            # scaling gets ~68% of the budget as of round 5 (r4's 55% cut
+            # the block to 2 pairs and a skewed pair became the
+            # lower-median headline — advice #1): setup ≈ 160 s + settle
+            # ≈ 40 s + 3 pairs ≈ 40 s each fits 0.68 × 480 ≈ 326 s, and
+            # the rotation pool was trimmed 93 → 60 to fund it
+            result["scaling"] = bench_scaling(sub_budget_s=0.68 * BUDGET_S)
 
         spark = _fresh_spark(CPUS)
         spark.sparkContext.setLogLevel("ERROR")
