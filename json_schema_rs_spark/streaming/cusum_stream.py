@@ -1,0 +1,170 @@
+"""Streaming two-sided CUSUM change-point monitor — the stream face of
+``operators/monitoring.cusum_changepoints`` (no reference counterpart:
+the reference is a strictly-batch per-document validator).
+
+Topology: the input is an ALREADY-AGGREGATED metric stream (one row per
+(group, window) — e.g. the windowed counts a drift/volume monitor
+emits).  Structured Streaming allows one stateful operator per query, so
+the aggregation that produces the metric series and the sequential CUSUM
+recurrence cannot share a query; in production the upstream windowed-agg
+job emits the metric rows and this job consumes them — the standard
+metric-pipeline split, not a limitation invented here.
+
+Semantics (bit-parity with the batch operator for in-order input):
+
+* per-group baseline (center, sigma) is computed BATCH-side
+  (:func:`cusum_baselines`, the same ``_baseline_limits`` aggregate the
+  batch operator uses) and rides into the state function as a plain dict
+  — broadcast with the task closure, no join, no lookup state;
+* state per group is the two UNROUNDED partial sums (S⁺, S⁻); outputs
+  round to ``out_round`` exactly like the batch path (the recurrence
+  continues unrounded — rounding state would diverge after ~1 step);
+* rows are sorted (ts, value) within each micro-batch and the recurrence
+  continues across batches from state.  An event arriving in a LATER
+  batch than a newer event of the same group cannot be rewound into the
+  sequence — feed event-time-ordered batches (the replay harness
+  guarantees this; a production feed orders by emitting each window
+  after its watermark closes);
+* groups with no baseline (or σ = 0) — including a NULL group — emit
+  their rows with NULL scores and keep no state, mirroring the batch
+  operator's ``unionByName(missing)`` branch.
+
+Timestamps cross the Arrow boundary as exact int64 microseconds
+(``ts_us``), the sessionize_stream convention — callers convert with
+``F.timestamp_micros`` when they want a timestamp column.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("s_pos", T.DoubleType()),
+        T.StructField("s_neg", T.DoubleType()),
+        T.StructField("alarm_pos", T.BooleanType()),
+        T.StructField("alarm_neg", T.BooleanType()),
+    ]
+)
+
+#: unrounded partial sums
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("s_pos", T.DoubleType()), T.StructField("s_neg", T.DoubleType())]
+)
+
+
+def cusum_baselines(
+    metrics: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    baseline_before: str,
+    out_round: int = 9,
+) -> dict:
+    """Per-group (center, sigma) from rows before ``baseline_before`` —
+    the batch operator's exact ``_baseline_limits`` aggregate, collected
+    (bounded: one row per group).  Groups with σ ≤ 0 are omitted, which
+    routes them to the NULL-score branch downstream."""
+    from json_schema_rs_spark.operators.monitoring import _baseline_limits
+
+    rows = _baseline_limits(
+        metrics, [group_col], ts_col, value_col, baseline_before, out_round
+    ).collect()
+    return {
+        r[group_col]: (float(r["center"]), float(r["sigma_hat"]))
+        for r in rows
+        # a NULL group never equi-joins its baseline in the batch operator
+        # (JOIN USING semantics), so it must miss here too
+        if r[group_col] is not None
+        and r["center"] is not None
+        and r["sigma_hat"] and r["sigma_hat"] > 0
+    }
+
+
+def _make_fn(baselines: dict, kf: float, hf: float, out_round: int,
+             timeout_ms: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        grp = key[0]
+        parts = [p for p in pdfs if not p.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            ["ts_us", "value"], kind="mergesort"
+        )
+        base = baselines.get(grp)
+        if base is None:
+            out = pdf[["ts_us", "value"]].copy()
+            out.insert(0, "group", grp)
+            out["s_pos"] = None
+            out["s_neg"] = None
+            out["alarm_pos"] = None
+            out["alarm_neg"] = None
+            yield out
+            return
+        center, sigma = base
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        s_pos, s_neg = [], []
+        for x in pdf["value"]:
+            z = (float(x) - center) / sigma
+            sp = max(0.0, sp + z - kf)
+            sn = max(0.0, sn - z - kf)
+            s_pos.append(round(sp, out_round))
+            s_neg.append(round(sn, out_round))
+        state.update((sp, sn))
+        state.setTimeoutDuration(timeout_ms)
+        out = pdf[["ts_us", "value"]].copy()
+        out.insert(0, "group", grp)
+        out["s_pos"] = s_pos
+        out["s_neg"] = s_neg
+        out["alarm_pos"] = [s > hf for s in s_pos]
+        out["alarm_neg"] = [s > hf for s in s_neg]
+        yield out
+
+    return fn
+
+
+def cusum_stream(
+    metric_stream: DataFrame,
+    baselines: dict,
+    group_col: str = "group",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 0.5,
+    h: float = 5.0,
+    out_round: int = 9,
+    idle_timeout_hours: float = 24.0,
+) -> DataFrame:
+    """Score a metric stream with the two-sided CUSUM recurrence,
+    continuing S⁺/S⁻ across micro-batches.  Output per input row:
+    ``(group, ts_us, value, s_pos, s_neg, alarm_pos, alarm_neg)`` —
+    identical values to the batch ``cusum_changepoints`` for the same
+    (in-order) rows; parity is pinned in tests/test_cusum_stream.py."""
+    slim = metric_stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("ts_us").isNotNull() & F.col("value").isNotNull())
+    timeout_ms = int(round(idle_timeout_hours * 3600.0 * 1000))
+    return slim.groupBy("group").applyInPandasWithState(
+        _make_fn(dict(baselines), float(k), float(h), out_round, timeout_ms),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
