@@ -1,0 +1,69 @@
+"""MP4 container metadata (operators/mp4.py): box-walk round trips,
+sampling plans from real stts timing, and the probe's NULL routing."""
+
+import pytest
+
+from json_schema_rs_spark.operators.mp4 import (
+    Mp4Meta,
+    encode_mp4_skeleton,
+    mp4_metadata,
+    probe_videos,
+    sample_timestamps_ms,
+)
+
+
+def test_roundtrip_single_rate():
+    p = encode_mp4_skeleton(600, [(24, 25)])  # 24 frames at 24 fps (25 ticks)
+    m = mp4_metadata(p)
+    assert m.timescale == 600
+    assert m.n_samples == 24
+    assert m.duration_ms == 24 * 25 * 1000 // 600  # exactly 1000 ms
+    assert m.sample_deltas == [(24, 25)]
+
+
+def test_roundtrip_variable_rate_and_sampling():
+    m = mp4_metadata(encode_mp4_skeleton(600, [(5, 24), (3, 30)]))
+    assert (m.duration_ms, m.n_samples) == (350, 8)
+    # ticks 0,24,48,72,96,120,150,180 -> ms 0,40,80,120,160,200,250,300;
+    # stride-100 seek points land on the frame at-or-before each target
+    assert sample_timestamps_ms(m, 100) == [0, 80, 200, 300]
+    # stride coarser than the clip: first frame only
+    assert sample_timestamps_ms(m, 10_000) == [0]
+
+
+def test_malformed_payloads():
+    with pytest.raises(ValueError):
+        mp4_metadata(b"\x00\x00\x00\x08free")       # no ftyp
+    with pytest.raises(ValueError):
+        mp4_metadata(b"")
+    # ftyp but no moov = fragmented-style → honest NotImplementedError
+    import struct
+
+    ftyp_only = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    with pytest.raises(NotImplementedError):
+        mp4_metadata(ftyp_only)
+
+
+def test_skips_unknown_boxes():
+    import struct
+
+    p = encode_mp4_skeleton(600, [(4, 30)])
+    free = struct.pack(">I", 12) + b"free" + b"\x00" * 4
+    # unknown boxes before AND after moov are walked over
+    ftyp_end = struct.unpack(">I", p[:4])[0]
+    injected = p[:ftyp_end] + free + p[ftyp_end:] + free
+    assert mp4_metadata(injected).n_samples == 4
+
+
+def test_probe_routes_bad_payloads_to_null(spark):
+    rows = [
+        (1, encode_mp4_skeleton(600, [(10, 60)])),
+        (2, b"not a video at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["duration_ms"], r["n_samples"])
+           for r in probe_videos(df).collect()}
+    assert got[1] == (1000, 10)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
