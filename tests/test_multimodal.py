@@ -385,3 +385,34 @@ def test_png_roundtrip_property():
         assert (got.width, got.height, got.pixels) == (w, h, px)
 
     check()
+
+
+def test_audio_features_integer_exact():
+    # square wave: RMS is exactly the amplitude, crossings sit on block
+    # boundaries — the invariants the audio_features_wav oracle replays
+    from json_schema_rs_spark.operators.multimodal import (
+        audio_feature_extractor,
+        encode_wav,
+    )
+
+    a, h, n, rate = 1234, 5, 1300, 9000
+    samples = [a if (i // h) % 2 == 0 else -a for i in range(n)]
+    rate_out, n_out, dur, rms, zc = audio_feature_extractor(
+        encode_wav(rate, samples)
+    )
+    assert (rate_out, n_out) == (rate, n)
+    assert dur == n * 1000 // rate
+    assert rms == a
+    assert zc == (n - 1) // h
+
+
+def test_extract_audio_features_null_routing(spark):
+    from json_schema_rs_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    rows = [(1, encode_wav(8000, [100, -100] * 50)), (2, b"\xff\xfb\x90junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["rms"] for r in extract_audio_features(df).collect()}
+    assert got[1] == 100 and got[2] is None
