@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Streaming monitoring pipeline (runnable demo):
+
+    python examples/streaming_monitoring_pipeline.py [sf_dir]
+
+The deployment shape for the engine's streaming surface: learn baselines
+from HISTORY in batch, then score a LIVE feed with stream-legal plans —
+here the live feed is the last week of the events table replayed through
+a real Structured Streaming file source in time-ordered micro-batches
+(streaming/replay.py), which is exactly how the oracle gate drives these
+operators.
+
+Monitors wired (each its own streaming query in production; ordered
+replay runs them one at a time here):
+
+1. VALIDATION  — windowed pass/fail/violation counts per event type
+   (streaming/validate_stream.windowed_summary over CHECK constraints);
+2. INTEGRITY   — orphan feed vs the customer dimension
+   (streaming/ri_stream.ri_violations_stream, stream-static broadcast);
+3. DRIFT       — per-window PSI of the value distribution vs the
+   history baseline (streaming/drift_stream.windowed_psi);
+4. CHANGE POINTS — two-sided CUSUM over the hourly volume series with
+   history-learned (center, sigma) baselines carried across micro-batches
+   in state (streaming/cusum_stream.cusum_stream).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import TableSpec, ValidationEngine, get_spark
+from json_schema_rs_spark.operators.drift import histogram
+from json_schema_rs_spark.streaming.cusum_stream import cusum_baselines, cusum_stream
+from json_schema_rs_spark.streaming.drift_stream import windowed_psi
+from json_schema_rs_spark.streaming.replay import range_chunks, replay_chunked_stream
+from json_schema_rs_spark.streaming.ri_stream import ri_violations_stream
+from json_schema_rs_spark.streaming.validate_stream import windowed_summary
+
+CUTOFF = "2024-01-22 00:00:00"
+EDGES = [10.0, 20.0, 40.0, 80.0, 160.0]
+
+
+def run(spark, sf_dir: str, n_chunks: int = 3) -> dict:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    history = events.filter(F.col("ts") < CUTOFF)
+    live = events.filter(F.col("ts") >= CUTOFF)
+
+    # ---- batch side: learn every baseline from history ------------------
+    # Laplace-smoothed bucket proportions (windowed_psi requires strictly
+    # positive baselines); ≤ n_buckets rows reach the driver
+    n_b = len(EDGES) + 1
+    counts = {r["bucket"]: r["cnt"] for r in histogram(history, "value", EDGES).collect()}
+    total = sum(counts.values()) + n_b
+    base_props = [(counts.get(b, 0) + 1) / total for b in range(n_b)]
+    hourly_hist = history.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cusum_base = cusum_baselines(
+        # learned over the WHOLE history window: baseline_before filters
+        # inside, so pass the cutoff and the full hourly frame
+        hourly_hist, "event_type", "hour_ts", "n", CUTOFF,
+    )
+
+    spec = (
+        TableSpec()
+        .add_check("value_nonneg", "value >= 0", observed="value")
+        .add_check("purchase_value_floor", "value > 10",
+                   where="event_type = 'purchase'", observed="value")
+    )
+    engine = ValidationEngine(spec, key_cols=["event_id"], group_col="event_type")
+
+    # ---- stream side: replay the live week in time order ----------------
+    chunked = range_chunks(
+        live.withColumn("__tsu", F.unix_micros(F.col("ts").cast("timestamp"))), "__tsu", n_chunks
+    ).drop("__tsu")
+
+    def replay(transform, name):
+        return replay_chunked_stream(
+            spark, chunked, "__chunk", n_chunks, transform, name=name
+        )
+
+    out = {}
+    out["validation"] = replay(
+        # tight watermark: append-mode windows EMIT only once the
+        # watermark passes their end, so a monitoring feed wants the
+        # smallest late-data allowance it can afford — the final
+        # (still-open) window stays pending in state by design
+        lambda s: windowed_summary(s, engine, "ts", window="1 day",
+                                   watermark="1 minute"),
+        "validate",
+    )
+    out["orphans"] = replay(
+        lambda s: ri_violations_stream(
+            s, "user_id",
+            customers.filter(F.col("c_mktsegment") == "BUILDING"),
+            "c_custkey", key_cols=["event_id"],
+        ),
+        "ri",
+    )
+    out["drift"] = replay(
+        lambda s: windowed_psi(s, "value", "ts", EDGES, base_props,
+                               window="1 day", watermark="1 minute"),
+        "drift",
+    )
+
+    hourly_live = live.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hourly_chunked = range_chunks(
+        hourly_live.withColumn("__tsu", F.unix_micros(F.col("hour_ts").cast("timestamp"))), "__tsu",
+        n_chunks,
+    ).drop("__tsu")
+    out["changepoints"] = replay_chunked_stream(
+        spark, hourly_chunked, "__chunk", n_chunks,
+        lambda s: cusum_stream(s, cusum_base, "event_type", "hour_ts", "n"),
+        name="cusum",
+    )
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="streaming-monitoring", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        out = run(spark, sf_dir)
+        v = out["validation"].agg(
+            F.sum("n_rows").alias("rows"), F.sum("n_failed").alias("failed")
+        ).first()
+        print(f"validation: {v['rows']} live rows scored, {v['failed']} failed")
+        print(f"orphans:    {out['orphans'].count()} rows outside the dimension")
+        worst = out["drift"].orderBy(F.desc("psi")).first()
+        print(f"drift:      worst window PSI {worst['psi']} at {worst['win_start']}")
+        alarms = out["changepoints"].filter(
+            F.col("alarm_pos") | F.col("alarm_neg")
+        ).count()
+        print(f"changepoints: {alarms} alarming hourly points")
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

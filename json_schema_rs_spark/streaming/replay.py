@@ -114,23 +114,48 @@ def replay_chunked_stream(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _await_rows_committed(q, n_rows: int, timeout_s: float = 600.0) -> None:
+def _await_rows_committed(
+    q, n_rows: int, timeout_s: float = 600.0, flush_grace_s: float = 20.0
+) -> None:
     """Block until the running query's progress events account for
-    ``n_rows`` input rows (i.e. the data micro-batch is committed), or the
-    query dies.  See the module docstring for why termination cannot be
-    awaited instead."""
+    ``n_rows`` input rows (the data micro-batch is committed) AND one of:
+
+    * the query terminated on its own (watermark-only aggregations run
+      their NO-DATA flush batch — which emits windows the new watermark
+      just closed — and then stop under AvailableNow);
+    * one further batch committed after the data batch (stateful-timeout
+      queries keep scheduling clock batches forever, so this arrives
+      quickly and stopping after it loses nothing);
+    * ``flush_grace_s`` elapsed (a query that schedules no further batch
+      has nothing left to flush).
+
+    Stopping at the data batch itself (the first version of this helper)
+    silently beheaded watermarked aggregations: their append-mode windows
+    flush in the no-data batch AFTER the one that advanced the watermark.
+    """
     import time
 
     deadline = time.time() + timeout_s
+    n_at_reach = None
+    grace_deadline = None
     while time.time() < deadline:
         if q.exception() is not None:
             raise q.exception()
-        done = 0
-        for p in q.recentProgress:
-            d = p if isinstance(p, dict) else json.loads(p.json)
-            done += int(d.get("numInputRows", 0))
-        if done >= n_rows:
-            return
+        progs = [
+            p if isinstance(p, dict) else json.loads(p.json)
+            for p in q.recentProgress
+        ]
+        done = sum(int(d.get("numInputRows", 0)) for d in progs)
+        if n_at_reach is None and done >= n_rows:
+            n_at_reach = len(progs)
+            grace_deadline = time.time() + flush_grace_s
+        if n_at_reach is not None:
+            if not q.isActive:
+                return
+            if len(progs) > n_at_reach:
+                return
+            if time.time() > grace_deadline:
+                return
         time.sleep(0.2)
     raise TimeoutError(
         f"streaming replay batch did not commit {n_rows} rows in {timeout_s}s"

@@ -1,0 +1,55 @@
+"""examples/streaming_monitoring_pipeline.py — the streaming surface
+wired end-to-end over replayed live data (runnable-demo gate)."""
+
+import importlib.util
+import os
+
+from pyspark.sql import functions as F
+
+_EX = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "examples", "streaming_monitoring_pipeline.py",
+)
+_spec = importlib.util.spec_from_file_location("streaming_monitoring", _EX)
+example = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(example)
+
+
+def test_pipeline_runs_and_monitors_agree_with_batch(spark):
+    out = example.run(spark, "/root/testdata/sf0.001", n_chunks=2)
+
+    # validation: append-mode windows emit once the watermark passes
+    # their end, so the expected coverage is every live row whose DAY
+    # window is closed — i.e. all days strictly before the day of the
+    # max live timestamp (the final window stays pending in state)
+    live = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("ts").isNotNull() & (F.col("ts") >= example.CUTOFF))
+    )
+    max_day = live.agg(F.date_trunc("day", F.max("ts"))).first()[0]
+    closed_rows = live.filter(F.date_trunc("day", "ts") < max_day).count()
+    assert out["validation"].agg(F.sum("n_rows")).first()[0] == closed_rows
+
+    # integrity: the streamed orphan feed equals the batch anti-join
+    batch_orphans = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("ts").isNotNull() & (F.col("ts") >= example.CUTOFF))
+        .join(
+            spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("user_id")),
+            "user_id", "left_anti",
+        )
+        .filter(F.col("user_id").isNotNull())
+        .count()
+    )
+    assert out["orphans"].count() == batch_orphans
+
+    # drift: one PSI row per live day, all finite
+    drift = out["drift"].collect()
+    assert len(drift) >= 5 and all(r["psi"] is not None for r in drift)
+
+    # change points: every scored hourly point for a baselined type
+    # carries non-null partial sums
+    cp = out["changepoints"]
+    assert cp.filter(F.col("s_pos").isNotNull()).count() > 0
