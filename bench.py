@@ -657,15 +657,18 @@ def bench_scaling(sub_budget_s: float) -> dict:
             workers[cpus] = (parent, p)
         # drain BOTH ready messages (with a budget-derived timeout) before
         # any timed sample; a worker that can't set up in time aborts the
-        # block — the bench still emits whatever else it measured.  Workers
-        # set up in PARALLEL, so one absolute deadline covers both: up to
-        # 75% of the block budget — a slow setup squeezes the pair count
-        # (the adaptive loop spends whatever remains, minimum 2 pairs)
-        # rather than aborting the block.
-        setup_deadline = min(
-            t_block0 + max(90.0, sub_budget_s - 40.0),
-            _T0 + BUDGET_S - 75.0,      # global: leave one pair + emission
-        )
+        # block — the bench still emits whatever else it measured.
+        # Deadline policy (round-5 second trial): a slow co-tenant phase put
+        # the 1-core persist+build past the old sub-budget-derived deadline
+        # (~90 s of setup ran ~260 s; the same run's pinned-2M flagship was
+        # 1.7× its quiet-box time, so the whole box was degraded) and the
+        # WHOLE block died with it — the worst possible artifact, no
+        # official efficiency at all.  A slow setup now squeezes the pair
+        # count (the loop below is budget-adaptive, minimum 1 pair) and the
+        # query rotation (floor 20 s) instead of aborting: the only hard
+        # stop is the global bench budget less a reserve sized for one
+        # pair + the pinned-2M flagship + JSON emission.
+        setup_deadline = max(t_block0 + 90.0, _T0 + BUDGET_S - 130.0)
         # SEQUENTIAL setup, long pole (lo) first: measured, the two legs
         # setting up concurrently contend (149 s for the 1-core persist vs
         # ~70 s solo) — back-to-back is strictly faster end-to-end here.
@@ -854,6 +857,22 @@ def write_baseline_md(result: dict) -> None:
             if vc
             else "- not measured this run (budget)"
         ),
+    ]
+    vc8 = result["rows_per_sec"].get("validate_corpus_8m")
+    if vc8:
+        lines += [
+            (
+                f"- local[{CPUS}], overhead-amortized (same job, "
+                f"{result.get('corpus_rows_8m', 0):,} rows — the scaling "
+                f"corpus reused): {vc8:,} rows/sec "
+                f"({result['queries'].get('validate_corpus_8m', '?')} s); the "
+                "2M figure above stays pinned for cross-round comparability "
+                "but carries ~1.5 s of fixed per-job scheduling+scan constant "
+                "— this row is the one to hold against per-core throughput × "
+                "cores"
+            ),
+        ]
+    lines += [
         "",
         "## Two-cluster-size scaling proxy (north rule: efficiency ≥ 0.8 from N to 4N)",
         "",
@@ -1070,6 +1089,28 @@ def main() -> None:
         corpus.unpersist()
         result["queries"]["validate_corpus"] = round(corpus_sec, 3)
         result["rows_per_sec"]["validate_corpus"] = round(corpus_rows / corpus_sec)
+
+        # Overhead-amortized flagship: the SAME job over the 8M-row scaling
+        # corpus already on disk (synthesized for the scaling block, reused
+        # here for free).  The 2M figure stays PINNED for round-over-round
+        # comparability but is fixed-overhead-dominated at local[32] — ~1.5 s
+        # of per-job scheduling + scan constant inside a ~3 s wall, while the
+        # confined 1-core scaling leg sustains ~630k rows/s on ONE core — so
+        # the amortized rows/sec is the one to hold against per-core
+        # throughput × cores.  Input scan+persist is untimed, exactly like
+        # every other flagship rep.
+        marker = os.path.join(SCALE_CORPUS_PATH, "_ROWS")
+        if os.path.exists(marker) and _remaining() > 45:
+            big = spark.read.parquet(SCALE_CORPUS_PATH).persist()
+            big_rows = big.count()
+            reps8 = 2 if _remaining() > 75 else 1
+            big_sec = min(
+                _timed(_validate_corpus_job, spark, big)[0] for _ in range(reps8)
+            )
+            big.unpersist()
+            result["queries"]["validate_corpus_8m"] = round(big_sec, 3)
+            result["corpus_rows_8m"] = big_rows
+            result["rows_per_sec"]["validate_corpus_8m"] = round(big_rows / big_sec)
 
         times, qmeta = bench_queries(spark, floor_s=20.0)
         result["queries"].update(times)

@@ -80,6 +80,14 @@ def bench_block() -> list[str]:
             f"local[32] over {p.get('corpus_rows', 0):,} synthesized rows "
             f"({p['queries'].get('validate_corpus')} s)."
         )
+    vc8_rps = (p.get("rows_per_sec") or {}).get("validate_corpus_8m")
+    if vc8_rps:
+        lines.append(
+            f"* same job, overhead-amortized ({p.get('corpus_rows_8m', 0):,} "
+            f"rows — the scaling corpus reused): **{vc8_rps:,} rows/sec** "
+            f"({p['queries'].get('validate_corpus_8m')} s); the pinned-2M "
+            f"figure carries ~1.5 s of fixed per-job overhead."
+        )
     if sc.get("scaling_efficiency") is not None:
         lo, hi = sc["pair"]
         lines.append(
