@@ -498,18 +498,104 @@ def _confine_jvm(cpus: int, start: int = 0) -> bool:
 
 
 def _ballast_spin(core: int, run, stop) -> None:
-    """Ballast worker: pure-CPU spin on ``core`` while ``run`` is set."""
+    """Ballast worker on ``core``: STREAMS memory rather than spinning in
+    registers (round-5 change).  The leg it equalizes against runs real
+    validation tasks whose working set walks the persisted corpus — cache
+    misses and memory bandwidth included — so a register-only spin left the
+    N leg busier-but-UNCONSTRAINED: under co-tenant bandwidth pressure the
+    4N leg's four memory-hungry task threads shared a starved memory
+    controller while the N leg's lone task ran free, and the measured ratio
+    under-read (observed 0.66 median on a degraded box whose 1-core leg
+    times matched the quiet-box record while the 4-core leg ran ~20%
+    slow).  A real N→4N cluster adds MACHINES — each leg brings its own
+    memory controller; neither real leg shares bandwidth with anything —
+    so equal-bandwidth-pressure legs are the faithful proxy, the same
+    argument as the equal-busy-core-count ballast itself.  A 64 MiB
+    per-core sweep (≫ this chip's LLC share) keeps the ballast's bandwidth
+    demand in the same regime as a validation task; ~10 ms per sweep keeps
+    the run/stop toggle responsive."""
     try:
         os.sched_setaffinity(0, {core})
     except OSError:
         pass
     x = 0
-    while not stop.is_set():
-        if run.is_set():
-            for i in range(200_000):
-                x += i * i
-        else:
-            time.sleep(0.005)
+    try:
+        import numpy as np
+
+        buf = np.arange(8 << 20, dtype=np.int64)   # 64 MiB resident sweep
+        while not stop.is_set():
+            if run.is_set():
+                x += int(buf.sum())
+            else:
+                time.sleep(0.005)
+    except ImportError:                            # register spin fallback
+        while not stop.is_set():
+            if run.is_set():
+                for i in range(200_000):
+                    x += i * i
+            else:
+                time.sleep(0.005)
+
+
+def _box_probe_worker(core: int, sweeps: int, conn) -> None:
+    try:
+        os.sched_setaffinity(0, {core})
+    except OSError:
+        pass
+    import numpy as np
+
+    buf = np.arange(8 << 20, dtype=np.int64)   # 64 MiB, same regime as ballast
+    buf.sum()                                  # fault pages in, untimed
+    x = 0
+    t0 = time.perf_counter()
+    for _ in range(sweeps):
+        x += int(buf.sum())
+    conn.send(time.perf_counter() - t0)
+    conn.close()
+
+
+def _box_probe(ctx, sweeps: int = 400) -> dict | None:
+    """Engine-independent chip-capacity probe (round-5 addition), run inside
+    the scaling block while the legs idle: ONE fixed memory-sweep workload
+    timed solo on core 0, then as FOUR independent copies on cores 0-3.
+    Four independent processes share nothing but the chip, so the per-copy
+    slowdown from solo to 4-way is the box's OWN 1→4-core scaling ceiling
+    at that moment — no engine can measure above it.  Reported in every
+    artifact (scaling.box_probe_pre/post, bracketing the pair loop) so a
+    reader of a degraded-box number can see whether the box or the engine
+    failed to scale.  It is diagnostic context only — it never gates,
+    selects, or reweights the measured pairs."""
+    try:
+        def run(cores: list) -> list:
+            pipes, procs = [], []
+            for c in cores:
+                parent, child = ctx.Pipe()
+                p = ctx.Process(
+                    target=_box_probe_worker, args=(c, sweeps, child), daemon=True
+                )
+                p.start()
+                pipes.append(parent)
+                procs.append(p)
+            secs = []
+            for parent, p in zip(pipes, procs):
+                secs.append(parent.recv() if parent.poll(120) else None)
+                p.join(timeout=5)
+                if p.is_alive():
+                    p.terminate()
+            return secs
+
+        (solo,) = run([0])
+        four = run([0, 1, 2, 3])
+        if solo is None or any(s is None for s in four):
+            return None
+        mean4 = sum(four) / len(four)
+        return {
+            "solo_s": round(solo, 3),
+            "four_s": [round(s, 3) for s in four],
+            "efficiency": round(solo / mean4, 3),
+        }
+    except Exception:
+        return None
 
 
 class _Ballast:
@@ -694,6 +780,7 @@ def bench_scaling(sub_budget_s: float) -> dict:
         # warm-up, not selection.
         time.sleep(min(settle_s, max(0.0, _T0 + BUDGET_S - 70.0 - time.perf_counter())))
 
+        out["box_probe_pre"] = _box_probe(ctx)
         setup_s = time.perf_counter() - t_block0
         for pair_i in range(pairs_max):
             block_elapsed = time.perf_counter() - t_block0
@@ -704,11 +791,18 @@ def bench_scaling(sub_budget_s: float) -> dict:
             global_left = _T0 + BUDGET_S - 45.0 - time.perf_counter()
             if done >= 1 and global_left < per_pair + pause_s:
                 break
-            if done >= 2:
-                fits = block_elapsed + per_pair + pause_s <= sub_budget_s
-                # run to the target; beyond it only with 2×-pair headroom
+            if done >= pairs_target:
+                # the sub-budget gates only pairs BEYOND the 3-pair target
+                # (and needs 2×-pair headroom for them).  Below target, the
+                # global guard above is the only stop: an odd pair count is
+                # what makes the median a real middle pair (the r4 artifact
+                # was a 2-pair block whose lower-median, one co-tenant-skewed
+                # pair, became the official number), so the target outranks
+                # rotation coverage — rotation is explicitly its funding
+                # source, and a squeezed rotation resumes from its cursor
+                # next round while a 2-pair median cannot be repaired.
                 extra_ok = block_elapsed + 2 * (per_pair + pause_s) <= sub_budget_s
-                if not fits or (done >= pairs_target and not extra_ok):
+                if not extra_ok:
                     break
             if pair_i:
                 time.sleep(pause_s)
@@ -733,6 +827,7 @@ def bench_scaling(sub_budget_s: float) -> dict:
                 {"secs": best, "all_secs": sample,
                  "efficiency": round(best[lo] / best[hi] / 4.0, 3)}
             )
+        out["box_probe_post"] = _box_probe(ctx)
     finally:
         if ballast:
             ballast.close()
@@ -900,12 +995,23 @@ def write_baseline_md(result: dict) -> None:
             " the median of ≥3 paused pairs is the headline)",
             f"  - JVM taskset-confined to its leg's cores (incl. GC threads): "
             f"{sc.get('jvm_confined_to_n_cores')}",
-            f"  - equal-load legs: {sc.get('equal_load_ballast')} — ballast spinners on",
-            "    cores DISJOINT from both legs keep the chip in the same",
-            "    busy-core state for every sample (measured: 12-18% per-core",
-            "    penalty at 8 busy cores vs 2 on this VM; 0.98-1.01 with",
-            "    ballast; real N→4N clusters add MACHINES, not busy cores on",
-            "    one chip, so equal-load legs are the faithful proxy).",
+            f"  - equal-load legs: {sc.get('equal_load_ballast')} — MEMORY-STREAMING",
+            "    ballast (64 MiB sweep per core) on cores DISJOINT from both legs",
+            "    keeps the chip in the same busy-core AND memory-bandwidth state",
+            "    for every sample (register-only spin equalized frequency but not",
+            "    the memory controller: under co-tenant bandwidth pressure the 4N",
+            "    leg's four task threads shared a starved controller while the N",
+            "    leg's lone task ran free, under-reading the ratio; real N→4N",
+            "    clusters add MACHINES — each leg brings its own memory",
+            "    controller — so equal-pressure legs are the faithful proxy).",
+            f"  - box probe (engine-independent chip ceiling, same fixed memory-sweep",
+            "    workload solo on 1 core vs 4 independent copies on 4 cores, run",
+            "    while the legs idle, bracketing the pair loop — diagnostic only,",
+            "    never gates or reweights pairs): pre="
+            f"{(sc.get('box_probe_pre') or {}).get('efficiency')}, post="
+            f"{(sc.get('box_probe_post') or {}).get('efficiency')} — if the box",
+            "    itself cannot scale 4 identical independent processes at ≥0.8,",
+            "    no engine measurement on it can read higher.",
             f"  - {sc.get('reps_per_leg_per_pair')} rep per leg per pair, strictly alternating; the",
             "    cross-pair MEDIAN is the headline (a co-tenant stall skews one",
             "    pair, the median ignores it — no best-of stacking).",

@@ -88,6 +88,17 @@ def bench_block() -> list[str]:
             f"({p['queries'].get('validate_corpus_8m')} s); the pinned-2M "
             f"figure carries ~1.5 s of fixed per-job overhead."
         )
+    probes = [
+        (sc.get(k) or {}).get("efficiency")
+        for k in ("box_probe_pre", "box_probe_post")
+    ]
+    if any(p is not None for p in probes):
+        lines.append(
+            f"* box-ceiling probe (engine-independent: 4 identical processes "
+            f"vs 1, bracketing the pair loop): pre={probes[0]}, "
+            f"post={probes[1]} — the chip's own 1→4-core scaling capacity "
+            f"at measurement time; the engine cannot read above it."
+        )
     if sc.get("scaling_efficiency") is not None:
         lo, hi = sc["pair"]
         lines.append(
