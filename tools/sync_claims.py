@@ -88,6 +88,14 @@ def bench_block() -> list[str]:
             f"({p['queries'].get('validate_corpus_8m')} s); the pinned-2M "
             f"figure carries ~1.5 s of fixed per-job overhead."
         )
+    vcf_rps = (p.get("rows_per_sec") or {}).get("validate_corpus_fused_8m")
+    if vcf_rps:
+        lines.append(
+            f"* fused single-action form (all three outputs as one job — the "
+            f"deployment shape, and the exact job the scaling legs measure): "
+            f"**{vcf_rps:,} rows/sec** "
+            f"({p['queries'].get('validate_corpus_fused_8m')} s)."
+        )
     probes = [
         (sc.get(k) or {}).get("efficiency")
         for k in ("box_probe_pre", "box_probe_post")
