@@ -1196,6 +1196,15 @@ def main() -> None:
             # ≈ 40 s + 3 pairs ≈ 40 s each fits 0.68 × 480 ≈ 326 s, and
             # the rotation pool was trimmed 93 → 60 to fund it
             result["scaling"] = bench_scaling(sub_budget_s=0.68 * BUDGET_S)
+            # an aborted block is precisely when the box diagnostic matters
+            # most: probe AFTER bench_scaling so its workers are cleaned up
+            # and the reading reflects ambient state, not our own setup
+            if (result["scaling"] or {}).get("error"):
+                import multiprocessing as _mp
+
+                result["scaling"]["box_probe_on_abort"] = _box_probe(
+                    _mp.get_context("spawn")
+                )
 
         spark = _fresh_spark(CPUS)
         spark.sparkContext.setLogLevel("ERROR")
