@@ -349,6 +349,7 @@ ROTATION_QUERIES = [
     "ri_stream_events",
     "neardup_stream_docs",
     "multimodal_features_jpeg",
+    "video_frames_mp4",
 ]
 
 _ROTATION_FILE = os.path.join(

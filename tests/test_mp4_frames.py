@@ -1,0 +1,166 @@
+"""MJPEG-in-MP4 sample layer: muxer ↔ sample-table parser round trip,
+seek-semantics frame extraction, and the Arrow-batched decode operator.
+
+Reference parity note: the Rust reference has no media layer at all (its
+surface is JSON-schema validation, lib.rs); this family belongs to the
+LLM-pipeline brief — video as an opaque binary column whose container
+index (ISO/IEC 14496-12 sample tables) is parsed for real, with pixel
+decode through the repo's stdlib baseline-JPEG codec (operators/jpeg.py).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from json_schema_rs_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from json_schema_rs_spark.operators.mp4 import (
+    decode_video_frames,
+    encode_mjpeg_mp4,
+    extract_frames_at,
+    mp4_metadata,
+    mp4_sample_table,
+    sample_timestamps_ms,
+)
+
+
+def _gray_frame(w, h, g, quality=90):
+    return encode_jpeg(w, h, bytes((g, g, g)) * (w * h), quality=quality,
+                       grayscale=True)
+
+
+def _mux(grays, delta=200, timescale=1000, w=16, h=8):
+    frames = [_gray_frame(w, h, g) for g in grays]
+    return frames, encode_mjpeg_mp4(
+        frames, timescale=timescale, sample_deltas=[(len(frames), delta)],
+        width=w, height=h,
+    )
+
+
+class TestSampleTable:
+    def test_round_trip(self):
+        frames, mp4 = _mux([10, 100, 200, 250])
+        tab = mp4_sample_table(mp4)
+        assert tab.codec == "jpeg"
+        assert (tab.width, tab.height) == (16, 8)
+        assert tab.timescale == 1000
+        assert tab.sizes == [len(f) for f in frames]
+        assert tab.ts_units == [0, 200, 400, 600]
+        # offsets really address the frame bytes
+        for off, size, frame in zip(tab.offsets, tab.sizes, frames):
+            assert mp4[off : off + size] == frame
+
+    def test_multi_run_stts(self):
+        frames = [_gray_frame(8, 8, g) for g in (1, 2, 3, 4, 5)]
+        mp4 = encode_mjpeg_mp4(
+            frames, timescale=600, sample_deltas=[(2, 60), (3, 30)],
+            width=8, height=8,
+        )
+        tab = mp4_sample_table(mp4)
+        assert tab.ts_units == [0, 60, 120, 150, 180]
+        # mp4_metadata (timing-only layer) agrees with the sample table
+        meta = mp4_metadata(mp4)
+        assert meta.n_samples == 5
+        assert [u * 1000 // tab.timescale for u in tab.ts_units] == [
+            0, 100, 200, 250, 300,
+        ]
+
+    def test_metadata_layer_still_parses_muxed_file(self):
+        _, mp4 = _mux([50, 60], delta=500)
+        meta = mp4_metadata(mp4)
+        assert meta.duration_ms == 1000
+        assert meta.sample_deltas == [(2, 500)]
+
+    def test_stts_count_mismatch_rejected_by_muxer(self):
+        frames = [_gray_frame(8, 8, 9)]
+        with pytest.raises(ValueError, match="stts sample count"):
+            encode_mjpeg_mp4(frames, 1000, [(2, 100)], 8, 8)
+
+    def test_corrupt_stsz_count_raises(self):
+        frames, mp4 = _mux([10, 20, 30])
+        # patch the stsz sample count (last 4 bytes of the fixed header)
+        i = mp4.find(b"stsz")
+        bad = mp4[: i + 12] + struct.pack(">I", 2) + mp4[i + 16 :]
+        with pytest.raises(ValueError, match="stsz sample count"):
+            mp4_sample_table(bad)
+
+    def test_sample_range_past_eof_raises(self):
+        frames, mp4 = _mux([10, 20])
+        truncated = mp4[: len(mp4) - len(frames[-1]) // 2]
+        # moov sits at the tail in this layout — rebuild with moov intact but
+        # a short mdat by patching stco to point past the end instead
+        i = mp4.find(b"stco")
+        bad = mp4[: i + 12] + struct.pack(">I", len(mp4)) + mp4[i + 16 :]
+        with pytest.raises(ValueError, match="past end"):
+            mp4_sample_table(bad)
+        del truncated
+
+    def test_not_mp4_raises(self):
+        with pytest.raises(ValueError):
+            mp4_sample_table(b"\x00" * 32)
+        with pytest.raises(ValueError):
+            mp4_sample_table(b"")
+
+
+class TestExtraction:
+    def test_extract_matches_timestamp_plan(self):
+        grays = [15, 80, 145, 210, 240]
+        frames, mp4 = _mux(grays, delta=100)
+        for every in (50, 100, 150, 250, 1000):
+            got = extract_frames_at(mp4, every)
+            plan = sample_timestamps_ms(mp4_metadata(mp4), every)
+            assert [ts for _, ts, _ in got] == plan
+        # stride 150 over deltas 100: targets 0,150,300 (450 > end) → 0,1,3
+        got = extract_frames_at(mp4, 150)
+        assert [(i, ts) for i, ts, _ in got] == [(0, 0), (1, 100), (3, 300)]
+        for i, _, b in got:
+            assert b == frames[i]
+
+    def test_extracted_frames_decode(self):
+        grays = [40, 128, 250]
+        frames, mp4 = _mux(grays, delta=200)
+        for i, ts, b in extract_frames_at(mp4, 200):
+            w, h, rgb = decode_jpeg(b)
+            assert (w, h) == (16, 8)
+            vals = set(np.frombuffer(rgb, dtype=np.uint8).tolist())
+            assert len(vals) == 1  # constant frame survives the codec
+
+    def test_zero_stride_empty(self):
+        _, mp4 = _mux([7])
+        assert extract_frames_at(mp4, 0) == []
+
+
+class TestDecodeOperator:
+    def test_decode_video_frames(self, spark):
+        import pandas as pd
+
+        vids = {
+            0: ([40, 128], 200),
+            1: ([10, 20, 30], 100),
+        }
+        rows = [
+            (mid, _mux(grays, delta=d)[1]) for mid, (grays, d) in vids.items()
+        ]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = decode_video_frames(media, every_ms=100).orderBy(
+            "media_id", "frame_idx"
+        )
+        got = [tuple(r) for r in out.collect()]
+        # every frame of both videos picked at stride 100
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (0, 0, 0), (0, 1, 200), (1, 0, 0), (1, 1, 100), (1, 2, 200),
+        ]
+        for r in got:
+            assert (r[3], r[4]) == (16, 8)
+        # constant gray survives (these grays are codec fixed points)
+        assert [r[5] for r in got] == [40.0, 128.0, 10.0, 20.0, 30.0]
+
+    def test_unparseable_payload_quarantines(self, spark):
+        media = spark.createDataFrame(
+            [(0, bytearray(b"not a video")), (1, _mux([99], delta=100)[1])],
+            "media_id long, payload binary",
+        )
+        out = decode_video_frames(media, every_ms=100).orderBy("media_id")
+        got = out.collect()
+        assert got[0]["frame_idx"] is None and got[0]["mean_luma"] is None
+        assert got[1]["frame_idx"] == 0 and got[1]["width"] == 16
