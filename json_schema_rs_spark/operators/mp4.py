@@ -254,7 +254,9 @@ class Mp4SampleTable(NamedTuple):
     height: int               # stsd VisualSampleEntry height
     offsets: list             # absolute byte offset of each sample
     sizes: list               # byte size of each sample
-    ts_units: list            # decode timestamp of each sample (media units)
+    ts_units: list            # DECODE timestamp of each sample (media units)
+    keyframes: list           # 0-based sync-sample indices (stss; all if absent)
+    pts_units: list           # PRESENTATION timestamp per sample (dts + ctts)
 
 
 def encode_mjpeg_mp4(
@@ -264,16 +266,28 @@ def encode_mjpeg_mp4(
     width: int,
     height: int,
     movie_timescale: int = 1000,
+    sync_samples: list = None,
+    ctts_offsets: list = None,
 ) -> bytes:
     """Mux JPEG ``frames`` (list of bytes) into a single-track MJPEG MP4
     with a complete sample table.  Layout is ``ftyp | mdat | moov`` so the
     ``stco`` chunk offset (all samples in one chunk at the head of mdat) is
     independent of the moov size — no offset back-patching pass.
     ``sample_deltas`` is the stts run-length table ``[(count, delta), ...]``
-    and must cover exactly ``len(frames)`` samples."""
+    and must cover exactly ``len(frames)`` samples.
+
+    ``sync_samples``: 0-based indices of keyframes → an ``stss`` box
+    (omitted = every frame is a sync sample, the MJPEG reality; supplying
+    one models inter-frame codecs for the keyframe-seek path).
+    ``ctts_offsets``: per-sample composition offsets (media units) → a
+    ``ctts`` box (presentation order ≠ decode order, i.e. B-frames)."""
     n = len(frames)
     if sum(c for c, _ in sample_deltas) != n:
         raise ValueError("stts sample count != number of frames")
+    if ctts_offsets is not None and len(ctts_offsets) != n:
+        raise ValueError("ctts offset count != number of frames")
+    if sync_samples is not None and any(not 0 <= s < n for s in sync_samples):
+        raise ValueError("sync sample index out of range")
 
     def box(btype: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + btype + payload
@@ -306,7 +320,26 @@ def encode_mjpeg_mp4(
         + b"".join(struct.pack(">I", len(f)) for f in frames),
     )
     stco = box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", chunk_offset))
-    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    extra = b""
+    if sync_samples is not None:
+        extra += box(
+            b"stss",
+            struct.pack(">II", 0, len(sync_samples))
+            + b"".join(struct.pack(">I", s + 1) for s in sorted(sync_samples)),
+        )
+    if ctts_offsets is not None:
+        runs = []
+        for off in ctts_offsets:           # run-length encode equal offsets
+            if runs and runs[-1][1] == off:
+                runs[-1][0] += 1
+            else:
+                runs.append([1, off])
+        extra += box(
+            b"ctts",
+            struct.pack(">II", 0x01000000, len(runs))   # version 1: signed
+            + b"".join(struct.pack(">Ii", c, o) for c, o in runs),
+        )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + extra)
     minf = box(b"minf", stbl)
     media_dur = sum(c * d for c, d in sample_deltas)
     movie_dur = media_dur * movie_timescale // max(timescale, 1)
@@ -439,25 +472,76 @@ def mp4_sample_table(payload: bytes) -> Mp4SampleTable:
         for o, z in zip(offsets, sizes):
             if o + z > len(payload):
                 raise ValueError("MP4 sample byte range past end of payload")
-        return Mp4SampleTable(t_scale, codec, width, height, offsets, sizes, ts_units)
+
+        # stss (sync samples): absent ⇒ every sample is a keyframe (spec)
+        ss = _find(payload, *stbl, b"stss")
+        if ss is None:
+            keyframes = list(range(n_samples))
+        else:
+            (n_sync,) = struct.unpack(">I", payload[ss[0] + 4 : ss[0] + 8])
+            keyframes = sorted(
+                struct.unpack(">I", payload[ss[0] + 8 + 4 * i : ss[0] + 12 + 4 * i])[0] - 1
+                for i in range(n_sync)
+            )
+            if keyframes and not 0 <= keyframes[0] <= keyframes[-1] < n_samples:
+                raise ValueError("MP4 stss sync-sample number out of range")
+
+        # ctts (composition offsets): pts = dts + offset; absent ⇒ pts = dts
+        ct = _find(payload, *stbl, b"ctts")
+        if ct is None:
+            pts_units = list(ts_units)
+        else:
+            ver = payload[ct[0]]
+            (n_ct,) = struct.unpack(">I", payload[ct[0] + 4 : ct[0] + 8])
+            pts_units, si2 = [], 0
+            for i in range(n_ct):
+                cnt, off = struct.unpack(
+                    ">Ii" if ver == 1 else ">II",
+                    payload[ct[0] + 8 + 8 * i : ct[0] + 16 + 8 * i],
+                )
+                for _ in range(cnt):
+                    if si2 >= n_samples:
+                        raise ValueError("MP4 ctts covers more samples than stsz")
+                    pts_units.append(ts_units[si2] + off)
+                    si2 += 1
+            if si2 != n_samples:
+                raise ValueError("MP4 ctts covers fewer samples than stsz")
+
+        return Mp4SampleTable(
+            t_scale, codec, width, height, offsets, sizes, ts_units,
+            keyframes, pts_units,
+        )
     raise NotImplementedError("MP4 has no video (vide-handler) track")
 
 
-def extract_frames_at(payload: bytes, every_ms: int) -> list:
+def extract_frames_at(
+    payload: bytes, every_ms: int, keyframes_only: bool = False
+) -> list:
     """Seek-semantics frame extraction: for each ``every_ms`` stride point,
     the LAST sample at-or-before it, deduplicated — the same contract as
     ``sample_timestamps_ms`` but returning the actual frame bytes:
-    ``[(sample_idx, ts_ms, frame_bytes), ...]``."""
+    ``[(sample_idx, ts_ms, frame_bytes), ...]``.
+
+    ``keyframes_only=True`` restricts the candidates to the stss sync
+    samples — the frame a real player can decode WITHOUT reading earlier
+    samples.  For MJPEG (no stss) the two modes are identical; for an
+    inter-frame codec this is the only independently-decodable pick, and
+    it is how a 100 TB sampling job avoids decoding whole GOPs."""
     tab = mp4_sample_table(payload)
     if not tab.ts_units or every_ms <= 0 or tab.timescale == 0:
         return []
+    cand = tab.keyframes if keyframes_only else list(range(len(tab.ts_units)))
+    if not cand:
+        return []
     ts_ms = [u * 1000 // tab.timescale for u in tab.ts_units]
-    picks, i, target = [], 0, 0
-    while target <= ts_ms[-1]:
-        while i + 1 < len(ts_ms) and ts_ms[i + 1] <= target:
-            i += 1
-        if not picks or picks[-1] != i:
-            picks.append(i)
+    end = ts_ms[-1]          # stride horizon stays the full track, both modes
+    picks, ci, target = [], 0, 0
+    while target <= end:
+        while ci + 1 < len(cand) and ts_ms[cand[ci + 1]] <= target:
+            ci += 1
+        idx = cand[ci]
+        if ts_ms[idx] <= target and (not picks or picks[-1] != idx):
+            picks.append(idx)
         target += every_ms
     return [
         (i, ts_ms[i], payload[tab.offsets[i] : tab.offsets[i] + tab.sizes[i]])

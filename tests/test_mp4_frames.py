@@ -130,6 +130,60 @@ class TestExtraction:
         assert extract_frames_at(mp4, 0) == []
 
 
+class TestSyncAndComposition:
+    def test_no_stss_means_all_keyframes(self):
+        _, mp4 = _mux([1, 2, 3])
+        tab = mp4_sample_table(mp4)
+        assert tab.keyframes == [0, 1, 2]
+        assert tab.pts_units == tab.ts_units
+
+    def test_stss_round_trip_and_keyframe_seek(self):
+        grays = [10, 20, 30, 40, 50, 60]
+        frames = [_gray_frame(8, 8, g) for g in grays]
+        mp4 = encode_mjpeg_mp4(
+            frames, timescale=1000, sample_deltas=[(6, 100)], width=8, height=8,
+            sync_samples=[0, 3],
+        )
+        tab = mp4_sample_table(mp4)
+        assert tab.keyframes == [0, 3]
+        # stride 100 all-frames: every frame
+        assert [i for i, _, _ in extract_frames_at(mp4, 100)] == [0, 1, 2, 3, 4, 5]
+        # keyframes only: targets 0..500 land on last sync at-or-before
+        got = extract_frames_at(mp4, 100, keyframes_only=True)
+        assert [(i, ts) for i, ts, _ in got] == [(0, 0), (3, 300)]
+        assert got[1][2] == frames[3]
+
+    def test_first_keyframe_after_t0(self):
+        frames = [_gray_frame(8, 8, g) for g in (5, 6, 7, 8)]
+        mp4 = encode_mjpeg_mp4(
+            frames, timescale=1000, sample_deltas=[(4, 100)], width=8, height=8,
+            sync_samples=[2],
+        )
+        got = extract_frames_at(mp4, 100, keyframes_only=True)
+        # nothing decodable before 200 ms; then the single sync sample once
+        assert [(i, ts) for i, ts, _ in got] == [(2, 200)]
+
+    def test_ctts_presentation_offsets(self):
+        frames = [_gray_frame(8, 8, g) for g in (1, 2, 3, 4)]
+        mp4 = encode_mjpeg_mp4(
+            frames, timescale=1000, sample_deltas=[(4, 100)], width=8, height=8,
+            ctts_offsets=[0, 100, -50, 0],
+        )
+        tab = mp4_sample_table(mp4)
+        assert tab.ts_units == [0, 100, 200, 300]
+        assert tab.pts_units == [0, 200, 150, 300]
+
+    def test_ctts_count_mismatch_rejected(self):
+        frames = [_gray_frame(8, 8, 1)]
+        with pytest.raises(ValueError, match="ctts offset count"):
+            encode_mjpeg_mp4(frames, 1000, [(1, 100)], 8, 8, ctts_offsets=[0, 0])
+
+    def test_stss_out_of_range_rejected(self):
+        frames = [_gray_frame(8, 8, 1)]
+        with pytest.raises(ValueError, match="sync sample index"):
+            encode_mjpeg_mp4(frames, 1000, [(1, 100)], 8, 8, sync_samples=[5])
+
+
 class TestDecodeOperator:
     def test_decode_video_frames(self, spark):
         import pandas as pd
