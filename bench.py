@@ -350,6 +350,7 @@ ROTATION_QUERIES = [
     "neardup_stream_docs",
     "multimodal_features_jpeg",
     "video_frames_mp4",
+    "video_dup_mp4",
 ]
 
 _ROTATION_FILE = os.path.join(
@@ -798,8 +799,21 @@ def bench_scaling(sub_budget_s: float) -> dict:
             # absolute guard: always leave ~45 s for the query phase floor
             # and JSON emission, whatever the sub-budget says
             global_left = _T0 + BUDGET_S - 45.0 - time.perf_counter()
+            pause_eff = pause_s
             if done >= 1 and global_left < per_pair + pause_s:
-                break
+                # BELOW the 3-pair target, sacrifice the recovery pause
+                # before sacrificing the pair: a slow setup on a degraded
+                # box (measured: 128 s 1-core persist) otherwise recreates
+                # the r4 failure mode — an even pair count whose LOWER
+                # median becomes the headline.  A 3rd pair after a short
+                # pause restores a true-middle median; the pause is warm-up
+                # hygiene, the pair is the statistic.
+                if done >= pairs_target or global_left < per_pair + 5.0:
+                    break
+                pause_eff = max(5.0, global_left - per_pair - 2.0)
+                out.setdefault("pause_squeezed", []).append(
+                    {"pair": done, "pause_s": round(pause_eff, 1)}
+                )
             if done >= pairs_target:
                 # the sub-budget gates only pairs BEYOND the 3-pair target
                 # (and needs 2×-pair headroom for them).  Below target, the
@@ -814,7 +828,7 @@ def bench_scaling(sub_budget_s: float) -> dict:
                 if not extra_ok:
                     break
             if pair_i:
-                time.sleep(pause_s)
+                time.sleep(pause_eff)
             # per-leg best-of-`reps_n` INSIDE the pair, strictly alternating
             # (lo,hi,lo,hi): a transient co-tenant stall hits one sub-round's
             # one leg, not both — the per-leg min drops it SYMMETRICALLY

@@ -610,3 +610,68 @@ def decode_video_frames(
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=_FRAMES_SCHEMA
     )
+
+
+def video_signatures(
+    media: DataFrame, every_ms: int = 1000, decoder=None
+) -> DataFrame:
+    """Content signature per video from its DECODED sampled frames:
+    the stride-sampled frames' rounded mean-luma sequence (frame order)
+    is hashed to a portable 52-bit key → ``(media_id, n_frames, sig)``.
+
+    Scale shape: decode is Arrow-batched per payload; the only shuffle is
+    one ``groupBy(media_id)`` whose per-group state is bounded by the
+    SAMPLED frame count (the stride caps it), never the raw track length.
+    Undecodable payloads (NULL quarantine rows) are excluded — they get no
+    signature rather than colliding on a sentinel."""
+    frames = decode_video_frames(media, every_ms, decoder)
+    luma = frames.filter(F.col("frame_idx").isNotNull()).select(
+        "media_id",
+        "frame_idx",
+        F.round(F.col("mean_luma"), 0).cast("long").alias("luma"),
+    )
+    sig = (
+        luma.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("frame_idx", "luma"))),
+                    lambda s: s["luma"].cast("string"),
+                ),
+            ).alias("sig_str"),
+        )
+        .select(
+            "media_id",
+            "n_frames",
+            F.conv(F.substring(F.md5("sig_str"), 1, 13), 16, 10)
+            .cast("bigint")
+            .alias("sig"),
+        )
+    )
+    return sig
+
+
+def video_dup_groups(
+    media: DataFrame, every_ms: int = 1000, decoder=None
+) -> DataFrame:
+    """Exact video-level dedup on decoded content: videos whose sampled
+    frame sequences decode identically share a signature → per video
+    ``(media_id, sig, n_frames, group_size, canonical_id, is_dup)`` where
+    ``canonical_id`` is the smallest media_id of the group (keep-first
+    rule, same convention as dedup.exact_dups).  One extra hash-shuffle on
+    the 64-bit signature — byte-identical re-encodes and container-level
+    copies collapse without any pairwise comparison."""
+    sig = video_signatures(media, every_ms, decoder)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sig")
+    return sig.select(
+        "media_id",
+        "sig",
+        "n_frames",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.min("media_id").over(w).alias("canonical_id"),
+        (F.col("media_id") != F.min("media_id").over(w)).alias("is_dup"),
+    )

@@ -209,6 +209,26 @@ class TestDecodeOperator:
         # constant gray survives (these grays are codec fixed points)
         assert [r[5] for r in got] == [40.0, 128.0, 10.0, 20.0, 30.0]
 
+    def test_video_dup_groups(self, spark):
+        # videos 0 and 2 are content-identical; 1 differs; 3 is undecodable
+        mp4_a = _mux([40, 128], delta=200)[1]
+        mp4_b = _mux([40, 129], delta=200)[1]
+        media = spark.createDataFrame(
+            [(0, mp4_a), (1, mp4_b), (2, mp4_a), (3, bytearray(b"junk"))],
+            "media_id long, payload binary",
+        )
+        from json_schema_rs_spark.operators.mp4 import video_dup_groups
+
+        got = {
+            r["media_id"]: r
+            for r in video_dup_groups(media, every_ms=200).collect()
+        }
+        assert set(got) == {0, 1, 2}  # undecodable video gets no signature
+        assert got[0]["sig"] == got[2]["sig"] != got[1]["sig"]
+        assert got[0]["group_size"] == got[2]["group_size"] == 2
+        assert got[2]["canonical_id"] == 0 and got[2]["is_dup"]
+        assert not got[0]["is_dup"] and not got[1]["is_dup"]
+
     def test_unparseable_payload_quarantines(self, spark):
         media = spark.createDataFrame(
             [(0, bytearray(b"not a video")), (1, _mux([99], delta=100)[1])],
