@@ -1250,7 +1250,12 @@ def main() -> None:
         # throughput × cores.  Input scan+persist is untimed, exactly like
         # every other flagship rep.
         marker = os.path.join(SCALE_CORPUS_PATH, "_ROWS")
-        if os.path.exists(marker) and _remaining() > 45:
+        # entry bar 75 s (was 45): the branch's UNTIMED scan+persist of the
+        # 8M corpus is real wall-clock (~15-20 s on a degraded box) and sat
+        # outside the old guard — measured overshoot 489.6 s of a 480 s
+        # budget.  The 8M/fused figures are bonus amortization evidence; the
+        # pinned 2M flagship above is the headline and always runs.
+        if os.path.exists(marker) and _remaining() > 75:
             big = spark.read.parquet(SCALE_CORPUS_PATH).persist()
             big_rows = big.count()
             reps8 = 2 if _remaining() > 75 else 1

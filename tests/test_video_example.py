@@ -1,0 +1,22 @@
+"""The video curation example (probe → stride decode → exact dedup) as an
+integration check: the quarantine slice is exactly the planted corrupt
+ids, and dedup collapses the corpus to its content classes."""
+
+import subprocess
+import sys
+
+
+def test_video_curation_example():
+    out = subprocess.run(
+        [sys.executable, "examples/video_curation_pipeline.py", "204"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "video pipeline OK" in out.stdout
+    # ids ≡ 3 (mod 17) in [0, 204) → 12 corrupt payloads quarantined
+    assert "quarantined: 12" in out.stdout
+    # 12 content classes, each with ≥1 valid member → 12 canonicals
+    assert "distinct_contents: 12" in out.stdout
+    assert "dupes_dropped: 180" in out.stdout
