@@ -349,6 +349,7 @@ ROTATION_QUERIES = [
     "ri_stream_events",
     "neardup_stream_docs",
     "multimodal_features_jpeg",
+    "multimodal_features_jpeg_prog",
     "video_frames_mp4",
     "video_dup_mp4",
 ]

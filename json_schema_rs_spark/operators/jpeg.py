@@ -3,19 +3,26 @@
 (multimodal.py's decoder chain; a real multimodal corpus is mostly JPEG).
 
 Decoder (``decode_jpeg``): baseline sequential DCT (SOF0, and SOF1 —
-extended sequential shares the decode path), 8-bit samples, 1 or 3
-components, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart
-markers, multiple DQT/DHT segments.  Huffman and quantization tables are
-read FROM THE FILE (DHT/DQT), so arbitrary baseline files decode — the
-in-module table constants below are only what the encoder writes.
-Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
-profiles raise ``NotImplementedError`` (the multimodal decoder chain then
-tries Pillow, keeping the documented injection seam for the exotic tail).
+extended sequential shares the decode path) AND progressive DCT (SOF2,
+ITU-T T.81 Annex G: spectral selection + successive approximation, EOB
+runs, inter-scan DHT/DRI — see the progressive section below), 8-bit
+samples, 1 or 3 components, sampling factors 1–2 (4:4:4 / 4:2:2 /
+4:2:0), restart markers, multiple DQT/DHT segments.  Huffman and
+quantization tables are read FROM THE FILE (DHT/DQT), so arbitrary
+baseline and progressive files decode — the in-module table constants
+below are only what the encoder writes.  Arithmetic coding, 12-bit
+precision and hierarchical profiles raise ``NotImplementedError`` (the
+multimodal decoder chain then tries Pillow, keeping the documented
+injection seam for the exotic tail).
 
-Encoder (``encode_jpeg``): the fixture generator and round-trip partner —
-Annex-K tables scaled by the libjpeg quality formula, standard Huffman
-tables, optional 4:2:0 subsampling (exercises the decoder's upsampling
-path) and optional restart intervals (exercises RST resync).
+Encoder (``encode_jpeg`` / ``encode_jpeg_progressive``): the fixture
+generators and round-trip partners — Annex-K tables scaled by the
+libjpeg quality formula, standard Huffman tables, optional 4:2:0
+subsampling (exercises the decoder's upsampling path), optional restart
+intervals (exercises RST resync), and the libjpeg default progressive
+scan script (exercises every Annex-G scan kind; a fully-refined
+progressive file decodes byte-identically to the baseline encoding of
+the same image, which is what tests/test_jpeg_progressive.py pins).
 
 Portability contract (what lets a constant-color payload's decode be
 replayed bit-exactly by a SQL oracle): every rounding in the pixel path
@@ -263,6 +270,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     ac_tabs: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None
+    progressive = False
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -299,9 +307,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2 progressive DCT
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = (w, h, comps)
+            progressive = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/arithmetic/hierarchical); "
+                "non-baseline JPEG (arithmetic/hierarchical/lossless); "
                 "inject a library decoder via extract_features(decoder=...)"
             )
         elif marker == 0xDD:  # DRI
@@ -309,6 +327,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if progressive:
+                # hand the WHOLE scan sequence (this SOS onward, incl.
+                # inter-scan DHT/DRI) to the progressive loop
+                return _decode_progressive(
+                    payload, pos, frame, qts, dc_tabs, ac_tabs,
+                    restart_interval,
+                )
             ns = seg[0]
             scan_sel = {}
             for c in range(ns):
@@ -392,6 +417,246 @@ def _unzigzag(zz: list[int]) -> list[int]:
     for i, pos in enumerate(ZIGZAG):
         nat[pos] = zz[i]
     return nat
+
+
+# -- progressive decoder (ITU-T T.81 Annex G) ---------------------------------
+#
+# Progressive JPEG sends the SAME quantized coefficients as baseline, split
+# across scans two ways: SPECTRAL SELECTION (each AC scan carries a zigzag
+# band [Ss, Se] of ONE component; DC scans may interleave components) and
+# SUCCESSIVE APPROXIMATION (first scans send coefficients truncated to
+# magnitude >> Al; refinement scans append one magnitude bit per
+# coefficient, Ah = previous Al).  Coefficients accumulate in per-component
+# zigzag-indexed integer arrays across scans; dequantization + IDCT happen
+# ONCE at EOI.  Because the approximation is exact once every bit has been
+# sent, a fully-refined progressive file decodes to the byte-identical
+# pixels of the baseline encoding of the same quantized coefficients —
+# which is precisely what the round-trip tests pin.
+
+
+def _decode_progressive(data, pos, frame, qts, dc_tabs, ac_tabs, ri):
+    """Decode all scans from the first SOS (``data[pos]`` is its 0xFF) to
+    EOI, then reconstruct.  DHT and DRI segments between scans apply to
+    subsequent scans, per the spec."""
+    w, h, comps = frame
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component JPEG not supported")
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise NotImplementedError("sampling factors beyond 2 not supported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_id = {}
+    for c in comps:
+        # actual block grid (non-interleaved scans) and MCU-padded grid
+        # (interleaved DC scans write into the padded area too)
+        c["bw"] = -(-(w * c["h"]) // (8 * hmax))
+        c["bh"] = -(-(h * c["v"]) // (8 * vmax))
+        c["coef"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        by_id[c["id"]] = c
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:  # DHT between scans
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = _HuffTable(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI between scans
+            (ri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_comps, sel = [], {}
+            for c in range(ns):
+                cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cs not in by_id:
+                    raise ValueError(f"JPEG scan names unknown component {cs}")
+                scan_comps.append(by_id[cs])
+                sel[cs] = (tabs >> 4, tabs & 0x0F)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            pos = _progressive_scan(
+                data, pos + 2 + seglen, scan_comps, sel, ss, se, ah, al,
+                ri, mcus_x, mcus_y, dc_tabs, ac_tabs,
+            )
+            continue
+        pos += 2 + seglen
+
+    planes = []
+    for c in comps:
+        qt = np.array(_unzigzag(qts[c["tq"]]), dtype=np.float64).reshape(8, 8)
+        bh, bw = c["coef"].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        nat = np.empty(64, dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                zz = c["coef"][by, bx]
+                for i, p in enumerate(ZIGZAG):
+                    nat[p] = zz[i]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ (nat.reshape(8, 8) * qt) @ _C
+                )
+        planes.append(plane)
+    return _planes_to_rgb(planes, comps, w, h, hmax, vmax)
+
+
+def _next_marker(data, pos):
+    """Position of the next non-RST, non-stuffing marker at/after pos."""
+    while pos + 1 < len(data):
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] not in (0x00,)
+            and not 0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _progressive_scan(
+    data, pos, scan_comps, sel, ss, se, ah, al, ri, mcus_x, mcus_y,
+    dc_tabs, ac_tabs,
+):
+    """One progressive scan's entropy data; returns the position of the
+    next marker after it.  DC scans (Ss=0) may interleave components; AC
+    scans carry exactly one component and maintain an EOB run."""
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        pred = {c["id"]: 0 for c in scan_comps}
+
+        def dc_block(c, by, bx):
+            coef = c["coef"][by, bx]
+            if ah == 0:
+                t = dc_tabs[sel[c["id"]][0]].decode(br)
+                pred[c["id"]] += _extend(br.receive(t), t)
+                coef[0] = pred[c["id"]] << al
+            elif br.read_bit():
+                coef[0] |= 1 << al
+
+        if len(scan_comps) > 1:  # interleaved: MCU order over the full grid
+            n_mcus = mcus_x * mcus_y
+            for mcu in range(n_mcus):
+                if ri and mcu and mcu % ri == 0:
+                    br.resync()
+                    pred = {c["id"]: 0 for c in scan_comps}
+                my, mx = divmod(mcu, mcus_x)
+                for c in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_block(c, my * c["v"] + by, mx * c["h"] + bx)
+        else:  # non-interleaved: the component's OWN block grid
+            c = scan_comps[0]
+            n_blocks = c["bw"] * c["bh"]
+            for b in range(n_blocks):
+                if ri and b and b % ri == 0:
+                    br.resync()
+                    pred = {c["id"]: 0}
+                dc_block(c, *divmod(b, c["bw"]))
+        return _next_marker(data, br.pos)
+
+    # AC scan: exactly one component, non-interleaved (T.81 G.1.1.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c = scan_comps[0]
+    ac = ac_tabs[sel[c["id"]][1]]
+    n_blocks = c["bw"] * c["bh"]
+    for b in range(n_blocks):
+        if ri and b and b % ri == 0:
+            br.resync()
+            state["eobrun"] = 0
+        by, bx = divmod(b, c["bw"])
+        coef = c["coef"][by, bx]
+        if ah == 0:
+            _ac_first(br, ac, coef, ss, se, al, state)
+        else:
+            _ac_refine(br, ac, coef, ss, se, al, state)
+    return _next_marker(data, br.pos)
+
+
+def _ac_first(br, ac, coef, ss, se, al, state):
+    """First AC scan for a band: EOB runs, ZRL, new coefficients << Al."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            # EOBn: run of (1<<r)-1 + extension MORE all-done blocks
+            state["eobrun"] = (1 << r) - 1 + (br.receive(r) if r else 0)
+            return
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        coef[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, ac, coef, ss, se, al, state):
+    """AC refinement scan (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine):
+    every nonzero-history coefficient PASSED — including inside ZRL gaps
+    and EOB runs — consumes one correction bit; new nonzeros arrive with
+    magnitude 1 and a sign bit."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    # EOBn WITHOUT the -1: the CURRENT block still consumes
+                    # correction bits for its remaining nonzero history in
+                    # the band (the eobrun>0 tail below), then decrements
+                    state["eobrun"] = (1 << r) + (br.receive(r) if r else 0)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if br.read_bit() else m1
+            else:
+                raise ValueError("progressive AC refinement with s > 1")
+            while k <= se:
+                cur = int(coef[k])
+                if cur != 0:
+                    if br.read_bit() and not cur & p1:
+                        coef[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        if val:
+                            coef[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:  # EOB region: correction bits only
+            cur = int(coef[k])
+            if cur != 0 and br.read_bit() and not cur & p1:
+                coef[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
 
 
 def _planes_to_rgb(planes, comps, w, h, hmax, vmax) -> tuple[int, int, bytes]:
@@ -634,3 +899,266 @@ def _encode_block(bw, blk, qt, dc_codes, ac_codes, pred, ci) -> None:
     if last_nz < 63:
         code, length = ac_codes[0x00]  # EOB
         bw.write(code, length)
+
+
+# -- progressive encoder (fixture generator for the Annex-G decoder) ----------
+#
+# Writes the SAME quantized coefficients as the baseline encoder, split
+# across a libjpeg-style scan script (spectral selection + successive
+# approximation, fully refined down to Al=0) — so the progressive file
+# decodes to pixels BYTE-IDENTICAL to the baseline encoding of the same
+# image at the same quality, which is what the round-trip tests pin.
+# Standard Huffman tables only, so EOB runs are emitted with length 1
+# (EOB0); the decoder's EOBRUN>1 path is pinned separately by a
+# hand-built stream in the tests.
+
+#: libjpeg's default progressive scan script (component indices, Ss, Se,
+#: Ah, Al) for one and three components
+_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 1, 63, 1, 0),
+    ([0], 0, 0, 1, 0),
+]
+_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([1], 1, 63, 0, 1),
+    ([2], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([1], 1, 63, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+    ([0, 1, 2], 0, 0, 1, 0),
+]
+
+
+def _quantize_block(blk: np.ndarray, qt: np.ndarray) -> list[int]:
+    """Zigzag-ordered quantized coefficients — the baseline encoder's
+    exact arithmetic (shared rounding contract)."""
+    coef = _C @ (blk - 128.0) @ _C.T
+    q = coef / qt
+    return [_half_away(q.flat[ZIGZAG[i]]) for i in range(64)]
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quality: int = 90,
+    subsample: bool = False,
+    grayscale: bool = False,
+) -> bytes:
+    """Encode row-major RGB bytes as a PROGRESSIVE JFIF JPEG (SOF2) using
+    the libjpeg default scan script.  Same plane preparation, quantization
+    and tables as ``encode_jpeg`` — only the entropy layout differs."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixel buffer size mismatch")
+    qt_lum, qt_chrom = quality_tables(quality)
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    y = np.clip(np.floor(
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2] + 0.5
+    ), 0, 255)
+
+    q_lum = np.array(_unzigzag(qt_lum), dtype=np.float64).reshape(8, 8)
+    q_chrom = np.array(_unzigzag(qt_chrom), dtype=np.float64).reshape(8, 8)
+
+    def pad(plane, ph, pw):
+        return np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+
+    if grayscale:
+        comps = [{"h": 1, "v": 1, "qt": q_lum, "plane": y, "tq": 0}]
+        script = _PROG_SCRIPT_GRAY
+    else:
+        cb = np.clip(np.floor(
+            128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 0.5
+        ), 0, 255)
+        cr = np.clip(np.floor(
+            128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 0.5
+        ), 0, 255)
+        if subsample:
+            ch_h, ch_w = -(-height // 2), -(-width // 2)
+            cb = np.floor(_pool2(pad(cb, 2 * ch_h, 2 * ch_w)) + 0.5)
+            cr = np.floor(_pool2(pad(cr, 2 * ch_h, 2 * ch_w)) + 0.5)
+        hs = vs = 2 if subsample else 1
+        comps = [
+            {"h": hs, "v": vs, "qt": q_lum, "plane": y, "tq": 0},
+            {"h": 1, "v": 1, "qt": q_chrom, "plane": cb, "tq": 1},
+            {"h": 1, "v": 1, "qt": q_chrom, "plane": cr, "tq": 1},
+        ]
+        script = _PROG_SCRIPT_COLOR
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        bh, bw_ = mcus_y * c["v"], mcus_x * c["h"]
+        p = pad(c["plane"], bh * 8, bw_ * 8)
+        c["zz"] = [
+            [
+                _quantize_block(
+                    p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], c["qt"]
+                )
+                for bx in range(bw_)
+            ]
+            for by in range(bh)
+        ]
+        c["bw"] = -(-(width * c["h"]) // (8 * hmax))
+        c["bh"] = -(-(height * c["v"]) // (8 * vmax))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qt_lum))
+    if not grayscale:
+        out += seg(0xDB, bytes([1]) + bytes(qt_chrom))
+    ncomp = len(comps)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for i, c in enumerate(comps):
+        sof += bytes([i + 1, (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT
+    tables = [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
+    if not grayscale:
+        tables += [(0, 1, _DC_CHROM), (1, 1, _AC_CHROM)]
+    for cls, tid, (bits, vals) in tables:
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    dc_codes = [_enc_table(*_DC_LUM)] + [_enc_table(*_DC_CHROM)] * (ncomp - 1)
+    ac_codes = [_enc_table(*_AC_LUM)] + [_enc_table(*_AC_CHROM)] * (ncomp - 1)
+
+    for comp_idxs, ss, se, ah, al in script:
+        body = bytes([len(comp_idxs)])
+        for i in comp_idxs:
+            tid = 0 if i == 0 else 1
+            body += bytes([i + 1, (tid << 4) | tid])
+        body += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, body)
+        bw = _BitWriter()
+        if ss == 0:
+            _prog_encode_dc(
+                bw, [comps[i] for i in comp_idxs],
+                [dc_codes[i] for i in comp_idxs], ah, al, mcus_x, mcus_y,
+            )
+        else:
+            _prog_encode_ac(bw, comps[comp_idxs[0]], ac_codes[comp_idxs[0]],
+                            ss, se, ah, al)
+        bw.pad_to_byte()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _prog_encode_dc(bw, scan_comps, codes, ah, al, mcus_x, mcus_y):
+    interleaved = len(scan_comps) > 1
+    if ah == 0:
+        pred = [0] * len(scan_comps)
+
+    def one(ci, c, by, bx):
+        dc = c["zz"][by][bx][0]
+        if ah == 0:
+            v = dc >> al            # arithmetic shift, like libjpeg
+            diff = v - pred[ci]
+            pred[ci] = v
+            t, bits = _magnitude(diff)
+            code, length = codes[ci][t]
+            bw.write(code, length)
+            if t:
+                bw.write(bits, t)
+        else:
+            bw.write((dc >> al) & 1, 1)
+
+    if interleaved:
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, c in enumerate(scan_comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        one(ci, c, my * c["v"] + by, mx * c["h"] + bx)
+    else:
+        c = scan_comps[0]
+        for b in range(c["bw"] * c["bh"]):
+            one(0, c, *divmod(b, c["bw"]))
+
+
+def _prog_encode_ac(bw, c, codes, ss, se, ah, al):
+    if ah == 0:
+        _prog_encode_ac_first(bw, c, codes, ss, se, al)
+    else:
+        _prog_encode_ac_refine(bw, c, codes, ss, se, al)
+
+
+def _prog_encode_ac_first(bw, c, codes, ss, se, al):
+    for b in range(c["bw"] * c["bh"]):
+        by, bx = divmod(b, c["bw"])
+        zz = c["zz"][by][bx]
+        run = 0
+        emitted = False
+        for k in range(ss, se + 1):
+            t = abs(zz[k]) >> al    # point transform on the magnitude
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            s, _ = _magnitude(t)
+            v = t if zz[k] > 0 else -t
+            _, bits = _magnitude(v)
+            code, length = codes[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(bits, s)
+            run = 0
+            emitted = True
+        if run > 0 or not emitted:
+            code, length = codes[0x00]      # EOB0 (run length 1)
+            bw.write(code, length)
+
+
+def _prog_encode_ac_refine(bw, c, codes, ss, se, al):
+    """libjpeg encode_mcu_AC_refine with EOB runs fixed at 1: correction
+    bits buffer behind the next emitted symbol."""
+    for b in range(c["bw"] * c["bh"]):
+        by, bx = divmod(b, c["bw"])
+        zz = c["zz"][by][bx]
+        run = 0
+        pending: list[int] = []
+        any_nonzero = False
+        for k in range(ss, se + 1):
+            t = abs(zz[k]) >> al
+            if t == 0:
+                run += 1
+                continue
+            # ZRLs are due at ANY nonzero position (libjpeg
+            # encode_mcu_AC_refine): emitting them here — BEFORE buffering
+            # this position's own bit — keeps every buffered correction bit
+            # on the decoder's side of the 16-zero stretch its ZRL covers
+            while run > 15:
+                code, length = codes[0xF0]
+                bw.write(code, length)
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+                run -= 16
+            if t > 1:               # nonzero history: append correction bit
+                pending.append(t & 1)
+                continue
+            # newly nonzero at this level (magnitude exactly 1)
+            code, length = codes[(run << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if zz[k] > 0 else 0, 1)
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+            run = 0
+            any_nonzero = True
+        if run > 0 or pending or not any_nonzero:
+            code, length = codes[0x00]      # EOB0
+            bw.write(code, length)
+            for bit in pending:
+                bw.write(bit, 1)

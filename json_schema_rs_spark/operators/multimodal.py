@@ -249,8 +249,10 @@ def decode_image(payload: bytes) -> DecodedImage:
     injection seam.
 
     Was a pure stub through round 2; PPM/BMP landed in round 3, the PNG
-    inflate path in round 4, and baseline JPEG in round 5 — the remaining
-    library-backed tail is progressive/arithmetic JPEG, WebP and friends.
+    inflate path in round 4, baseline JPEG in round 5 and progressive
+    JPEG (SOF2, spectral selection + successive approximation) in the
+    round-5 continuation — the remaining library-backed tail is
+    arithmetic-coded JPEG, WebP and friends.
     """
     if payload is None or len(payload) < 2:
         raise ValueError("empty image payload")

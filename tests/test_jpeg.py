@@ -91,9 +91,10 @@ def test_truncated_jpeg_raises_value_error():
         decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
-def test_progressive_marker_names_the_seam():
-    # SOF2 (progressive) is the one family still library-backed
-    payload = b"\xff\xd8" + b"\xff\xc2" + (17).to_bytes(2, "big") + bytes(15)
+def test_arithmetic_marker_names_the_seam():
+    # SOF9 (arithmetic) stays library-backed; SOF2 (progressive) decodes
+    # natively as of round 5 — see test_jpeg_progressive.py
+    payload = b"\xff\xd8" + b"\xff\xc9" + (17).to_bytes(2, "big") + bytes(15)
     with pytest.raises(NotImplementedError):
         decode_jpeg(payload)
 
@@ -157,11 +158,16 @@ def test_pillow_cross_validation():
     Image = pytest.importorskip("PIL.Image", reason="Pillow not installed")
     import io
 
+    from json_schema_rs_spark.operators.jpeg import encode_jpeg_progressive
+
     w, h = 23, 17
     px = _gradient(w, h)
-    enc = encode_jpeg(w, h, px, quality=90)
-    ours = decode_jpeg(enc)[2]
-    with Image.open(io.BytesIO(enc)) as im:
-        theirs = im.convert("RGB").tobytes()
-    # libjpeg uses an integer IDCT approximation; ±4 covers it
-    assert _err(ours, theirs).max() <= 4
+    for enc in (
+        encode_jpeg(w, h, px, quality=90),
+        encode_jpeg_progressive(w, h, px, quality=90),
+    ):
+        ours = decode_jpeg(enc)[2]
+        with Image.open(io.BytesIO(enc)) as im:
+            theirs = im.convert("RGB").tobytes()
+        # libjpeg uses an integer IDCT approximation; ±4 covers it
+        assert _err(ours, theirs).max() <= 4

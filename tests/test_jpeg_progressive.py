@@ -1,0 +1,271 @@
+"""Progressive JPEG (SOF2, ITU-T T.81 Annex G): spectral selection +
+successive approximation decode, pinned two independent ways:
+
+1. ROUND TRIP vs baseline: progressive sends the SAME quantized
+   coefficients as baseline, split across scans; once every refinement
+   bit has been sent the approximation is exact, so
+   ``decode(progressive(img)) == decode(baseline(img))`` BYTE-IDENTICAL
+   at the same quality — over random noise (dense coefficients), smooth
+   gradients (long EOB runs), flats and checkerboards, at 1..3
+   components and 4:4:4 / 4:2:0.
+2. HAND-BUILT streams for the paths the standard-table encoder cannot
+   emit (EOB runs > 1 need EOBn codes absent from the Annex-K tables):
+   a custom-DHT stream using EOB1 must decode identically to the
+   EOB0-per-block stream carrying the same coefficients — in first AND
+   refinement scans (the latter's EOB region consumes correction bits
+   across blocks).
+
+Reference parity note: the Rust reference has no media layer (its
+surface is JSON-schema validation); this belongs to the LLM-pipeline
+multimodal brief — progressive JPEG is the largest real-corpus format
+the decoder chain previously routed to the Pillow seam.
+"""
+
+import numpy as np
+import pytest
+
+from json_schema_rs_spark.operators.jpeg import (
+    _AC_LUM,
+    _BitWriter,
+    _DC_LUM,
+    _enc_table,
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+
+
+def _rand_rgb(w, h, seed):
+    return np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    ).tobytes()
+
+
+def _gradient_rgb(w, h):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((xx * 255 // max(w - 1, 1) + yy * 128 // max(h - 1, 1)) // 2).astype(
+        np.uint8
+    )
+    return np.stack([img, np.roll(img, 3, axis=1), 255 - img], axis=2).tobytes()
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize(
+        "w,h,gray,sub,q",
+        [
+            (16, 16, True, False, 90),
+            (8, 8, False, False, 75),
+            (24, 17, False, False, 75),   # multi-block, partial edge MCUs
+            (19, 13, False, True, 85),    # 4:2:0 + odd dimensions
+            (32, 9, True, False, 50),
+            (40, 40, False, False, 95),
+            (17, 24, False, True, 25),    # coarse quant → heavy EOB traffic
+            (1, 1, False, False, 90),
+            (64, 48, False, True, 10),
+        ],
+    )
+    def test_progressive_equals_baseline(self, w, h, gray, sub, q):
+        px = _rand_rgb(w, h, seed=w * 1000 + h * 10 + q)
+        base = decode_jpeg(
+            encode_jpeg(w, h, px, quality=q, subsample=sub, grayscale=gray)
+        )
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                w, h, px, quality=q, subsample=sub, grayscale=gray
+            )
+        )
+        assert base == prog
+
+    def test_smooth_images_exercise_eob_paths(self):
+        # gradients/flats quantize to sparse blocks → EOB0 and ZRL traffic
+        for w, h, sub in [(64, 48, False), (64, 48, True), (80, 60, False)]:
+            px = _gradient_rgb(w, h)
+            assert decode_jpeg(
+                encode_jpeg(w, h, px, quality=85, subsample=sub)
+            ) == decode_jpeg(
+                encode_jpeg_progressive(w, h, px, quality=85, subsample=sub)
+            )
+        flat = bytes([137, 20, 220]) * (80 * 60)
+        assert decode_jpeg(encode_jpeg(80, 60, flat, quality=90)) == decode_jpeg(
+            encode_jpeg_progressive(80, 60, flat, quality=90)
+        )
+
+    def test_sof2_header_is_progressive(self):
+        payload = encode_jpeg_progressive(8, 8, bytes(192), quality=90)
+        assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+        # multiple SOS markers: one per scan of the script
+        assert payload.count(b"\xff\xda") >= 6
+
+
+# -- hand-built streams: EOB runs > 1 -----------------------------------------
+#
+# Standard AC tables carry only EOB0 (0x00), so the encoder above always
+# ends blocks one at a time.  Real progressive files use EOBn: one symbol
+# ends up to 2^n blocks.  These streams are built with a custom DHT whose
+# table includes 0x10 (EOB1) and pin the decoder's run accounting against
+# the EOB0-per-block stream carrying identical coefficients.
+
+# custom AC table: symbols 0x00 (EOB0), 0x10 (EOB1), 0x01, 0x11, 0xF0 (ZRL)
+_AC_CUSTOM = ([0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+              [0x00, 0x10, 0x01, 0x11, 0xF0])
+
+
+def _headers(w, h, ac_spec):
+    out = bytearray(b"\xff\xd8")
+    # quant step 16: a ±1 coefficient refinement moves pixels by several
+    # levels, so wrong correction-bit routing shows up in the bytes
+    qt = bytes([16] * 64)
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + qt
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, ac_spec)):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    return out
+
+
+def _sos(ncomp_body, ss, se, ah, al):
+    body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+    return b"\xff\xda" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _dc_scan(dcs, al=0):
+    """Interleave-free DC first scan for a 1-component image."""
+    bw = _BitWriter()
+    codes = _enc_table(*_DC_LUM)
+    pred = 0
+    from json_schema_rs_spark.operators.jpeg import _magnitude
+
+    for dc in dcs:
+        v = dc >> al
+        diff = v - pred
+        pred = v
+        t, bits = _magnitude(diff)
+        code, length = codes[t]
+        bw.write(code, length)
+        if t:
+            bw.write(bits, t)
+    bw.pad_to_byte()
+    return bytes(bw.out)
+
+
+class TestEobRuns:
+    def test_eob1_first_scan_matches_eob0(self):
+        # 24x8 gray, 3 blocks; AC band (1,63) at Al=0.
+        # coefficients: block0 has AC[1]=+1; blocks 1-2 all-zero.
+        codes = _enc_table(*_AC_CUSTOM)
+
+        def ac_scan(use_eob1):
+            bw = _BitWriter()
+            code, length = codes[0x01]  # (run 0, size 1)
+            bw.write(code, length)
+            bw.write(1, 1)              # +1
+            if use_eob1:
+                # EOB1 + extension bit 1 → run of (1<<1)+1 = 3 blocks:
+                # rest of block0, block1, block2 — ONE symbol
+                code, length = codes[0x10]
+                bw.write(code, length)
+                bw.write(1, 1)
+            else:
+                for _ in range(3):      # end block0, then blocks 1, 2
+                    code, length = codes[0x00]
+                    bw.write(code, length)
+            bw.pad_to_byte()
+            return bytes(bw.out)
+
+        def stream(use_eob1):
+            out = _headers(24, 8, _AC_CUSTOM)
+            out += _sos(1, 0, 0, 0, 0) + _dc_scan([10, -5, 7])
+            out += _sos(1, 1, 63, 0, 0) + ac_scan(use_eob1)
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        a = decode_jpeg(stream(use_eob1=False))
+        b = decode_jpeg(stream(use_eob1=True))
+        assert a == b
+        assert a[0] == 24 and a[1] == 8
+
+    def test_eob1_refinement_consumes_correction_bits_across_blocks(self):
+        # Two blocks, both with nonzero history at AC[1] (value 2 at Al=1
+        # → history 1).  Refinement Ah=1,Al=0 sends one correction bit per
+        # block; with EOB1 ONE symbol must still consume BOTH blocks'
+        # correction bits (current block's tail + one EOB-run block).
+        ac = _enc_table(*_AC_CUSTOM)
+
+        def first_scan():
+            bw = _BitWriter()
+            for _ in range(2):          # AC[1] = +1 at Al=1 (value 2)
+                code, length = ac[0x01]
+                bw.write(code, length)
+                bw.write(1, 1)
+                code, length = ac[0x00]  # EOB0: rest of block
+                bw.write(code, length)
+            bw.pad_to_byte()
+            return bytes(bw.out)
+
+        def refine_scan(use_eob1, bits):
+            bw = _BitWriter()
+            if use_eob1:
+                code, length = ac[0x10]  # EOB1 (+ext 0): this block + 1 more
+                bw.write(code, length)
+                bw.write(0, 1)
+                for bit in bits:         # correction bits, positional order
+                    bw.write(bit, 1)
+            else:
+                for bit in bits:
+                    code, length = ac[0x00]
+                    bw.write(code, length)
+                    bw.write(bit, 1)
+            bw.pad_to_byte()
+            return bytes(bw.out)
+
+        def stream(use_eob1, bits):
+            out = _headers(16, 8, _AC_CUSTOM)
+            out += _sos(1, 0, 0, 0, 0) + _dc_scan([4, -4])
+            out += _sos(1, 1, 63, 0, 1) + first_scan()
+            out += _sos(1, 1, 63, 1, 0) + refine_scan(use_eob1, bits)
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        for bits in ([1, 0], [0, 1], [1, 1]):
+            assert decode_jpeg(stream(True, bits)) == decode_jpeg(
+                stream(False, bits)
+            )
+        # the bits genuinely matter (refined 5 vs 4): streams with
+        # different correction bits decode differently
+        assert decode_jpeg(stream(True, [1, 0])) != decode_jpeg(
+            stream(True, [0, 1])
+        )
+
+
+class TestMalformed:
+    def test_refinement_magnitude_above_one_rejected(self):
+        ac = _enc_table(*_AC_CUSTOM)
+        bw = _BitWriter()
+        code, length = ac[0x11]          # (run 1, size 1) is fine in first...
+        bw.write(code, length)
+        bw.write(1, 1)
+        bw.pad_to_byte()
+        out = _headers(8, 8, _AC_CUSTOM)
+        out += _sos(1, 0, 0, 0, 0) + _dc_scan([0])
+        # a refinement scan whose stream opens with s=2 is corrupt: build
+        # it from the standard table's 0x02 symbol
+        bw2 = _BitWriter()
+        std = _enc_table(*_AC_LUM)
+        code, length = std[0x02]
+        bw2.write(code, length)
+        bw2.write(3, 2)
+        bw2.pad_to_byte()
+        out2 = _headers(8, 8, _AC_LUM)
+        out2 += _sos(1, 0, 0, 0, 0) + _dc_scan([0])
+        out2 += _sos(1, 1, 63, 1, 0) + bytes(bw2.out) + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(out2))
+
+    def test_progressive_dc_scan_with_band_rejected(self):
+        out = _headers(8, 8, _AC_CUSTOM)
+        out += _sos(1, 0, 5, 0, 0) + b"\x00" + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(out))

@@ -62,3 +62,30 @@ def test_constant_color_is_uniform(w, h, r, g, b):
     assert (arr == arr[0]).all()
     err = np.abs(arr[0].astype(int) - np.array([r, g, b]))
     assert err.max() <= 4
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=41),
+    h=st.integers(min_value=1, max_value=33),
+    quality=st.sampled_from([50, 75, 90]),
+    mode=st.sampled_from(["gray", "444", "420"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_progressive_equals_baseline_property(w, h, quality, mode, seed):
+    # the Annex-G contract under hypothesis: a fully-refined progressive
+    # encoding decodes BYTE-IDENTICALLY to the baseline encoding of the
+    # same image (same quantized coefficients, different entropy layout)
+    from json_schema_rs_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    gray, sub = mode == "gray", mode == "420"
+    base = encode_jpeg(w, h, px, quality=quality, subsample=sub, grayscale=gray)
+    prog = encode_jpeg_progressive(
+        w, h, px, quality=quality, subsample=sub, grayscale=gray
+    )
+    assert prog == encode_jpeg_progressive(      # bit-deterministic too
+        w, h, px, quality=quality, subsample=sub, grayscale=gray
+    )
+    assert decode_jpeg(base) == decode_jpeg(prog)
