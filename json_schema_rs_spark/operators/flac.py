@@ -1,0 +1,642 @@
+"""Native FLAC codec, stdlib-only — extends the multimodal audio chain
+(multimodal.py ``decode_audio``) beyond PCM WAV to the most common
+LOSSLESS compressed audio format in web corpora.
+
+Unlike MP3 (whose synthesis filterbank requires a 512-coefficient
+prototype window published only as a table in ISO 11172-3 Annex B — not
+derivable, so it stays an honest injection seam), every construct in
+FLAC is fully specified by formula in the public spec
+(https://xiph.org/flac/format.html / RFC 9639): Rice/unary entropy
+codes, fixed polynomial predictors, integer LPC, CRC-8 (poly 0x07) and
+CRC-16 (poly 0x8005) checks, and an MD5 of the raw PCM in STREAMINFO.
+That makes a bit-honest decoder possible here, and the MD5 gives the
+decoder an END-TO-END integrity oracle: after decoding we recompute the
+PCM MD5 and compare it to the file's own claim, so a decode bug cannot
+pass silently.
+
+Decoder (``decode_flac``) covers the format constructs real encoders
+emit: CONSTANT / VERBATIM / FIXED (orders 0-4) / LPC (orders 1-32)
+subframes, Rice and Rice2 residual methods with partitioning and the
+escape-to-raw code, wasted bits, all block-size / sample-rate /
+sample-size header codes, independent and left-side / right-side /
+mid-side stereo decorrelation, UTF-8-coded frame numbers, and CRC-8 /
+CRC-16 / MD5 verification.  Variable-blocksize streams decode too (the
+frame header carries its own blocksize).  Unsupported: nothing within
+FLAC itself; non-FLAC payloads raise ``NotImplementedError`` so the
+multimodal chain's injection seam stays intact.
+
+Encoder (``encode_flac``): the fixture generator and round-trip partner
+— fixed blocksize, per-subframe best of CONSTANT / FIXED 0-4 / VERBATIM
+by exact Rice cost, 4-partition Rice residuals (exercises partitioned
+residual decode), optional mid-side decorrelation chosen by measured
+cost, correct CRCs and MD5.  Losslessness means the round-trip test is
+equality, not similarity: decode(encode(x)) == x bit-for-bit, plus the
+decoder's own MD5 cross-check.
+
+Scale shape: the codec is a per-payload kernel invoked from Arrow-batched
+``mapInPandas`` (multimodal.extract_audio_features) — no shuffle, no
+driver involvement; 100 TB of FLAC decodes embarrassingly parallel.
+"""
+from __future__ import annotations
+
+import hashlib
+import io
+from typing import List, Tuple
+
+__all__ = ["decode_flac", "encode_flac", "FlacInfo"]
+
+_MAGIC = b"fLaC"
+
+# ---------------------------------------------------------------- CRCs
+# Both polynomials are given in the spec; tables are derived, not copied.
+
+
+def _make_crc8_table() -> list:
+    tab = []
+    for b in range(256):
+        r = b
+        for _ in range(8):
+            r = ((r << 1) ^ 0x07) & 0xFF if r & 0x80 else (r << 1) & 0xFF
+        tab.append(r)
+    return tab
+
+
+def _make_crc16_table() -> list:
+    tab = []
+    for b in range(256):
+        r = b << 8
+        for _ in range(8):
+            r = ((r << 1) ^ 0x8005) & 0xFFFF if r & 0x8000 else (r << 1) & 0xFFFF
+        tab.append(r)
+    return tab
+
+
+_CRC8 = _make_crc8_table()
+_CRC16 = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _CRC8[r ^ b]
+    return r
+
+
+def _crc16(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = (_CRC16[((r >> 8) ^ b) & 0xFF] ^ (r << 8)) & 0xFFFF
+    return r
+
+
+# ---------------------------------------------------------- bit reader
+
+
+class _BitReader:
+    """MSB-first bit reader over bytes (no unstuffing — FLAC has none)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC: bitstream exhausted")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.nbits -= self.nbits % 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def byte_pos(self) -> int:
+        return self.pos - self.nbits // 8
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+# ------------------------------------------------------------- helpers
+
+# Fixed-predictor coefficients are the binomial rows the spec derives
+# them from: residual_k = Δ^k(signal).
+_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCKSIZE_CODE = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+_RATE_CODE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_BPS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else ((-v) << 1) - 1
+
+
+def _unzigzag(u: int) -> int:
+    return -(u >> 1) - 1 if u & 1 else u >> 1
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's UTF-8-style coding of frame/sample numbers (up to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8),
+                         (6, 0xFC), (7, 0xFE)):
+        if n < 1 << (6 * (nbytes - 1) + (7 - nbytes)):
+            out = bytearray(nbytes)
+            for i in range(nbytes - 1, 0, -1):
+                out[i] = 0x80 | (n & 0x3F)
+                n >>= 6
+            out[0] = lead | n
+            return bytes(out)
+    raise ValueError("frame number too large")
+
+
+def _read_utf8_coded(br: _BitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("FLAC: bad UTF-8-coded number")
+    v = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("FLAC: bad UTF-8-coded continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def _pcm_md5(channels: List[List[int]], bps: int) -> bytes:
+    """MD5 over interleaved little-endian signed PCM, as STREAMINFO
+    defines it (bps rounded up to whole bytes)."""
+    width = (bps + 7) // 8
+    h = hashlib.md5()
+    n = len(channels[0]) if channels else 0
+    buf = bytearray()
+    for i in range(n):
+        for ch in channels:
+            buf += ch[i].to_bytes(width, "little", signed=True)
+        if len(buf) >= 1 << 16:
+            h.update(buf)
+            buf.clear()
+    h.update(buf)
+    return h.digest()
+
+
+class FlacInfo:
+    """Decoded stream: ``sample_rate``, ``channels`` (list of per-channel
+    sample lists), ``bits_per_sample``, ``md5_ok`` (True when STREAMINFO
+    carried an MD5 and the decoded PCM reproduces it)."""
+
+    __slots__ = ("sample_rate", "channels", "bits_per_sample", "md5_ok")
+
+    def __init__(self, sample_rate, channels, bits_per_sample, md5_ok):
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.bits_per_sample = bits_per_sample
+        self.md5_ok = md5_ok
+
+
+# -------------------------------------------------------------- decode
+
+
+def _decode_residual(br: _BitReader, blocksize: int, order: int) -> List[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("FLAC: reserved residual method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = br.read(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise ValueError("FLAC: partition order does not divide blocksize")
+    res: List[int] = []
+    for p in range(nparts):
+        count = (blocksize >> po) - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("FLAC: bad partition order")
+        param = br.read(plen)
+        if param == escape:
+            raw = br.read(5)
+            if raw == 0:
+                res.extend([0] * count)
+            else:
+                res.extend(br.read_signed(raw) for _ in range(count))
+        else:
+            for _ in range(count):
+                q = br.unary()
+                u = (q << param) | br.read(param) if param else q
+                res.append(_unzigzag(u))
+    return res
+
+
+def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> List[int]:
+    if br.read(1):
+        raise ValueError("FLAC: subframe padding bit set")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.unary()
+        bps -= wasted
+    if ftype == 0:  # CONSTANT
+        v = br.read_signed(bps)
+        out = [v] * blocksize
+    elif ftype == 1:  # VERBATIM
+        out = [br.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED, order 0-4
+        order = ftype - 8
+        out = [br.read_signed(bps) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        coef = _FIXED_COEF[order]
+        for i, r in enumerate(res):
+            pred = sum(c * out[order + i - 1 - j] for j, c in enumerate(coef))
+            out.append(pred + r)
+    elif ftype >= 32:  # LPC, order 1-32
+        order = ftype - 31
+        out = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC: invalid LPC precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        coef = [br.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        for i, r in enumerate(res):
+            pred = sum(
+                c * out[order + i - 1 - j] for j, c in enumerate(coef)
+            ) >> shift
+            out.append(pred + r)
+    else:
+        raise ValueError(f"FLAC: reserved subframe type {ftype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode_flac(payload: bytes) -> FlacInfo:
+    """Decode a FLAC stream to per-channel integer PCM.  Raises
+    ``NotImplementedError`` for non-FLAC payloads (keeps the multimodal
+    chain's seam semantics) and ``ValueError`` for corrupt FLAC."""
+    if payload is None or payload[:4] != _MAGIC:
+        raise NotImplementedError(
+            "not a FLAC stream; inject a decoder via "
+            "extract_features(decoder=...)"
+        )
+    pos = 4
+    si = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC: truncated metadata")
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        last, btype, blen = hdr >> 31, (hdr >> 24) & 0x7F, hdr & 0xFFFFFF
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 0:  # STREAMINFO
+            if blen != 34:
+                raise ValueError("FLAC: bad STREAMINFO length")
+            raw = int.from_bytes(body[10:18], "big")
+            si = {
+                "rate": raw >> 44,
+                "channels": ((raw >> 41) & 0x7) + 1,
+                "bps": ((raw >> 36) & 0x1F) + 1,
+                "total": raw & ((1 << 36) - 1),
+                "md5": body[18:34],
+            }
+        pos += 4 + blen
+        if last:
+            break
+    if si is None:
+        raise ValueError("FLAC: missing STREAMINFO")
+
+    channels: List[List[int]] = [[] for _ in range(si["channels"])]
+    while pos < len(payload):
+        frame_start = pos
+        br = _BitReader(payload, pos)
+        sync = br.read(14)
+        if sync != 0x3FFE:
+            raise ValueError("FLAC: lost frame sync")
+        if br.read(1):
+            raise ValueError("FLAC: reserved header bit set")
+        br.read(1)  # blocking strategy (fixed=0 / variable=1)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise ValueError("FLAC: reserved header bit set")
+        _read_utf8_coded(br)  # frame / sample number
+        if bs_code == 0:
+            raise ValueError("FLAC: reserved blocksize code")
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _BLOCKSIZE_CODE[bs_code]
+        if sr_code == 0:
+            rate = si["rate"]
+        elif sr_code == 12:
+            rate = br.read(8) * 1000
+        elif sr_code == 13:
+            rate = br.read(16)
+        elif sr_code == 14:
+            rate = br.read(16) * 10
+        elif sr_code == 15:
+            raise ValueError("FLAC: invalid sample-rate code")
+        else:
+            rate = _RATE_CODE[sr_code]
+        bps = si["bps"] if ss_code == 0 else _BPS_CODE.get(ss_code)
+        if bps is None:
+            raise ValueError("FLAC: reserved sample-size code")
+        crc8_stored = br.read(8)
+        if _crc8(payload[frame_start : br.byte_pos() - 1]) != crc8_stored:
+            raise ValueError("FLAC: frame header CRC-8 mismatch")
+
+        if ch_code <= 7:
+            nch = ch_code + 1
+            subs = [_decode_subframe(br, blocksize, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            nch = 2
+            # the difference (side) channel carries one extra bit
+            if ch_code == 8:  # left/side
+                left = _decode_subframe(br, blocksize, bps)
+                side = _decode_subframe(br, blocksize, bps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _decode_subframe(br, blocksize, bps + 1)
+                right = _decode_subframe(br, blocksize, bps)
+                subs = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _decode_subframe(br, blocksize, bps)
+                side = _decode_subframe(br, blocksize, bps + 1)
+                subs = [[], []]
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    subs[0].append((m2 + s) >> 1)
+                    subs[1].append((m2 - s) >> 1)
+        else:
+            raise ValueError("FLAC: reserved channel assignment")
+        if nch != si["channels"]:
+            raise ValueError("FLAC: channel count changed mid-stream")
+
+        br.align()
+        end = br.byte_pos()
+        if end + 2 > len(payload):
+            raise ValueError("FLAC: truncated frame footer")
+        stored16 = int.from_bytes(payload[end : end + 2], "big")
+        if _crc16(payload[frame_start:end]) != stored16:
+            raise ValueError("FLAC: frame CRC-16 mismatch")
+        for ch, sub in zip(channels, subs):
+            ch.extend(sub)
+        pos = end + 2
+
+    if si["total"] and len(channels[0]) > si["total"]:
+        channels = [ch[: si["total"]] for ch in channels]
+    md5_ok = si["md5"] != b"\x00" * 16 and _pcm_md5(channels, si["bps"]) == si["md5"]
+    if si["md5"] != b"\x00" * 16 and not md5_ok:
+        raise ValueError("FLAC: decoded PCM fails the stream's own MD5")
+    return FlacInfo(si["rate"], channels, si["bps"], md5_ok)
+
+
+# -------------------------------------------------------------- encode
+
+
+def _rice_cost(res: List[int], param: int) -> int:
+    return sum((_zigzag(r) >> param) + 1 + param for r in res)
+
+
+def _best_rice_param(res: List[int], plen: int) -> Tuple[int, int]:
+    """Exact best parameter by scanning (partitions are small)."""
+    best_p, best_c = 0, _rice_cost(res, 0)
+    for p in range(1, (1 << plen) - 1):
+        c = _rice_cost(res, p)
+        if c < best_c:
+            best_p, best_c = p, c
+    return best_p, best_c
+
+
+def _fixed_residual(x: List[int], order: int) -> List[int]:
+    coef = _FIXED_COEF[order]
+    return [
+        x[i] - sum(c * x[i - 1 - j] for j, c in enumerate(coef))
+        for i in range(order, len(x))
+    ]
+
+
+def _subframe_cost(x: List[int], bps: int) -> Tuple[int, int, List[int]]:
+    """Choose CONSTANT / FIXED 0-4 / VERBATIM; return (type_code, cost_bits,
+    residual)."""
+    n = len(x)
+    if all(v == x[0] for v in x):
+        return 0, 8 + bps, []
+    best = (1, 8 + n * bps, [])  # VERBATIM fallback
+    for order in range(5):
+        if n <= order:
+            continue
+        res = _fixed_residual(x, order)
+        _, rcost = _best_rice_param(res, 4)
+        cost = 8 + order * bps + 2 + 4 + 4 + rcost
+        if cost < best[1]:
+            best = (8 + order, cost, res)
+    return best
+
+
+def _write_residual(bw: _BitWriter, res: List[int], order: int,
+                    blocksize: int) -> None:
+    # 4 partitions when divisible (exercises partitioned decode), else 1.
+    po = 2 if blocksize % 4 == 0 and (blocksize >> 2) > order else 0
+    bw.write(0, 2)  # Rice method, 4-bit params
+    bw.write(po, 4)
+    nparts = 1 << po
+    off = 0
+    for p in range(nparts):
+        count = (blocksize >> po) - (order if p == 0 else 0)
+        part = res[off : off + count]
+        off += count
+        param, _ = _best_rice_param(part, 4)
+        bw.write(param, 4)
+        for r in part:
+            u = _zigzag(r)
+            bw.write_unary(u >> param)
+            if param:
+                bw.write(u & ((1 << param) - 1), param)
+
+
+def _write_subframe(bw: _BitWriter, x: List[int], bps: int) -> None:
+    tcode, _, res = _subframe_cost(x, bps)
+    bw.write(0, 1)
+    bw.write(tcode, 6)
+    bw.write(0, 1)  # no wasted bits
+    if tcode == 0:
+        bw.write(x[0] & ((1 << bps) - 1), bps)
+    elif tcode == 1:
+        for v in x:
+            bw.write(v & ((1 << bps) - 1), bps)
+    else:
+        order = tcode - 8
+        for v in x[:order]:
+            bw.write(v & ((1 << bps) - 1), bps)
+        _write_residual(bw, res, order, len(x))
+
+
+def encode_flac(
+    channels: List[List[int]],
+    sample_rate: int = 44100,
+    bits_per_sample: int = 16,
+    blocksize: int = 4096,
+    stereo: str = "auto",
+) -> bytes:
+    """Encode integer PCM to FLAC.  ``channels`` is per-channel sample
+    lists (equal lengths).  ``stereo='auto'`` picks mid-side per frame by
+    exact cost when there are two channels; ``'independent'`` forces L/R."""
+    nch = len(channels)
+    if not 1 <= nch <= 8:
+        raise ValueError("1-8 channels")
+    n = len(channels[0])
+    if any(len(c) != n for c in channels):
+        raise ValueError("channel length mismatch")
+    lim = 1 << (bits_per_sample - 1)
+    for c in channels:
+        for v in c:
+            if not -lim <= v < lim:
+                raise ValueError("sample out of range for bits_per_sample")
+
+    frames = bytearray()
+    frame_no = 0
+    for start in range(0, n, blocksize):
+        bs = min(blocksize, n - start)
+        block = [c[start : start + bs] for c in channels]
+
+        ch_code = nch - 1
+        subs = block
+        sub_bps = [bits_per_sample] * nch
+        if nch == 2 and stereo == "auto":
+            mid = [(l + r) >> 1 for l, r in zip(*block)]
+            side = [l - r for l, r in zip(*block)]
+            cost_ind = (_subframe_cost(block[0], bits_per_sample)[1]
+                        + _subframe_cost(block[1], bits_per_sample)[1])
+            cost_ms = (_subframe_cost(mid, bits_per_sample)[1]
+                       + _subframe_cost(side, bits_per_sample + 1)[1])
+            if cost_ms < cost_ind:
+                ch_code = 10  # mid/side
+                subs = [mid, side]
+                sub_bps = [bits_per_sample, bits_per_sample + 1]
+
+        hdr = _BitWriter()
+        hdr.write(0x3FFE, 14)
+        hdr.write(0, 1)
+        hdr.write(0, 1)  # fixed blocksize strategy
+        if bs == blocksize and blocksize in {v: k for k, v in
+                                             _BLOCKSIZE_CODE.items()}:
+            bs_code = {v: k for k, v in _BLOCKSIZE_CODE.items()}[blocksize]
+            hdr.write(bs_code, 4)
+            bs_extra = None
+        else:
+            hdr.write(7, 4)  # 16-bit blocksize-1 follows
+            bs_extra = bs - 1
+        hdr.write(0, 4)  # sample rate from STREAMINFO
+        hdr.write(ch_code, 4)
+        hdr.write(0, 3)  # sample size from STREAMINFO
+        hdr.write(0, 1)
+        for b in _utf8_coded(frame_no):
+            hdr.write(b, 8)
+        if bs_extra is not None:
+            hdr.write(bs_extra, 16)
+        hdr.align()
+        hbytes = hdr.bytes()
+        hbytes += bytes([_crc8(hbytes)])
+
+        body = _BitWriter()
+        for sub, sbps in zip(subs, sub_bps):
+            _write_subframe(body, sub, sbps)
+        body.align()
+        frame = hbytes + body.bytes()
+        frame += _crc16(frame).to_bytes(2, "big")
+        frames += frame
+        frame_no += 1
+
+    si = _BitWriter()
+    si.write(blocksize, 16)  # min blocksize
+    si.write(blocksize, 16)  # max blocksize
+    si.write(0, 24)  # min framesize unknown
+    si.write(0, 24)  # max framesize unknown
+    si.write(sample_rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bits_per_sample - 1, 5)
+    si.write(n, 36)
+    si.align()
+    streaminfo = si.bytes() + _pcm_md5(channels, bits_per_sample)
+    out = io.BytesIO()
+    out.write(_MAGIC)
+    out.write((1 << 31 | 0 << 24 | len(streaminfo)).to_bytes(4, "big"))
+    out.write(streaminfo)
+    out.write(bytes(frames))
+    return out.getvalue()

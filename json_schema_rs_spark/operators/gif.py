@@ -1,0 +1,346 @@
+"""Native GIF codec, stdlib-only — extends the multimodal image chain
+(multimodal.py ``decode_image``: PPM/BMP/PNG/JPEG) with the other image
+format web corpora actually contain in volume.
+
+Everything in GIF is derivable from the public spec (GIF89a
+specification, CompuServe 1990; LZW per the spec's Appendix): the
+variable-code-size LZW coder (codes packed LSB-first, clear / EOI
+codes, dictionary growth to 4095 with deferred reset), logical-screen /
+image descriptors, global and local color tables, interlacing's four
+row passes, and extension blocks.  No magic tables anywhere, so — like
+operators/flac.py and unlike MP3 — a bit-honest native codec is
+possible and lives here.
+
+Decoder (``decode_gif``) returns the FIRST frame as RGB24 (animation
+frames beyond the first are skipped — corpus feature probes want "an
+image", and multi-frame compositing with disposal methods is documented
+out of scope).  Handles: GIF87a + GIF89a, global and local palettes,
+interlaced and sequential images, all extension blocks (skipped by
+sub-block framing), LZW code-size growth and explicit clear codes.
+Transparency is flattened against the palette color (feature probes
+need pixels, not alpha).  Non-GIF payloads raise
+``NotImplementedError`` to keep the multimodal chain's seam semantics.
+
+Encoder (``encode_gif``): fixture generator and round-trip partner —
+palette built from the image's distinct colors (≤256, else ValueError),
+real LZW compression with code-size growth and dictionary reset,
+optional interlacing (exercises the decoder's four-pass reorder).
+Round-trip is exact: GIF is lossless for ≤256-color images, so
+decode(encode(x)) == x byte-for-byte.
+
+Scale shape: per-payload kernel under Arrow-batched ``mapInPandas``
+(multimodal.extract_features) — embarrassingly parallel, no shuffle.
+"""
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+__all__ = ["decode_gif", "encode_gif"]
+
+
+# -------------------------------------------------------------- decode
+
+
+def _sub_blocks(data: bytes, pos: int) -> Tuple[bytes, int]:
+    """Concatenate GIF sub-blocks starting at ``pos``; return (bytes,
+    position after the 0 terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF: truncated sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        if pos + n > len(data):
+            raise ValueError("GIF: truncated sub-block")
+        out += data[pos : pos + n]
+        pos += n
+
+
+def _lzw_decode(data: bytes, min_code_size: int, npixels: int) -> bytearray:
+    """Variable-code-size LZW per the GIF spec; codes packed LSB-first."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+
+    # dictionary as (prefix_code, last_byte); roots are their own byte
+    prefix: List[int] = []
+    suffix: List[int] = []
+
+    def reset():
+        nonlocal code_size, next_code
+        prefix.clear()
+        suffix.clear()
+        for i in range(clear + 2):
+            prefix.append(-1)
+            suffix.append(i if i < clear else 0)
+        code_size = min_code_size + 1
+        next_code = eoi + 1
+
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    reset()
+
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = -1
+    expand = bytearray()
+    while len(out) < npixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                # tolerant of streams that omit EOI after the last code
+                return out
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+
+        if code == clear:
+            reset()
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if code < next_code:
+            # known code (clear/eoi were handled above): walk the chain
+            expand.clear()
+            c = code
+            while c >= 0:
+                expand.append(suffix[c])
+                c = prefix[c]
+            expand.reverse()
+        elif code == next_code and prev >= 0:
+            # KwKwK case: prev chain + its first byte
+            expand.clear()
+            c = prev
+            while c >= 0:
+                expand.append(suffix[c])
+                c = prefix[c]
+            expand.reverse()
+            expand.append(expand[0])
+        else:
+            raise ValueError("GIF: LZW code out of range")
+        out += expand
+        if prev >= 0 and next_code < 4096:
+            prefix.append(prev)
+            suffix.append(expand[0])
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+    return out
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> Tuple[int, int, bytes]:
+    """Decode the first frame of a GIF to ``(width, height, rgb_bytes)``
+    on the logical screen (frames smaller than the screen are composited
+    onto the background color)."""
+    if payload is None or payload[:3] != b"GIF":
+        raise NotImplementedError(
+            "not a GIF stream; inject a decoder via "
+            "extract_features(decoder=...)"
+        )
+    if payload[3:6] not in (b"87a", b"89a"):
+        raise ValueError("GIF: unknown version")
+    if len(payload) < 13:
+        raise ValueError("GIF: truncated header")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed, bg = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * size]
+        pos += 3 * size
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            _, pos = _sub_blocks(payload, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 0x07)
+            pal = payload[pos : pos + 3 * size]
+            pos += 3 * size
+        if pal is None:
+            raise ValueError("GIF: no color table")
+        interlaced = bool(ipacked & 0x40)
+        min_code = payload[pos]
+        pos += 1
+        lzw, pos = _sub_blocks(payload, pos)
+        idx = _lzw_decode(lzw, min_code, w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF: not enough pixel data")
+
+        if interlaced:
+            rows = bytearray(w * h)
+            src = 0
+            for start, step in _INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    rows[y * w : (y + 1) * w] = idx[src : src + w]
+                    src += w
+            idx = rows
+
+        out = bytearray(3 * sw * sh)
+        if gct is not None and 3 * bg + 3 <= len(gct):
+            bgc = gct[3 * bg : 3 * bg + 3]
+            for i in range(sw * sh):
+                out[3 * i : 3 * i + 3] = bgc
+        npal = len(pal) // 3
+        for y in range(h):
+            oy = top + y
+            if oy >= sh:
+                break
+            for x in range(w):
+                ox = left + x
+                if ox >= sw:
+                    continue
+                ci = idx[y * w + x]
+                if ci >= npal:
+                    raise ValueError("GIF: palette index out of range")
+                o = 3 * (oy * sw + ox)
+                out[o : o + 3] = pal[3 * ci : 3 * ci + 3]
+        return sw, sh, bytes(out)
+    raise ValueError("GIF: no image block")
+
+
+# -------------------------------------------------------------- encode
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    # The encoder mirrors the DECODER's dictionary clock, which lags one
+    # code behind (the decoder adds nothing for the first code after a
+    # clear).  `enc_next` is this encoder's own next table slot;
+    # `dec_next`/`code_size`/`first` replay exactly what the decoder
+    # will do, so every code is emitted at the size the decoder reads it.
+    table = {(i,): i for i in range(clear)}
+    code_size = min_code_size + 1
+    enc_next = eoi + 1
+    dec_next = eoi + 1
+    first = True
+    emit(clear, code_size)
+
+    def after_emit():
+        nonlocal dec_next, code_size, first
+        if first:
+            first = False
+            return
+        if dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << code_size) and code_size < 12:
+                code_size += 1
+
+    seq: Tuple[int, ...] = ()
+    for b in indices:
+        cand = seq + (b,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], code_size)
+        after_emit()
+        if enc_next < 4096:
+            table[cand] = enc_next
+            enc_next += 1
+        else:
+            emit(clear, code_size)
+            after_emit()
+            table = {(i,): i for i in range(clear)}
+            code_size = min_code_size + 1
+            enc_next = eoi + 1
+            dec_next = eoi + 1
+            first = True
+        seq = (b,)
+    if seq:
+        emit(table[seq], code_size)
+        after_emit()
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    width: int, height: int, rgb: bytes, interlace: bool = False
+) -> bytes:
+    """Encode RGB24 to a single-frame GIF89a.  Distinct colors must fit a
+    256-entry palette (GIF's model); raises ValueError otherwise."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length != 3*width*height")
+    palette: dict = {}
+    indices = bytearray()
+    for i in range(width * height):
+        c = bytes(rgb[3 * i : 3 * i + 3])
+        ci = palette.get(c)
+        if ci is None:
+            if len(palette) == 256:
+                raise ValueError("more than 256 distinct colors")
+            ci = palette[c] = len(palette)
+        indices.append(ci)
+
+    # palette size: power of two >= max(2, len)
+    bits = 1
+    while (1 << bits) < max(2, len(palette)):
+        bits += 1
+    pal = bytearray()
+    for c in palette:  # insertion order == index order
+        pal += c
+    pal += b"\x00" * (3 * (1 << bits) - len(pal))
+
+    if interlace:
+        reordered = bytearray()
+        for start, step in _INTERLACE_PASSES:
+            for y in range(start, height, step):
+                reordered += indices[y * width : (y + 1) * width]
+        indices = reordered
+
+    min_code = max(2, bits)
+    lzw = _lzw_encode(bytes(indices), min_code)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | ((bits - 1) & 0x07) | (((bits - 1) & 0x07) << 4))
+    out += b"\x00\x00"  # bg index, aspect
+    out += pal
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, width, height)
+    out.append(0x40 if interlace else 0x00)
+    out.append(min_code)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)

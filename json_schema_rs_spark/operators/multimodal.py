@@ -241,22 +241,28 @@ def _pil_decode(payload: bytes) -> DecodedImage:
 def decode_image(payload: bytes) -> DecodedImage:
     """REAL image decode, stdlib-first: binary/ASCII PPM (P6/P3),
     uncompressed 24/32-bit BMP, baseline 8-bit PNG (zlib inflate +
-    scanline unfilter — see :func:`_decode_png`), and baseline JPEG
+    scanline unfilter — see :func:`_decode_png`), baseline JPEG
     (Huffman + IDCT, SOF0/SOF1, 4:4:4/4:2:2/4:2:0, restart markers — see
-    :mod:`.jpeg`) need no external library.  Anything else falls through
-    to Pillow WHEN INSTALLED (``_pil_decode``); without it,
-    ``NotImplementedError`` names the ``extract_features(decoder=...)``
-    injection seam.
+    :mod:`.jpeg`), and GIF87a/89a (variable-code-size LZW, interlace,
+    local palettes — see :mod:`.gif`) need no external library.
+    Anything else falls through to Pillow WHEN INSTALLED
+    (``_pil_decode``); without it, ``NotImplementedError`` names the
+    ``extract_features(decoder=...)`` injection seam.
 
     Was a pure stub through round 2; PPM/BMP landed in round 3, the PNG
     inflate path in round 4, baseline JPEG in round 5 and progressive
-    JPEG (SOF2, spectral selection + successive approximation) in the
-    round-5 continuation — the remaining library-backed tail is
+    JPEG (SOF2, spectral selection + successive approximation) plus GIF
+    in the round-5 continuation — the remaining library-backed tail is
     arithmetic-coded JPEG, WebP and friends.
     """
     if payload is None or len(payload) < 2:
         raise ValueError("empty image payload")
     magic = payload[:2]
+    if payload[:3] == b"GIF":
+        from json_schema_rs_spark.operators.gif import decode_gif
+
+        w, h, rgb = decode_gif(payload)
+        return DecodedImage(w, h, rgb)
     if magic == b"\xff\xd8":
         from json_schema_rs_spark.operators.jpeg import decode_jpeg
 
@@ -321,15 +327,24 @@ def decode_image(payload: bytes) -> DecodedImage:
 
 def decode_audio(payload: bytes) -> DecodedAudio:
     """REAL stdlib-only audio decode: PCM WAV via the ``wave`` module
-    (8/16/32-bit).  Compressed codecs raise ``NotImplementedError`` —
-    inject a library-backed decoder for those."""
+    (8/16/32-bit) and native FLAC (operators/flac.py — Rice + fixed/LPC
+    predictors, CRC-8/16 + MD5 verified).  Remaining compressed codecs
+    (MP3: the Annex-B synthesis window is a non-derivable spec table)
+    raise ``NotImplementedError`` — inject a library-backed decoder."""
     import io
     import wave
 
+    if payload is not None and payload[:4] == b"fLaC":
+        from json_schema_rs_spark.operators.flac import decode_flac
+
+        f = decode_flac(payload)
+        n = len(f.channels[0]) if f.channels else 0
+        inter = [f.channels[c][i] for i in range(n) for c in range(len(f.channels))]
+        return DecodedAudio(f.sample_rate, len(f.channels), inter)
     if payload is None or payload[:4] != b"RIFF":
         raise NotImplementedError(
-            "unsupported audio format (stdlib decoder covers PCM WAV); "
-            "inject a decoder via extract_features(decoder=...)"
+            "unsupported audio format (stdlib decoders cover PCM WAV and "
+            "FLAC); inject a decoder via extract_features(decoder=...)"
         )
     try:
         with wave.open(io.BytesIO(payload)) as wf:

@@ -1,0 +1,267 @@
+"""Native FLAC codec (operators/flac.py): lossless round-trips over every
+format construct the encoder can emit, decoder-side integrity gates
+(CRC-8 / CRC-16 / MD5), LPC + wasted-bits decode via hand-built frames,
+and the multimodal decode_audio chain.
+
+FLAC is lossless, so unlike the JPEG tests the round-trip assertion is
+EQUALITY, not tolerance.  And the check is not circular: the decoder
+recomputes the MD5 of the decoded PCM and compares it against the
+STREAMINFO digest the encoder computed from the ORIGINAL samples — a
+decode bug would have to collide MD5 to pass.
+"""
+
+import math
+import random
+
+import pytest
+
+from json_schema_rs_spark.operators.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _pcm_md5,
+    _utf8_coded,
+    decode_flac,
+    encode_flac,
+)
+from json_schema_rs_spark.operators.multimodal import (
+    audio_feature_extractor,
+    decode_audio,
+)
+
+
+def _sine(n, amp, period, seed=None, jitter=0):
+    rng = random.Random(seed)
+    return [
+        int(amp * math.sin(2 * math.pi * i / period))
+        + (rng.randint(-jitter, jitter) if jitter else 0)
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_mono_fixed_predictors():
+    x = _sine(10000, 12000, 233.0)
+    enc = encode_flac([x], 8000, 16, blocksize=4096)
+    dec = decode_flac(enc)
+    assert dec.channels == [x]
+    assert dec.sample_rate == 8000
+    assert dec.bits_per_sample == 16
+    assert dec.md5_ok
+    # the smooth signal must actually compress (predictors are real)
+    assert len(enc) < 0.4 * (2 * len(x))
+
+
+def test_roundtrip_stereo_mid_side():
+    L = _sine(7001, 9000, 144.5, seed=1, jitter=40)
+    R = [l + d for l, d in zip(L, _sine(7001, 30, 7.0, seed=2, jitter=10))]
+    enc_ms = encode_flac([L, R], 44100, 16, stereo="auto")
+    enc_ind = encode_flac([L, R], 44100, 16, stereo="independent")
+    assert decode_flac(enc_ms).channels == [L, R]
+    assert decode_flac(enc_ind).channels == [L, R]
+    # correlated stereo: mid/side must beat independent
+    assert len(enc_ms) < len(enc_ind)
+
+
+def test_roundtrip_anticorrelated_prefers_independent():
+    rng = random.Random(5)
+    L = [rng.randint(-30000, 30000) for _ in range(4097)]  # odd tail block
+    R = [-l for l in L]
+    assert decode_flac(encode_flac([L, R], 48000, 16)).channels == [L, R]
+
+
+def test_constant_and_silence_subframes():
+    dec = decode_flac(encode_flac([[123] * 5000], 16000, 16))
+    assert dec.channels == [[123] * 5000]
+    dec = decode_flac(encode_flac([[0] * 4096, [0] * 4096], 8000, 16))
+    assert dec.channels == [[0] * 4096, [0] * 4096]
+
+
+def test_roundtrip_noise_verbatim_path():
+    rng = random.Random(7)
+    x = [rng.randint(-128, 127) for _ in range(3000)]
+    dec = decode_flac(encode_flac([x], 22050, 8, blocksize=1024))
+    assert dec.channels == [x]
+    assert dec.bits_per_sample == 8
+
+
+@pytest.mark.parametrize("bps", [8, 16, 24])
+def test_bit_depths(bps):
+    lim = 1 << (bps - 1)
+    rng = random.Random(bps)
+    x = [
+        max(-lim, min(lim - 1, int((lim - 1) * math.sin(i / 19.0))
+                      + rng.randint(-3, 3)))
+        for i in range(2500)
+    ]
+    dec = decode_flac(encode_flac([x], 32000, bps, blocksize=512))
+    assert dec.channels == [x]
+    assert dec.bits_per_sample == bps
+
+
+def test_crc16_corruption_rejected():
+    enc = bytearray(encode_flac([list(range(-100, 100)) * 10], 8000, 16))
+    enc[-10] ^= 0x40
+    with pytest.raises(ValueError, match="CRC-16"):
+        decode_flac(bytes(enc))
+
+
+def test_header_crc8_corruption_rejected():
+    x = [0] * 4096
+    enc = bytearray(encode_flac([x], 8000, 16))
+    # STREAMINFO block: 4 magic + 4 header + 34 body; frame starts at 42.
+    # Flip a bit in the frame header's blocksize code (byte 44 area holds
+    # blocksize/rate codes) so CRC-8, not sync, catches it.
+    enc[44] ^= 0x10
+    with pytest.raises(ValueError, match="CRC-8|blocksize|reserved"):
+        decode_flac(bytes(enc))
+
+
+def test_md5_gate_is_real():
+    # Build a stream whose frames decode fine but whose STREAMINFO MD5
+    # is wrong: decoder must refuse.
+    x = [10, 20, 30, 40] * 300
+    enc = bytearray(encode_flac([x], 8000, 16))
+    # STREAMINFO MD5 = bytes 8+18 .. 8+34 (4 magic + 4 block header + 18)
+    enc[26] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(enc))
+
+
+def test_non_flac_keeps_seam():
+    with pytest.raises(NotImplementedError):
+        decode_flac(b"RIFFxxxxWAVE")
+    with pytest.raises(NotImplementedError):
+        decode_flac(b"ID3\x03\x00")  # an MP3 with ID3 tag stays a seam
+
+
+def _raw_frame(si_rate, si_bps, nch, subframes_bits, blocksize,
+               frame_no=0) -> bytes:
+    """Hand-assemble one frame around pre-built subframe bit payloads —
+    lets tests exercise decode-only constructs (LPC, wasted bits) the
+    fixture encoder never emits."""
+    hdr = _BitWriter()
+    hdr.write(0x3FFE, 14)
+    hdr.write(0, 2)
+    hdr.write(7, 4)  # 16-bit blocksize-1 follows
+    hdr.write(0, 4)  # rate from STREAMINFO
+    hdr.write(nch - 1, 4)
+    hdr.write(0, 3)  # bps from STREAMINFO
+    hdr.write(0, 1)
+    for b in _utf8_coded(frame_no):
+        hdr.write(b, 8)
+    hdr.write(blocksize - 1, 16)
+    hdr.align()
+    hbytes = hdr.bytes()
+    hbytes += bytes([_crc8(hbytes)])
+    frame = hbytes + subframes_bits
+    return frame + _crc16(frame).to_bytes(2, "big")
+
+
+def _stream(channels, rate, bps, frames: bytes) -> bytes:
+    si = _BitWriter()
+    for v, n in [(len(channels[0]), 16), (len(channels[0]), 16), (0, 24),
+                 (0, 24), (rate, 20), (len(channels) - 1, 3), (bps - 1, 5)]:
+        si.write(v, n)
+    si.write(len(channels[0]), 36)
+    si.align()
+    body = si.bytes() + _pcm_md5(channels, bps)
+    return (b"fLaC" + (1 << 31 | len(body)).to_bytes(4, "big") + body
+            + frames)
+
+
+def test_lpc_subframe_decodes():
+    # x[i] = (2*x[i-1] - x[i-2] ... with coef [3, -2] >> 1) + r[i]
+    order, prec, shift = 2, 5, 1
+    coef = [3, -2]
+    warm = [100, 104]
+    res = [1, -2, 3, 0, -1, 2, 1, 0, -3, 2, 0, 1, -1, 0]
+    bs = order + len(res)
+    x = list(warm)
+    for r in res:
+        pred = (coef[0] * x[-1] + coef[1] * x[-2]) >> shift
+        x.append(pred + r)
+
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(32 + order - 1, 6)  # LPC, order 2
+    bw.write(0, 1)
+    for v in warm:
+        bw.write(v & 0xFFFF, 16)
+    bw.write(prec - 1, 4)
+    bw.write(shift & 0x1F, 5)
+    for c in coef:
+        bw.write(c & ((1 << prec) - 1), prec)
+    bw.write(0, 2)  # rice method 0
+    bw.write(0, 4)  # one partition
+    bw.write(2, 4)  # rice param 2
+    for r in res:
+        u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+        bw.write_unary(u >> 2)
+        bw.write(u & 3, 2)
+    bw.align()
+
+    enc = _stream([x], 8000, 16, _raw_frame(8000, 16, 1, bw.bytes(), bs))
+    dec = decode_flac(enc)
+    assert dec.channels == [x]
+    assert dec.md5_ok
+
+
+def test_wasted_bits_decode():
+    # all samples share a factor of 4 -> 2 wasted bits, constant subframe
+    x = [40] * 96
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0, 6)  # CONSTANT
+    bw.write(1, 1)  # wasted-bits flag
+    bw.write_unary(1)  # unary(k-1)=1 -> k=2 wasted bits
+    bw.write(10 & 0x3FFF, 14)  # bps 16 - 2 wasted = 14; value 40>>2
+    bw.align()
+    enc = _stream([x], 8000, 16, _raw_frame(8000, 16, 1, bw.bytes(), 96))
+    assert decode_flac(enc).channels == [x]
+
+
+def test_rice_escape_raw_partition():
+    # escape code (param=0b1111) -> 5-bit raw width
+    x = [3, -4, 5, -6, 7, -8, 1, 0] * 12
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(8, 6)  # FIXED order 0 -> residual == signal
+    bw.write(0, 1)
+    bw.write(0, 2)
+    bw.write(0, 4)  # one partition
+    bw.write(0xF, 4)  # escape
+    bw.write(5, 5)  # 5-bit raw residuals
+    for v in x:
+        bw.write(v & 0x1F, 5)
+    bw.align()
+    enc = _stream([x], 8000, 16, _raw_frame(8000, 16, 1, bw.bytes(), len(x)))
+    assert decode_flac(enc).channels == [x]
+
+
+def test_multimodal_decode_audio_flac():
+    # the chain dispatches on magic and interleaves channels
+    L = _sine(1200, 5000, 97.0)
+    R = _sine(1200, 4000, 53.0)
+    a = decode_audio(encode_flac([L, R], 16000, 16))
+    assert a.sample_rate == 16000
+    assert a.n_channels == 2
+    assert a.samples[0::2] == L
+    assert a.samples[1::2] == R
+
+
+def test_audio_features_identical_wav_vs_flac():
+    # same PCM through both containers -> identical integer features
+    from json_schema_rs_spark.operators.multimodal import encode_wav
+
+    n, amp, half = 1400, 11000, 5
+    x = [amp if (i // half) % 2 == 0 else -amp for i in range(n)]
+    f_wav = audio_feature_extractor(encode_wav(9000, x))
+    f_flac = audio_feature_extractor(encode_flac([x], 9000, 16))
+    assert f_wav == f_flac
+    assert f_wav[0] == 9000 and f_wav[1] == n and f_wav[3] == amp
+
+
+def test_blocksize_one_tail():
+    # n % blocksize == 1 -> final frame of a single sample
+    x = _sine(513, 1000, 17.0)
+    assert decode_flac(encode_flac([x], 8000, 16, blocksize=512)).channels == [x]

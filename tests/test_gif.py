@@ -1,0 +1,147 @@
+"""Native GIF codec (operators/gif.py): exact round-trips (GIF is
+lossless for paletted images), the LZW edge cases (code-size growth,
+KwKwK, dictionary reset at 4095), interlacing's four-pass reorder,
+decode-only constructs the encoder never emits (extensions, local
+palettes, offset frames onto a larger logical screen), and the
+multimodal decode_image chain.
+"""
+
+import random
+import struct
+
+import pytest
+
+from json_schema_rs_spark.operators.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+)
+from json_schema_rs_spark.operators.multimodal import (
+    decode_image,
+    image_feature_extractor,
+)
+
+
+def _patches(w, h, ncolors, seed=0):
+    r = random.Random(seed)
+    pal = [(r.randrange(256), r.randrange(256), r.randrange(256))
+           for _ in range(ncolors)]
+    return b"".join(
+        bytes(pal[(i // 7 + i // (w * 3)) % ncolors]) for i in range(w * h)
+    )
+
+
+@pytest.mark.parametrize(
+    "w,h,nc,interlace",
+    [(16, 16, 4, False), (64, 48, 2, False), (31, 29, 7, True),
+     (1, 1, 1, False), (128, 100, 200, False), (50, 50, 256, True)],
+)
+def test_roundtrip_exact(w, h, nc, interlace):
+    rgb = _patches(w, h, nc, seed=nc * 31 + w)
+    enc = encode_gif(w, h, rgb, interlace=interlace)
+    dw, dh, drgb = decode_gif(enc)
+    assert (dw, dh) == (w, h)
+    assert drgb == rgb  # lossless: equality, not tolerance
+    assert len(enc) < len(rgb) + 800  # palette overhead only
+
+
+def test_dictionary_reset_path():
+    # 256-color noise on 200x200 overflows the 4095-entry dictionary,
+    # forcing the encoder's clear-code reset and the decoder's replay
+    r = random.Random(3)
+    w = h = 200
+    pal = [(i, 255 - i, (i * 7) % 256) for i in range(256)]
+    rgb = b"".join(bytes(pal[r.randrange(256)]) for _ in range(w * h))
+    assert decode_gif(encode_gif(w, h, rgb))[2] == rgb
+
+
+def test_lzw_kwkwk_case():
+    # 'aaaa...' drives the code==next_code branch immediately
+    idx = b"\x00" * 500
+    enc = _lzw_encode(idx, 2)
+    assert bytes(_lzw_decode(enc, 2, len(idx))) == idx
+
+
+def test_lzw_code_size_growth_alignment():
+    # long run of distinct pairs pushes through every code width 3..12;
+    # any encoder/decoder disagreement on WHEN the width grows corrupts
+    # the stream within a few codes of the boundary
+    r = random.Random(9)
+    idx = bytes(r.randrange(4) for _ in range(30000))
+    enc = _lzw_encode(idx, 2)
+    assert bytes(_lzw_decode(enc, 2, len(idx))) == idx
+
+
+def test_extensions_are_skipped():
+    rgb = _patches(10, 10, 3)
+    enc = bytearray(encode_gif(10, 10, rgb))
+    # splice a Graphic Control Extension + a comment before the image
+    img_at = enc.index(0x2C, 13)
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    comment = bytes([0x21, 0xFE, 0x05]) + b"hello" + b"\x00"
+    enc[img_at:img_at] = gce + comment
+    assert decode_gif(bytes(enc))[2] == rgb
+
+
+def test_local_palette_and_offset_frame():
+    # hand-build: 4x4 screen, global palette red bg, 2x2 frame at (1,1)
+    # with a LOCAL palette (blue/green checker)
+    screen = struct.pack("<HH", 4, 4) + bytes([0x80 | 0x00, 0, 0])
+    gct = bytes([255, 0, 0, 0, 0, 0])  # red, black
+    lct = bytes([0, 0, 255, 0, 255, 0])  # blue, green
+    idx = bytes([0, 1, 1, 0])
+    lzw = _lzw_encode(idx, 2)
+    img = (b"\x2C" + struct.pack("<HHHH", 1, 1, 2, 2)
+           + bytes([0x80 | 0x00])  # local palette, size 2
+           + lct + bytes([2, len(lzw)]) + lzw + b"\x00")
+    payload = b"GIF89a" + screen + gct + img + b"\x3B"
+    w, h, rgb = decode_gif(payload)
+    assert (w, h) == (4, 4)
+    px = [tuple(rgb[3 * i : 3 * i + 3]) for i in range(16)]
+    assert px[0] == (255, 0, 0)  # background red
+    assert px[5] == (0, 0, 255) and px[6] == (0, 255, 0)  # frame at (1,1)
+    assert px[9] == (0, 255, 0) and px[10] == (0, 0, 255)
+    assert px[15] == (255, 0, 0)
+
+
+def test_gif87a_accepted():
+    rgb = _patches(8, 8, 2)
+    enc = bytearray(encode_gif(8, 8, rgb))
+    enc[3:6] = b"87a"
+    assert decode_gif(bytes(enc))[2] == rgb
+
+
+def test_too_many_colors_rejected():
+    rgb = bytes(range(256)) * 3 + b"\x01\x02\x07" * 3
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(1, len(rgb) // 3, rgb)
+
+
+def test_truncated_pixel_data_rejected():
+    enc = bytearray(encode_gif(20, 20, _patches(20, 20, 5)))
+    # drop the last data sub-block: keep header, kill the tail
+    with pytest.raises(ValueError):
+        decode_gif(bytes(enc[: len(enc) // 2]))
+
+
+def test_non_gif_keeps_seam():
+    with pytest.raises(NotImplementedError):
+        decode_gif(b"\x89PNG\r\n\x1a\n")
+
+
+def test_multimodal_chain_dispatch():
+    rgb = _patches(12, 9, 6, seed=2)
+    img = decode_image(encode_gif(12, 9, rgb))
+    assert (img.width, img.height) == (12, 9)
+    assert img.pixels == rgb
+
+
+def test_features_identical_gif_vs_ppm():
+    # same pixels through GIF and PPM -> identical feature vectors
+    from json_schema_rs_spark.operators.multimodal import encode_ppm
+
+    rgb = _patches(24, 18, 5, seed=4)
+    f_gif = image_feature_extractor(encode_gif(24, 18, rgb))
+    f_ppm = image_feature_extractor(encode_ppm(24, 18, rgb))
+    assert f_gif == f_ppm
