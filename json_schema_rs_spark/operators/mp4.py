@@ -568,13 +568,17 @@ def decode_video_frames(
     an ``every_ms`` stride (container sample table, seek semantics) and
     decode the picked frames with the stdlib baseline-JPEG codec →
     ``(media_id, frame_idx, ts_ms, width, height, mean_luma)``.
+    Animated-GIF payloads (the web's most common video-like format) take
+    the same stride contract through gif.extract_gif_frames_at — full
+    GIF89a compositing (GCE delays, transparency, disposal), no JPEG
+    involved — so one operator covers a mixed MP4+GIF corpus.
 
     Arrow-batched (``mapInPandas``); one output row per decoded frame.
-    Payloads that don't parse as MP4, carry a non-JPEG codec, or whose
-    frames the baseline decoder can't handle yield a single NULL-frame row
+    Payloads that don't parse as MP4/GIF, carry a non-JPEG MP4 codec, or
+    whose frames the decoders can't handle yield a single NULL-frame row
     (same quarantine contract as ``probe_videos``).  ``decoder`` overrides
-    the per-frame pixel decode (e.g. a library decoder for avc1) and must
-    return ``(width, height, rgb_bytes)``."""
+    the per-frame pixel decode for MP4 tracks (e.g. a library decoder for
+    avc1) and must return ``(width, height, rgb_bytes)``."""
     from json_schema_rs_spark.operators.jpeg import decode_jpeg
 
     dec = decoder or decode_jpeg
@@ -582,11 +586,23 @@ def decode_video_frames(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from json_schema_rs_spark.operators.gif import extract_gif_frames_at
+
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 mid = int(mid)
                 try:
+                    if payload is not None and payload[:3] == b"GIF":
+                        for idx, ts, w, h, rgb in extract_gif_frames_at(
+                            payload, every_ms
+                        ):
+                            luma = float(
+                                np.frombuffer(rgb, dtype=np.uint8)
+                                .astype(np.float64).mean()
+                            )
+                            rows.append((mid, idx, ts, w, h, luma))
+                        continue
                     tab = mp4_sample_table(payload)
                     if decoder is None and tab.codec != "jpeg":
                         raise NotImplementedError(
