@@ -4192,6 +4192,64 @@ def q_multimodal_features_gif(spark, sf_dir):
     )
 
 
+def q_audio_probe_mixed(spark, sf_dir):
+    # HEADER-ONLY audio probe over a mixed WAV/FLAC/MP3 corpus
+    # (operators/mpeg_audio.py probe_audio, round-5 continuation): WAV by
+    # RIFF chunk arithmetic, FLAC by STREAMINFO, MP3 by the ISO 11172-3
+    # frame walk (sync + bitrate-ladder + floor(144000·kbps/rate) frame
+    # lengths — framing is derivable from the spec even though the MP3
+    # DECODE filterbank is not, so probe is native and decode stays the
+    # documented seam).  Every output is integer framing arithmetic the
+    # oracle replays; bitrate is projected out because FLAC's depends on
+    # compression ratio, not headers.
+    import pandas as pd
+
+    from json_schema_rs_spark.operators.flac import encode_flac
+    from json_schema_rs_spark.operators.mpeg_audio import (
+        encode_mp3_skeleton,
+        probe_audio,
+    )
+    from json_schema_rs_spark.operators.multimodal import encode_wav
+
+    base = spark.range(48).select(
+        F.col("id").alias("media_id"),
+        (F.col("id") % 3).alias("fmt"),
+        (1000 + 50 * (F.col("id") % 5)).cast("int").alias("n"),
+        (F.when(F.col("id") % 2 == 0, 8000).otherwise(16000))
+        .cast("int").alias("rate"),
+        (3 + F.col("id") % 4).cast("int").alias("k"),
+    )
+
+    def enc(it):
+        kbps_ladder = [64, 128, 192, 320]
+        mp3_rates = [44100, 48000, 32000]
+        for pdf in it:
+            payloads = []
+            for mid, fmt, n, rate, k in zip(
+                pdf["media_id"], pdf["fmt"], pdf["n"], pdf["rate"], pdf["k"]
+            ):
+                mid, fmt, n, rate, k = (int(mid), int(fmt), int(n),
+                                        int(rate), int(k))
+                samples = [2000 if i % 2 == 0 else -2000 for i in range(n)]
+                if fmt == 0:
+                    payloads.append(encode_wav(rate, samples))
+                elif fmt == 1:
+                    payloads.append(encode_flac([samples], rate, 16,
+                                                blocksize=512))
+                else:
+                    payloads.append(encode_mp3_skeleton(
+                        [kbps_ladder[mid % 4]] * k,
+                        mp3_rates[(mid // 3) % 3]))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(enc, schema="media_id long, payload binary")
+    return probe_audio(media).select(
+        "media_id", "format", "sample_rate", "n_samples", "duration_ms"
+    )
+
+
 def q_audio_dup_containers(spark, sf_dir):
     # CROSS-CONTAINER content dedup (multimodal.audio_dup_groups, round-5
     # continuation): each PCM recording is stored TWICE — as WAV bytes
@@ -4536,6 +4594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 continuation: content-level audio dedup across
         # containers (same PCM as WAV and FLAC shares a signature)
         "audio_dup_containers": q_audio_dup_containers,
+        # round-5 continuation: header-only probe over WAV/FLAC/MP3
+        # (MP3 framing native per ISO 11172-3; decode stays the seam)
+        "audio_probe_mixed": q_audio_probe_mixed,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -4569,7 +4630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and video-level dedup on the decoded content
         "video_frames_mp4", "video_dup_mp4", "multimodal_features_jpeg_prog",
         "audio_features_flac", "multimodal_features_gif",
-        "video_frames_gif", "audio_dup_containers",
+        "video_frames_gif", "audio_dup_containers", "audio_probe_mixed",
         "validate_windowed_events", "ri_stream_events",
         "neardup_stream_docs", "stateful_dedup_replay",
         "sessionize_stream_replay", "multimodal_features_jpeg",
@@ -8770,6 +8831,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(k * ra + (48 - k) * rb AS BIGINT) AS sum_r,
                    CAST(k * ga + (48 - k) * gb AS BIGINT) AS sum_g,
                    CAST(k * ba + (48 - k) * bb AS BIGINT) AS sum_b
+            FROM c
+        """,
+        # header-only audio probe: WAV/FLAC durations are sample
+        # arithmetic; MP3 duration is frames * 1152 / rate with the
+        # rate cycling 44100/48000/32000 by (id//3)%3
+        "audio_probe_mixed": """
+            WITH c AS (
+              SELECT range AS media_id,
+                     range % 3 AS fmt,
+                     1000 + 50 * (range % 5) AS n,
+                     CASE WHEN range % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+                     3 + range % 4 AS k,
+                     CASE (range // 3) % 3 WHEN 0 THEN 44100
+                          WHEN 1 THEN 48000 ELSE 32000 END AS mp3_rate
+              FROM range(48))
+            SELECT media_id,
+                   CASE fmt WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                        ELSE 'mp3' END AS format,
+                   CAST(CASE WHEN fmt = 2 THEN mp3_rate ELSE rate END
+                        AS BIGINT) AS sample_rate,
+                   CAST(CASE WHEN fmt = 2 THEN k * 1152 ELSE n END
+                        AS BIGINT) AS n_samples,
+                   CAST(CASE WHEN fmt = 2 THEN k * 1152 * 1000 // mp3_rate
+                        ELSE n * 1000 // rate END AS BIGINT) AS duration_ms
             FROM c
         """,
         # cross-container audio dedup: recordings repeat every 12 pairs

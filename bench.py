@@ -352,6 +352,11 @@ ROTATION_QUERIES = [
     "multimodal_features_jpeg_prog",
     "video_frames_mp4",
     "video_dup_mp4",
+    "audio_features_flac",
+    "multimodal_features_gif",
+    "video_frames_gif",
+    "audio_dup_containers",
+    "audio_probe_mixed",
 ]
 
 _ROTATION_FILE = os.path.join(

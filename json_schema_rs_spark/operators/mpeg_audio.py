@@ -1,0 +1,250 @@
+"""MPEG audio (MP3) FRAME-LEVEL probe, stdlib-only — the audio sibling
+of mp4.probe_videos: corpus statistics (duration, bitrate, VBR-ness,
+frame count) from container framing alone, no PCM decode.
+
+The split is deliberate and documented (README limits): MP3's frame
+HEADERS are fully derivable from the public spec (ISO 11172-3 §2.4.1 —
+the 4-byte header layout, the Layer-III MPEG-1 bitrate ladder
+32..320 kbps, the 44.1/48/32 kHz rate codes, frame length
+``floor(144·bitrate/rate) + padding``, 1152 samples per frame, optional
+CRC-16), so a bit-honest frame walker is possible and lives here.  The
+DECODE side (hybrid filterbank) depends on a 512-coefficient synthesis
+window published only as a table (Annex B 3-B.3) — not derivable — so
+decoding stays behind the multimodal chain's ``decoder=`` injection
+seam.  Probing is what a 100 TB curation pass mostly needs anyway:
+duration/bitrate screens, corrupt-file quarantine, VBR stats.
+
+``mp3_probe`` walks every frame (ID3v2 skipped via its syncsafe size,
+ID3v1 trailer recognized), validating sync, version/layer, bitrate and
+rate codes, and that each frame's computed length lands exactly on the
+next sync — a truncated or corrupt stream fails loudly rather than
+yielding plausible numbers.  ``encode_mp3_skeleton`` is the fixture
+partner: valid MPEG-1 Layer III framing around deterministic filler
+payloads (headers are real; the payload is not audio — exactly like
+mp4.encode_mp4_skeleton, fixtures for the PROBE layer).
+
+``probe_audio`` is the Spark operator: one Arrow-batched pass emitting
+``(format, sample_rate, n_samples, duration_ms, bitrate_kbps)`` for
+WAV (RIFF header arithmetic), FLAC (STREAMINFO), and MP3 (frame walk)
+payloads — header-only for all three, so probing a petabyte corpus
+never touches sample data.
+"""
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["mp3_probe", "encode_mp3_skeleton", "probe_audio", "Mp3Info"]
+
+# MPEG-1 Layer III (ISO 11172-3 Table B.2 column): index 1..14, kbps.
+_BITRATE_KBPS = [None, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 160, 192, 224, 256, 320, None]
+_SAMPLE_RATE = [44100, 48000, 32000, None]
+_SAMPLES_PER_FRAME = 1152
+
+
+class Mp3Info(NamedTuple):
+    n_frames: int
+    sample_rate: int
+    duration_ms: int
+    bitrate_kbps: int  # mean over frames, floor
+    is_vbr: bool
+    has_id3v2: bool
+    has_id3v1: bool
+
+
+def _skip_id3v2(payload: bytes) -> int:
+    """Return the offset past an ID3v2 tag (0 if none)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    flags = payload[5]
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("MP3: non-syncsafe ID3v2 size")
+        size = (size << 7) | b
+    return 10 + size + (10 if flags & 0x10 else 0)
+
+
+def mp3_probe(payload: bytes) -> Mp3Info:
+    """Walk MPEG-1 Layer III frames; see module docstring.  Raises
+    ``NotImplementedError`` for payloads that are not MPEG-1 Layer III
+    (including MPEG-2/2.5 and Layers I/II) and ``ValueError`` for
+    streams whose framing is corrupt."""
+    if payload is None or len(payload) < 4:
+        raise NotImplementedError("not an MPEG audio stream")
+    has_id3v1 = len(payload) >= 128 and payload[-128:-125] == b"TAG"
+    end = len(payload) - (128 if has_id3v1 else 0)
+    pos = _skip_id3v2(payload)
+    has_id3v2 = pos > 0
+    if pos + 4 > end or payload[pos] != 0xFF or payload[pos + 1] & 0xE0 != 0xE0:
+        raise NotImplementedError("not an MPEG audio stream")
+
+    n_frames = 0
+    rate = None
+    kbps_sum = 0
+    kbps_set = set()
+    while pos + 4 <= end:
+        b1, b2 = payload[pos], payload[pos + 1]
+        if b1 != 0xFF or b2 & 0xE0 != 0xE0:
+            raise ValueError(f"MP3: lost frame sync at byte {pos}")
+        version = (b2 >> 3) & 0x3
+        layer = (b2 >> 1) & 0x3
+        if version != 0x3 or layer != 0x1:
+            raise NotImplementedError(
+                "only MPEG-1 Layer III framing is supported natively"
+            )
+        b3 = payload[pos + 2]
+        kbps = _BITRATE_KBPS[b3 >> 4]
+        sr = _SAMPLE_RATE[(b3 >> 2) & 0x3]
+        if kbps is None or sr is None:
+            raise ValueError("MP3: invalid bitrate/sample-rate code")
+        if rate is None:
+            rate = sr
+        elif sr != rate:
+            raise ValueError("MP3: sample rate changed mid-stream")
+        padding = (b3 >> 1) & 0x1
+        flen = 144000 * kbps // sr + padding
+        if pos + flen > end:
+            raise ValueError("MP3: truncated final frame")
+        n_frames += 1
+        kbps_sum += kbps
+        kbps_set.add(kbps)
+        pos += flen
+    if pos != end:
+        raise ValueError("MP3: trailing garbage after last frame")
+    return Mp3Info(
+        n_frames,
+        rate,
+        n_frames * _SAMPLES_PER_FRAME * 1000 // rate,
+        kbps_sum // n_frames,
+        len(kbps_set) > 1,
+        has_id3v2,
+        has_id3v1,
+    )
+
+
+def encode_mp3_skeleton(
+    frame_kbps: list,
+    sample_rate: int = 44100,
+    id3v2_bytes: int = 0,
+    id3v1: bool = False,
+    fill: int = 0xA5,
+) -> bytes:
+    """Fixture partner of :func:`mp3_probe`: emit valid MPEG-1 Layer III
+    FRAMING (real headers, deterministic filler payload) — one frame per
+    entry of ``frame_kbps``.  Mixed bitrates produce a VBR stream."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}.get(sample_rate)
+    if sr_idx is None:
+        raise ValueError("sample_rate must be 44100/48000/32000")
+    out = bytearray()
+    if id3v2_bytes:
+        size = id3v2_bytes
+        out += b"ID3" + bytes([4, 0, 0]) + bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += bytes([0]) * size
+    for kbps in frame_kbps:
+        idx = _BITRATE_KBPS.index(kbps)
+        flen = 144000 * kbps // sample_rate  # no padding bit set
+        hdr = bytes([
+            0xFF,
+            0xFB,  # sync | MPEG-1 | Layer III | no CRC
+            (idx << 4) | (sr_idx << 2),
+            0xC0,  # mono, no flags
+        ])
+        out += hdr + bytes([fill]) * (flen - 4)
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
+
+
+_PROBE_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("bitrate_kbps", T.LongType()),
+    ]
+)
+
+
+def _probe_one(payload: bytes) -> tuple:
+    """(format, rate, n_samples, duration_ms, bitrate_kbps) — header-only."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("empty audio payload")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # walk RIFF chunks for fmt + data sizes; no sample reads
+        pos, rate, block_align, nch, width = 12, None, None, None, None
+        data_len = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if cid == b"fmt " and clen >= 16:
+                body = payload[pos + 8 : pos + 8 + 16]
+                nch = int.from_bytes(body[2:4], "little")
+                rate = int.from_bytes(body[4:8], "little")
+                block_align = int.from_bytes(body[12:14], "little")
+                width = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)
+        if rate is None or data_len is None or not block_align:
+            raise ValueError("WAV: missing fmt/data chunk")
+        n = data_len // block_align
+        return ("wav", rate, n * nch, n * 1000 // rate,
+                rate * nch * width // 1000)
+    if payload[:4] == b"fLaC":
+        if len(payload) < 8 + 34:
+            raise ValueError("FLAC: truncated STREAMINFO")
+        hdr = int.from_bytes(payload[4:8], "big")
+        if hdr & 0x7F000000 != 0 or (hdr & 0xFFFFFF) != 34:
+            raise ValueError("FLAC: STREAMINFO must be first")
+        raw = int.from_bytes(payload[18:26], "big")
+        rate = raw >> 44
+        nch = ((raw >> 41) & 0x7) + 1
+        total = raw & ((1 << 36) - 1)
+        if rate == 0:
+            raise ValueError("FLAC: zero sample rate")
+        # bitrate unknown without decoding frame sizes: report payload avg
+        dur = total * 1000 // rate
+        kbps = (8 * len(payload) * rate // max(total, 1)) // 1000 if total else 0
+        return ("flac", rate, total * nch, dur, kbps)
+    info = mp3_probe(payload)  # raises NotImplementedError for the rest
+    return ("mp3", info.sample_rate,
+            info.n_frames * _SAMPLES_PER_FRAME,
+            info.duration_ms, info.bitrate_kbps)
+
+
+def probe_audio(media: DataFrame) -> DataFrame:
+    """Header-only audio probe over a binary-payload corpus: one row per
+    payload with ``(format, sample_rate, n_samples, duration_ms,
+    bitrate_kbps)`` — WAV via RIFF chunk arithmetic, FLAC via STREAMINFO,
+    MP3 via the frame walk.  Arrow-batched, embarrassingly parallel;
+    undecodable payloads yield a NULL-format row (quarantine, same
+    contract as mp4.probe_videos)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    rows.append((mid, *_probe_one(payload)))
+                except (ValueError, NotImplementedError, IndexError):
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "format", "sample_rate",
+                         "n_samples", "duration_ms", "bitrate_kbps"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=_PROBE_AUDIO_SCHEMA
+    )

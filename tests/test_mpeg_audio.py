@@ -1,0 +1,104 @@
+"""MP3 frame-level probe + unified header-only audio probe
+(operators/mpeg_audio.py): framing arithmetic against the spec's closed
+forms, corruption/quarantine behavior, and the Spark operator over a
+mixed WAV/FLAC/MP3 corpus.
+
+The probe never decodes PCM — the checks here are that the frame walk's
+numbers (counts, durations, bitrates) match the ISO 11172-3 framing
+formulas exactly, and that corrupt streams fail loudly instead of
+yielding plausible numbers.
+"""
+
+import pytest
+
+from json_schema_rs_spark.operators.flac import encode_flac
+from json_schema_rs_spark.operators.mpeg_audio import (
+    _probe_one,
+    encode_mp3_skeleton,
+    mp3_probe,
+    probe_audio,
+)
+from json_schema_rs_spark.operators.multimodal import encode_wav
+
+
+class TestMp3Probe:
+    def test_cbr_closed_forms(self):
+        i = mp3_probe(encode_mp3_skeleton([128] * 10, 44100))
+        assert i.n_frames == 10
+        assert i.sample_rate == 44100
+        assert i.bitrate_kbps == 128
+        assert not i.is_vbr
+        # 1152 samples per MPEG-1 Layer III frame
+        assert i.duration_ms == 10 * 1152 * 1000 // 44100
+
+    @pytest.mark.parametrize("rate", [44100, 48000, 32000])
+    @pytest.mark.parametrize(
+        "kbps", [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    )
+    def test_every_bitrate_rate_combination(self, rate, kbps):
+        # frame length floor(144000*kbps/rate) must land the walk exactly
+        # on the next sync for every ladder entry
+        i = mp3_probe(encode_mp3_skeleton([kbps] * 3, rate))
+        assert (i.n_frames, i.sample_rate, i.bitrate_kbps) == (3, rate, kbps)
+
+    def test_vbr_and_id3_tags(self):
+        enc = encode_mp3_skeleton(
+            [64, 128, 320, 128], 48000, id3v2_bytes=57, id3v1=True
+        )
+        i = mp3_probe(enc)
+        assert i.is_vbr
+        assert i.has_id3v2 and i.has_id3v1
+        assert i.bitrate_kbps == (64 + 128 + 320 + 128) // 4
+
+    def test_truncated_stream_rejected(self):
+        enc = encode_mp3_skeleton([128] * 4, 44100)
+        with pytest.raises(ValueError, match="truncated"):
+            mp3_probe(enc[:-3])
+
+    def test_mid_stream_corruption_rejected(self):
+        enc = bytearray(encode_mp3_skeleton([128] * 4, 44100))
+        flen = 144000 * 128 // 44100
+        enc[flen] = 0x00  # destroy second frame's sync byte
+        with pytest.raises(ValueError, match="sync"):
+            mp3_probe(bytes(enc))
+
+    def test_non_mp3_keeps_seam(self):
+        with pytest.raises(NotImplementedError):
+            mp3_probe(b"\x00\x01\x02\x03" * 16)
+        with pytest.raises(NotImplementedError):
+            mp3_probe(b"RIFF1234WAVEfmt ")
+
+    def test_mpeg2_framing_not_claimed(self):
+        # MPEG-2 version bits (10) must refuse, not misparse: the header
+        # walk supports exactly what it claims
+        hdr = bytes([0xFF, 0xF3, (9 << 4) | (0 << 2), 0xC0])
+        with pytest.raises(NotImplementedError, match="MPEG-1 Layer III"):
+            mp3_probe(hdr + bytes(100))
+
+
+class TestUnifiedProbe:
+    def test_wav_header_arithmetic(self):
+        x = [100, -100] * 500
+        assert _probe_one(encode_wav(8000, x)) == (
+            "wav", 8000, 1000, 125, 128)
+
+    def test_flac_streaminfo(self):
+        x = [100, -100] * 500
+        fmt, rate, n, dur, _ = _probe_one(encode_flac([x], 8000, 16))
+        assert (fmt, rate, n, dur) == ("flac", 8000, 1000, 125)
+
+    def test_spark_operator_mixed_corpus(self, spark):
+        x = [3000, -3000] * 600
+        rows = [
+            (0, encode_wav(16000, x)),
+            (1, encode_flac([x], 16000, 16)),
+            (2, encode_mp3_skeleton([192] * 5, 44100)),
+            (3, b"not audio"),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = {r.media_id: r for r in probe_audio(media).collect()}
+        assert out[0].format == "wav" and out[0].duration_ms == 75
+        assert out[1].format == "flac" and out[1].n_samples == 1200
+        assert out[2].format == "mp3" and out[2].n_samples == 5 * 1152
+        assert out[2].bitrate_kbps == 192
+        assert out[3].format is None  # quarantined
