@@ -1,15 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-Decoders: ``decode_image`` (PPM P6/P3, uncompressed 24/32-bit BMP,
-baseline 8-bit PNG — zlib inflate + scanline unfilter — and baseline
-JPEG: Huffman + IDCT, see :mod:`.jpeg`) and ``decode_audio`` (PCM WAV)
-are REAL stdlib+numpy kernels — no external library needed — feeding
-``image_feature_extractor`` / ``image_grid_hex`` through the same
-``decoder=`` injection seam.  The remaining library-backed tail
-(progressive/arithmetic JPEG, WebP, MP3, ...) falls through to Pillow
-when installed and otherwise raises ``NotImplementedError`` with the
-injection point named; ``fake_feature_extractor`` remains the
+Decoders: ``decode_image`` (PPM P6/P3, uncompressed 24/32-bit BMP, the
+full static-PNG profile space — zlib inflate + unfilter, Adam7, depths
+1-16 — GIF87a/89a via :mod:`.gif`, and baseline + progressive JPEG:
+Huffman + IDCT, see :mod:`.jpeg`) and ``decode_audio`` (PCM WAV + native
+FLAC via :mod:`.flac`) are REAL stdlib+numpy kernels — no external
+library needed — feeding ``image_feature_extractor`` /
+``image_grid_hex`` through the same ``decoder=`` injection seam.  The
+remaining library-backed tail (arithmetic-coded JPEG, WebP, MP3 decode
+— its synthesis window is a non-derivable spec table; framing is probed
+natively in :mod:`.mpeg_audio`) falls through to Pillow when installed
+and otherwise raises ``NotImplementedError`` with the injection point
+named; ``fake_feature_extractor`` remains the
 deterministic stand-in for pipelines whose oracle cannot re-encode real
 payloads (the constant-color JPEG chain CAN be oracle-replayed — see
 ``multimodal_features_jpeg``).
@@ -113,15 +116,78 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+#: Adam7 pass geometry (PNG spec §8.2): (x0, dx, y0, dy) per pass.
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, base: int, h: int, stride: int, fu: int):
+    """Undo PNG scanline filters over one (sub-)image starting at ``base``
+    in the inflated stream: ``h`` rows of ``stride`` bytes each preceded
+    by a filter-type byte; ``fu`` is the filter unit (bytes per pixel,
+    min 1).  Yields the reconstructed scanlines."""
+    prev = bytearray(stride)
+    for _ in range(h):
+        if base + 1 + stride > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        base += 1 + stride
+        if ftype == 1:    # Sub
+            for i in range(fu, stride):
+                line[i] = (line[i] + line[i - fu]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - fu] if i >= fu else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - fu] if i >= fu else 0
+                ul = prev[i - fu] if i >= fu else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev = line
+        yield line
+
+
+def _png_samples(line: bytearray, n: int, depth: int) -> list:
+    """Unpack the first ``n`` samples of a scanline at ``depth`` bits,
+    scaled to 8 bits (1/2/4-bit gray replicate per spec §12.5 — exact
+    for the max-value scaling used here; 16-bit keeps the high byte,
+    the spec's sample-depth-rescaling recommendation)."""
+    if depth == 8:
+        return list(line[:n])
+    if depth == 16:
+        return [line[2 * i] for i in range(n)]
+    out = []
+    per_byte = 8 // depth
+    maxv = (1 << depth) - 1
+    for i in range(n):
+        b = line[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        v = (b >> shift) & maxv
+        out.append(v * 255 // maxv)
+    return out
+
+
 def _decode_png(payload: bytes) -> DecodedImage:
     """REAL stdlib-only PNG decode: chunk walk → zlib-inflate the IDAT
     stream → per-scanline unfilter (None/Sub/Up/Average/Paeth) → RGB.
-    Supports the baseline non-interlaced 8-bit-depth profile: color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); alpha is
-    dropped (compositing policy belongs to the caller).  Interlaced or
-    16-bit files raise ``NotImplementedError`` — inject a library decoder
-    for those.  The INFLATE itself is stdlib ``zlib``, so unlike JPEG this
-    compressed format is honestly decodable without any media library."""
+    Covers the FULL static-PNG profile space: color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4
+    (gray + palette), 8, and 16 (high byte kept, the spec's rescaling
+    recommendation); Adam7 interlacing (seven sub-images, each filtered
+    independently, spec §8.2).  Alpha is dropped (compositing policy
+    belongs to the caller).  The INFLATE itself is stdlib ``zlib``, so
+    unlike JPEG this compressed format is honestly decodable without any
+    media library.  Was depth-8 non-interlaced only through round 5's
+    opening; the round-5 continuation completed the profile."""
     import struct
     import zlib
 
@@ -143,60 +209,70 @@ def _decode_png(payload: bytes) -> DecodedImage:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
-        raise NotImplementedError(
-            "PNG profile beyond baseline (need bit depth 8, no interlace); "
-            "inject a decoder via extract_features(decoder=...)"
-        )
+    if comp != 0 or filt != 0 or interlace > 1:
+        raise ValueError("bad PNG compression/filter/interlace method")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_i)
     if channels is None:
         raise ValueError(f"bad PNG color type {ctype_i}")
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}[ctype_i]
+    if depth not in valid_depths:
+        raise ValueError(f"bad PNG bit depth {depth} for color type {ctype_i}")
     raw = zlib.decompress(b"".join(idat))
-    stride = channels * w
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    prev = bytearray(stride)
+
+    def emit(px_out, sub_w, sub_h, coords, base):
+        """Unfilter one (sub-)image and write RGB at ``coords(x, y)``;
+        returns the stream offset after it."""
+        stride = (sub_w * channels * depth + 7) // 8
+        fu = max(1, channels * depth // 8)
+        for y, line in enumerate(_png_unfilter(raw, base, sub_h, stride, fu)):
+            if ctype_i == 3 and depth in (1, 2, 4):
+                # palette indices are NOT scaled — unpack raw
+                per_byte = 8 // depth
+                maxv = (1 << depth) - 1
+                vals = [
+                    (line[i // per_byte] >> (8 - depth * (i % per_byte + 1)))
+                    & maxv
+                    for i in range(sub_w)
+                ]
+            else:
+                vals = _png_samples(line, sub_w * channels, depth)
+            for x in range(sub_w):
+                ox, oy = coords(x, y)
+                o = 3 * (oy * w + ox)
+                if ctype_i == 2:
+                    px_out[o : o + 3] = bytes(vals[3 * x : 3 * x + 3])
+                elif ctype_i == 6:
+                    px_out[o : o + 3] = bytes(vals[4 * x : 4 * x + 3])
+                elif ctype_i == 0:
+                    px_out[o : o + 3] = bytes((vals[x],) * 3)
+                elif ctype_i == 4:
+                    px_out[o : o + 3] = bytes((vals[2 * x],) * 3)
+                else:  # palette
+                    p3 = 3 * vals[x]
+                    if p3 + 3 > len(plte):
+                        raise ValueError("PNG palette index out of range")
+                    px_out[o : o + 3] = plte[p3 : p3 + 3]
+        return base + sub_h * (1 + stride)
+
     out = bytearray(3 * w * h)
-    for row in range(h):
-        base = row * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        if ftype == 1:    # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        prev = line
-        o = 3 * row * w
-        if ctype_i == 2:      # RGB
-            out[o : o + 3 * w] = line
-        elif ctype_i == 6:    # RGBA → drop alpha
-            for col in range(w):
-                out[o + 3 * col : o + 3 * col + 3] = line[4 * col : 4 * col + 3]
-        elif ctype_i == 0:    # gray
-            for col in range(w):
-                out[o + 3 * col : o + 3 * col + 3] = bytes((line[col],) * 3)
-        elif ctype_i == 4:    # gray+alpha
-            for col in range(w):
-                out[o + 3 * col : o + 3 * col + 3] = bytes((line[2 * col],) * 3)
-        else:                 # palette
-            for col in range(w):
-                p3 = 3 * line[col]
-                if p3 + 3 > len(plte):
-                    raise ValueError("PNG palette index out of range")
-                out[o + 3 * col : o + 3 * col + 3] = plte[p3 : p3 + 3]
+    if interlace == 0:
+        end = emit(out, w, h, lambda x, y: (x, y), 0)
+    else:
+        end = 0
+        for x0, dx, y0, dy in _ADAM7:
+            sub_w = (w - x0 + dx - 1) // dx
+            sub_h = (h - y0 + dy - 1) // dy
+            if sub_w <= 0 or sub_h <= 0:
+                continue
+            end = emit(
+                out, sub_w, sub_h,
+                lambda x, y, x0=x0, dx=dx, y0=y0, dy=dy: (x0 + x * dx,
+                                                          y0 + y * dy),
+                end,
+            )
+    if end != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
     return DecodedImage(w, h, bytes(out))
 
 
@@ -240,8 +316,9 @@ def _pil_decode(payload: bytes) -> DecodedImage:
 
 def decode_image(payload: bytes) -> DecodedImage:
     """REAL image decode, stdlib-first: binary/ASCII PPM (P6/P3),
-    uncompressed 24/32-bit BMP, baseline 8-bit PNG (zlib inflate +
-    scanline unfilter — see :func:`_decode_png`), baseline JPEG
+    uncompressed 24/32-bit BMP, the full static-PNG profile space (zlib
+    inflate + unfilter, Adam7, depths 1-16 — see :func:`_decode_png`),
+    baseline JPEG
     (Huffman + IDCT, SOF0/SOF1, 4:4:4/4:2:2/4:2:0, restart markers — see
     :mod:`.jpeg`), and GIF87a/89a (variable-code-size LZW, interlace,
     local palettes — see :mod:`.gif`) need no external library.

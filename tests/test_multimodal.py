@@ -314,12 +314,97 @@ def test_png_color_types_gray_rgba_palette():
     assert p.pixels[:9] == bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
 
 
-def test_png_unsupported_profiles_raise():
-    # 16-bit depth and interlace stay NotImplementedError (inject a decoder)
-    with pytest.raises((NotImplementedError, ValueError)):
+def test_png_invalid_profiles_raise():
+    # depth/color-type combinations the spec forbids, and truncated pixel
+    # data for legal profiles, are hard errors — not silent misreads
+    with pytest.raises(ValueError):
+        decode_image(_png_chunks((2, 2, 4, 2, 0, 0, 0), [b"\x00\x00\x00"]))
+    with pytest.raises(ValueError):  # legal 16-bit header, missing a row
         decode_image(_png_chunks((2, 2, 16, 2, 0, 0, 0), [b"\x00" + b"\x00" * 12]))
-    with pytest.raises((NotImplementedError, ValueError)):
+    with pytest.raises(ValueError):  # legal interlaced header, wrong length
         decode_image(_png_chunks((2, 2, 8, 2, 0, 0, 1), [b"\x00" + b"\x00" * 6]))
+
+
+def _adam7_scanlines(w, h, px, channels=3):
+    # forward-interlace filter-0 scanlines for an 8-bit image
+    passes = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+              (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+    lines = []
+    for x0, dx, y0, dy in passes:
+        sw = (w - x0 + dx - 1) // dx
+        sh = (h - y0 + dy - 1) // dy
+        if sw <= 0 or sh <= 0:
+            continue
+        for y in range(sh):
+            row = bytearray([0])
+            for x in range(sw):
+                o = channels * ((y0 + y * dy) * w + (x0 + x * dx))
+                row += px[o : o + channels]
+            lines.append(bytes(row))
+    return lines
+
+
+def test_png_adam7_interlace_rgb():
+    # an interlaced file must decode to the SAME pixels as sequential
+    w, h = 13, 9
+    px = _gradient_rgb(w, h)
+    got = decode_image(_png_chunks((w, h, 8, 2, 0, 0, 1),
+                                   _adam7_scanlines(w, h, px)))
+    assert (got.width, got.height) == (w, h)
+    assert got.pixels == px
+
+
+def test_png_adam7_tiny_images_skip_empty_passes():
+    for w, h in [(1, 1), (2, 2), (3, 1), (1, 5), (8, 8)]:
+        px = _gradient_rgb(w, h)
+        got = decode_image(_png_chunks((w, h, 8, 2, 0, 0, 1),
+                                       _adam7_scanlines(w, h, px)))
+        assert got.pixels == px, (w, h)
+
+
+def test_png_16bit_keeps_high_byte():
+    # 2x1 RGB 16-bit: (0x1234, 0x5678, 0x9ABC), (0xFF01, 0x0002, 0x8003)
+    row = bytes([0x00,
+                 0x12, 0x34, 0x56, 0x78, 0x9A, 0xBC,
+                 0xFF, 0x01, 0x00, 0x02, 0x80, 0x03])
+    got = decode_image(_png_chunks((2, 1, 16, 2, 0, 0, 0), [row]))
+    assert got.pixels == bytes([0x12, 0x56, 0x9A, 0xFF, 0x00, 0x80])
+
+
+def test_png_low_depth_gray_scaling_exact():
+    # 1-bit: 8 pixels in one byte -> 0/255; spec scaling v*255//maxv
+    row = bytes([0x00, 0b10110001])
+    got = decode_image(_png_chunks((8, 1, 1, 0, 0, 0, 0), [row]))
+    grays = [got.pixels[3 * i] for i in range(8)]
+    assert grays == [255, 0, 255, 255, 0, 0, 0, 255]
+    # 2-bit: values 0..3 -> 0,85,170,255
+    row = bytes([0x00, 0b00011011])
+    got = decode_image(_png_chunks((4, 1, 2, 0, 0, 0, 0), [row]))
+    assert [got.pixels[3 * i] for i in range(4)] == [0, 85, 170, 255]
+    # 4-bit: 0xF -> 255, 0x7 -> 119 (7*255//15 = 7*17)
+    row = bytes([0x00, 0xF7])
+    got = decode_image(_png_chunks((2, 1, 4, 0, 0, 0, 0), [row]))
+    assert [got.pixels[0], got.pixels[3]] == [255, 119]
+
+
+def test_png_low_depth_palette_indices_not_scaled():
+    # 2-bit palette: indices must be used RAW (scaling them would read
+    # the wrong palette entries)
+    plte = bytes([10, 11, 12,  20, 21, 22,  30, 31, 32,  40, 41, 42])
+    row = bytes([0x00, 0b11100100])  # indices 3,2,1,0
+    got = decode_image(_png_chunks((4, 1, 2, 3, 0, 0, 0), [row], plte=plte))
+    assert got.pixels == bytes([40, 41, 42, 30, 31, 32, 20, 21, 22, 10, 11, 12])
+
+
+def test_png_interlaced_palette():
+    # interlace + palette together (both code paths at once)
+    plte = bytes([200, 0, 0,  0, 200, 0,  0, 0, 200])
+    w, h = 5, 3
+    idx = [(x + y) % 3 for y in range(h) for x in range(w)]
+    px = b"".join(bytes(plte[3 * i : 3 * i + 3]) for i in idx)
+    lines = _adam7_scanlines(w, h, bytes(idx), channels=1)
+    got = decode_image(_png_chunks((w, h, 8, 3, 0, 0, 1), lines, plte=plte))
+    assert got.pixels == px
 
 
 def test_png_features_through_spark(spark):
