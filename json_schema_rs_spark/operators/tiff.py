@@ -1,0 +1,471 @@
+"""Baseline TIFF codec, stdlib-only — document/scan corpora are full of
+TIFFs, and the baseline profile is entirely derivable from the public
+spec (TIFF 6.0, Adobe 1992): the IFD tag walk, strip layout, PackBits
+(§9: a trivial run-length scheme), and TIFF-variant LZW (§13 — the GIF
+algorithm with MSB-first code packing and the EarlyChange off-by-one:
+code width grows one entry EARLIER than GIF's, at table sizes 511/1023/
+2047/4095).  No magic tables anywhere, so — like operators/{flac,gif}.py
+— a bit-honest native codec lives here.
+
+Decoder (``decode_tiff``) covers what baseline writers emit: II and MM
+byte orders, bilevel (WhiteIsZero/BlackIsZero min-is-* with 1-bit
+samples), 8-bit grayscale, 8-bit RGB(A, alpha dropped), palette-color,
+multiple strips, compression None (1) / LZW (5) / PackBits (32773), and
+the horizontal-differencing predictor (tag 317 = 2) LZW files commonly
+carry.  Tiled TIFF, JPEG-in-TIFF, 16-bit samples and planar
+configuration 2 raise ``NotImplementedError`` — the multimodal chain's
+injection seam, same as every other decoder family here.
+
+Encoder (``encode_tiff``): fixture partner — 8-bit gray or RGB, chosen
+compression (none/packbits/lzw, optional predictor), multi-strip
+layout.  Lossless ⇒ round-trip asserts byte equality.
+
+Scale shape: per-payload kernel under Arrow-batched ``mapInPandas``
+(multimodal.extract_features) — embarrassingly parallel, no shuffle.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Tuple
+
+__all__ = ["decode_tiff", "encode_tiff"]
+
+
+# ----------------------------------------------------------- LZW (TIFF)
+
+_CLEAR, _EOI = 256, 257
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF §13 LZW: 8-bit roots, MSB-first packing, EarlyChange (width
+    bumps when the NEXT code would not fit, one entry before GIF)."""
+    prefix: List[int] = []
+    suffix: List[int] = []
+
+    def reset():
+        nonlocal width, next_code
+        prefix.clear()
+        suffix.clear()
+        for i in range(258):
+            prefix.append(-1)
+            suffix.append(i if i < 256 else 0)
+        width = 9
+        next_code = 258
+
+    width = 9
+    next_code = 258
+    reset()
+
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev = -1
+    chain = bytearray()
+    while len(out) < max_out:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        if code == _CLEAR:
+            reset()
+            prev = -1
+            continue
+        if code == _EOI:
+            break
+        if code < next_code:
+            chain.clear()
+            c = code
+            while c >= 0:
+                chain.append(suffix[c])
+                c = prefix[c]
+            chain.reverse()
+        elif code == next_code and prev >= 0:
+            chain.clear()
+            c = prev
+            while c >= 0:
+                chain.append(suffix[c])
+                c = prefix[c]
+            chain.reverse()
+            chain.append(chain[0])
+        else:
+            raise ValueError("TIFF: LZW code out of range")
+        out += chain
+        if prev >= 0 and next_code < 4096:
+            prefix.append(prev)
+            suffix.append(chain[0])
+            next_code += 1
+            # EarlyChange: grow when the next code to ASSIGN or READ
+            # would overflow the current width (i.e. at 510/1022/2046)
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = code
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+    # mirror the decoder's clock exactly (same one-code dictionary lag
+    # trick as gif._lzw_encode, plus EarlyChange)
+    table: Dict[Tuple[int, ...], int] = {(i,): i for i in range(256)}
+    width = 9
+    enc_next = 258
+    dec_next = 258
+    first = True
+    emit(_CLEAR, width)
+
+    def after_emit():
+        nonlocal dec_next, width, first
+        if first:
+            first = False
+            return
+        if dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) - 1 and width < 12:
+                width += 1
+
+    seq: Tuple[int, ...] = ()
+    for b in data:
+        cand = seq + (b,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        after_emit()
+        if enc_next < 4096:
+            table[cand] = enc_next
+            enc_next += 1
+        else:
+            emit(_CLEAR, width)
+            after_emit()
+            table = {(i,): i for i in range(256)}
+            width = 9
+            enc_next = 258
+            dec_next = 258
+            first = True
+        seq = (b,)
+    if seq:
+        emit(table[seq], width)
+        after_emit()
+    emit(_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# ------------------------------------------------------------ PackBits
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < max_out:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("TIFF: truncated PackBits run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length at i
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            # literal stretch until next run of >= 3 (2 is break-even)
+            j = i + 1
+            while j < n and j - i < 128:
+                r = 1
+                while j + r < n and r < 3 and data[j + r] == data[j]:
+                    r += 1
+                if r >= 3:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+# -------------------------------------------------------------- decode
+
+_II, _MM = b"II", b"MM"
+
+
+def decode_tiff(payload: bytes) -> Tuple[int, int, bytes]:
+    """Decode the first IFD of a baseline TIFF to ``(w, h, rgb_bytes)``.
+    See module docstring for the covered profile."""
+    if payload is None or payload[:2] not in (_II, _MM) or len(payload) < 8:
+        raise NotImplementedError(
+            "not a TIFF stream; inject a decoder via "
+            "extract_features(decoder=...)"
+        )
+    bo = "<" if payload[:2] == _II else ">"
+    magic, ifd_off = struct.unpack(bo + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("TIFF: bad magic")
+
+    def rd(fmt, off):
+        size = struct.calcsize(bo + fmt)
+        if off + size > len(payload):
+            raise ValueError("TIFF: truncated")
+        return struct.unpack(bo + fmt, payload[off : off + size])
+
+    (n_tags,) = rd("H", ifd_off)
+    tags: Dict[int, list] = {}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        tag, ttype, count = rd("HHI", off)
+        if ttype not in type_size:
+            continue
+        total = type_size[ttype] * count
+        voff = off + 8 if total <= 4 else rd("I", off + 8)[0]
+        if ttype in type_fmt:
+            tags[tag] = list(rd(type_fmt[ttype] * count, voff))
+        elif ttype == 5:  # rational: keep numerators (unused here)
+            tags[tag] = [rd("II", voff + 8 * j)[0] for j in range(count)]
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF: missing tag {tag}")
+            return default
+        return v[0]
+
+    w = one(256)
+    h = one(257)
+    bits = tags.get(258, [1])
+    photo = one(262)
+    comp = one(259, 1)
+    spp = one(277, 1)
+    predictor = one(317, 1)
+    planar = one(284, 1)
+    if planar != 1:
+        raise NotImplementedError("TIFF: planar configuration 2")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(f"TIFF: compression {comp} (inject decoder)")
+    if any(b not in (1, 8) for b in bits) or (bits[0] == 1 and spp != 1):
+        raise NotImplementedError("TIFF: only 1-bit bilevel / 8-bit samples")
+    if predictor not in (1, 2):
+        raise ValueError("TIFF: bad predictor")
+
+    rows_per_strip = one(278, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing strip layout")
+
+    stride = (w * spp * bits[0] + 7) // 8
+    data = bytearray()
+    remaining_rows = h
+    for soff, scount in zip(offsets, counts):
+        strip_rows = min(rows_per_strip, remaining_rows)
+        remaining_rows -= strip_rows
+        raw = payload[soff : soff + scount]
+        if len(raw) != scount:
+            raise ValueError("TIFF: truncated strip")
+        want = strip_rows * stride
+        if comp == 1:
+            strip = raw[:want]
+        elif comp == 5:
+            strip = _tiff_lzw_decode(raw, want)
+        else:
+            strip = _packbits_decode(raw, want)
+        if len(strip) < want:
+            raise ValueError("TIFF: strip decode short")
+        strip = bytearray(strip[:want])
+        if predictor == 2 and bits[0] == 8:
+            for r in range(strip_rows):
+                base = r * stride
+                for i in range(spp, stride):
+                    strip[base + i] = (
+                        strip[base + i] + strip[base + i - spp]
+                    ) & 0xFF
+        data += strip
+    if remaining_rows:
+        raise ValueError("TIFF: not enough strips for image height")
+
+    out = bytearray(3 * w * h)
+    if bits[0] == 1:  # bilevel
+        white_zero = photo == 0
+        for y in range(h):
+            for x in range(w):
+                byte = data[y * stride + x // 8]
+                v = (byte >> (7 - x % 8)) & 1
+                gray = 255 * (1 - v) if white_zero else 255 * v
+                o = 3 * (y * w + x)
+                out[o : o + 3] = bytes((gray,) * 3)
+    elif photo in (0, 1) and spp == 1:  # 8-bit gray
+        for i in range(w * h):
+            g = data[i] if photo == 1 else 255 - data[i]
+            out[3 * i : 3 * i + 3] = bytes((g,) * 3)
+    elif photo == 2 and spp >= 3:  # RGB(A)
+        for i in range(w * h):
+            o = i * spp
+            out[3 * i : 3 * i + 3] = data[o : o + 3]
+    elif photo == 3 and spp == 1:  # palette
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("TIFF: missing color map")
+        third = len(cmap) // 3
+        for i in range(w * h):
+            ci = data[i]
+            # TIFF color maps are 16-bit; high byte is the 8-bit value
+            out[3 * i] = cmap[ci] >> 8
+            out[3 * i + 1] = cmap[third + ci] >> 8
+            out[3 * i + 2] = cmap[2 * third + ci] >> 8
+    else:
+        raise NotImplementedError(
+            f"TIFF: photometric {photo} with {spp} samples"
+        )
+    return w, h, bytes(out)
+
+
+# -------------------------------------------------------------- encode
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    rgb: bytes,
+    gray: bool = False,
+    compression: str = "lzw",
+    predictor: bool = False,
+    rows_per_strip: int = 0,
+) -> bytes:
+    """Encode RGB24 (or its grayscale reduction when ``gray``) to a
+    little-endian baseline TIFF; the fixture partner of
+    :func:`decode_tiff`.  ``compression``: 'none' | 'packbits' | 'lzw';
+    ``predictor`` applies horizontal differencing (LZW only).
+    Multi-strip when ``rows_per_strip`` > 0."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length != 3*width*height")
+    spp = 1 if gray else 3
+    if gray:
+        raster = bytes(
+            (299 * rgb[3 * i] + 587 * rgb[3 * i + 1] + 114 * rgb[3 * i + 2])
+            // 1000
+            for i in range(width * height)
+        )
+    else:
+        raster = rgb
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    if predictor and compression != "lzw":
+        raise ValueError("predictor is an LZW option here")
+
+    stride = width * spp
+    rps = rows_per_strip or height
+    strips = []
+    for y0 in range(0, height, rps):
+        rows = min(rps, height - y0)
+        strip = bytearray(raster[y0 * stride : (y0 + rows) * stride])
+        if predictor:
+            for r in range(rows - 1, -1, -1):
+                base = r * stride
+                for i in range(stride - 1, spp - 1, -1):
+                    strip[base + i] = (
+                        strip[base + i] - strip[base + i - spp]
+                    ) & 0xFF
+        if comp_id == 1:
+            strips.append(bytes(strip))
+        elif comp_id == 5:
+            strips.append(_tiff_lzw_encode(bytes(strip)))
+        else:
+            strips.append(_packbits_encode(bytes(strip)))
+
+    n_strips = len(strips)
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def entry(tag, ttype, values):
+        entries.append((tag, ttype, values))
+
+    entry(256, 4, [width])
+    entry(257, 4, [height])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [comp_id])
+    entry(262, 3, [2 if spp == 3 else 1])
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    entry(279, 4, [len(s) for s in strips])
+    if predictor:
+        entry(317, 3, [2])
+    # strip offsets (273) filled after layout
+    entry(273, 4, [0] * n_strips)
+    entries.sort(key=lambda e: e[0])
+
+    type_size = {3: 2, 4: 4}
+    type_fmt = {3: "H", 4: "I"}
+    header = 8
+    ifd_off = header
+    ifd_len = 2 + 12 * len(entries) + 4
+    extra_off = ifd_off + ifd_len
+    extra = bytearray()
+    # first pass: compute where out-of-line values land
+    value_layout = []
+    for tag, ttype, values in entries:
+        total = type_size[ttype] * len(values)
+        if total <= 4:
+            value_layout.append(None)
+        else:
+            value_layout.append(extra_off + len(extra))
+            extra += bytes(total)
+    data_off = extra_off + len(extra)
+    strip_offsets = []
+    o = data_off
+    for s in strips:
+        strip_offsets.append(o)
+        o += len(s)
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    extra = bytearray()
+    for (tag, ttype, values), voff in zip(entries, value_layout):
+        if tag == 273:
+            values = strip_offsets
+        total = type_size[ttype] * len(values)
+        packed = struct.pack("<" + type_fmt[ttype] * len(values), *values)
+        out += struct.pack("<HHI", tag, ttype, len(values))
+        if voff is None:
+            out += packed + bytes(4 - total)
+        else:
+            out += struct.pack("<I", voff)
+            extra += packed
+    out += struct.pack("<I", 0)  # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
