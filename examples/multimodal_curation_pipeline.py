@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Mixed-format multimodal curation pipeline (runnable demo):
+
+    python examples/multimodal_curation_pipeline.py [n_rows]
+
+One corpus, five container families, every decoder native — the shape of
+a real crawled media column, where format is whatever the web served:
+
+1. synthesize a media table whose payloads cycle through the native
+   decode surface: PNG (Adam7-interlaced), GIF, TIFF (LZW+predictor),
+   baseline JPEG — images; WAV and FLAC — audio (the SAME recording
+   classes in both containers); MP3 skeletons — probe-only; animated
+   GIF and MJPEG-MP4 — video; plus a corrupt slice
+2. image features (extract_features): one Arrow pass over all four
+   image formats — the decoders dispatch on magic, the plan does not care
+3. audio: header-only probe (probe_audio: WAV/FLAC/MP3 stats with no
+   sample reads) and CONTENT-level dedup (audio_dup_groups) that
+   collapses WAV/FLAC re-encodes of the same PCM — byte hashing cannot
+   see those pairs
+4. video: decode_video_frames + video_dup_groups over the MIXED
+   MP4+animated-GIF slice — one operator, one dedup plan for both
+5. a final per-format quarantine report: every corrupt payload lands as
+   a NULL row in its family's probe, never a failed job
+
+Scale shape: every decode stage is an Arrow-batched per-payload kernel
+(embarrassingly parallel, no shuffle); the dedups add one bounded
+groupBy + one signature hash-shuffle each.  Nothing is pairwise, nothing
+collects to the driver beyond the demo's final show().
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import get_spark
+
+
+def synthesize_media(spark, n_rows: int):
+    """Deterministic mixed-format payloads; content classes repeat so the
+    dedup stages have real work.  Every 19th payload is corrupt."""
+    import pandas as pd
+
+    from json_schema_rs_spark.operators.flac import encode_flac
+    from json_schema_rs_spark.operators.gif import (
+        encode_animated_gif,
+        encode_gif,
+    )
+    from json_schema_rs_spark.operators.jpeg import encode_jpeg
+    from json_schema_rs_spark.operators.mp4 import encode_mjpeg_mp4
+    from json_schema_rs_spark.operators.mpeg_audio import encode_mp3_skeleton
+    from json_schema_rs_spark.operators.multimodal import encode_wav
+    from json_schema_rs_spark.operators.tiff import encode_tiff
+
+    base = spark.range(n_rows).select(
+        F.col("id").alias("media_id"),
+        (F.col("id") % 9).cast("int").alias("slot"),
+        (F.col("id") % 7).cast("int").alias("cls"),
+    )
+
+    def enc(it):
+        for pdf in it:
+            rows = []
+            for mid, slot, cls in zip(pdf["media_id"], pdf["slot"], pdf["cls"]):
+                mid, slot, cls = int(mid), int(slot), int(cls)
+                color = ((cls * 37 + 11) % 256, (cls * 73 + 29) % 256,
+                         (cls * 151 + 47) % 256)
+                rgb = bytes(color) * 48  # 8x6
+                pcm = [2000 + 300 * cls if (i // (4 + cls)) % 2 == 0
+                       else -(2000 + 300 * cls) for i in range(2000)]
+                if mid % 19 == 18:
+                    kind, payload = "corrupt", b"\xde\xad" * 7
+                elif slot == 0:
+                    from json_schema_rs_spark.operators.multimodal import (
+                        encode_png,
+                        DecodedImage,
+                    )
+
+                    kind = "image"
+                    payload = encode_png(DecodedImage(8, 6, rgb))
+                elif slot == 1:
+                    kind, payload = "image", encode_gif(8, 6, rgb)
+                elif slot == 2:
+                    kind = "image"
+                    payload = encode_tiff(8, 6, rgb, compression="lzw",
+                                          predictor=True, rows_per_strip=2)
+                elif slot == 3:
+                    kind, payload = "image", encode_jpeg(8, 6, rgb, quality=90)
+                elif slot == 4:
+                    kind, payload = "audio", encode_wav(8000, pcm)
+                elif slot == 5:
+                    kind = "audio"
+                    payload = encode_flac([pcm], 8000, 16, blocksize=512)
+                elif slot == 6:
+                    kind = "audio"
+                    payload = encode_mp3_skeleton([128] * (3 + cls), 44100)
+                elif slot == 7:
+                    kind = "video"
+                    frames = [bytes(((c + f * 20) % 256,) * 3) * 48
+                              for c in [color[0]] for f in range(3)]
+                    payload = encode_animated_gif(8, 6, frames, [10, 10, 10])
+                else:
+                    kind = "video"
+                    jf = [encode_jpeg(16, 8, bytes(((cls * 31 + f * 13) % 256,)
+                                                   * 3) * 128,
+                                      quality=90, grayscale=True)
+                          for f in range(3)]
+                    payload = encode_mjpeg_mp4(jf, 1000, [(3, 100)], 16, 8)
+                rows.append((mid, kind, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return base.mapInPandas(enc, schema="media_id long, kind string, payload binary")
+
+
+def main(n_rows: int = 600) -> dict:
+    from json_schema_rs_spark.operators.mp4 import (
+        decode_video_frames,
+        video_dup_groups,
+    )
+    from json_schema_rs_spark.operators.mpeg_audio import probe_audio
+    from json_schema_rs_spark.operators.multimodal import (
+        audio_dup_groups,
+        extract_features,
+        image_feature_extractor,
+    )
+
+    spark = get_spark(master=os.environ.get("SPARK_MASTER", "local[8]"),
+                      shuffle_partitions=8)
+    media = synthesize_media(spark, n_rows).persist()
+
+    images = media.filter(F.col("kind") == "image")
+    audio = media.filter(F.col("kind") == "audio")
+    video = media.filter(F.col("kind") == "video")
+    corrupt = media.filter(F.col("kind") == "corrupt")
+
+    # 2. one Arrow pass over four image formats
+    feats = extract_features(images, decoder=image_feature_extractor)
+    n_img = feats.filter(F.col("features").isNotNull()).count()
+
+    # 3a. header-only audio stats
+    probe = probe_audio(audio.unionByName(corrupt))
+    fmt_counts = {
+        r["format"]: r["n"]
+        for r in probe.groupBy("format").agg(F.count("*").alias("n")).collect()
+    }
+
+    # 3b. content dedup collapses WAV/FLAC of the same PCM (the decoder
+    # dispatches on magic; MP3 payloads quarantine out of the signatures)
+    adup = audio_dup_groups(audio)
+    cross_pairs = adup.filter(F.col("group_size") >= 2).count()
+
+    # 4. mixed-container video dedup
+    vdup = video_dup_groups(video, every_ms=100)
+    video_groups = vdup.select("sig").distinct().count()
+    video_dups = vdup.filter(F.col("is_dup")).count()
+
+    # 5. quarantine accounting: corrupt rows must be NULL rows, not errors
+    n_quarantined = probe.filter(F.col("format").isNull()).count()
+
+    out = {
+        "images_decoded": n_img,
+        "audio_format_counts": fmt_counts,
+        "audio_dup_rows_in_groups": cross_pairs,
+        "video_distinct_signatures": video_groups,
+        "video_dup_rows": video_dups,
+        "audio_quarantined": n_quarantined,
+    }
+    for k, v in out.items():
+        print(f"{k}: {v}")
+
+    # ---- self-check against the same id arithmetic (exact, no slack) ----
+    ids = range(n_rows)
+    corrupt = [i for i in ids if i % 19 == 18]
+    slot = {i: i % 9 for i in ids if i % 19 != 18}
+    n_images = sum(1 for s in slot.values() if s <= 3)
+    n_wavflac = sum(1 for s in slot.values() if s in (4, 5))
+    n_mp3 = sum(1 for s in slot.values() if s == 6)
+    assert out["images_decoded"] == n_images
+    assert out["audio_quarantined"] == len(corrupt)
+    assert out["audio_format_counts"].get("mp3", 0) == n_mp3
+    # every PCM class has both WAV and FLAC members at this n, so every
+    # wav/flac row sits in a cross-container group
+    classes_w = {i % 7 for i, s in slot.items() if s == 4}
+    classes_f = {i % 7 for i, s in slot.items() if s == 5}
+    if classes_w == classes_f:
+        assert out["audio_dup_rows_in_groups"] == n_wavflac
+    # video: 7 animated-GIF classes + 7 MJPEG classes present at this n
+    vid_classes = ({("gif", i % 7) for i, s in slot.items() if s == 7}
+                   | {("mp4", i % 7) for i, s in slot.items() if s == 8})
+    n_video = sum(1 for s in slot.values() if s in (7, 8))
+    assert out["video_distinct_signatures"] == len(vid_classes)
+    assert out["video_dup_rows"] == n_video - len(vid_classes)
+    print("multimodal pipeline OK")
+    media.unpersist()
+    return out
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600)

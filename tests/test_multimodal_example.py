@@ -1,0 +1,25 @@
+"""The mixed-format multimodal curation example as an integration check:
+four image formats through one Arrow pass, header-only audio probing,
+cross-container (WAV↔FLAC) content dedup, mixed MP4+GIF video dedup,
+and exact quarantine accounting — the example self-checks every count
+against the id arithmetic and prints the OK marker only if all hold."""
+
+import subprocess
+import sys
+
+
+def test_multimodal_curation_example():
+    out = subprocess.run(
+        [sys.executable, "examples/multimodal_curation_pipeline.py", "300"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "multimodal pipeline OK" in out.stdout
+    # ids ≡ 18 (mod 19) in [0, 300) → 15 corrupt payloads quarantined
+    assert "audio_quarantined: 15" in out.stdout
+    # 7 PCM classes × 2 containers, all members grouped
+    assert "audio_dup_rows_in_groups: 62" in out.stdout
+    # 7 GIF + 7 MJPEG content classes
+    assert "video_distinct_signatures: 14" in out.stdout
