@@ -4192,6 +4192,51 @@ def q_multimodal_features_gif(spark, sf_dir):
     )
 
 
+def q_warc_records(spark, sf_dir):
+    # WARC ingestion (sources/warc.py, round-5 continuation): the
+    # container web-scale corpora arrive in (Common Crawl).  48 crawl
+    # chunks are synthesized in-plan — one warcinfo plus 2-5 HTTP
+    # response records each, half the files packed record-per-gzip-member
+    # (the seekable Common Crawl convention) — and read back with
+    # read_warc(with_body=False) (metadata-only: the blob never enters
+    # the Arrow transfer).  Every output field is closed-form framing
+    # arithmetic: Content-Length is the planted body length, the HTTP
+    # head split yields status 200, and record order is file order.
+    import pandas as pd
+
+    from json_schema_rs_spark.sources.warc import read_warc, write_warc
+
+    base = spark.range(48).select(
+        F.col("id").alias("file_id"),
+        (2 + F.col("id") % 4).cast("int").alias("k"),
+    )
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for fid, k in zip(pdf["file_id"], pdf["k"]):
+                fid, k = int(fid), int(k)
+                recs = [("warcinfo", "", "2026-01-01T00:00:00Z",
+                         b"software: fixture\r\n")]
+                for j in range(k):
+                    recs.append((
+                        "response",
+                        f"http://ex.com/{fid}/{j}",
+                        "2026-01-01T00:00:01Z",
+                        b"x" * (100 + 10 * j + fid),
+                    ))
+                payloads.append(write_warc(recs, gzip_members=bool(fid % 2)))
+            yield pd.DataFrame(
+                {"file_id": pdf["file_id"], "payload": payloads}
+            )
+
+    files = base.mapInPandas(enc, schema="file_id long, payload binary")
+    return read_warc(files, with_body=False).select(
+        "file_id", "record_idx", "warc_type", "target_uri",
+        "http_status", "content_length"
+    )
+
+
 def q_multimodal_features_tiff(spark, sf_dir):
     # NATIVE TIFF DECODE (operators/tiff.py — IFD walk, TIFF-variant LZW
     # with EarlyChange, horizontal-differencing predictor, multi-strip;
@@ -4658,6 +4703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 continuation: native baseline TIFF (LZW EarlyChange,
         # predictor, multi-strip) through the image feature pipeline
         "multimodal_features_tiff": q_multimodal_features_tiff,
+        # round-5 continuation: WARC crawl-chunk ingestion (Common Crawl
+        # layout, record-per-gzip-member), metadata-only read path
+        "warc_records": q_warc_records,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -4692,7 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_mp4", "video_dup_mp4", "multimodal_features_jpeg_prog",
         "audio_features_flac", "multimodal_features_gif",
         "video_frames_gif", "audio_dup_containers", "audio_probe_mixed",
-        "multimodal_features_tiff",
+        "multimodal_features_tiff", "warc_records",
         "validate_windowed_events", "ri_stream_events",
         "neardup_stream_docs", "stateful_dedup_replay",
         "sessionize_stream_replay", "multimodal_features_jpeg",
@@ -8894,6 +8942,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(k * ga + (48 - k) * gb AS BIGINT) AS sum_g,
                    CAST(k * ba + (48 - k) * bb AS BIGINT) AS sum_b
             FROM c
+        """,
+        # WARC framing is closed-form: record 0 is the warcinfo (19-byte
+        # fixed body, no URI/status), records 1..k are responses whose
+        # Content-Length is the planted 100 + 10*(idx-1) + file_id
+        "warc_records": """
+            WITH f AS (
+              SELECT range AS file_id, 2 + range % 4 AS k
+              FROM range(48)),
+            r AS (
+              SELECT file_id, k, unnest(range(0, k + 1)) AS record_idx
+              FROM f)
+            SELECT file_id,
+                   record_idx,
+                   CASE WHEN record_idx = 0 THEN 'warcinfo'
+                        ELSE 'response' END AS warc_type,
+                   CASE WHEN record_idx = 0 THEN NULL
+                        ELSE 'http://ex.com/' || file_id || '/'
+                             || (record_idx - 1) END AS target_uri,
+                   CASE WHEN record_idx = 0 THEN NULL
+                        ELSE CAST(200 AS BIGINT) END AS http_status,
+                   CAST(CASE WHEN record_idx = 0 THEN 19
+                        ELSE 100 + 10 * (record_idx - 1) + file_id END
+                        AS BIGINT) AS content_length
+            FROM r
         """,
         # TIFF decode is lossless: channel sums are the exact two-color
         # split arithmetic, same shape as multimodal_features_gif

@@ -358,6 +358,7 @@ ROTATION_QUERIES = [
     "audio_dup_containers",
     "audio_probe_mixed",
     "multimodal_features_tiff",
+    "warc_records",
 ]
 
 _ROTATION_FILE = os.path.join(

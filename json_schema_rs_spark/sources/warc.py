@@ -1,0 +1,233 @@
+"""WARC ingestion, stdlib-only — the container web-scale training data
+actually arrives in (Common Crawl ships WARC; ISO 28500 / the public
+WARC 1.0/1.1 specification, fully derivable: version line, named
+headers, Content-Length-delimited blocks, CRLF CRLF record separator,
+and the record-per-gzip-member packing convention).
+
+``parse_warc`` walks one WARC file's bytes (plain or gzip; multi-member
+gzip streams — the Common Crawl convention that makes records
+independently seekable — decompress as a whole via zlib's multistream
+handling).  ``response`` records additionally split the HTTP/1.x
+response head from the payload (status code + Content-Type header),
+because the page body, not the protocol envelope, is what a curation
+pipeline wants.  Malformed records raise ``ValueError`` with the byte
+offset — a truncated crawl chunk fails loudly.
+
+``read_warc`` is the Spark operator: Arrow-batched ``mapInPandas`` over
+``(file_id, payload)`` → one row per record with typed columns
+``(warc_type, target_uri, warc_date, content_type, http_status,
+body)``; unparseable FILES quarantine as a NULL-type row (the
+probe-survives-bad-files contract every decoder family here follows).
+At 100 TB the shape is the same as the codec kernels: embarrassingly
+parallel per-payload work, no shuffle, column pruning keeps the blob
+out of any downstream plan that doesn't select ``body``.
+
+``write_warc`` is the fixture partner: well-formed WARC 1.1 bytes
+(warcinfo + request/response records, exact Content-Lengths, optional
+per-record gzip members).
+"""
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["parse_warc", "read_warc", "write_warc", "WarcRecord"]
+
+_CRLF = b"\r\n"
+
+
+class WarcRecord:
+    """One parsed record: ``headers`` is the raw WARC header dict
+    (case-insensitive keys, original casing preserved in values);
+    ``http_status``/``http_content_type``/``body`` are filled for
+    ``response`` records with an HTTP head, else body is the raw block."""
+
+    __slots__ = ("headers", "body", "http_status", "http_content_type")
+
+    def __init__(self, headers, body, http_status=None, http_content_type=None):
+        self.headers = headers
+        self.body = body
+        self.http_status = http_status
+        self.http_content_type = http_content_type
+
+    def header(self, name: str) -> Optional[str]:
+        return self.headers.get(name.lower())
+
+
+def _maybe_gunzip(payload: bytes) -> bytes:
+    if payload[:2] != b"\x1f\x8b":
+        return payload
+    # multi-member streams (record-per-member) decompress fully:
+    # gzip.decompress handles concatenated members since Python 3.8
+    return gzip.decompress(payload)
+
+
+def parse_warc(payload: bytes) -> List[WarcRecord]:
+    """Parse all records of one WARC file (plain or gzip bytes)."""
+    if payload is None or len(payload) < 9:
+        raise ValueError("WARC: empty payload")
+    data = _maybe_gunzip(payload)
+    records: List[WarcRecord] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate trailing blank lines between records
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        eol = data.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError(f"WARC: unterminated version line at {pos}")
+        version = data[pos:eol]
+        if not version.startswith(b"WARC/"):
+            raise ValueError(f"WARC: bad version line at {pos}: {version[:20]!r}")
+        pos = eol + 2
+        headers = {}
+        while True:
+            eol = data.find(_CRLF, pos)
+            if eol < 0:
+                raise ValueError(f"WARC: unterminated header at {pos}")
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            if b":" not in line:
+                raise ValueError(f"WARC: malformed header line at {pos}")
+            k, v = line.split(b":", 1)
+            headers[k.decode("ascii").strip().lower()] = v.decode(
+                "utf-8", "replace"
+            ).strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"WARC: missing/invalid Content-Length at {pos}")
+        if pos + clen > n:
+            raise ValueError(f"WARC: truncated block at {pos}")
+        block = data[pos : pos + clen]
+        pos += clen
+        if data[pos : pos + 4] != _CRLF + _CRLF:
+            raise ValueError(f"WARC: missing record separator at {pos}")
+        pos += 4
+
+        http_status = http_ct = None
+        body = block
+        if (headers.get("warc-type") == "response"
+                and block[:5] in (b"HTTP/",)):
+            head_end = block.find(_CRLF + _CRLF)
+            if head_end >= 0:
+                head = block[:head_end].decode("latin1")
+                lines = head.split("\r\n")
+                parts = lines[0].split(None, 2)
+                if len(parts) >= 2 and parts[1].isdigit():
+                    http_status = int(parts[1])
+                for hl in lines[1:]:
+                    if ":" in hl:
+                        hk, hv = hl.split(":", 1)
+                        if hk.strip().lower() == "content-type":
+                            http_ct = hv.strip()
+                body = block[head_end + 4 :]
+        records.append(WarcRecord(headers, body, http_status, http_ct))
+    return records
+
+
+_WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.LongType()),
+        T.StructField("record_idx", T.LongType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("http_status", T.LongType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("body", T.BinaryType()),
+    ]
+)
+
+
+def read_warc(files: DataFrame, with_body: bool = True) -> DataFrame:
+    """One row per WARC record across a corpus of ``(file_id, payload)``
+    rows.  ``with_body=False`` drops the blob column at the SOURCE (the
+    Arrow transfer then never carries page bodies — the right default
+    for metadata-only crawl audits).  Unparseable files yield one
+    NULL-type quarantine row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["file_id", "record_idx", "warc_type", "target_uri",
+                "warc_date", "content_type", "http_status",
+                "content_length", "body"]
+        for pdf in it:
+            rows = []
+            for fid, payload in zip(pdf["file_id"], pdf["payload"]):
+                fid = int(fid)
+                try:
+                    for i, rec in enumerate(parse_warc(payload)):
+                        rows.append((
+                            fid, i,
+                            rec.header("WARC-Type"),
+                            rec.header("WARC-Target-URI"),
+                            rec.header("WARC-Date"),
+                            rec.http_content_type
+                            or rec.header("Content-Type"),
+                            rec.http_status,
+                            len(rec.body),
+                            bytes(rec.body) if with_body else None,
+                        ))
+                except ValueError:
+                    rows.append((fid, None, None, None, None, None, None,
+                                 None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = files.select("file_id", "payload").mapInPandas(
+        batches, schema=_WARC_SCHEMA
+    )
+    return out if with_body else out.drop("body")
+
+
+def write_warc(
+    records: List[Tuple[str, str, str, bytes]],
+    gzip_members: bool = False,
+    http_content_type: str = "text/html",
+) -> bytes:
+    """Fixture partner: emit WARC/1.1 bytes from ``(warc_type,
+    target_uri, warc_date, body)`` tuples.  ``response`` bodies are
+    wrapped in an HTTP/1.1 200 head (the Common Crawl layout);
+    ``gzip_members=True`` compresses each record as its own gzip member
+    (the seekable convention)."""
+    out = io.BytesIO()
+    for i, (wtype, uri, date, body) in enumerate(records):
+        if wtype == "response":
+            head = (f"HTTP/1.1 200 OK\r\nContent-Type: "
+                    f"{http_content_type}\r\nContent-Length: "
+                    f"{len(body)}\r\n\r\n").encode("latin1")
+            block = head + body
+            ctype = "application/http; msgtype=response"
+        else:
+            block = body
+            ctype = "application/warc-fields" if wtype == "warcinfo" \
+                else "application/octet-stream"
+        hdrs = [
+            b"WARC/1.1",
+            f"WARC-Type: {wtype}".encode(),
+            f"WARC-Record-ID: <urn:uuid:{i:032x}>".encode(),
+            f"WARC-Date: {date}".encode(),
+            f"Content-Type: {ctype}".encode(),
+            f"Content-Length: {len(block)}".encode(),
+        ]
+        if uri:
+            hdrs.insert(3, f"WARC-Target-URI: {uri}".encode())
+        rec = _CRLF.join(hdrs) + _CRLF + _CRLF + block + _CRLF + _CRLF
+        if gzip_members:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+            out.write(buf.getvalue())
+        else:
+            out.write(rec)
+    return out.getvalue()

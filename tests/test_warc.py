@@ -1,0 +1,92 @@
+"""WARC ingestion (sources/warc.py): record walk against the ISO 28500
+framing (version line, Content-Length-delimited blocks, CRLF CRLF
+separators), the record-per-gzip-member packing, HTTP response-head
+splitting, loud failure on truncation, and the Spark operator over a
+mixed good/corrupt crawl chunk corpus."""
+
+import pytest
+
+from json_schema_rs_spark.sources.warc import (
+    parse_warc,
+    read_warc,
+    write_warc,
+)
+
+
+def _recs():
+    return [
+        ("warcinfo", "", "2026-01-01T00:00:00Z", b"software: fixture\r\n"),
+        ("request", "http://example.com/a", "2026-01-01T00:00:01Z",
+         b"GET /a HTTP/1.1\r\n\r\n"),
+        ("response", "http://example.com/a", "2026-01-01T00:00:01Z",
+         b"<html>hello</html>"),
+        ("response", "http://example.com/b", "2026-01-01T00:00:02Z",
+         b"\x00\x01" * 2500),  # binary body
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip(gz):
+    out = parse_warc(write_warc(_recs(), gzip_members=gz))
+    assert [r.header("WARC-Type") for r in out] == [
+        "warcinfo", "request", "response", "response"]
+    assert out[2].http_status == 200
+    assert out[2].http_content_type == "text/html"
+    assert out[2].body == b"<html>hello</html>"
+    assert out[3].body == b"\x00\x01" * 2500  # exact, Content-Length framed
+    assert out[1].header("WARC-Target-URI") == "http://example.com/a"
+    assert out[0].header("WARC-Date") == "2026-01-01T00:00:00Z"
+
+
+def test_non_response_body_is_raw():
+    out = parse_warc(write_warc(_recs()))
+    # request records keep their block verbatim (no HTTP splitting)
+    assert out[1].body.startswith(b"GET /a")
+    assert out[1].http_status is None
+
+
+def test_crlf_inside_body_does_not_split_records():
+    # a body containing the record separator bytes must NOT end the
+    # record early — framing is Content-Length, not a sentinel scan
+    body = b"A\r\n\r\nWARC/1.1\r\nB"
+    out = parse_warc(write_warc([("resource", "u:x", "2026-01-01T00:00:00Z",
+                                  body)]))
+    assert len(out) == 1
+    assert out[0].body == body
+
+
+def test_truncation_and_garbage_rejected():
+    payload = write_warc(_recs())
+    with pytest.raises(ValueError, match="truncated|separator"):
+        parse_warc(payload[:-30])
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    bad = payload.replace(b"Content-Length", b"Content-Lemgth", 1)
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(bad)
+
+
+def test_spark_operator_mixed_corpus(spark):
+    rows = [
+        (0, write_warc(_recs())),
+        (1, write_warc(_recs(), gzip_members=True)),
+        (2, b"not a warc file at all"),
+    ]
+    files = spark.createDataFrame(rows, "file_id long, payload binary")
+    out = read_warc(files).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r.file_id, []).append(r)
+    for fid in (0, 1):
+        types = [r.warc_type for r in sorted(by_file[fid],
+                                             key=lambda r: r.record_idx)]
+        assert types == ["warcinfo", "request", "response", "response"]
+        resp = [r for r in by_file[fid] if r.warc_type == "response"]
+        assert all(r.http_status == 200 for r in resp)
+        assert resp[0].content_length == len(b"<html>hello</html>")
+    assert by_file[2][0].warc_type is None  # quarantined
+
+    # metadata-only mode never carries the blob column
+    slim = read_warc(files, with_body=False)
+    assert "body" not in slim.columns
+    assert slim.filter("warc_type = 'response'").count() == 4
