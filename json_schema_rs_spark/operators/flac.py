@@ -189,6 +189,8 @@ _RATE_CODE = {
 
 _BPS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
+_BLOCKSIZE_INV = {v: k for k, v in _BLOCKSIZE_CODE.items()}
+
 
 def _zigzag(v: int) -> int:
     return (v << 1) if v >= 0 else ((-v) << 1) - 1
@@ -375,6 +377,11 @@ def decode_flac(payload: bytes) -> FlacInfo:
             break
     if si is None:
         raise ValueError("FLAC: missing STREAMINFO")
+    if si["rate"] == 0:
+        # spec: 0 is invalid; guarding here keeps the quarantine nets'
+        # ValueError contract (a rate-0 stream would otherwise decode
+        # cleanly and blow up downstream duration arithmetic)
+        raise ValueError("FLAC: zero sample rate in STREAMINFO")
 
     channels: List[List[int]] = [[] for _ in range(si["channels"])]
     while pos < len(payload):
@@ -594,10 +601,8 @@ def encode_flac(
         hdr.write(0x3FFE, 14)
         hdr.write(0, 1)
         hdr.write(0, 1)  # fixed blocksize strategy
-        if bs == blocksize and blocksize in {v: k for k, v in
-                                             _BLOCKSIZE_CODE.items()}:
-            bs_code = {v: k for k, v in _BLOCKSIZE_CODE.items()}[blocksize]
-            hdr.write(bs_code, 4)
+        if bs == blocksize and blocksize in _BLOCKSIZE_INV:
+            hdr.write(_BLOCKSIZE_INV[blocksize], 4)
             bs_extra = None
         else:
             hdr.write(7, 4)  # 16-bit blocksize-1 follows

@@ -145,6 +145,26 @@ def _lzw_decode(data: bytes, min_code_size: int, npixels: int) -> bytearray:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+def _deinterlace(idx, w: int, h: int) -> bytearray:
+    """Restore row order from the four-pass interlaced layout."""
+    rows = bytearray(w * h)
+    src = 0
+    for start, step in _INTERLACE_PASSES:
+        for y in range(start, h, step):
+            rows[y * w : (y + 1) * w] = idx[src : src + w]
+            src += w
+    return rows
+
+
+def _interlace(idx, w: int, h: int) -> bytearray:
+    """Reorder row-major indices into the four-pass interlaced layout."""
+    out = bytearray()
+    for start, step in _INTERLACE_PASSES:
+        for y in range(start, h, step):
+            out += idx[y * w : (y + 1) * w]
+    return out
+
+
 def decode_gif(payload: bytes) -> Tuple[int, int, bytes]:
     """Decode the first frame of a GIF to ``(width, height, rgb_bytes)``
     on the logical screen (frames smaller than the screen are composited
@@ -178,6 +198,8 @@ def decode_gif(payload: bytes) -> Tuple[int, int, bytes]:
             continue
         if block != 0x2C:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF: truncated image descriptor")
         left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
         ipacked = payload[pos + 8]
         pos += 9
@@ -197,19 +219,12 @@ def decode_gif(payload: bytes) -> Tuple[int, int, bytes]:
             raise ValueError("GIF: not enough pixel data")
 
         if interlaced:
-            rows = bytearray(w * h)
-            src = 0
-            for start, step in _INTERLACE_PASSES:
-                for y in range(start, h, step):
-                    rows[y * w : (y + 1) * w] = idx[src : src + w]
-                    src += w
-            idx = rows
+            idx = _deinterlace(idx, w, h)
 
-        out = bytearray(3 * sw * sh)
         if gct is not None and 3 * bg + 3 <= len(gct):
-            bgc = gct[3 * bg : 3 * bg + 3]
-            for i in range(sw * sh):
-                out[3 * i : 3 * i + 3] = bgc
+            out = bytearray(bytes(gct[3 * bg : 3 * bg + 3]) * (sw * sh))
+        else:
+            out = bytearray(3 * sw * sh)
         npal = len(pal) // 3
         for y in range(h):
             oy = top + y
@@ -293,6 +308,8 @@ def decode_gif_frames(payload: bytes) -> Tuple[int, int, list]:
             continue
         if block != 0x2C:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF: truncated image descriptor")
         left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
         ipacked = payload[pos + 8]
         pos += 9
@@ -311,13 +328,7 @@ def decode_gif_frames(payload: bytes) -> Tuple[int, int, list]:
         if len(idx) < w * h:
             raise ValueError("GIF: not enough pixel data")
         if interlaced:
-            rows = bytearray(w * h)
-            src = 0
-            for start, step in _INTERLACE_PASSES:
-                for y in range(start, h, step):
-                    rows[y * w : (y + 1) * w] = idx[src : src + w]
-                    src += w
-            idx = rows
+            idx = _deinterlace(idx, w, h)
 
         saved = bytes(canvas) if disposal == 3 else None
         npal = len(pal) // 3
@@ -479,11 +490,7 @@ def encode_gif(
     pal += b"\x00" * (3 * (1 << bits) - len(pal))
 
     if interlace:
-        reordered = bytearray()
-        for start, step in _INTERLACE_PASSES:
-            for y in range(start, height, step):
-                reordered += indices[y * width : (y + 1) * width]
-        indices = reordered
+        indices = _interlace(indices, width, height)
 
     min_code = max(2, bits)
     lzw = _lzw_encode(bytes(indices), min_code)
@@ -564,11 +571,7 @@ def encode_animated_gif(
         out += bytes([0x21, 0xF9, 0x04, 0x04,  # disposal 1, no transparency
                       d & 0xFF, (d >> 8) & 0xFF, 0x00, 0x00])
         if interlace:
-            reordered = bytearray()
-            for start, step in _INTERLACE_PASSES:
-                for y in range(start, height, step):
-                    reordered += idx[y * width : (y + 1) * width]
-            idx = bytes(reordered)
+            idx = bytes(_interlace(idx, width, height))
         lzw = _lzw_encode(idx, min_code)
         out += b"\x2C" + struct.pack("<HHHH", 0, 0, width, height)
         out.append(0x40 if interlace else 0x00)

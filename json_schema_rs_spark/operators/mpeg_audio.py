@@ -195,8 +195,11 @@ def _probe_one(payload: bytes) -> tuple:
             elif cid == b"data":
                 data_len = clen
             pos += 8 + clen + (clen & 1)
-        if rate is None or data_len is None or not block_align:
-            raise ValueError("WAV: missing fmt/data chunk")
+        if not rate or data_len is None or not block_align:
+            # `not rate` also catches rate == 0 from a corrupt or
+            # truncated fmt body (int.from_bytes(b"") == 0) — the FLAC
+            # branch below guards its rate the same way
+            raise ValueError("WAV: missing/invalid fmt or data chunk")
         n = data_len // block_align
         return ("wav", rate, n * nch, n * 1000 // rate,
                 rate * nch * width // 1000)

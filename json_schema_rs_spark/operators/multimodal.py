@@ -400,10 +400,11 @@ def decode_image(payload: bytes) -> DecodedImage:
         return _pil_decode(payload)
     except ImportError:
         raise NotImplementedError(
-            "unsupported image format (stdlib decoders cover PPM P6/P3, "
-            "uncompressed 24/32-bit BMP, and baseline 8-bit PNG; Pillow "
-            "not installed for JPEG/WebP/...); inject a decoder via "
-            "extract_features(decoder=...)"
+            "unsupported image format (native decoders cover PPM P6/P3, "
+            "uncompressed 24/32-bit BMP, full static-profile PNG, GIF, "
+            "baseline TIFF, and baseline+progressive JPEG; Pillow not "
+            "installed for WebP/arithmetic-JPEG/...); inject a decoder "
+            "via extract_features(decoder=...)"
         ) from None
 
 

@@ -63,8 +63,17 @@ def _maybe_gunzip(payload: bytes) -> bytes:
     if payload[:2] != b"\x1f\x8b":
         return payload
     # multi-member streams (record-per-member) decompress fully:
-    # gzip.decompress handles concatenated members since Python 3.8
-    return gzip.decompress(payload)
+    # gzip.decompress handles concatenated members since Python 3.8.
+    # Normalize the zoo of decompression errors (EOFError on truncation,
+    # BadGzipFile/OSError on garbage, zlib.error on corrupt deflate) to
+    # the module's documented ValueError contract so read_warc's
+    # quarantine net catches them.
+    import zlib
+
+    try:
+        return gzip.decompress(payload)
+    except (EOFError, OSError, zlib.error) as e:
+        raise ValueError(f"WARC: bad gzip stream: {e}") from e
 
 
 def parse_warc(payload: bytes) -> List[WarcRecord]:

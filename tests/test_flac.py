@@ -308,3 +308,18 @@ def test_audio_signature_distinguishes_sample_rate(spark):
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     sig = {r.media_id: r for r in audio_signatures(media).collect()}
     assert sig[0].sig != sig[1].sig
+
+
+def test_zero_sample_rate_rejected():
+    # STREAMINFO rate 0 is spec-invalid; without this gate the stream
+    # decodes cleanly and duration arithmetic divides by zero downstream
+    # in the quarantine-protected feature kernels — review finding
+    x = [10, -10] * 200
+    enc = bytearray(encode_flac([x], 8000, 16))
+    # STREAMINFO bits: rate is the top 20 bits of bytes 18..26 region
+    # (offset 8 header + 10) — patch the encoded rate field to zero
+    raw = int.from_bytes(enc[18:26], "big")
+    raw &= (1 << 44) - 1  # clear the 20 rate bits
+    enc[18:26] = raw.to_bytes(8, "big")
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_flac(bytes(enc))

@@ -300,3 +300,17 @@ class TestAnimatedGif:
         assert dup[0].group_size == 2 and dup[1].is_dup and not dup[0].is_dup
         assert dup[2].group_size == 1
         assert 3 not in dup  # undecodable -> no signature row
+
+
+def test_truncated_image_descriptor_is_valueerror():
+    # a GIF cut mid-descriptor must raise ValueError (struct.error would
+    # escape decode_video_frames' quarantine) — review finding
+    import struct as _s
+
+    head = b"GIF89a" + _s.pack("<HH", 4, 4) + bytes([0x80, 0, 0]) + bytes(6)
+    for cut in [head + b"\x2C", head + b"\x2C" + bytes(4)]:
+        with pytest.raises(ValueError, match="truncated"):
+            decode_gif(cut)
+        from json_schema_rs_spark.operators.gif import decode_gif_frames
+        with pytest.raises(ValueError, match="truncated"):
+            decode_gif_frames(cut)

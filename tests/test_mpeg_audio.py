@@ -102,3 +102,31 @@ class TestUnifiedProbe:
         assert out[2].format == "mp3" and out[2].n_samples == 5 * 1152
         assert out[2].bitrate_kbps == 192
         assert out[3].format is None  # quarantined
+
+
+class TestQuarantineHardening:
+    def test_wav_zero_rate_is_valueerror(self):
+        # fmt chunk declaring rate 0 must be ValueError, not a
+        # ZeroDivisionError that escapes probe_audio's net — review finding
+        import struct
+
+        from json_schema_rs_spark.operators.multimodal import encode_wav
+
+        wav = bytearray(encode_wav(8000, [1, 2, 3, 4]))
+        i = wav.index(b"fmt ")
+        struct.pack_into("<I", wav, i + 8 + 4, 0)  # sample rate := 0
+        with pytest.raises(ValueError):
+            _probe_one(bytes(wav))
+
+    def test_spark_probe_survives_zero_rate_wav(self, spark):
+        import struct
+
+        from json_schema_rs_spark.operators.multimodal import encode_wav
+
+        wav = bytearray(encode_wav(8000, [1, 2, 3, 4]))
+        i = wav.index(b"fmt ")
+        struct.pack_into("<I", wav, i + 8 + 4, 0)
+        files = spark.createDataFrame(
+            [(0, bytes(wav))], "media_id long, payload binary")
+        rows = probe_audio(files).collect()
+        assert len(rows) == 1 and rows[0].format is None

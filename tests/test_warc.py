@@ -90,3 +90,19 @@ def test_spark_operator_mixed_corpus(spark):
     slim = read_warc(files, with_body=False)
     assert "body" not in slim.columns
     assert slim.filter("warc_type = 'response'").count() == 4
+
+
+def test_corrupt_gzip_raises_valueerror_not_gzip_errors(spark):
+    # truncated/garbage gzip must surface as the module's documented
+    # ValueError (EOFError/BadGzipFile/zlib.error would escape the
+    # Spark quarantine net) — review finding, round-5 continuation
+    good = write_warc(_recs(), gzip_members=True)
+    for bad in [good[: len(good) // 2],          # truncated member
+                b"\x1f\x8b" + b"garbage" * 4]:   # bad gzip body
+        with pytest.raises(ValueError, match="gzip"):
+            parse_warc(bad)
+    # and the Spark operator quarantines instead of dying
+    files = spark.createDataFrame(
+        [(0, good[: len(good) // 2])], "file_id long, payload binary")
+    rows = read_warc(files).collect()
+    assert len(rows) == 1 and rows[0].warc_type is None
