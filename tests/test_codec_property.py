@@ -115,3 +115,58 @@ def test_animated_gif_roundtrip_and_clock(w, h, nframes, interlace, seed):
         t += d
     assert [f[0] for f in dec] == expect
     assert [f[1] for f in dec] == delays
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=24),
+    ncolors=st.integers(min_value=1, max_value=40),
+    comp=st.sampled_from(["none", "packbits", "lzw"]),
+    predictor=st.booleans(),
+    rps=st.sampled_from([0, 3, 7]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tiff_lossless_roundtrip(w, h, ncolors, comp, predictor, rps, seed):
+    from json_schema_rs_spark.operators.tiff import decode_tiff, encode_tiff
+
+    if predictor and comp != "lzw":
+        predictor = False
+    rng = random.Random(seed)
+    pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(ncolors)]
+    rgb = b"".join(bytes(rng.choice(pal)) for _ in range(w * h))
+    enc = encode_tiff(w, h, rgb, compression=comp, predictor=predictor,
+                      rows_per_strip=rps)
+    assert enc == encode_tiff(w, h, rgb, compression=comp,
+                              predictor=predictor, rows_per_strip=rps)
+    assert decode_tiff(enc) == (w, h, rgb)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_recs=st.integers(min_value=1, max_value=8),
+    gz=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_warc_roundtrip(n_recs, gz, seed):
+    from json_schema_rs_spark.sources.warc import parse_warc, write_warc
+
+    rng = random.Random(seed)
+    recs = []
+    for i in range(n_recs):
+        wtype = rng.choice(["response", "request", "resource"])
+        # arbitrary bodies INCLUDING separator-looking bytes
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        if rng.random() < 0.3:
+            body += b"\r\n\r\nWARC/1.1\r\n" + body
+        recs.append((wtype, f"http://h/{i}", "2026-01-01T00:00:00Z", body))
+    out = parse_warc(write_warc(recs, gzip_members=gz))
+    assert len(out) == n_recs
+    for (wtype, uri, date, body), rec in zip(recs, out):
+        assert rec.header("WARC-Type") == wtype
+        assert rec.header("WARC-Target-URI") == uri
+        if wtype == "response":
+            assert rec.body == body and rec.http_status == 200
+        else:
+            assert rec.body == body
