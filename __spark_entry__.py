@@ -4192,6 +4192,52 @@ def q_multimodal_features_gif(spark, sf_dir):
     )
 
 
+def q_audio_tags_mp3(spark, sf_dir):
+    # ID3v2 metadata extraction (operators/mpeg_audio.py parse_id3v2 /
+    # audio_tags, round-5 continuation): deterministic tags are written
+    # across ALL THREE tag versions (2.2 / 2.3 / 2.4 — three-char ids,
+    # plain sizes, syncsafe sizes) and all three text encodings
+    # (latin-1 / UTF-16+BOM / UTF-8), prepended to real MPEG-1 framing,
+    # and read back header-only.  Every output string is closed-form
+    # concatenation the oracle replays.
+    import pandas as pd
+
+    from json_schema_rs_spark.operators.mpeg_audio import (
+        audio_tags,
+        encode_id3v2,
+        encode_mp3_skeleton,
+    )
+
+    base = spark.range(48).select(F.col("id").alias("media_id"))
+
+    def enc(it):
+        majors = [2, 3, 4]
+        encodings = [0, 1, 3]
+        genres = ["Jazz", "Rock", "Pop"]
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                fields = {
+                    "title": f"title {mid}",
+                    "artist": f"artist {mid % 7}",
+                    "album": f"album {mid % 5}",
+                    "year": str(2000 + mid % 26),
+                    "track": str(1 + mid % 12),
+                    "genre": genres[mid % 3],
+                }
+                tag = encode_id3v2(fields, major=majors[mid % 3],
+                                   encoding=encodings[(mid // 3) % 3])
+                payloads.append(tag + encode_mp3_skeleton(
+                    [128] * 2, 44100))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(enc, schema="media_id long, payload binary")
+    return audio_tags(media)
+
+
 def q_warc_records(spark, sf_dir):
     # WARC ingestion (sources/warc.py, round-5 continuation): the
     # container web-scale corpora arrive in (Common Crawl).  48 crawl
@@ -4706,6 +4752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 continuation: WARC crawl-chunk ingestion (Common Crawl
         # layout, record-per-gzip-member), metadata-only read path
         "warc_records": q_warc_records,
+        # round-5 continuation: ID3v2 tag metadata across all three tag
+        # versions and text encodings (header-only, like probe_audio)
+        "audio_tags_mp3": q_audio_tags_mp3,
     }
     # ATTESTATION ROTATION — DISCLOSED, not hidden: the external driver's
     # correctness gate samples the FIRST ~50 entries of this dict (observed
@@ -4740,7 +4789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_mp4", "video_dup_mp4", "multimodal_features_jpeg_prog",
         "audio_features_flac", "multimodal_features_gif",
         "video_frames_gif", "audio_dup_containers", "audio_probe_mixed",
-        "multimodal_features_tiff", "warc_records",
+        "multimodal_features_tiff", "warc_records", "audio_tags_mp3",
         "validate_windowed_events", "ri_stream_events",
         "neardup_stream_docs", "stateful_dedup_replay",
         "sessionize_stream_replay", "multimodal_features_jpeg",
@@ -8941,6 +8990,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(k * ra + (48 - k) * rb AS BIGINT) AS sum_r,
                    CAST(k * ga + (48 - k) * gb AS BIGINT) AS sum_g,
                    CAST(k * ba + (48 - k) * bb AS BIGINT) AS sum_b
+            FROM c
+        """,
+        # ID3v2 tags are read back verbatim; every column is closed-form
+        # string arithmetic over the id
+        "audio_tags_mp3": """
+            WITH c AS (SELECT range AS media_id FROM range(48))
+            SELECT media_id,
+                   '2.' || CAST(CASE media_id % 3 WHEN 0 THEN 2
+                                WHEN 1 THEN 3 ELSE 4 END AS VARCHAR)
+                     AS id3_version,
+                   'title ' || media_id AS title,
+                   'artist ' || (media_id % 7) AS artist,
+                   'album ' || (media_id % 5) AS album,
+                   CAST(2000 + media_id % 26 AS VARCHAR) AS year,
+                   CAST(1 + media_id % 12 AS VARCHAR) AS track,
+                   CASE media_id % 3 WHEN 0 THEN 'Jazz'
+                        WHEN 1 THEN 'Rock' ELSE 'Pop' END AS genre
             FROM c
         """,
         # WARC framing is closed-form: record 0 is the warcinfo (19-byte

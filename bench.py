@@ -359,6 +359,7 @@ ROTATION_QUERIES = [
     "audio_probe_mixed",
     "multimodal_features_tiff",
     "warc_records",
+    "audio_tags_mp3",
 ]
 
 _ROTATION_FILE = os.path.join(

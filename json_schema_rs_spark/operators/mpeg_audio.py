@@ -163,6 +163,160 @@ def encode_mp3_skeleton(
     return bytes(out)
 
 
+# ------------------------------------------------------------- ID3v2
+
+#: frame-id → output column, v2.3/2.4 four-char ids and v2.2 three-char
+_ID3_FRAMES = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album",
+    "TDRC": "year", "TYER": "year", "TRCK": "track", "TCON": "genre",
+    "TT2": "title", "TP1": "artist", "TAL": "album",
+    "TYE": "year", "TRK": "track", "TCO": "genre",
+}
+
+
+def _syncsafe(b: bytes) -> int:
+    v = 0
+    for x in b:
+        if x & 0x80:
+            raise ValueError("ID3: non-syncsafe size byte")
+        v = (v << 7) | x
+    return v
+
+
+def _id3_text(body: bytes) -> str:
+    """Decode a text frame body: encoding byte + payload (informal id3.org
+    spec: 0 latin-1, 1 UTF-16 with BOM, 2 UTF-16BE, 3 UTF-8)."""
+    if not body:
+        return ""
+    enc, payload = body[0], body[1:]
+    codec = {0: "latin1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}.get(enc)
+    if codec is None:
+        raise ValueError(f"ID3: unknown text encoding {enc}")
+    return payload.decode(codec, "replace").split("\x00", 1)[0]
+
+
+def parse_id3v2(payload: bytes) -> dict:
+    """Parse the leading ID3v2 tag's standard TEXT frames into
+    ``{"version": "2.x", "title"/"artist"/"album"/"year"/"track"/
+    "genre": str}`` (only the frames present).  Supports v2.2 (3-byte
+    frame ids/sizes), v2.3 (plain 32-bit sizes) and v2.4 (syncsafe frame
+    sizes).  Raises ``NotImplementedError`` when no ID3v2 tag leads the
+    payload and ``ValueError`` for corrupt tags — the module's usual
+    seam/quarantine split."""
+    if payload is None or payload[:3] != b"ID3" or len(payload) < 10:
+        raise NotImplementedError("no ID3v2 tag")
+    major = payload[3]
+    if major not in (2, 3, 4):
+        raise ValueError(f"ID3: unsupported version 2.{major}")
+    flags = payload[5]
+    size = _syncsafe(payload[6:10])
+    end = 10 + size
+    if end > len(payload):
+        raise ValueError("ID3: tag size exceeds payload")
+    pos = 10
+    if flags & 0x40:  # extended header: skip by its own size field
+        if major == 4:
+            pos += _syncsafe(payload[pos : pos + 4])
+        else:
+            pos += 4 + int.from_bytes(payload[pos : pos + 4], "big")
+    out = {"version": f"2.{major}"}
+    id_len, sz_len, fl_len = (3, 3, 0) if major == 2 else (4, 4, 2)
+    while pos + id_len + sz_len + fl_len <= end:
+        fid = payload[pos : pos + id_len]
+        if fid == b"\x00" * id_len:  # padding
+            break
+        try:
+            fid_s = fid.decode("ascii")
+        except UnicodeDecodeError:
+            raise ValueError(f"ID3: bad frame id at {pos}")
+        raw_sz = payload[pos + id_len : pos + id_len + sz_len]
+        if major == 4:
+            fsz = _syncsafe(raw_sz)
+        else:
+            fsz = int.from_bytes(raw_sz, "big")
+        pos += id_len + sz_len + fl_len
+        if pos + fsz > end:
+            raise ValueError(f"ID3: frame overruns tag at {pos}")
+        body = payload[pos : pos + fsz]
+        pos += fsz
+        col = _ID3_FRAMES.get(fid_s)
+        if col is not None and col not in out:
+            out[col] = _id3_text(body)
+    return out
+
+
+def encode_id3v2(
+    fields: dict, major: int = 4, encoding: int = 3, pad: int = 16
+) -> bytes:
+    """Fixture partner of :func:`parse_id3v2`: emit an ID3v2.{2,3,4} tag
+    from ``{"title": ..., "artist": ..., ...}`` using the given text
+    ``encoding`` code (0 latin-1, 1 UTF-16+BOM, 3 UTF-8)."""
+    rev = {v: k for k, v in _ID3_FRAMES.items()
+           if (len(k) == 3) == (major == 2)}
+    codec = {0: "latin1", 1: "utf-16", 3: "utf-8"}[encoding]
+    body = bytearray()
+    for col, text in fields.items():
+        fid = rev[col].encode("ascii")
+        fbody = bytes([encoding]) + text.encode(codec)
+        if major == 2:
+            body += fid + len(fbody).to_bytes(3, "big") + fbody
+        elif major == 3:
+            body += fid + len(fbody).to_bytes(4, "big") + b"\x00\x00" + fbody
+        else:
+            sz = len(fbody)
+            ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                        (sz >> 7) & 0x7F, sz & 0x7F])
+            body += fid + ss + b"\x00\x00" + fbody
+    body += b"\x00" * pad
+    sz = len(body)
+    ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                (sz >> 7) & 0x7F, sz & 0x7F])
+    return b"ID3" + bytes([major, 0, 0]) + ss + bytes(body)
+
+
+_AUDIO_TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("id3_version", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("album", T.StringType()),
+        T.StructField("year", T.StringType()),
+        T.StructField("track", T.StringType()),
+        T.StructField("genre", T.StringType()),
+    ]
+)
+
+
+def audio_tags(media: DataFrame) -> DataFrame:
+    """ID3v2 text-frame metadata per payload — ``(media_id, id3_version,
+    title, artist, album, year, track, genre)``; header-only like
+    :func:`probe_audio` (frames live before the first MPEG frame, so a
+    tag read never touches audio data).  Untagged or corrupt payloads
+    yield a NULL-version quarantine row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "id3_version", "title", "artist", "album",
+                "year", "track", "genre"]
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    t = parse_id3v2(payload)
+                    rows.append((mid, t.get("version"), t.get("title"),
+                                 t.get("artist"), t.get("album"),
+                                 t.get("year"), t.get("track"),
+                                 t.get("genre")))
+                except (ValueError, NotImplementedError):
+                    rows.append((mid,) + (None,) * 7)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=_AUDIO_TAGS_SCHEMA
+    )
+
+
 _PROBE_AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

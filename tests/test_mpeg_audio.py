@@ -130,3 +130,69 @@ class TestQuarantineHardening:
             [(0, bytes(wav))], "media_id long, payload binary")
         rows = probe_audio(files).collect()
         assert len(rows) == 1 and rows[0].format is None
+
+
+class TestId3v2:
+    FIELDS = {"title": "Café Song", "artist": "Ärtist", "album": "Al",
+              "year": "2026", "track": "3/12", "genre": "Jazz"}
+
+    @pytest.mark.parametrize("major", [2, 3, 4])
+    @pytest.mark.parametrize("enc", [0, 1, 3])
+    def test_roundtrip_versions_and_encodings(self, major, enc):
+        from json_schema_rs_spark.operators.mpeg_audio import (
+            encode_id3v2,
+            parse_id3v2,
+        )
+
+        f = (dict(self.FIELDS, title="Cafe Song", artist="Artist")
+             if enc == 0 else self.FIELDS)  # latin-1 can't carry Ä
+        out = parse_id3v2(encode_id3v2(f, major=major, encoding=enc))
+        assert out["version"] == f"2.{major}"
+        for k, v in f.items():
+            assert out[k] == v
+
+    def test_tag_plus_frames_probe_and_parse(self):
+        from json_schema_rs_spark.operators.mpeg_audio import (
+            encode_id3v2,
+            parse_id3v2,
+        )
+
+        mp3 = (encode_id3v2(self.FIELDS, major=3, encoding=1)
+               + encode_mp3_skeleton([128] * 4, 44100))
+        assert parse_id3v2(mp3)["title"] == "Café Song"
+        i = mp3_probe(mp3)
+        assert i.n_frames == 4 and i.has_id3v2
+
+    def test_corrupt_frame_size_rejected(self):
+        from json_schema_rs_spark.operators.mpeg_audio import (
+            encode_id3v2,
+            parse_id3v2,
+        )
+
+        bad = bytearray(encode_id3v2(self.FIELDS, major=4))
+        bad[10 + 4] = 0x7F  # inflate first frame's syncsafe size
+        with pytest.raises(ValueError, match="overruns"):
+            parse_id3v2(bytes(bad))
+
+    def test_untagged_keeps_seam(self):
+        from json_schema_rs_spark.operators.mpeg_audio import parse_id3v2
+
+        with pytest.raises(NotImplementedError):
+            parse_id3v2(encode_mp3_skeleton([128] * 2, 44100))
+
+    def test_spark_audio_tags(self, spark):
+        from json_schema_rs_spark.operators.mpeg_audio import (
+            audio_tags,
+            encode_id3v2,
+        )
+
+        mp3 = (encode_id3v2(self.FIELDS, major=4)
+               + encode_mp3_skeleton([128] * 2, 44100))
+        rows = [(0, mp3), (1, encode_mp3_skeleton([64] * 2, 44100)),
+                (2, b"garbage")]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = {r.media_id: r for r in audio_tags(media).collect()}
+        assert out[0].title == "Café Song" and out[0].id3_version == "2.4"
+        assert out[0].genre == "Jazz"
+        assert out[1].id3_version is None  # untagged -> quarantine row
+        assert out[2].id3_version is None
